@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** One registered engine operation: a Spark build function plus, when the
+  * semantics are ANSI-SQL-expressible, an equivalent DuckDB oracle query.
+  * The driver hash-compares the two at sf0.01 (see Verify.scala).
+  */
+final case class QueryDef(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None)
+
+/** Loaders for the harness parquet tables (TESTDATA.md).
+  *
+  * All tables are plain parquet scans; Catalyst pushes filters/projections
+  * down to the scan, so callers should NOT pre-materialize or cache here.
+  * At cluster scale these would be partitioned/bucketed catalog tables;
+  * the API is the same.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+
+  /** The harness writes `events.ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 cannot read natively. With
+    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench/tests)
+    * it arrives as LONG nanoseconds; truncate to microseconds exactly as
+    * DuckDB does when it reads the same file, so oracles stay value-equal.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}
+
+/** Exact-arithmetic helpers shared by queries and their DuckDB oracles.
+  *
+  * The harness data stores money/rates as doubles with <= 2 decimal digits.
+  * Summing doubles is order-dependent (Spark's shuffle order differs from
+  * DuckDB's scan order), so aggregates would not hash-match. Casting each
+  * operand to DECIMAL(p,4) first is exact (scale 4 > the 2 decimals present,
+  * so no rounding ever happens), decimal addition is associative, and the
+  * final CAST(... AS DOUBLE) of identical decimal values is identical in
+  * both engines. Keep Spark decimal precision <= 38 at every intermediate
+  * step or Spark will silently round (DuckDB won't) and the hashes diverge.
+  */
+object Exact {
+  /** money/quantity operand: DECIMAL(14,4), exact for 2-dec doubles. */
+  def dec(c: Column): Column = c.cast(DecimalType(14, 4))
+  /** small rate operand (discount/tax in [0,1]): DECIMAL(6,4). */
+  def rate(c: Column): Column = c.cast(DecimalType(6, 4))
+  /** exact sum of a money column, surfaced as DOUBLE. */
+  def sumMoney(c: Column): Column = sum(dec(c)).cast("double")
+  /** l_extendedprice * (1 - l_discount), exact decimal. */
+  def discPrice(price: Column, disc: Column): Column =
+    dec(price) * (lit(1) - rate(disc))
+  /** price*(1-disc)*(1+tax): the inner product has <= 4 decimals, so the
+    * DECIMAL(20,6) re-cast is exact and keeps Spark's precision <= 38. */
+  def charge(price: Column, disc: Column, tax: Column): Column =
+    discPrice(price, disc).cast(DecimalType(20, 6)) * (lit(1) + rate(tax))
+}

@@ -1,0 +1,127 @@
+package graft.relational
+
+import graft.{QueryDef, Tables}
+import graft.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-time analytics over the `events` table (SURVEY.md §2.12).
+  *
+  * Batch forms of the streaming windows; the Structured Streaming variants
+  * (readStream + watermark) live in graft.streaming and share the same
+  * aggregate logic. Spark's `window()` buckets align to the 1970-01-01 UTC
+  * epoch, matching DuckDB's `time_bucket` — the oracles rely on that.
+  */
+object Events {
+
+  /** Tumbling 10-minute windows per event type. */
+  def tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val tumblingSql: String =
+    """SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** Sliding windows: width 10 minutes, slide 5 — each event lands in
+    * exactly two windows. Spark expands via its window generator; the
+    * oracle expands explicitly (bucket and bucket-5min). */
+  def sliding(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("n_events"), col("total_value"))
+      .orderBy(col("win_start"))
+  }
+
+  val slidingSql: String =
+    """WITH b AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', ts) AS bkt, value FROM events
+      |), x AS (
+      |  SELECT bkt AS win_start, value FROM b
+      |  UNION ALL
+      |  SELECT bkt - INTERVAL '5 minutes' AS win_start, value FROM b
+      |)
+      |SELECT win_start, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+      |FROM x GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Sessionization with a 30-minute inactivity gap, expressed with
+    * analytic windows (lag + cumulative session counter) so it is
+    * oracle-checkable. Semantically identical to
+    * `session_window(ts, "30 minutes")`, which the streaming module uses.
+    * Gap comparison is in exact epoch microseconds. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("sess_start"),
+        max(col("ts")).as("sess_end"),
+        sumMoney(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("sess_id"))
+  }
+
+  val sessionizeSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM o
+      |)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  MIN(ts) AS sess_start, MAX(ts) AS sess_end,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
+  /** Per-type daily funnel: conditional aggregation (pivot-style). */
+  def dailyFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("views"),
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("clicks"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchases"),
+        sum(when(col("event_type") === "purchase", dec(col("value"))).otherwise(lit(0))).cast("double").as("purchase_value"))
+      .orderBy(col("day"))
+  }
+
+  val dailyFunnelSql: String =
+    """SELECT date_trunc('day', ts) AS day,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(14,4)) ELSE 0 END) AS DOUBLE) AS purchase_value
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
+    QueryDef("q16_events_sliding", sliding, Some(slidingSql)),
+    QueryDef("q17_events_sessionize", sessionize, Some(sessionizeSql)),
+    QueryDef("q18_events_daily_funnel", dailyFunnel, Some(dailyFunnelSql))
+  )
+}

@@ -1,0 +1,362 @@
+package graft.relational
+
+import graft.{QueryDef, Tables}
+import graft.Exact._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational query surface (SURVEY.md §2.12): joins, hash aggregation,
+  * windows, set ops, top-k over the harness TPC-H-ish tables.
+  *
+  * The reference (`/root/reference`) has no relational operators — its only
+  * join is the filename-stem sidecar association (`modules/tiling.py:64-75`)
+  * and its only aggregates are scalar counters (`modules/other_tasks.py:117`).
+  * This module generalizes those to the full Spark relational vocabulary.
+  *
+  * Scale notes (100 TB design intent, verified on local[32]):
+  *  - dimension tables (`region`, `nation`, `supplier`) are broadcast
+  *    explicitly; `customer`/`part` are left to AQE, which broadcasts them
+  *    at bench scale and shuffle-joins them beyond the threshold.
+  *  - every aggregate is a partial (map-side) + final hash aggregate; no
+  *    query collects to the driver.
+  *  - all outputs carry a deterministic total order (unique tie-break) so
+  *    the oracle hash-compare is stable.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: full-scan partial agg, 6 aggregates.
+    * One shuffle on (l_returnflag, l_linestatus) — 6 groups, trivially
+    * skew-free; map-side combine reduces 600k rows to 6 per partition. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        sumMoney(col("l_extendedprice")).as("sum_base_price"),
+        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
+        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
+        (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+        (sum(rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  val pricingSummarySql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(20,6)) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Orders rolled up to region/nation: 3-way join with broadcast dims. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sumMoney(col("o_totalprice")).as("total_spend"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val revenueByNationSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS total_spend
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** TPC-H Q3-style shipping priority: selective join + agg + top-10. Spark
+    * plans the final step as TakeOrderedAndProject (no global sort). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val shippingPrioritySql: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Order-priority check via EXISTS (left-semi join, no row duplication). */
+  def orderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir).filter(col("l_returnflag") === "R")
+    o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val orderPrioritySql: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q5-style local-supplier volume: 5-way join; the extra
+    * c_nationkey = s_nationkey predicate makes the customer/supplier link
+    * selective. Region filter is pushed below the joins by Catalyst. */
+  def localSupplierVolume(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+      .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    val s = broadcast(Tables.supplier(spark, dir))
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(s, li("l_suppkey") === s("s_suppkey") &&
+               c("c_nationkey") === s("s_nationkey"))
+      .join(n, s("s_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val localSupplierVolumeSql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** TPC-H Q6-style forecast revenue: pure scan+filter+agg, no shuffle
+    * beyond the final single-row combine. Filters push to parquet. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+      .filter(col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .filter(col("l_discount").between(0.05, 0.07))
+      .filter(col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice")) * rate(col("l_discount"))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val forecastRevenueSql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Top-3 parts per brand by revenue: agg then ranking window. The window
+    * re-uses the groupBy partitioning on p_brand (25 groups). */
+  def topPartsPerBrand(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val agg = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+    val w = Window.partitionBy(col("p_brand"))
+      .orderBy(col("rev_dec").desc, col("p_partkey"))
+    agg.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("p_brand"), col("p_partkey"),
+        col("rev_dec").cast("double").as("revenue"), col("rnk"))
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  val topPartsPerBrandSql: String =
+    """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, CAST(rnk AS INT) AS rnk
+      |FROM (
+      |  SELECT p_brand, p_partkey,
+      |    SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev_dec,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) DESC, p_partkey) AS rnk
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey
+      |) WHERE rnk <= 3
+      |ORDER BY p_brand, rnk""".stripMargin
+
+  /** Running per-customer spend: analytic window with a running frame. */
+  def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(dec(col("o_totalprice"))).over(w).cast("double").as("running_spend"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  val runningCustomerSpendSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** Set op: customers active in both 1997 and 1998 (INTERSECT). */
+  def repeatCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def activeIn(y: Int) = o
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey"))
+    activeIn(1997).intersect(activeIn(1998)).orderBy(col("o_custkey"))
+  }
+
+  val repeatCustomersSql: String =
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+      |INTERSECT
+      |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+      |ORDER BY o_custkey""".stripMargin
+
+  /** Set op: customers who ordered but never had a finished ('F') order. */
+  def neverFinishedCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.select(col("o_custkey"))
+      .except(o.filter(col("o_orderstatus") === "F").select(col("o_custkey")))
+      .orderBy(col("o_custkey"))
+  }
+
+  val neverFinishedCustomersSql: String =
+    """SELECT o_custkey FROM orders
+      |EXCEPT
+      |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |ORDER BY o_custkey""".stripMargin
+
+  /** ROLLUP over region/nation: customer counts + exact balance sums.
+    * Spark evaluates rollups in a single Expand+HashAggregate pass. */
+  def customerRollup(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val n = broadcast(Tables.nation(spark, dir))
+    val r = broadcast(Tables.region(spark, dir))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), sumMoney(col("c_acctbal")).as("total_bal"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
+  val customerRollupSql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(14,4))) AS DOUBLE) AS total_bal
+      |FROM customer
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Anti join: customers with no orders since 2000 (lapsed customers). */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val customersWithoutOrdersSql: String =
+    """SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Exact distinct counts (countDistinct → partial-distinct aggregate). */
+  def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      count(lit(1)).as("n_rows"))
+  }
+
+  val distinctCountsSql: String =
+    """SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+      |  COUNT(DISTINCT l_suppkey) AS n_supps,
+      |  COUNT(DISTINCT l_orderkey) AS n_orders,
+      |  COUNT(*) AS n_rows
+      |FROM lineitem""".stripMargin
+
+  /** Approximate distinct (HLL sketch). Engine-specific sketch => no
+    * DuckDB oracle; the driver records a rows-only check. At 100 TB this
+    * replaces countDistinct wherever a ~2% error is acceptable (one pass,
+    * constant memory per group). */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
+    QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
+    QueryDef("q03_shipping_priority", shippingPriority, Some(shippingPrioritySql)),
+    QueryDef("q04_order_priority", orderPriority, Some(orderPrioritySql)),
+    QueryDef("q05_local_supplier_volume", localSupplierVolume, Some(localSupplierVolumeSql)),
+    QueryDef("q06_forecast_revenue", forecastRevenue, Some(forecastRevenueSql)),
+    QueryDef("q07_top_parts_per_brand", topPartsPerBrand, Some(topPartsPerBrandSql)),
+    QueryDef("q08_running_customer_spend", runningCustomerSpend, Some(runningCustomerSpendSql)),
+    QueryDef("q09_repeat_customers", repeatCustomers, Some(repeatCustomersSql)),
+    QueryDef("q10_never_finished_customers", neverFinishedCustomers, Some(neverFinishedCustomersSql)),
+    QueryDef("q11_customer_rollup", customerRollup, Some(customerRollupSql)),
+    QueryDef("q12_customers_without_orders", customersWithoutOrders, Some(customersWithoutOrdersSql)),
+    QueryDef("q13_distinct_counts", distinctCounts, Some(distinctCountsSql)),
+    QueryDef("q14_approx_distinct", approxDistinct, None)
+  )
+}

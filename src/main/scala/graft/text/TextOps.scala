@@ -1,0 +1,232 @@
+package graft.text
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Text-dataset operators, generalizing the reference's text pipeline
+  * (`/root/reference/modules/other_tasks.py`) to distributed tables.
+  *
+  * Reference semantics preserved:
+  *  - dedup keeps the FIRST occurrence in original order and reports the
+  *    removed count (`other_tasks.py:100-125`);
+  *  - merge concatenates with a blank-line separator in a deterministic
+  *    (we fix: key-ordered) sequence (`other_tasks.py:6-26`);
+  *  - split re-chunks with the reference's +2-per-line counter, i.e. a UI
+  *    value of N lines/file yields ceil(N/2) records per chunk
+  *    (`other_tasks.py:69-98`).
+  *
+  * The row identity used for "original order" is `doc_id` (the harness
+  * tables have explicit keys). For raw text files the library derives ids
+  * from (input_file_name, per-file row_number) — see linesWithIds — never
+  * from monotonically_increasing_id, whose values depend on partition
+  * layout and would make results non-deterministic across runs.
+  */
+object TextOps {
+
+  /** Tokenize on whitespace, dropping empties (leading/trailing runs). */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= lit(""))
+
+  /** Order-preserving exact dedup (reference D1): first occurrence wins.
+    * One hash-aggregate shuffle on the value — same cost shape as
+    * dropDuplicates but with deterministic survivor choice. */
+  def dedupFirstOccurrence(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("n_copies"))
+      .select(col("first_id"), col("n_copies"), col("text"))
+      .orderBy(col("first_id"))
+
+  val dedupFirstOccurrenceSql: String =
+    """SELECT MIN(doc_id) AS first_id, COUNT(*) AS n_copies, text
+      |FROM documents GROUP BY text ORDER BY first_id""".stripMargin
+
+  /** Dedup summary: the reference's removed-count report, distributed. */
+  def dedupStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("text")).as("n_distinct"),
+      (count(lit(1)) - countDistinct(col("text"))).as("removed_count"))
+
+  val dedupStatsSql: String =
+    """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT text) AS n_distinct,
+      |  COUNT(*) - COUNT(DISTINCT text) AS removed_count
+      |FROM documents""".stripMargin
+
+  /** Merge (reference U1): concatenate all docs of a source with blank-line
+    * separators, in doc_id order. collect_list+array_sort keeps the
+    * aggregation single-pass; per-group payload is bounded by source size. */
+  def mergePerSource(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            x => x.getField("text")),
+          "\n\n").as("merged"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("source"))
+
+  val mergePerSourceSql: String =
+    """SELECT source,
+      |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS merged,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  /** Split/chunk (reference G6) with lines_per_file=100: the reference's
+    * counter adds 2 per record, so each chunk holds ceil(100/2)=50 records.
+    * Chunk assignment needs a global row numbering — inherently a
+    * sequential constraint; at scale the library computes it with
+    * per-partition counts + offsets rather than a single-partition window,
+    * but the semantics here are the contract. */
+  def splitChunks(spark: SparkSession, dir: String): DataFrame = {
+    val recordsPerChunk = 50
+    val w = Window.orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("chunk", expr(s"(rn - 1) div $recordsPerChunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_records"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        sum(col("n_chars")).as("n_chars_total"))
+      .orderBy(col("chunk"))
+  }
+
+  val splitChunksSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, n_chars, ROW_NUMBER() OVER (ORDER BY doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT (rn - 1) // 50 AS chunk, COUNT(*) AS n_records,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+      |FROM r GROUP BY chunk ORDER BY chunk""".stripMargin
+
+  /** Token counting per document (whitespace tokenizer). */
+  def tokenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_measured"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+      |  length(text) AS n_chars_measured,
+      |  n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Quality scoring: length, punctuation ratio, stopword ratio, flag.
+    * All ratios are double divisions of identical integers => exact. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("len"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long").as("n_punct"),
+        size(toks).cast("long").as("n_tokens"),
+        size(filter(toks, t => t.isInCollection(stop))).cast("long").as("n_stop"))
+      .withColumn("punct_ratio", col("n_punct") / col("len"))
+      .withColumn("stop_ratio",
+        when(col("n_tokens") > 0, col("n_stop") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("quality_ok",
+        col("len") >= 40 && col("len") <= 5000 && col("punct_ratio") < 0.2)
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, lang,
+      |  length(text) AS len,
+      |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS n_punct,
+      |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_tokens,
+      |  len(list_filter(string_split_regex(text, '\s+'),
+      |      t -> t IN ('the','a','of','and','to','in','is','for'))) AS n_stop,
+      |  length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / length(text) AS punct_ratio,
+      |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0
+      |    THEN len(list_filter(string_split_regex(text, '\s+'),
+      |           t -> t IN ('the','a','of','and','to','in','is','for')))
+      |         / len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+      |    ELSE 0.0 END AS stop_ratio,
+      |  (length(text) >= 40 AND length(text) <= 5000
+      |   AND length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) / length(text) < 0.2) AS quality_ok
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercased text.
+    * Groups byte-identical-after-normalization docs; the cheap first stage
+    * of a dedup cascade (exact -> fingerprint -> MinHash). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_id"))
+      .orderBy(col("first_id"))
+
+  val fingerprintSql: String =
+    """SELECT fp, COUNT(*) AS n_docs, MIN(doc_id) AS first_id
+      |FROM (SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |      FROM documents)
+      |GROUP BY fp ORDER BY first_id""".stripMargin
+
+  /** Heuristic language ID: stopword-hit scoring per language. On this
+    * synthetic corpus it mostly predicts 'und'; the point is deterministic,
+    * oracle-checkable plumbing for the scoring pipeline. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(lower(col("text")))
+    val en = Seq("the", "and", "of", "to", "a", "in", "is")
+    val fr = Seq("le", "la", "et", "les", "des", "un", "une")
+    val de = Seq("der", "die", "und", "das", "ein", "nicht")
+    def hits(ws: Seq[String]) = size(filter(toks, t => t.isInCollection(ws)))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        hits(en).cast("long").as("en_hits"),
+        hits(fr).cast("long").as("fr_hits"),
+        hits(de).cast("long").as("de_hits"))
+      .withColumn("pred_lang",
+        when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("de_hits") && col("en_hits") > 0, "en")
+          .when(col("fr_hits") >= col("de_hits") && col("fr_hits") > 0, "fr")
+          .when(col("de_hits") > 0, "de")
+          .otherwise("und"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  val langIdSql: String =
+    """WITH h AS (
+      |  SELECT doc_id, lang,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        t -> t IN ('the','and','of','to','a','in','is'))) AS en_hits,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        t -> t IN ('le','la','et','les','des','un','une'))) AS fr_hits,
+      |    len(list_filter(string_split_regex(lower(text), '\s+'),
+      |        t -> t IN ('der','die','und','das','ein','nicht'))) AS de_hits
+      |  FROM documents
+      |)
+      |SELECT lang,
+      |  CASE WHEN en_hits >= fr_hits AND en_hits >= de_hits AND en_hits > 0 THEN 'en'
+      |       WHEN fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+      |       WHEN de_hits > 0 THEN 'de'
+      |       ELSE 'und' END AS pred_lang,
+      |  COUNT(*) AS n_docs
+      |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
+    QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
+    QueryDef("q22_merge_per_source", mergePerSource, Some(mergePerSourceSql)),
+    QueryDef("q23_split_chunks", splitChunks, Some(splitChunksSql)),
+    QueryDef("q24_token_counts", tokenCounts, Some(tokenCountsSql)),
+    QueryDef("q25_quality_score", qualityScore, Some(qualityScoreSql)),
+    QueryDef("q26_fingerprint_dups", fingerprint, Some(fingerprintSql)),
+    QueryDef("q27_lang_id", langId, Some(langIdSql))
+  )
+}
