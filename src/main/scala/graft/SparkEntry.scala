@@ -14,7 +14,8 @@ object SparkEntry {
     relational.Relational.defs ++
       relational.Events.defs ++
       text.TextOps.defs ++
-      images.Geometry.defs
+      images.Geometry.defs ++
+      llm.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,423 @@
+package graft.llm
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Training-data-pipeline operators the reference lacks but a 100 TB corpus
+  * needs: near-duplicate detection (MinHash+LSH, SimHash, n-gram Jaccard)
+  * and similarity search over embeddings (brute-force cosine; hyperplane-LSH
+  * ANN as the scale path). Generalizes the reference's exact line dedup
+  * (`/root/reference/modules/other_tasks.py:100-125`) to fuzzy matching.
+  *
+  * Cross-engine determinism (every query here is DuckDB-oracle-checked):
+  *  - the base string hash is the first 15 hex chars of md5 → a 60-bit
+  *    non-negative long; both engines compute identical md5, so identical
+  *    hashes (no reliance on engine-specific hash functions);
+  *  - float embeddings are quantized `floor(x * 2^20)` — double widening and
+  *    power-of-two scaling are exact in IEEE754, so all dot products and
+  *    norms are *integer* arithmetic, order-independent and engine-identical;
+  *    the final cosine (int / sqrt·sqrt) is correctly-rounded IEEE double in
+  *    both engines;
+  *  - MinHash permutation constants come from one fixed LCG, inlined into
+  *    both the Spark plan and the oracle SQL from the same Scala arrays.
+  *
+  * Scale design (local[32] now, 1000 executors later):
+  *  - signatures/shingles are computed with array expressions inside
+  *    whole-stage codegen — NO explode/shuffle until the LSH band self-join;
+  *  - the only wide ops are the band-key shuffle (keys ~uniform: 60-bit
+  *    hashes) and the candidate-pair verify join, both equi-joins AQE can
+  *    re-plan; identical-text mega-clusters are the classic skew risk —
+  *    mitigate upstream with exact-dedup first (q20), which collapses each
+  *    cluster to one representative;
+  *  - brute-force cosine broadcasts the (small) probe set; the LSH variant
+  *    replaces the cross join with a bucket equi-join, which is the shape
+  *    that survives 100 TB (bucket count scales with plane count).
+  */
+object Similarity {
+
+  // ---------------------------------------------------------------- hashing
+
+  /** 60-bit base hash: first 15 hex chars of md5, identical in DuckDB via
+    * CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT). */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  val P: Long = 2147483647L // 2^31-1, prime; minhash value domain
+
+  /** Fixed-LCG permutation constants (a_i odd-ish in [1,P), b_i in [0,P)). */
+  val NumPerms = 64
+  val permA: Array[Long] = {
+    var x = 1234567891L
+    Array.fill(NumPerms) { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x % (P - 1) + 1 }
+  }
+  val permB: Array[Long] = {
+    var x = 9876543211L
+    Array.fill(NumPerms) { x = (x * 6364136223846793005L + 1442695040888963407L) & Long.MaxValue; x % P }
+  }
+
+  /** Whitespace tokens of lowercased text, empties dropped. */
+  def tokens(c: Column): Column =
+    filter(split(lower(c), "\\s+"), t => t =!= lit(""))
+
+  /** Distinct unigram shingle set (the corpus's discriminative granularity). */
+  def shingles(c: Column): Column = array_distinct(tokens(c))
+
+  /** MinHash signature: ARRAY<LONG> of NumPerms minima. Pure array exprs —
+    * no explode, stays in codegen; cost O(|shingles| * NumPerms) per row. */
+  def minhashSignature(sh: Column): Column = {
+    val hs = transform(sh, s => pmod(hash60(s), lit(P)))
+    val perms = transform(sequence(lit(0), lit(NumPerms - 1)), i =>
+      struct(element_at(typedLit(permA.toSeq), i + 1).as("a"),
+             element_at(typedLit(permB.toSeq), i + 1).as("b")))
+    transform(perms, p =>
+      array_min(transform(hs, h => pmod(p.getField("a") * h + p.getField("b"), lit(P)))))
+  }
+
+  // SQL fragments shared by the oracles (same constants, same pipeline).
+  private val permRowsSql: String =
+    (0 until NumPerms).map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
+
+  /** doc_id, shingles(list), sig(i)=min over shingles — oracle CTE prefix. */
+  private val sigCteSql: String =
+    s"""sh AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS shingles
+       |  FROM documents
+       |), tok AS (
+       |  SELECT doc_id, unnest(shingles) AS s FROM sh
+       |), th AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P AS h FROM tok
+       |), perms(i, a, b) AS (VALUES $permRowsSql),
+       |sigs AS (
+       |  SELECT doc_id, i, MIN((a * h + b) % $P) AS sig
+       |  FROM th CROSS JOIN perms GROUP BY doc_id, i
+       |)""".stripMargin
+
+  // ------------------------------------------------- q40 minhash signatures
+
+  /** Signature digest per doc — oracle-checks the MinHash machinery itself. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("sig0"),
+        element_at(col("sig"), 32).as("sig31"),
+        element_at(col("sig"), 64).as("sig63"),
+        array_min(col("sig")).as("sig_min"),
+        array_max(col("sig")).as("sig_max"))
+      .orderBy(col("doc_id"))
+
+  val minhashSignaturesSql: String =
+    s"""WITH $sigCteSql
+       |SELECT doc_id,
+       |  MIN(CASE WHEN i = 0 THEN sig END) AS sig0,
+       |  MIN(CASE WHEN i = 31 THEN sig END) AS sig31,
+       |  MIN(CASE WHEN i = 63 THEN sig END) AS sig63,
+       |  MIN(sig) AS sig_min, MAX(sig) AS sig_max
+       |FROM sigs GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- q41 minhash LSH near-dups
+
+  val Bands = 8
+  val RowsPerBand = 8 // threshold ~ (1/8)^(1/8) ≈ 0.77
+
+  /** MinHash + LSH banding near-duplicate pairs, verified with exact Jaccard
+    * ≥ 0.9. The self-join key is (band index, band slice of the signature) —
+    * an equi-join Spark shuffles on; no O(n²) pass ever happens. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh")))
+    val banded = docs.select(col("doc_id"), col("sh"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bsig")
+    val a = banded.select(col("band"), col("bsig"),
+      col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bsig"),
+      col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bsig")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", col("n_shared") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_shared")))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val minhashLshPairsSql: String =
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), verified AS (
+       |  SELECT id_a, id_b,
+       |    len(list_intersect(sa.shingles, sb.shingles)) AS n_shared,
+       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+       |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |)
+       |SELECT id_a, id_b, n_shared, jaccard FROM verified
+       |WHERE jaccard >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
+  // --------------------------------------------- q42 n-gram Jaccard ranking
+
+  /** Word-bigram Jaccard, top-50 most similar pairs over a bounded id range
+    * (brute force — the oracle-checked baseline the LSH path approximates). */
+  def ngramJaccardTopk(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    // sequence(1, n-1) would count DOWN for n < 2 — guard with empty array.
+    val grams = when(n >= 2, array_distinct(
+        transform(sequence(lit(1), n - 1), i =>
+          concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
+      .otherwise(array().cast("array<string>"))
+    val d = Tables.documents(spark, dir).filter(col("doc_id") < 300)
+      .select(col("doc_id"), grams.as("g"))
+    val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("g").as("g_b"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("n_shared", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("jaccard", col("n_shared") /
+        (size(col("g_a")) + size(col("g_b")) - col("n_shared")))
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+      .limit(50)
+  }
+
+  val ngramJaccardTopkSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
+      |        FROM documents WHERE doc_id < 300)
+      |)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.g, b.g)) AS n_shared,
+      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
+
+  // ------------------------------------------------------------ q43 simhash
+
+  val SimhashBits = 16
+
+  /** 16-bit SimHash over (multiset) tokens: bit k set iff the sum over
+    * tokens of ±1 (sign = bit k of the token hash) is positive. Computed as
+    * one fold over the token array — codegen-friendly, no explode. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    // per-token contribution to each bit: ((h >> k) & 1) * 2 - 1, computed
+    // via mask test (h & (1<<k)) — same value as the oracle's shift form.
+    val masks = typedLit((0 until SimhashBits).map(k => 1L << k))
+    val contrib = (t: Column) => transform(masks,
+      m => when(hash60(t).bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L)))
+    val acc = aggregate(tokens(col("text")),
+      array_repeat(lit(0L), SimhashBits),
+      (a, t) => zip_with(a, contrib(t), (x, y) => x + y))
+    val weights = typedLit((0 until SimhashBits).map(k => 1L << k))
+    val sh = aggregate(
+      zip_with(acc, weights, (v, w) => when(v > 0, w).otherwise(0L)),
+      lit(0L), (x, y) => x + y)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sh.as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("simhash"))
+  }
+
+  val simhashSql: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(k => s"SUM(((h >> $k) & 1) * 2 - 1) AS b$k").mkString(",\n      |    ")
+    val shExpr = (0 until SimhashBits)
+      .map(k => s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id
+       |), s AS (SELECT doc_id, CAST($shExpr AS BIGINT) AS simhash FROM bits)
+       |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+       |FROM s GROUP BY simhash ORDER BY simhash""".stripMargin
+  }
+
+  // ------------------------------------------- q44 brute-force cosine top-k
+
+  /** floor(x * 2^20) quantization — exact in both engines (see header). */
+  def quantize(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1048576.0).cast("long"))
+
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+
+  /** Brute-force cosine top-5 neighbors for probe vectors (vec_id < 8).
+    * The probe side is tiny → broadcast; the scan side streams. This is the
+    * exact baseline; q46 is the LSH approximation of the same answer. */
+  def cosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val probes = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq")))
+    val scored = e.crossJoin(probes).filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dotQ(col("pq"), col("q")) /
+        (sqrt(dotQ(col("pq"), col("pq"))) * sqrt(dotQ(col("q"), col("q")))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), col("cos"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val cosineTopkSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+      |  FROM embeddings
+      |), norms AS (
+      |  SELECT vec_id, q, list_sum([x * x for x in q]) AS nrm FROM q
+      |), pairs AS (
+      |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+      |    CAST(list_sum([p.q[i] * e.q[i] for i in range(1, 65)]) AS DOUBLE)
+      |      / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))) AS cos
+      |  FROM norms p JOIN norms e ON e.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 8
+      |), ranked AS (
+      |  SELECT probe_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM pairs
+      |)
+      |SELECT probe_id, neighbor_id, cos, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+
+  // ------------------------------------------------- q45/q46 hyperplane LSH
+
+  val NumPlanes = 6
+
+  /** Deterministic pseudo-random hyperplane weight, plane i ∈ [0,6), dim j ∈
+    * [1,64]: identical closed form in both engines. */
+  private def planeWeight(i: Int, j: Int): Long = ((i * 37 + j * 101) % 19) - 9
+
+  /** LSH bucket id of a quantized vector: 6 sign bits of integer dot
+    * products with the fixed planes. */
+  def lshBucket(q: Column): Column = {
+    val bits = (0 until NumPlanes).map { i =>
+      val ws = (1 to 64).map(j => planeWeight(i, j))
+      val dot = aggregate(
+        zip_with(q, typedLit(ws), (x, w) => x * w), lit(0L), (s, x) => s + x)
+      when(dot > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  private def lshBucketSql(qcol: String): String =
+    "CAST(" + (0 until NumPlanes).map { i =>
+      val terms = (1 to 64).map(j => s"$qcol[$j] * (${planeWeight(i, j)})").mkString(" + ")
+      s"(CASE WHEN $terms > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ") + " AS BIGINT)"
+
+  /** Bucket histogram: shows the partitioning the ANN path joins on. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), lshBucket(quantize(col("embedding"))).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("first_vec"))
+      .orderBy(col("bucket"))
+
+  val lshBucketsSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+       |  FROM embeddings
+       |), b AS (SELECT vec_id, label, ${lshBucketSql("q")} AS bucket FROM q)
+       |SELECT bucket, COUNT(*) AS n_vecs, COUNT(DISTINCT label) AS n_labels,
+       |  MIN(vec_id) AS first_vec
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** ANN via LSH: probes (vec_id < 8) match only their own bucket, then
+    * exact cosine top-3 within it. The cross join of q44 becomes a bucket
+    * equi-join — the shape that scales (shuffle keyed by bucket). */
+  def annLshTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("bucket", lshBucket(col("q")))
+    val probes = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("bucket")))
+    val scored = e.join(probes, Seq("bucket")).filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dotQ(col("pq"), col("q")) /
+        (sqrt(dotQ(col("pq"), col("pq"))) * sqrt(dotQ(col("q"), col("q")))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("bucket"), col("cos"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val annLshTopkSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+       |  FROM embeddings
+       |), b AS (
+       |  SELECT vec_id, q, ${lshBucketSql("q")} AS bucket,
+       |    list_sum([x * x for x in q]) AS nrm
+       |  FROM q
+       |), pairs AS (
+       |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, p.bucket AS bucket,
+       |    CAST(list_sum([p.q[i] * e.q[i] for i in range(1, 65)]) AS DOUBLE)
+       |      / (sqrt(CAST(p.nrm AS DOUBLE)) * sqrt(CAST(e.nrm AS DOUBLE))) AS cos
+       |  FROM b p JOIN b e ON p.bucket = e.bucket AND e.vec_id <> p.vec_id
+       |  WHERE p.vec_id < 8
+       |), ranked AS (
+       |  SELECT probe_id, neighbor_id, bucket, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+       |  FROM pairs
+       |)
+       |SELECT probe_id, neighbor_id, bucket, cos, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
+  // ------------------------------------------------- q47 per-label centroid
+
+  /** Per-label centroid (first 4 dims) from quantized ints — exact sums,
+    * then one double division. posexplode → (label, dim) grouping is the
+    * standard distributed centroid shape (shuffle keyed by label×dim). */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(quantize(col("embedding"))))
+      .filter(col("pos") < 4)
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("col")) / count(lit(1)) / 1048576.0).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
+  val labelCentroidsSql: String =
+    """WITH q AS (
+      |  SELECT label, unnest([CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding]) AS v,
+      |    unnest(range(0, len(embedding))) AS pos
+      |  FROM embeddings
+      |)
+      |SELECT label, CAST(pos AS INT) AS pos, COUNT(*) AS n_vecs,
+      |  CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1048576.0 AS centroid
+      |FROM q WHERE pos < 4 GROUP BY label, pos ORDER BY label, pos""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q40_minhash_signatures", minhashSignatures, Some(minhashSignaturesSql)),
+    QueryDef("q41_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
+    QueryDef("q42_ngram_jaccard_topk", ngramJaccardTopk, Some(ngramJaccardTopkSql)),
+    QueryDef("q43_simhash", simhash, Some(simhashSql)),
+    QueryDef("q44_cosine_topk", cosineTopk, Some(cosineTopkSql)),
+    QueryDef("q45_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
+    QueryDef("q46_ann_lsh_topk", annLshTopk, Some(annLshTopkSql)),
+    QueryDef("q47_label_centroids", labelCentroids, Some(labelCentroidsSql))
+  )
+}
