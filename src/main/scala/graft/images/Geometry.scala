@@ -32,10 +32,16 @@ object Geometry {
   /** Grid of tile boxes for one image as ARRAY<STRUCT<i,j,left,upper,right,lower>>.
     * Pure column arithmetic — stays inside WholeStageCodegen, no UDF. */
   def gridBoxes(w: Column, h: Column, tile: Int, overlap: Double,
-                padding: Int, autoAdjust: Boolean): Column = {
-    val s = step(tile, overlap)
-    val hTiles = greatest(lit(0L), floor((w - padding) / lit(s)).cast("long"))
-    val vTiles = greatest(lit(0L), floor((h - padding) / lit(s)).cast("long"))
+                padding: Int, autoAdjust: Boolean): Column =
+    gridBoxesDyn(w, h, lit(tile.toLong), lit(step(tile, overlap).toLong),
+      lit(padding), autoAdjust)
+
+  /** Column-parameter grid: tile/step may vary per row (the reference's
+    * per-image `num_tiles` override, `modules/tiling.py:25-26`). */
+  def gridBoxesDyn(w: Column, h: Column, tile: Column, s: Column,
+                   padding: Column, autoAdjust: Boolean): Column = {
+    val hTiles = greatest(lit(0L), floor((w - padding) / s).cast("long"))
+    val vTiles = greatest(lit(0L), floor((h - padding) / s).cast("long"))
     // sequence(0, n-1) is invalid for n=0 (it would count down); guard.
     def range0(n: Column) =
       when(n > 0, sequence(lit(0L), n - 1)).otherwise(array().cast("array<long>"))

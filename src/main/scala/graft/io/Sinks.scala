@@ -1,0 +1,117 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row}
+
+import java.io.IOException
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.jdk.CollectionConverters._
+
+/** Sinks the reference needs that Spark lacks natively (SURVEY.md §2.6).
+  *
+  * Spark's writers emit part-files; the reference emits ONE file per row
+  * (tile images + caption sidecars, `/root/reference/modules/tiling.py:64-75`).
+  * `writeFilePerRow` does that with a foreachPartition action — executors
+  * write concurrently, nothing funnels through the driver. Destinations are
+  * computed per-row upstream, so routing (e.g. compatible vs incompatible
+  * folders, `filter_crop.py:49-63`) is a column, not a mutation of inputs.
+  */
+object Sinks {
+
+  /** Reference K6 precondition (`modules/utils.py:11-16`): output folder
+    * must exist and be empty — the SaveMode.ErrorIfExists semantic. */
+  def requireEmptyDir(dir: String): Unit = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) { Files.createDirectories(p); return }
+    if (!Files.isDirectory(p)) throw new IOException(s"$dir is not a directory")
+    val it = Files.list(p)
+    try if (it.iterator().hasNext)
+      throw new IOException(s"Output folder $dir is not empty")
+    finally it.close()
+  }
+
+  /** One file per row: df must have (fileName STRING, data BINARY) columns.
+    * Rows with null data (decode failures upstream) are skipped — the
+    * reference's per-file try/except-continue. */
+  def writeFilePerRow(df: DataFrame, outDir: String,
+                      fileCol: String = "file_name", dataCol: String = "data"): Unit = {
+    val out = outDir // avoid capturing `this`
+    df.select(fileCol, dataCol).foreachPartition { (rows: Iterator[Row]) =>
+      val base = Paths.get(out)
+      Files.createDirectories(base)
+      rows.foreach { r =>
+        val name = r.getString(0)
+        val data = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (name != null && data != null) {
+          val target = base.resolve(name).normalize()
+          require(target.startsWith(base), s"path escape: $name")
+          Files.write(target, data)
+        }
+      }
+    }
+  }
+
+  /** Sidecar text files: (fileName STRING, text STRING); blank text rows are
+    * skipped (reference writes captions only when non-empty,
+    * `tiling.py:71-75`). */
+  def writeTextPerRow(df: DataFrame, outDir: String,
+                      fileCol: String = "file_name", textCol: String = "text"): Unit = {
+    val out = outDir
+    df.select(fileCol, textCol).foreachPartition { (rows: Iterator[Row]) =>
+      val base = Paths.get(out)
+      Files.createDirectories(base)
+      rows.foreach { r =>
+        val name = r.getString(0)
+        val text = if (r.isNullAt(1)) null else r.getString(1)
+        if (name != null && text != null && text.trim.nonEmpty) {
+          val target = base.resolve(name).normalize()
+          require(target.startsWith(base), s"path escape: $name")
+          Files.write(target, text.getBytes(StandardCharsets.UTF_8))
+        }
+      }
+    }
+  }
+
+  /** Reference K5 ZIP sink (`tiling.py:96-108`): zip every file in a folder,
+    * flattened arcnames, excluding the zip itself. Driver-side packaging of
+    * an already-written output — not dataflow. */
+  def zipDir(dir: String, zipName: String = "output.zip"): Path = {
+    val base = Paths.get(dir)
+    val zipPath = base.resolve(zipName)
+    val zos = new ZipOutputStream(Files.newOutputStream(zipPath))
+    try {
+      val files = Files.walk(base).iterator().asScala
+        .filter(p => Files.isRegularFile(p) && p != zipPath)
+        .toSeq.sortBy(_.getFileName.toString)
+      files.foreach { p =>
+        zos.putNextEntry(new ZipEntry(p.getFileName.toString)) // flattened
+        Files.copy(p, zos)
+        zos.closeEntry()
+      }
+    } finally zos.close()
+    zipPath
+  }
+
+  /** Reference K3 merged single file: a one-partition text write + rename.
+    * Only for genuinely small merged outputs (the reference's use case);
+    * large outputs should stay multi-part. */
+  def writeMergedText(df: DataFrame, outFile: String, textCol: String = "value"): Unit = {
+    val tmp = outFile + ".spark-tmp"
+    df.select(textCol).coalesce(1).write.mode("overwrite").text(tmp)
+    val part = Files.list(Paths.get(tmp)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+    Files.createDirectories(Paths.get(outFile).toAbsolutePath.getParent)
+    Files.move(part, Paths.get(outFile),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // clean temp dir
+    Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  /** Reference K4 chunked files: partitionBy(chunk) text write — each chunk
+    * directory holds that chunk's records, parallel-safe at any scale. */
+  def writeChunkedText(df: DataFrame, outDir: String,
+                       chunkCol: String = "chunk", textCol: String = "value"): Unit =
+    df.select(chunkCol, textCol)
+      .write.mode("errorifexists").partitionBy(chunkCol).text(outDir)
+}
