@@ -118,10 +118,44 @@ object Events {
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Native session_window operator in batch mode (its streaming twin is
+    * graft.streaming.Streaming.sessions). Semantically the same sessions as
+    * q17; the oracle derives start/end from the gap-based CTE:
+    * sess_end = MAX(ts) + gap, exactly session_window's definition. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    e.groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val sessionWindowSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts, value,
+      |    CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM o
+      |)
+      |SELECT user_id, MIN(ts) AS sess_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),
     QueryDef("q17_events_sessionize", sessionize, Some(sessionizeSql)),
-    QueryDef("q18_events_daily_funnel", dailyFunnel, Some(dailyFunnelSql))
+    QueryDef("q18_events_daily_funnel", dailyFunnel, Some(dailyFunnelSql)),
+    QueryDef("q19_session_window", sessionWindow, Some(sessionWindowSql))
   )
 }

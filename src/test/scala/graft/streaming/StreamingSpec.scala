@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Batch/stream agreement: the streaming transforms produce the same
+  * answers as their batch twins on identical input (the real events table
+  * at sf0.001, fed through a MemoryStream in two micro-batches). */
+class StreamingSpec extends SparkSpec {
+
+  private def eventRows(): Seq[Streaming.EventRow] = {
+    graft.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .map(r => Streaming.EventRow(r.getLong(0), r.getTimestamp(1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+      .toSeq
+  }
+
+  test("streaming tumbling windows match the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val stream = MemoryStream[Streaming.EventRow]
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first); stream.addData(second)
+    Streaming.runToMemory(Streaming.tumbling(stream.toDF()), "t_tumbling",
+      OutputMode.Complete())
+    val streamed = spark.table("t_tumbling")
+      .orderBy("win_start", "event_type").collect().toSeq
+    val batch = graft.relational.Events.tumbling(spark, sfDir).collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("streaming session windows match batch session_window aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Streaming.EventRow]
+    stream.addData(eventRows())
+    Streaming.runToMemory(Streaming.sessions(stream.toDF()), "t_sessions",
+      OutputMode.Complete())
+    val streamed = spark.table("t_sessions")
+      .orderBy("user_id", "sess_start").collect().toSeq
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), graft.Exact.sumMoney(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"), col("total_value"))
+      .orderBy("user_id", "sess_start").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("mapGroupsWithState running totals match a batch groupBy") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Streaming.EventRow]
+    stream.addData(eventRows())
+    Streaming.runToMemory(Streaming.runningUserState(stream.toDF()),
+      "t_state", OutputMode.Update())
+    // last snapshot per user == batch totals
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    val finalSnaps = spark.table("t_state")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select("user_id", "n_events").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy("user_id").agg(count(lit(1)).as("n"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(finalSnaps == batch)
+  }
+
+  test("late data beyond the watermark is dropped in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[Streaming.EventRow]
+    def ev(id: Long, minute: Int) = Streaming.EventRow(
+      id, java.sql.Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, "view", 1.0)
+    // batch 1: events up to 12:00 → watermark advances to 11:00 (1h lag)
+    stream.addData(Seq(ev(1, 0), ev(2, 5)))
+    val df = Streaming.tumbling(stream.toDF())
+    val q = df.writeStream.format("memory").queryName("t_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      stream.addData(Seq(Streaming.EventRow(3,
+        java.sql.Timestamp.valueOf("2024-01-01 13:00:00"), 1L, "view", 1.0)))
+      q.processAllAvailable()
+      // very late row, before the 12:00 watermark → dropped
+      stream.addData(Seq(ev(4, 1)))
+      q.processAllAvailable()
+      stream.addData(Seq(Streaming.EventRow(5,
+        java.sql.Timestamp.valueOf("2024-01-01 15:00:00"), 1L, "view", 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val counts = spark.table("t_late").agg(sum("n_events")).collect().head.getLong(0)
+    // events 1,2 in the 10:00 window (closed when watermark passed); late
+    // event 4 was NOT added to it
+    val w10 = spark.table("t_late")
+      .filter(col("win_start") === java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+      .agg(sum("n_events")).collect().head
+    assert(w10.getLong(0) == 2, s"late row leaked into closed window")
+  }
+}
