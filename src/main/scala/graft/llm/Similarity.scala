@@ -63,31 +63,47 @@ object Similarity {
   /** Distinct unigram shingle set (the corpus's discriminative granularity). */
   def shingles(c: Column): Column = array_distinct(tokens(c))
 
+  /** 60-bit-hashed distinct shingle set. All downstream set algebra
+    * (signatures, intersections, Jaccard) runs in hash space: engine-portable
+    * (both Spark and DuckDB compute the identical md5-based hash, so any
+    * collision collides identically in both) and far cheaper than UTF8-string
+    * set ops — a long compares in one instruction. */
+  def hashedShingles(c: Column): Column =
+    array_distinct(transform(tokens(c), s => pmod(hash60(s), lit(P))))
+
   /** MinHash signature: ARRAY<LONG> of NumPerms minima. Pure array exprs —
-    * no explode, stays in codegen; cost O(|shingles| * NumPerms) per row. */
-  def minhashSignature(sh: Column): Column = {
-    val hs = transform(sh, s => pmod(hash60(s), lit(P)))
-    val perms = transform(sequence(lit(0), lit(NumPerms - 1)), i =>
-      struct(element_at(typedLit(permA.toSeq), i + 1).as("a"),
-             element_at(typedLit(permB.toSeq), i + 1).as("b")))
-    transform(perms, p =>
-      array_min(transform(hs, h => pmod(p.getField("a") * h + p.getField("b"), lit(P)))))
+    * no explode/shuffle; cost O(|shingles| * NumPerms) per row.
+    *
+    * Loop order matters: this FOLDS over the shingle-hash array once,
+    * updating a NumPerms-wide running-min accumulator per element. The
+    * transposed form (`transform(perms, p => array_min(transform(hs, …)))`)
+    * re-evaluates the md5-based hash subtree once per permutation — a 64×
+    * blowup the optimizer does not factor out of the lambda.
+    *
+    * Takes the [[hashedShingles]] array (ARRAY<LONG>, values in [0, P)). */
+  def minhashSignature(hs: Column): Column = {
+    val perms = typedLit(permA.zip(permB).toSeq) // ARRAY<STRUCT<_1: a, _2: b>>
+    aggregate(hs,
+      array_repeat(lit(P), NumPerms),
+      (acc, h) => zip_with(acc, perms,
+        (m, p) => least(m, pmod(p.getField("_1") * h + p.getField("_2"), lit(P)))))
   }
 
   // SQL fragments shared by the oracles (same constants, same pipeline).
   private val permRowsSql: String =
     (0 until NumPerms).map(i => s"(${i}, ${permA(i)}, ${permB(i)})").mkString(", ")
 
-  /** doc_id, shingles(list), sig(i)=min over shingles — oracle CTE prefix. */
+  /** doc_id, hs (hashed shingle set), sig(i)=min over hashes — oracle CTE
+    * prefix. `hs` mirrors [[hashedShingles]] exactly: distinct-of-hashes. */
   private val sigCteSql: String =
     s"""sh AS (
        |  SELECT doc_id,
-       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS shingles
+       |    list_distinct(list_transform(
+       |      list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+       |      t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % $P)) AS hs
        |  FROM documents
-       |), tok AS (
-       |  SELECT doc_id, unnest(shingles) AS s FROM sh
        |), th AS (
-       |  SELECT doc_id, CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % $P AS h FROM tok
+       |  SELECT doc_id, unnest(hs) AS h FROM sh
        |), perms(i, a, b) AS (VALUES $permRowsSql),
        |sigs AS (
        |  SELECT doc_id, i, MIN((a * h + b) % $P) AS sig
@@ -99,7 +115,7 @@ object Similarity {
   /** Signature digest per doc — oracle-checks the MinHash machinery itself. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"), minhashSignature(shingles(col("text"))).as("sig"))
+      .select(col("doc_id"), minhashSignature(hashedShingles(col("text"))).as("sig"))
       .select(col("doc_id"),
         element_at(col("sig"), 1).as("sig0"),
         element_at(col("sig"), 32).as("sig31"),
@@ -124,27 +140,47 @@ object Similarity {
 
   /** MinHash + LSH banding near-duplicate pairs, verified with exact Jaccard
     * ≥ 0.9. The self-join key is (band index, band slice of the signature) —
-    * an equi-join Spark shuffles on; no O(n²) pass ever happens. */
+    * an equi-join Spark shuffles on; no O(n²) pass ever happens.
+    *
+    * Shape matters at scale:
+    *  - the band self-join and the pair-dedup carry ONLY doc ids + one 64-bit
+    *    band key (`xxhash64(band, slice)`) — the shingle payload is attached
+    *    AFTER `distinct()` via two slim equi-joins, so the wide arrays are
+    *    never duplicated 8× per band nor shuffled through the dedup exchange
+    *    (the naive shingles-through-the-join version was 40× slower at sf0.1;
+    *    a band-key hash collision can only ADD a candidate, which the exact
+    *    verify then scores — never lose one);
+    *  - verification runs in hash space ([[hashedShingles]]) with an exact
+    *    size-ratio prescreen (`J(a,b) ≤ min/max` ⇒ `10·min ≥ 9·max` is
+    *    necessary for J ≥ 0.9) so most candidates never pay the intersection;
+    *  - the output is totally ordered via single-partition sort, NOT
+    *    `orderBy`: a global range sort would re-execute this whole pipeline a
+    *    second time just to sample partition boundaries. At 100 TB the result
+    *    set itself is large — there you would drop the sort or accept the
+    *    range-exchange; the pair generation above is the part that scales. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh")))
-    val banded = docs.select(col("doc_id"), col("sh"),
+      .select(col("doc_id"), hashedShingles(col("text")).as("hs"))
+    val banded = docs
+      .withColumn("sig", minhashSignature(col("hs")))
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bsig")
-    val a = banded.select(col("band"), col("bsig"),
-      col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bsig"),
-      col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bsig")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
-      .withColumn("n_shared", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard", col("n_shared") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("n_shared")))
+      .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bkey"))
+    val cand = banded.select(col("bkey"), col("doc_id").as("id_a"))
+      .join(banded.select(col("bkey"), col("doc_id").as("id_b")), Seq("bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("sz_a", size(col("hs_a"))).withColumn("sz_b", size(col("hs_b")))
+      .filter(least(col("sz_a"), col("sz_b")) * 10 >= greatest(col("sz_a"), col("sz_b")) * 9)
+      .withColumn("n_shared", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("jaccard", col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
       .filter(col("jaccard") >= 0.9)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
-      .orderBy(col("id_a"), col("id_b"))
+      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
   }
 
   val minhashLshPairsSql: String =
@@ -158,9 +194,9 @@ object Similarity {
        |  WHERE a.doc_id < b.doc_id
        |), verified AS (
        |  SELECT id_a, id_b,
-       |    len(list_intersect(sa.shingles, sb.shingles)) AS n_shared,
-       |    CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-       |      / (len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+       |    len(list_intersect(sa.hs, sb.hs)) AS n_shared,
+       |    CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard
        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
        |)
        |SELECT id_a, id_b, n_shared, jaccard FROM verified
@@ -216,12 +252,14 @@ object Similarity {
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     // per-token contribution to each bit: ((h >> k) & 1) * 2 - 1, computed
     // via mask test (h & (1<<k)) — same value as the oracle's shift form.
+    // md5 is hashed ONCE per token (transform binds h), then folded across
+    // the 16 bit masks — not re-hashed per bit.
     val masks = typedLit((0 until SimhashBits).map(k => 1L << k))
-    val contrib = (t: Column) => transform(masks,
-      m => when(hash60(t).bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L)))
-    val acc = aggregate(tokens(col("text")),
+    val hs = transform(tokens(col("text")), t => hash60(t))
+    val acc = aggregate(hs,
       array_repeat(lit(0L), SimhashBits),
-      (a, t) => zip_with(a, contrib(t), (x, y) => x + y))
+      (a, h) => zip_with(a, masks,
+        (x, m) => x + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L))))
     val weights = typedLit((0 until SimhashBits).map(k => 1L << k))
     val sh = aggregate(
       zip_with(acc, weights, (v, w) => when(v > 0, w).otherwise(0L)),

@@ -10,7 +10,7 @@ class SimilaritySpec extends SparkSpec {
     val df = Seq("spark batch table scan", "spark batch table scan",
         "completely different words here")
       .toDF("text")
-      .select(Similarity.minhashSignature(Similarity.shingles(col("text"))).as("sig"))
+      .select(Similarity.minhashSignature(Similarity.hashedShingles(col("text"))).as("sig"))
     val sigs = df.collect().map(_.getSeq[Long](0))
     assert(sigs.forall(_.size == Similarity.NumPerms))
     assert(sigs.forall(_.forall(v => v >= 0 && v < Similarity.P)))
@@ -25,8 +25,8 @@ class SimilaritySpec extends SparkSpec {
     val b = "alpha beta gamma delta epsilon zeta iota kappa"
     val row = Seq((a, b)).toDF("a", "b")
       .select(
-        Similarity.minhashSignature(Similarity.shingles(col("a"))).as("sa"),
-        Similarity.minhashSignature(Similarity.shingles(col("b"))).as("sb"),
+        Similarity.minhashSignature(Similarity.hashedShingles(col("a"))).as("sa"),
+        Similarity.minhashSignature(Similarity.hashedShingles(col("b"))).as("sb"),
         (size(array_intersect(Similarity.shingles(col("a")), Similarity.shingles(col("b")))).cast("double") /
           size(array_union(Similarity.shingles(col("a")), Similarity.shingles(col("b"))))).as("jac"))
       .collect().head
