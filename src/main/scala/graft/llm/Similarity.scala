@@ -424,6 +424,43 @@ object Similarity {
        |SELECT probe_id, neighbor_id, bucket, cos, CAST(rnk AS INT) AS rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  // -------------------------------------------- q48 embedding-cosine near-dup
+
+  /** Embedding-cosine near-duplicate pairs: every pair with cosine ≥ 0.4
+    * over a bounded id range (the synthetic corpus's similarity tail — no
+    * pair exceeds 0.6, so a "classic" 0.9 threshold would be vacuous).
+    * This is the exact brute-force baseline, bounded to vec_id < 500 like
+    * q42; the 100 TB path replaces the O(n²) pair join with the q46 LSH
+    * bucket equi-join and runs this verification only within buckets. */
+  def cosineNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 500)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .withColumn("nrm", dotQ(col("q"), col("q")))
+    val a = e.select(col("vec_id").as("id_a"), col("q").as("qa"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("q").as("qb"), col("nrm").as("nb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", dotQ(col("qa"), col("qb")) /
+        (sqrt(col("na")) * sqrt(col("nb"))))
+      .filter(col("cos") >= 0.4)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val cosineNearDupSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+      |  FROM embeddings WHERE vec_id < 500
+      |), n AS (
+      |  SELECT vec_id, q, list_sum([x * x for x in q]) AS nrm FROM q
+      |)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  CAST(list_sum([a.q[i] * b.q[i] for i in range(1, 65)]) AS DOUBLE)
+      |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) AS cos
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE CAST(list_sum([a.q[i] * b.q[i] for i in range(1, 65)]) AS DOUBLE)
+      |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------- q47 per-label centroid
 
   /** Per-label centroid (first 4 dims) from quantized ints — exact sums,
@@ -456,6 +493,7 @@ object Similarity {
     QueryDef("q44_cosine_topk", cosineTopk, Some(cosineTopkSql)),
     QueryDef("q45_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
     QueryDef("q46_ann_lsh_topk", annLshTopk, Some(annLshTopkSql)),
-    QueryDef("q47_label_centroids", labelCentroids, Some(labelCentroidsSql))
+    QueryDef("q47_label_centroids", labelCentroids, Some(labelCentroidsSql)),
+    QueryDef("q48_cosine_neardup", cosineNearDup, Some(cosineNearDupSql))
   )
 }

@@ -1,0 +1,126 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns for a training-data pipeline: audio/video payloads as
+  * opaque BINARY with typed metadata structs, plus the Spark-side plumbing
+  * for decode / feature-extract / frame-sample.
+  *
+  * The reference handles only images (real decode via graft.images
+  * .ImageCodec / javax.imageio). This container has no audio/video codec
+  * libraries, so the byte→samples decode here is a clearly-marked
+  * DETERMINISTIC STUB — the schemas, partitioning behavior, per-row vs
+  * per-partition amortization, and window/feature math are the real,
+  * tested plumbing a codec would drop into.
+  *
+  * Scale notes: payloads stay opaque binary until a kernel needs them
+  * (column pruning skips them entirely for metadata-only queries —
+  * the same header-vs-pixels split as images/ImageCodec.imageDims);
+  * feature extraction is a narrow map, no shuffle; frame sampling is a
+  * generator (1 row → N rows) exactly like the tile grid, pure column
+  * arithmetic until frame bytes are touched.
+  */
+object Multimodal {
+
+  // ------------------------------------------------------------ metadata
+
+  /** Typed audio metadata column: STRUCT<sample_rate, channels, duration_ms>.
+    * In a real pipeline this comes from the container header (cheap), not a
+    * full decode — the audio analog of header-only image dims. */
+  def audioMeta(sampleRate: Column, channels: Column, durationMs: Column): Column =
+    struct(sampleRate.cast("int").as("sample_rate"),
+      channels.cast("int").as("channels"),
+      durationMs.cast("long").as("duration_ms"))
+
+  /** Typed video metadata: STRUCT<width, height, fps, duration_ms>. */
+  def videoMeta(width: Column, height: Column, fps: Column, durationMs: Column): Column =
+    struct(width.cast("int").as("width"), height.cast("int").as("height"),
+      fps.cast("double").as("fps"), durationMs.cast("long").as("duration_ms"))
+
+  // ------------------------------------------------------------ decode stub
+
+  /** STUB audio decode: bytes → Array[Float] "PCM". Deterministic fake —
+    * each payload byte becomes one centered sample b/128f ∈ [-1, 1). A real
+    * deployment replaces the lambda body with a codec call (the signature,
+    * null-on-failure contract, and downstream feature math are unchanged).
+    * Kept as a scalar UDF: decode is inherently a black-box byte kernel,
+    * exactly like images/ImageCodec. */
+  val decodeAudioStub: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else payload.map(b => b.toFloat / 128.0f)
+    }
+
+  // ------------------------------------------------------------ features
+
+  /** Windowed RMS energy over a decoded sample array: frames of `frameLen`
+    * samples (tail partial frame dropped), each reduced to
+    * sqrt(mean(x²)) — pure array expressions, no explode until the caller
+    * wants per-frame rows. */
+  def rmsFrames(samples: Column, frameLen: Int): Column = {
+    val nFrames = floor(size(samples) / frameLen).cast("int")
+    transform(sequence(lit(0), nFrames - 1, lit(1)), f => {
+      val frame = slice(samples, f * frameLen + 1, lit(frameLen))
+      sqrt(aggregate(frame, lit(0.0d), (s, x) => s + x.cast("double") * x.cast("double"))
+        / frameLen)
+    })
+  }
+
+  /** Peak absolute amplitude — one fold, no allocation. */
+  def peak(samples: Column): Column =
+    aggregate(samples, lit(0.0d), (m, x) => greatest(m, abs(x.cast("double"))))
+
+  // ------------------------------------------------------------ frame sampling
+
+  /** Video frame-sample grid: every `everyNth` frame of a clip described
+    * only by metadata — ARRAY<STRUCT<frame_idx, ts_ms>>, pure arithmetic
+    * (the video analog of the tile grid in images/Geometry). explode() it
+    * to get one row per sampled frame; only then would a real pipeline
+    * seek+decode that frame's bytes. */
+  def frameSampleGrid(fps: Column, durationMs: Column, everyNth: Int): Column = {
+    val nFrames = floor(fps * durationMs / 1000.0).cast("int")
+    val lastIdx = (floor((nFrames - 1) / lit(everyNth)) * everyNth).cast("int")
+    when(nFrames > 0,
+      transform(sequence(lit(0), lastIdx, lit(everyNth)), i =>
+        struct(i.as("frame_idx"),
+          floor(i * lit(1000.0) / fps).cast("long").as("ts_ms"))))
+      .otherwise(array().cast("array<struct<frame_idx:int,ts_ms:bigint>>"))
+  }
+
+  /** One row per sampled frame: df must carry (id, meta) with videoMeta
+    * schema. Narrow generator — partition count and ordering preserved. */
+  def sampleFrames(df: DataFrame, everyNth: Int): DataFrame =
+    df.select(col("id"), col("meta"),
+        explode(frameSampleGrid(col("meta.fps"), col("meta.duration_ms"), everyNth)).as("frame"))
+      .select(col("id"), col("frame.frame_idx").as("frame_idx"),
+        col("frame.ts_ms").as("ts_ms"))
+
+  // ------------------------------------------------------------ batched extract
+
+  /** Per-partition amortized feature extraction: the expensive resource (a
+    * codec context, an inference session) is initialized ONCE per partition
+    * and reused across rows — the mapPartitions batch shape that matters at
+    * 100 TB (per-row init would dominate). The "model" here is the stub
+    * decoder + RMS, but the lifecycle is the real pattern. */
+  def extractFeaturesBatched(df: DataFrame, frameLen: Int): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // once-per-partition init happens here (codec/session handle)
+        val decode = (payload: Array[Byte]) => payload.map(b => b.toFloat / 128.0f)
+        rows.map { case (id, payload) =>
+          if (payload == null) (id, 0, 0.0, 0.0)
+          else {
+            val pcm = decode(payload)
+            val frames = pcm.grouped(frameLen).filter(_.length == frameLen).toArray
+            val rms = frames.map(f => math.sqrt(f.map(x => x.toDouble * x).sum / frameLen))
+            val pk = if (pcm.isEmpty) 0.0 else pcm.map(x => math.abs(x.toDouble)).max
+            (id, frames.length, if (rms.isEmpty) 0.0 else rms.max, pk)
+          }
+        }
+      }
+      .toDF("id", "n_frames", "rms_max", "peak")
+  }
+}

@@ -343,6 +343,61 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Set operations (SURVEY §2.12, generalizing the reference's merge U1):
+    * customer-key sets of two order years combined with UNION / INTERSECT /
+    * EXCEPT, summarized per operation. Spark plans intersect/except as
+    * left-semi / left-anti hash joins over distinct inputs — shuffles on the
+    * key, no sort — exactly the shape that scales. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def custsOf(y: Int) =
+      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+    val a = custsOf(1996)
+    val b = custsOf(1997)
+    val tagged = a.union(b).distinct().withColumn("op", lit("union"))
+      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionByName(a.except(b).withColumn("op", lit("except")))
+    tagged.groupBy(col("op"))
+      .agg(count(lit(1)).as("n_custkeys"),
+        min(col("o_custkey")).as("min_key"),
+        max(col("o_custkey")).as("max_key"),
+        sum(col("o_custkey")).as("key_sum"))
+      .orderBy(col("op"))
+  }
+
+  val setOpsSql: String =
+    """WITH a AS (SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1996),
+      |b AS (SELECT o_custkey FROM orders WHERE EXTRACT(YEAR FROM o_orderdate) = 1997),
+      |ops AS (
+      |  SELECT 'union' AS op, o_custkey FROM (SELECT o_custkey FROM a UNION SELECT o_custkey FROM b)
+      |  UNION ALL
+      |  SELECT 'intersect' AS op, o_custkey FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)
+      |  UNION ALL
+      |  SELECT 'except' AS op, o_custkey FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)
+      |)
+      |SELECT op, COUNT(*) AS n_custkeys, MIN(o_custkey) AS min_key,
+      |  MAX(o_custkey) AS max_key, CAST(SUM(o_custkey) AS BIGINT) AS key_sum
+      |FROM ops GROUP BY op ORDER BY op""".stripMargin
+
+  /** CUBE over (returnflag, linestatus): all 4 grouping combinations in one
+    * Expand+HashAggregate pass — the partial aggregation is map-side, so the
+    * shuffle carries one row per (grouping set × group), not per input row. */
+  def lineitemCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_quantity")).as("sum_qty"),
+        (sumMoney(col("l_extendedprice")) / count(lit(1))).as("avg_price"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val lineitemCubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_price
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -357,6 +412,8 @@ object Relational {
     QueryDef("q11_customer_rollup", customerRollup, Some(customerRollupSql)),
     QueryDef("q12_customers_without_orders", customersWithoutOrders, Some(customersWithoutOrdersSql)),
     QueryDef("q13_distinct_counts", distinctCounts, Some(distinctCountsSql)),
-    QueryDef("q14_approx_distinct", approxDistinct, None)
+    QueryDef("q14_approx_distinct", approxDistinct, None),
+    QueryDef("q28_set_ops", setOps, Some(setOpsSql)),
+    QueryDef("q29_lineitem_cube", lineitemCube, Some(lineitemCubeSql))
   )
 }

@@ -219,6 +219,35 @@ object TextOps {
       |  COUNT(*) AS n_docs
       |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** BPE-ish subword segmentation via regex: runs of letters, runs of
+    * digits, runs of other symbols, each optionally preceded by one space —
+    * the shape of GPT-2's pre-tokenizer, kept to constructs Java regex and
+    * DuckDB RE2 interpret identically. Compares against the whitespace
+    * tokenizer per doc. */
+  def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+    val pieces = regexp_extract_all(lower(col("text")), lit(pat), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(pieces).cast("long").as("n_bpe"),
+        size(array_distinct(pieces)).cast("long").as("n_bpe_distinct"),
+        size(tokens(col("text"))).cast("long").as("n_ws"))
+      .withColumn("bpe_per_ws",
+        when(col("n_ws") > 0, col("n_bpe") / col("n_ws")).otherwise(lit(0.0)))
+      .orderBy(col("doc_id"))
+  }
+
+  val bpeTokensSql: String =
+    """SELECT doc_id,
+      |  len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS n_bpe,
+      |  len(list_distinct(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+'))) AS n_bpe_distinct,
+      |  len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS n_ws,
+      |  CASE WHEN len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) > 0
+      |    THEN CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS DOUBLE)
+      |         / len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))
+      |    ELSE 0.0 END AS bpe_per_ws
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
     QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
@@ -227,6 +256,7 @@ object TextOps {
     QueryDef("q24_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("q25_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q26_fingerprint_dups", fingerprint, Some(fingerprintSql)),
-    QueryDef("q27_lang_id", langId, Some(langIdSql))
+    QueryDef("q27_lang_id", langId, Some(langIdSql)),
+    QueryDef("q34_bpe_tokens", bpeTokens, Some(bpeTokensSql))
   )
 }

@@ -1,0 +1,77 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  test("audio decode stub is deterministic and centered") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](0, 64, -128, 127))).toDF("id", "payload")
+      .select(Multimodal.decodeAudioStub(col("payload")).as("pcm"))
+    val pcm = df.collect().head.getSeq[Float](0)
+    assert(pcm == Seq(0.0f, 0.5f, -1.0f, 127f / 128f))
+  }
+
+  test("rmsFrames: frame count drops tail, RMS matches hand computation") {
+    import spark.implicits._
+    // 5 samples, frameLen 2 → 2 frames, tail dropped
+    val df = Seq(Seq(0.0f, 1.0f, 1.0f, 1.0f, 9.0f)).toDF("s")
+      .select(Multimodal.rmsFrames(col("s"), 2).as("r"))
+    val r = df.collect().head.getSeq[Double](0)
+    assert(r.length == 2)
+    assert(math.abs(r(0) - math.sqrt(0.5)) < 1e-12)
+    assert(math.abs(r(1) - 1.0) < 1e-12)
+  }
+
+  test("peak is the max absolute amplitude") {
+    import spark.implicits._
+    val p = Seq(Seq(0.25f, -0.75f, 0.5f)).toDF("s")
+      .select(Multimodal.peak(col("s"))).collect().head.getDouble(0)
+    assert(p == 0.75)
+  }
+
+  test("frameSampleGrid: every Nth frame with millisecond timestamps") {
+    import spark.implicits._
+    // 10 fps, 1000 ms → 10 frames; every 4th → 0, 4, 8
+    val g = Seq((10.0, 1000L)).toDF("fps", "dur")
+      .select(Multimodal.frameSampleGrid(col("fps"), col("dur"), 4).as("g"))
+      .collect().head.getSeq[org.apache.spark.sql.Row](0)
+    assert(g.map(_.getInt(0)) == Seq(0, 4, 8))
+    assert(g.map(_.getLong(1)) == Seq(0L, 400L, 800L))
+  }
+
+  test("frameSampleGrid: zero-duration clip yields no frames") {
+    import spark.implicits._
+    val g = Seq((30.0, 0L)).toDF("fps", "dur")
+      .select(Multimodal.frameSampleGrid(col("fps"), col("dur"), 2).as("g"))
+      .collect().head.getSeq[Any](0)
+    assert(g.isEmpty)
+  }
+
+  test("sampleFrames explodes one row per sampled frame") {
+    import spark.implicits._
+    val df = Seq((7L, 5.0, 2000L)).toDF("id", "fps", "dur")
+      .select(col("id"), Multimodal.videoMeta(lit(640), lit(480), col("fps"), col("dur")).as("meta"))
+    val rows = Multimodal.sampleFrames(df, 3).orderBy("frame_idx").collect()
+    // 10 frames at 5 fps over 2 s; every 3rd → 0, 3, 6, 9
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 3, 6, 9))
+    assert(rows.forall(_.getLong(0) == 7L))
+  }
+
+  test("extractFeaturesBatched matches the column-expression path") {
+    import spark.implicits._
+    val payload = Array[Byte](10, 20, 30, 40, 50, 60, 70)
+    val df = Seq((1L, payload)).toDF("id", "payload")
+    val row = Multimodal.extractFeaturesBatched(df, 3).collect().head
+    assert(row.getInt(1) == 2) // 7 samples / 3 → 2 full frames
+    // cross-check against the expression-based rmsFrames/peak
+    val exprRow = df
+      .select(Multimodal.decodeAudioStub(col("payload")).as("pcm"))
+      .select(Multimodal.rmsFrames(col("pcm"), 3).as("r"), Multimodal.peak(col("pcm")).as("p"))
+      .collect().head
+    val rmsMax = exprRow.getSeq[Double](0).max
+    assert(math.abs(row.getDouble(2) - rmsMax) < 1e-12)
+    assert(math.abs(row.getDouble(3) - exprRow.getDouble(1)) < 1e-12)
+  }
+}
