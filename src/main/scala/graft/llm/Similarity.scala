@@ -63,13 +63,15 @@ object Similarity {
   /** Distinct unigram shingle set (the corpus's discriminative granularity). */
   def shingles(c: Column): Column = array_distinct(tokens(c))
 
-  /** 60-bit-hashed distinct shingle set. All downstream set algebra
-    * (signatures, intersections, Jaccard) runs in hash space: engine-portable
-    * (both Spark and DuckDB compute the identical md5-based hash, so any
-    * collision collides identically in both) and far cheaper than UTF8-string
-    * set ops — a long compares in one instruction. */
+  /** 60-bit-hashed distinct shingle set, SORTED ascending. All downstream
+    * set algebra (signatures, intersections, Jaccard) runs in hash space:
+    * engine-portable (both Spark and DuckDB compute the identical md5-based
+    * hash, so any collision collides identically in both) and far cheaper
+    * than UTF8-string set ops — a long compares in one instruction. Sorted
+    * so intersections use the allocation-free merge-walk kernel
+    * (graft.functions.ArrayKernels.sortedIntersectCount). */
   def hashedShingles(c: Column): Column =
-    array_distinct(transform(tokens(c), s => pmod(hash60(s), lit(P))))
+    array_sort(array_distinct(transform(tokens(c), s => pmod(hash60(s), lit(P)))))
 
   /** MinHash signature: ARRAY<LONG> of NumPerms minima. Pure array exprs —
     * no explode/shuffle; cost O(|shingles| * NumPerms) per row.
@@ -176,7 +178,8 @@ object Similarity {
       .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("sz_a", size(col("hs_a"))).withColumn("sz_b", size(col("hs_b")))
       .filter(least(col("sz_a"), col("sz_b")) * 10 >= greatest(col("sz_a"), col("sz_b")) * 9)
-      .withColumn("n_shared", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("n_shared",
+        graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard", col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
       .filter(col("jaccard") >= 0.9)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
@@ -296,8 +299,11 @@ object Similarity {
   def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * 1048576.0).cast("long"))
 
+  /** Integer dot product — codegen'd merge loop (ArrayKernels.dotLong),
+    * replacing the interpreted aggregate∘zip_with fold that allocated an
+    * intermediate array per evaluation. */
   def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (s, x) => s + x)
+    graft.functions.ArrayKernels.dotLong(a, b)
 
   /** Brute-force cosine top-5 neighbors for probe vectors (vec_id < 8).
     * The probe side is tiny → broadcast; the scan side streams. This is the
@@ -350,8 +356,7 @@ object Similarity {
   def lshBucket(q: Column): Column = {
     val bits = (0 until NumPlanes).map { i =>
       val ws = (1 to 64).map(j => planeWeight(i, j))
-      val dot = aggregate(
-        zip_with(q, typedLit(ws), (x, w) => x * w), lit(0L), (s, x) => s + x)
+      val dot = graft.functions.ArrayKernels.dotLong(q, typedLit(ws))
       when(dot > 0, lit(1L << i)).otherwise(lit(0L))
     }
     bits.reduce(_ + _)
