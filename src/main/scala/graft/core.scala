@@ -50,6 +50,37 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
 
+/** Distributed equivalents of inherently-sequential operations. */
+object Dist {
+  import org.apache.spark.sql.expressions.Window
+
+  /** Global 1-based row number ordered by a unique `key`, WITHOUT the
+    * single-partition window (`Window.orderBy(key)` moves every row to one
+    * task — Spark's own WindowExec warning; fatal at 100 TB).
+    *
+    * Shape: range-repartition on the key (partition i holds keys < partition
+    * i+1's), per-partition `row_number` over the local sort, then add each
+    * partition's cumulative predecessor count via a tiny (numPartitions-row)
+    * broadcast join. Result column: `rn`.
+    *
+    * The range exchange samples the child to pick boundaries — same cost
+    * model as a global orderBy, but the window itself stays parallel. */
+  def globalRowNumber(df: DataFrame, key: Column, numParts: Int = 32): DataFrame = {
+    val parted = df.repartitionByRange(numParts, key)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__local_rn",
+      row_number().over(Window.partitionBy(col("__pid")).orderBy(key)))
+    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("rn", col("__offset") + col("__local_rn"))
+      .drop("__pid", "__local_rn", "__offset")
+  }
+}
+
 /** Exact-arithmetic helpers shared by queries and their DuckDB oracles.
   *
   * The harness data stores money/rates as doubles with <= 2 decimal digits.

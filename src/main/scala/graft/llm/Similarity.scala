@@ -466,6 +466,95 @@ object Similarity {
       |    / (sqrt(CAST(a.nrm AS DOUBLE)) * sqrt(CAST(b.nrm AS DOUBLE))) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------------------- q49 IVF-style ANN
+
+  /** IVF (inverted-file) ANN: a coarse quantizer (per-label centroids)
+    * partitions vectors into cells; each probe scores only the centroids
+    * (tiny) to pick its cell, then runs exact top-3 inside that one
+    * inverted list. This is the other classic ANN scale path next to
+    * hyperplane LSH (q46): centroids broadcast, the fine search is an
+    * equi-join on cell — at 100 TB the inverted lists are the partition
+    * layout, so a probe touches 1/k of the data.
+    *
+    * Exactness for the oracle: centroids are elementwise integer sums
+    * scaled by floor(sum/count) — cosine is scale-invariant, and keeping
+    * the centroid integral makes every dot/norm exact 64-bit arithmetic;
+    * the only doubles are final correctly-rounded divisions, identical in
+    * both engines. */
+  def annIvfTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+    // coarse quantizer: scaled integral centroid per label
+    val cents = e.select(col("label"), posexplode(col("q")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .withColumn("c", floor(col("s").cast("double") / col("n")).cast("long"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        x => x.getField("c")).as("cent"))
+      .select(col("label").as("cell"), col("cent"))
+    // cell assignment: argmax cosine over the (broadcast) centroid set
+    val scored = e.crossJoin(broadcast(cents))
+      .withColumn("cscore", dotQ(col("q"), col("cent")) /
+        (sqrt(dotQ(col("q"), col("q"))) * sqrt(dotQ(col("cent"), col("cent")))))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cscore").desc, col("cell"))
+    val assigned = scored.withColumn("r", row_number().over(wAssign))
+      .filter(col("r") === 1)
+      .select(col("vec_id"), col("q"), col("cell"))
+    // fine search: probes scan only their own cell
+    val probes = broadcast(assigned.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("q").as("pq"), col("cell")))
+    val pairs = assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", dotQ(col("pq"), col("q")) /
+        (sqrt(dotQ(col("pq"), col("pq"))) * sqrt(dotQ(col("q"), col("q")))))
+    val wTop = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    pairs.withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("cell"), col("cos"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val annIvfTopkSql: String =
+    """WITH q AS (
+      |  SELECT vec_id, label, [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+      |  FROM embeddings
+      |), sums AS (
+      |  SELECT label, pos, SUM(v) AS s, COUNT(*) AS n
+      |  FROM (SELECT label, unnest(q) AS v, unnest(range(1, 65)) AS pos FROM q)
+      |  GROUP BY label, pos
+      |), cents AS (
+      |  SELECT label AS cell,
+      |    list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS cent
+      |  FROM sums GROUP BY label
+      |), scored AS (
+      |  SELECT q.vec_id, q.q, c.cell,
+      |    CAST(list_sum([q.q[i] * c.cent[i] for i in range(1, 65)]) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum([x * x for x in q.q]) AS DOUBLE))
+      |         * sqrt(CAST(list_sum([x * x for x in c.cent]) AS DOUBLE))) AS cscore
+      |  FROM q CROSS JOIN cents c
+      |), assigned AS (
+      |  SELECT vec_id, q, cell FROM (
+      |    SELECT vec_id, q, cell,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cscore DESC, cell) AS r
+      |    FROM scored) WHERE r = 1
+      |), pairs AS (
+      |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id, e.cell,
+      |    CAST(list_sum([p.q[i] * e.q[i] for i in range(1, 65)]) AS DOUBLE)
+      |      / (sqrt(CAST(list_sum([x * x for x in p.q]) AS DOUBLE))
+      |         * sqrt(CAST(list_sum([x * x for x in e.q]) AS DOUBLE))) AS cos
+      |  FROM assigned p JOIN assigned e ON p.cell = e.cell AND e.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 8
+      |), ranked AS (
+      |  SELECT probe_id, neighbor_id, cell, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cos DESC, neighbor_id) AS rnk
+      |  FROM pairs
+      |)
+      |SELECT probe_id, neighbor_id, CAST(cell AS INT) AS cell, cos, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
   // ------------------------------------------------- q47 per-label centroid
 
   /** Per-label centroid (first 4 dims) from quantized ints — exact sums,
@@ -499,6 +588,7 @@ object Similarity {
     QueryDef("q45_lsh_buckets", lshBuckets, Some(lshBucketsSql)),
     QueryDef("q46_ann_lsh_topk", annLshTopk, Some(annLshTopkSql)),
     QueryDef("q47_label_centroids", labelCentroids, Some(labelCentroidsSql)),
-    QueryDef("q48_cosine_neardup", cosineNearDup, Some(cosineNearDupSql))
+    QueryDef("q48_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
+    QueryDef("q49_ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql))
   )
 }

@@ -151,11 +151,53 @@ object Events {
       |FROM s GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_start""".stripMargin
 
+  /** As-of join (the canonical time-series operator Spark lacks natively):
+    * for each 'click', the most recent prior 'purchase' of the same user.
+    *
+    * Composed from built-ins (the preferred tier — no custom plan needed):
+    * union both sides, one window pass per user ordered by ts carrying the
+    * last non-null purchase value/ts forward, then keep the probe rows.
+    * One shuffle on user_id, no range join, no per-row backward scan —
+    * cost O(n log n/partition) regardless of how far back the match is.
+    * (user_id, ts) is unique in this data, so ordering by ts is total. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        (col("event_type") === "click").as("is_probe"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.withColumn("asof_value",
+        last(when(!col("is_probe"), col("value")), ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        last(when(!col("is_probe"), col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_probe"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_ts"), col("asof_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofJoinSql: String =
+    """WITH u AS (
+      |  SELECT event_id, user_id, ts, value, (event_type = 'click') AS is_probe
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, ts, is_probe,
+      |    last_value(CASE WHEN NOT is_probe THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS asof_value,
+      |    last_value(CASE WHEN NOT is_probe THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS asof_ts
+      |  FROM u
+      |)
+      |SELECT event_id, user_id, ts, asof_ts, asof_value
+      |FROM w WHERE is_probe ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),
     QueryDef("q17_events_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q18_events_daily_funnel", dailyFunnel, Some(dailyFunnelSql)),
-    QueryDef("q19_session_window", sessionWindow, Some(sessionWindowSql))
+    QueryDef("q19_session_window", sessionWindow, Some(sessionWindowSql)),
+    QueryDef("q36_asof_join", asofJoin, Some(asofJoinSql))
   )
 }

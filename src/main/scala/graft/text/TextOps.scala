@@ -78,16 +78,14 @@ object TextOps {
 
   /** Split/chunk (reference G6) with lines_per_file=100: the reference's
     * counter adds 2 per record, so each chunk holds ceil(100/2)=50 records.
-    * Chunk assignment needs a global row numbering — inherently a
-    * sequential constraint; at scale the library computes it with
-    * per-partition counts + offsets rather than a single-partition window,
-    * but the semantics here are the contract. */
+    * The global row numbering uses Dist.globalRowNumber (range partition +
+    * local window + offset join) — never the single-partition
+    * `Window.orderBy` that serializes the whole table through one task. */
   def splitChunks(spark: SparkSession, dir: String): DataFrame = {
     val recordsPerChunk = 50
-    val w = Window.orderBy(col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), col("n_chars"))
-      .withColumn("rn", row_number().over(w))
+    graft.Dist.globalRowNumber(
+        Tables.documents(spark, dir).select(col("doc_id"), col("n_chars")),
+        col("doc_id"))
       .withColumn("chunk", expr(s"(rn - 1) div $recordsPerChunk"))
       .groupBy(col("chunk"))
       .agg(count(lit(1)).as("n_records"),

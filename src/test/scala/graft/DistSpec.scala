@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class DistSpec extends SparkSpec {
+
+  test("globalRowNumber matches the single-partition window row_number") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .repartition(7) // scramble the layout first
+    val got = Dist.globalRowNumber(docs, col("doc_id"), numParts = 5)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = Tables.documents(spark, sfDir).select(col("doc_id"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))).cast("long"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == ref)
+  }
+
+  test("globalRowNumber is dense 1..N") {
+    val n = 123
+    import spark.implicits._
+    val df = (1 to n).map(i => i * 10L).toDF("k").repartition(4)
+    val rns = Dist.globalRowNumber(df, col("k"), numParts = 4)
+      .select("rn").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rns == (1L to n.toLong))
+  }
+}
