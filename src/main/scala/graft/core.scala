@@ -79,6 +79,25 @@ object Dist {
       .withColumn("rn", col("__offset") + col("__local_rn"))
       .drop("__pid", "__local_rn", "__offset")
   }
+
+  /** Skew-mitigating equi-join: salt the big (skewed) side with
+    * `pmod(saltSource, factor)` and replicate the small side `factor`
+    * times, so one hot key's rows spread over `factor` reducers instead of
+    * one straggler task. `saltSource` must vary within a key (a unique id,
+    * or `xxhash64` of distinguishing columns) and be deterministic — never
+    * `rand()`, which breaks retries and oracle comparison.
+    *
+    * AQE's skew-join handles SORT-MERGE skew automatically; explicit
+    * salting remains the tool when the skew is in an aggregation key or
+    * AQE's split thresholds don't trigger. Result equals
+    * `big.join(small, keys)` exactly. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 saltSource: Column, factor: Int): DataFrame = {
+    val salted = big.withColumn("__salt", pmod(saltSource, lit(factor)).cast("int"))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(factor - 1), lit(1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
 }
 
 /** Exact-arithmetic helpers shared by queries and their DuckDB oracles.

@@ -77,6 +77,16 @@ object Streaming {
       }.toDF()
   }
 
+  /** Streaming exact dedup: first event per event_id wins, duplicates
+    * arriving within the watermark horizon are dropped. State holds one
+    * entry per key inside the horizon and is evicted as the watermark
+    * advances — the streaming twin of TextOps.dedupFirstOccurrence and the
+    * ingestion-side dedup stage of a training-data pipeline (dedup at the
+    * door is far cheaper than dedup at rest). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drive a streaming DataFrame to a named in-memory table and block until
     * the input is drained — used by tests and local inspection. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

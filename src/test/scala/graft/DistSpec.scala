@@ -18,6 +18,20 @@ class DistSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("saltedJoin equals the plain equi-join") {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
+    val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val plain = li.join(o, Seq("l_orderkey"))
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    val salted = Dist.saltedJoin(li, o, Seq("l_orderkey"),
+        xxhash64(col("l_linenumber")), factor = 8)
+      .select("l_orderkey", "l_linenumber", "o_orderpriority")
+      .orderBy("l_orderkey", "l_linenumber").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("globalRowNumber is dense 1..N") {
     val n = 123
     import spark.implicits._

@@ -52,6 +52,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup drops duplicate event_ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows().take(200)
+    val stream = MemoryStream[Streaming.EventRow]
+    stream.addData(rows)
+    stream.addData(rows.take(50)) // exact replays in a later micro-batch
+    Streaming.runToMemory(Streaming.dedupStream(stream.toDF()), "t_dedup",
+      OutputMode.Append())
+    val ids = spark.table("t_dedup").select("event_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.length == rows.length, s"expected ${rows.length} unique, got ${ids.length}")
+    assert(ids.distinct.length == ids.length)
+  }
+
   test("mapGroupsWithState running totals match a batch groupBy") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
