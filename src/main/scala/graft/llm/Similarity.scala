@@ -208,21 +208,28 @@ object Similarity {
   // --------------------------------------------- q42 n-gram Jaccard ranking
 
   /** Word-bigram Jaccard, top-50 most similar pairs over a bounded id range
-    * (brute force — the oracle-checked baseline the LSH path approximates). */
+    * (brute force — the oracle-checked baseline the LSH path approximates).
+    *
+    * Bigrams live in hash space: each token hashed once (`h_i < P`), bigram
+    * id = `h_i · P + h_{i+1}` — injective over the hash pair, fits a long
+    * with no overflow (P² < 2^62; DuckDB BIGINT overflow would error, Java
+    * would silently wrap — neither happens). One zip_with over the shifted
+    * array replaces the indexed form `transform(sequence(...), i =>
+    * element_at(toks, i) …)`, whose `toks` subtree is re-tokenized per
+    * index by the lambda binder. Sorted sets feed the codegen'd
+    * merge-intersect kernel. */
   def ngramJaccardTopk(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val n = size(toks)
-    // sequence(1, n-1) would count DOWN for n < 2 — guard with empty array.
-    val grams = when(n >= 2, array_distinct(
-        transform(sequence(lit(1), n - 1), i =>
-          concat(element_at(toks, i), lit(" "), element_at(toks, i + 1)))))
-      .otherwise(array().cast("array<string>"))
+    val hs = transform(tokens(col("text")), t => pmod(hash60(t), lit(P)))
+    val grams = array_sort(array_distinct(array_compact(
+      zip_with(hs, slice(hs, lit(2), greatest(size(hs) - 1, lit(0))),
+        (a, b) => a * lit(P) + b))))
     val d = Tables.documents(spark, dir).filter(col("doc_id") < 300)
       .select(col("doc_id"), grams.as("g"))
     val a = d.select(col("doc_id").as("id_a"), col("g").as("g_a"))
     val b = d.select(col("doc_id").as("id_b"), col("g").as("g_b"))
     a.crossJoin(b).filter(col("id_a") < col("id_b"))
-      .withColumn("n_shared", size(array_intersect(col("g_a"), col("g_b"))).cast("long"))
+      .withColumn("n_shared",
+        graft.functions.ArrayKernels.sortedIntersectCount(col("g_a"), col("g_b")))
       .withColumn("jaccard", col("n_shared") /
         (size(col("g_a")) + size(col("g_b")) - col("n_shared")))
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
@@ -231,19 +238,21 @@ object Similarity {
   }
 
   val ngramJaccardTopkSql: String =
-    """WITH g AS (
-      |  SELECT doc_id,
-      |    list_distinct([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS g
-      |  FROM (SELECT doc_id,
-      |          list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ws
-      |        FROM documents WHERE doc_id < 300)
-      |)
-      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  len(list_intersect(a.g, b.g)) AS n_shared,
-      |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-      |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-      |FROM g a JOIN g b ON a.doc_id < b.doc_id
-      |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
+    s"""WITH g AS (
+       |  SELECT doc_id,
+       |    list_distinct([hs[i] * $P + hs[i+1] for i in range(1, len(hs))]) AS g
+       |  FROM (SELECT doc_id,
+       |          list_transform(
+       |            list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''),
+       |            t -> CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % $P) AS hs
+       |        FROM documents WHERE doc_id < 300)
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  len(list_intersect(a.g, b.g)) AS n_shared,
+       |  CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+       |FROM g a JOIN g b ON a.doc_id < b.doc_id
+       |ORDER BY jaccard DESC, id_a, id_b LIMIT 50""".stripMargin
 
   // ------------------------------------------------------------ q43 simhash
 
