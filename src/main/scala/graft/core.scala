@@ -125,4 +125,17 @@ object Exact {
     * DECIMAL(20,6) re-cast is exact and keeps Spark's precision <= 38. */
   def charge(price: Column, disc: Column, tax: Column): Column =
     discPrice(price, disc).cast(DecimalType(20, 6)) * (lit(1) + rate(tax))
+
+  /** Collapse an exact wide-decimal SUM to an int64-backed DECIMAL(18,s)
+    * before surfacing as DOUBLE. The sum itself is exact in both engines,
+    * but converting a 128-bit-backed decimal to double is two roundings in
+    * DuckDB (int128→double, then /10^s) vs one exact conversion in Java —
+    * they can land one ulp apart (observed on q01 sum_charge at sf0.1).
+    * With width ≤ 18 the backing integer is an int64 < 2^53, so int→double
+    * is exact and the single divide is correctly rounded — identical in
+    * both engines. `s` must be the value's TRUE decimal count so the
+    * narrowing cast never rounds. SQL twin: CAST(CAST(SUM(…) AS
+    * DECIMAL(18,s)) AS DOUBLE). */
+  def narrow(sum: Column, s: Int): Column =
+    sum.cast(DecimalType(18, s)).cast("double")
 }

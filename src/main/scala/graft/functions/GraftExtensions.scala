@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook registering graft's custom expressions in
+  * the SQL function registry, so they are callable from `spark.sql(...)`
+  * text as well as the Column API:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)   // or
+  *   .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+  * ...
+  * spark.sql("SELECT sorted_intersect_count(a, b), dot_long(a, b) FROM t")
+  * }}}
+  *
+  * This is the standard injection point a cluster deployment uses (set the
+  * config on spark-submit and every session on the cluster gets the
+  * functions) — no code change needed in notebooks/SQL jobs.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedLongIntersectCount].getName, "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "sorted_intersect_count(a, b) takes 2 arguments")
+        SortedLongIntersectCount(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotProductLong].getName, "dot_long"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_long(a, b) takes 2 arguments")
+        DotProductLong(args.head, args(1))
+      }))
+  }
+}

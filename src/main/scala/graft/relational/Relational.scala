@@ -35,8 +35,8 @@ object Relational {
       .agg(
         sumMoney(col("l_quantity")).as("sum_qty"),
         sumMoney(col("l_extendedprice")).as("sum_base_price"),
-        sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("sum_disc_price"),
-        sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))).cast("double").as("sum_charge"),
+        narrow(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 4).as("sum_disc_price"),
+        narrow(sum(charge(col("l_extendedprice"), col("l_discount"), col("l_tax"))), 6).as("sum_charge"),
         (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
         (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
         (sum(rate(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
@@ -48,8 +48,8 @@ object Relational {
     """SELECT l_returnflag, l_linestatus,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(20,6)) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DOUBLE) AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4))) AS DECIMAL(20,6)) * (1 + CAST(l_tax AS DECIMAL(6,4)))) AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) / COUNT(*) AS avg_price,
       |  CAST(SUM(CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -95,7 +95,7 @@ object Relational {
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .agg(narrow(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 4).as("revenue"))
       .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
@@ -103,7 +103,7 @@ object Relational {
 
   val shippingPrioritySql: String =
     """SELECT l_orderkey,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
       |  o_orderdate, o_orderpriority
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
@@ -156,13 +156,13 @@ object Relational {
       .join(n, s("s_nationkey") === n("n_nationkey"))
       .join(r, n("n_regionkey") === r("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).cast("double").as("revenue"))
+      .agg(narrow(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 4).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
   val localSupplierVolumeSql: String =
     """SELECT n_name,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
       |FROM lineitem
       |JOIN orders ON l_orderkey = o_orderkey
       |JOIN customer ON o_custkey = c_custkey
@@ -211,12 +211,12 @@ object Relational {
     agg.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("p_brand"), col("p_partkey"),
-        col("rev_dec").cast("double").as("revenue"), col("rnk"))
+        narrow(col("rev_dec"), 4).as("revenue"), col("rnk"))
       .orderBy(col("p_brand"), col("rnk"))
   }
 
   val topPartsPerBrandSql: String =
-    """SELECT p_brand, p_partkey, CAST(rev_dec AS DOUBLE) AS revenue, CAST(rnk AS INT) AS rnk
+    """SELECT p_brand, p_partkey, CAST(CAST(rev_dec AS DECIMAL(18,4)) AS DOUBLE) AS revenue, CAST(rnk AS INT) AS rnk
       |FROM (
       |  SELECT p_brand, p_partkey,
       |    SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS rev_dec,

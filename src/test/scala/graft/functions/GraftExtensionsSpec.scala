@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Extensions are fixed at session build time, so this spec builds its own
+  * session (sharing the JVM's SparkContext). It must NOT stop() it — that
+  * would stop the SparkContext shared with the other suites' session —
+  * and it restores the previous default/active session afterwards. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("kernels are callable from SQL text via SparkSessionExtensions") {
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("graft-ext-test")
+        .config("spark.sql.shuffle.partitions", 2)
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val row = spark.sql(
+        """SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS k,
+          |       dot_long(array(1L, 2L), array(10L, 20L)) AS d""".stripMargin)
+        .collect().head
+      assert(row.getLong(0) == 2L)
+      assert(row.getLong(1) == 50L)
+    } finally {
+      prev.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
+}
