@@ -588,6 +588,79 @@ object Similarity {
       |  CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1048576.0 AS centroid
       |FROM q WHERE pos < 4 GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // --------------------------------------- q50 composite training-data pipeline
+
+  /** The flagship composite: the full training-data curation funnel as ONE
+    * declarative plan — quality filter (q25's predicate), exact first-
+    * occurrence dedup (q20), MinHash-LSH near-dup removal (q41, dropping
+    * the higher id of each verified pair), reported as per-stage doc/token
+    * counts. Each stage is a flag column on the base corpus; Catalyst
+    * shares the scan across all four aggregations via the union. At 100 TB
+    * each stage's predicate is exactly the shape benchmarked individually:
+    * the funnel adds no new shuffles beyond q41's. */
+  def pipelineStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val wText = Window.partitionBy(col("text"))
+    val base = docs.select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("len"),
+        (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
+          length(col("text"))).as("punct_ratio"))
+      .withColumn("quality_ok",
+        col("len") >= 40 && col("len") <= 5000 && col("punct_ratio") < 0.2)
+      .withColumn("is_first", col("doc_id") === min(col("doc_id")).over(wText))
+    val dupIds = minhashLshPairs(spark, dir)
+      .select(col("id_b").as("doc_id")).distinct()
+    val flagged = base.join(dupIds.withColumn("is_dup_b", lit(true)),
+        Seq("doc_id"), "left")
+      .withColumn("near_ok", coalesce(col("is_dup_b"), lit(false)) === false)
+    def stage(name: String, pred: Column) =
+      flagged.filter(pred).agg(
+        lit(name).as("stage"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"))
+    stage("1_raw", lit(true))
+      .unionByName(stage("2_quality", col("quality_ok")))
+      .unionByName(stage("3_exact_dedup", col("quality_ok") && col("is_first")))
+      .unionByName(stage("4_near_dedup",
+        col("quality_ok") && col("is_first") && col("near_ok")))
+      .orderBy(col("stage"))
+  }
+
+  val pipelineStatsSql: String =
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), dup_b AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
+       |), base AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS n_tokens,
+       |    (length(text) >= 40 AND length(text) <= 5000 AND
+       |     length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / length(text) < 0.2) AS quality_ok,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_first,
+       |    doc_id NOT IN (SELECT doc_id FROM dup_b) AS near_ok
+       |  FROM documents
+       |)
+       |SELECT stage, n_docs, n_tokens FROM (
+       |  SELECT '1_raw' AS stage, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens FROM base
+       |  UNION ALL
+       |  SELECT '2_quality', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM base WHERE quality_ok
+       |  UNION ALL
+       |  SELECT '3_exact_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM base WHERE quality_ok AND is_first
+       |  UNION ALL
+       |  SELECT '4_near_dedup', COUNT(*), CAST(SUM(n_tokens) AS BIGINT) FROM base
+       |  WHERE quality_ok AND is_first AND near_ok
+       |) ORDER BY stage""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_signatures", minhashSignatures, Some(minhashSignaturesSql)),
     QueryDef("q41_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
@@ -598,6 +671,7 @@ object Similarity {
     QueryDef("q46_ann_lsh_topk", annLshTopk, Some(annLshTopkSql)),
     QueryDef("q47_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("q48_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
-    QueryDef("q49_ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql))
+    QueryDef("q49_ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql)),
+    QueryDef("q50_pipeline_stats", pipelineStats, Some(pipelineStatsSql))
   )
 }

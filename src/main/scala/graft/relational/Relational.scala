@@ -398,6 +398,48 @@ object Relational {
       |GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
+  /** Exact discrete percentiles (quantile_disc semantics: the value at rank
+    * ceil(q·n), no interpolation) per return flag. Interpolating percentiles
+    * (`percentile_cont`) mix FP shapes that differ per engine; the discrete
+    * definition is pure row selection — exact everywhere. Shape: one window
+    * pass per group (rank + count), conditional aggregation picks the four
+    * quantile rows; at 100 TB swap in approx_percentile and accept the
+    * sketch error, which this exact form baselines. */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    // decimal cast is order-preserving, so ranking by qty == by l_quantity
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = li
+      .select(col("l_returnflag"), dec(col("l_quantity")).as("qty"),
+        col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    def pick(q: Double) =
+      max(when(col("rn") === ceil(lit(q) * col("n")), col("qty"))).cast("double")
+    ranked.groupBy(col("l_returnflag"))
+      .agg(pick(0.25).as("p25"), pick(0.50).as("p50"),
+        pick(0.75).as("p75"), pick(0.95).as("p95"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val quantityPercentilesSql: String =
+    """WITH ranked AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(14,4)) AS qty,
+      |    ROW_NUMBER() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+      |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      |  FROM lineitem
+      |)
+      |SELECT l_returnflag,
+      |  CAST(MAX(CASE WHEN rn = CEIL(0.25 * n) THEN qty END) AS DOUBLE) AS p25,
+      |  CAST(MAX(CASE WHEN rn = CEIL(0.50 * n) THEN qty END) AS DOUBLE) AS p50,
+      |  CAST(MAX(CASE WHEN rn = CEIL(0.75 * n) THEN qty END) AS DOUBLE) AS p75,
+      |  CAST(MAX(CASE WHEN rn = CEIL(0.95 * n) THEN qty END) AS DOUBLE) AS p95,
+      |  COUNT(*) AS n_rows
+      |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -414,6 +456,7 @@ object Relational {
     QueryDef("q13_distinct_counts", distinctCounts, Some(distinctCountsSql)),
     QueryDef("q14_approx_distinct", approxDistinct, None),
     QueryDef("q28_set_ops", setOps, Some(setOpsSql)),
-    QueryDef("q29_lineitem_cube", lineitemCube, Some(lineitemCubeSql))
+    QueryDef("q29_lineitem_cube", lineitemCube, Some(lineitemCubeSql)),
+    QueryDef("q37_quantity_percentiles", quantityPercentiles, Some(quantityPercentilesSql))
   )
 }
