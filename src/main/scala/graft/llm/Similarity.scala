@@ -160,7 +160,14 @@ object Similarity {
     *    second time just to sample partition boundaries. At 100 TB the result
     *    set itself is large — there you would drop the sort or accept the
     *    range-exchange; the pair generation above is the part that scales. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshVerifiedPairs(spark, dir)
+      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
+
+  /** The pair pipeline without q41's presentation sort — consumers that
+    * only need the pair set (q50's near-dup stage) skip the
+    * single-partition ordering pass entirely. */
+  def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), hashedShingles(col("text")).as("hs"))
     val banded = docs
@@ -183,7 +190,6 @@ object Similarity {
       .withColumn("jaccard", col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
       .filter(col("jaccard") >= 0.9)
       .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
-      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
   }
 
   val minhashLshPairsSql: String =
@@ -609,7 +615,7 @@ object Similarity {
       .withColumn("quality_ok",
         col("len") >= 40 && col("len") <= 5000 && col("punct_ratio") < 0.2)
       .withColumn("is_first", col("doc_id") === min(col("doc_id")).over(wText))
-    val dupIds = minhashLshPairs(spark, dir)
+    val dupIds = lshVerifiedPairs(spark, dir)
       .select(col("id_b").as("doc_id")).distinct()
     val flagged = base.join(dupIds.withColumn("is_dup_b", lit(true)),
         Seq("doc_id"), "left")
