@@ -150,4 +150,26 @@ object ImageCodec {
   /** Full-image format conversion (reference M1). */
   def transcode(content: Column, fmt: Column, quality: Column): Column =
     transcodeUdf(content, fmt, quality)
+
+  /** Bilinear resize to (w, h) — the standard pre-training normalization
+    * step (not in the reference, which only crops; part of the multimodal
+    * surface next to Multimodal.frameSampleGrid). Pure per-row kernel. */
+  def resizeImage(img: BufferedImage, w: Int, h: Int): BufferedImage = {
+    val outImg = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val g = outImg.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(img, 0, 0, w, h, null)
+    g.dispose()
+    outImg
+  }
+
+  private val resizeUdf = udf { (bytes: Array[Byte], w: Int, h: Int, fmt: String, quality: Int) =>
+    if (bytes == null || w <= 0 || h <= 0) None
+    else decode(bytes).flatMap(img => encode(resizeImage(img, w, h), fmt, quality))
+  }
+
+  /** Decode → bilinear resize → encode; null on any per-row failure. */
+  def resize(content: Column, w: Column, h: Column, fmt: Column, quality: Column): Column =
+    resizeUdf(content, w, h, fmt, quality)
 }

@@ -2,6 +2,7 @@ package graft.images
 
 import graft.SparkSpec
 import graft.io.Sinks
+import org.apache.spark.sql.functions.{col, lit}
 
 import java.awt.image.BufferedImage
 import java.io.ByteArrayOutputStream
@@ -138,6 +139,26 @@ class TilingSpec extends SparkSpec {
     assert(n == 1)
     val img = ImageIO.read(out.resolve("c.jpg").toFile)
     assert(img.getWidth == 80 && img.getHeight == 60)
+  }
+
+  test("resize: exact dims, solid color preserved, 2x downscale averages gradient") {
+    import spark.implicits._
+    // solid-color image: any interpolation must return the same color
+    val solid = new BufferedImage(64, 64, BufferedImage.TYPE_INT_RGB)
+    val g2 = solid.createGraphics()
+    g2.setColor(new java.awt.Color(10, 200, 30)); g2.fillRect(0, 0, 64, 64); g2.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    ImageIO.write(solid, "png", bos)
+    val df = Seq(bos.toByteArray).toDF("content")
+      .select(ImageCodec.resize(col("content"), lit(16), lit(24), lit("png"), lit(0)).as("out"))
+    val outBytes = df.collect().head.getAs[Array[Byte]](0)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(outBytes))
+    assert(img.getWidth == 16 && img.getHeight == 24)
+    assert(px(img, 8, 12) == (10, 200, 30))
+    // null payload -> null result
+    val nulls = Seq(Option.empty[Array[Byte]]).toDF("content")
+      .select(ImageCodec.resize(col("content"), lit(8), lit(8), lit("png"), lit(0)))
+    assert(nulls.collect().head.isNullAt(0))
   }
 
   test("num_tiles override: tile = min(W,H) // int(sqrt(n))") {
