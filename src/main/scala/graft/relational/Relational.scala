@@ -440,6 +440,76 @@ object Relational {
       |  COUNT(*) AS n_rows
       |FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Scalar-function breadth (SURVEY §2.12 "scalar fn library"): date
+    * extraction, string slicing/concat/case mapping, math rounding — all
+    * codegen'd built-ins evaluated inside the scan's project, no shuffle
+    * except the final group. Constructs are restricted to ones with
+    * identical semantics in DuckDB (no locale, no timezone arithmetic). */
+  def scalarFunctions(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(
+        year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"),
+        upper(substring(col("o_orderpriority"), 1, 1)).as("prio_initial"),
+        when(col("o_orderstatus") === "F", "finished")
+          .when(col("o_orderstatus") === "O", "open")
+          .otherwise("partial").as("status_name"),
+        expr("CAST(floor(CAST(o_totalprice AS DECIMAL(14,4))) AS BIGINT) div 1000").as("price_k"),
+        (length(col("o_orderpriority")) % 5).as("len_mod"))
+      .groupBy(col("yr"), col("qtr"), col("status_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("prio_initial")).as("min_initial"),
+        sum(col("price_k")).as("sum_price_k"),
+        sum(col("len_mod")).cast("long").as("sum_len_mod"))
+      .orderBy(col("yr"), col("qtr"), col("status_name"))
+
+  val scalarFunctionsSql: String =
+    """WITH s AS (
+      |  SELECT EXTRACT(YEAR FROM o_orderdate) AS yr,
+      |    EXTRACT(QUARTER FROM o_orderdate) AS qtr,
+      |    upper(substr(o_orderpriority, 1, 1)) AS prio_initial,
+      |    CASE o_orderstatus WHEN 'F' THEN 'finished'
+      |      WHEN 'O' THEN 'open' ELSE 'partial' END AS status_name,
+      |    CAST(floor(CAST(o_totalprice AS DECIMAL(14,4))) AS BIGINT) // 1000 AS price_k,
+      |    length(o_orderpriority) % 5 AS len_mod
+      |  FROM orders
+      |)
+      |SELECT CAST(yr AS INT) AS yr, CAST(qtr AS INT) AS qtr, status_name,
+      |  COUNT(*) AS n_orders, MIN(prio_initial) AS min_initial,
+      |  CAST(SUM(price_k) AS BIGINT) AS sum_price_k,
+      |  CAST(SUM(len_mod) AS BIGINT) AS sum_len_mod
+      |FROM s GROUP BY yr, qtr, status_name
+      |ORDER BY yr, qtr, status_name""".stripMargin
+
+  /** Outer-join breadth: per-nation customer/supplier presence via a FULL
+    * OUTER join of two aggregates — nulls on either side survive to the
+    * output (coalesced counts, null-safe ordering). */
+  def nationCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir).groupBy(col("s_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, Seq("nk"), "full_outer")
+      .select(col("nk"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .withColumn("side", when(col("n_customers") > 0 && col("n_suppliers") > 0, "both")
+        .when(col("n_customers") > 0, "customers_only").otherwise("suppliers_only"))
+      .orderBy(col("nk"))
+  }
+
+  val nationCoverageSql: String =
+    """WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+      |s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+      |SELECT COALESCE(c.nk, s.nk) AS nk,
+      |  COALESCE(n_customers, 0) AS n_customers,
+      |  COALESCE(n_suppliers, 0) AS n_suppliers,
+      |  CASE WHEN COALESCE(n_customers, 0) > 0 AND COALESCE(n_suppliers, 0) > 0 THEN 'both'
+      |    WHEN COALESCE(n_customers, 0) > 0 THEN 'customers_only'
+      |    ELSE 'suppliers_only' END AS side
+      |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+      |ORDER BY nk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -457,6 +527,8 @@ object Relational {
     QueryDef("q14_approx_distinct", approxDistinct, None),
     QueryDef("q28_set_ops", setOps, Some(setOpsSql)),
     QueryDef("q29_lineitem_cube", lineitemCube, Some(lineitemCubeSql)),
-    QueryDef("q37_quantity_percentiles", quantityPercentiles, Some(quantityPercentilesSql))
+    QueryDef("q37_quantity_percentiles", quantityPercentiles, Some(quantityPercentilesSql)),
+    QueryDef("q38_scalar_functions", scalarFunctions, Some(scalarFunctionsSql)),
+    QueryDef("q39_nation_coverage", nationCoverage, Some(nationCoverageSql))
   )
 }
