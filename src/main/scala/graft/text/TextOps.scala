@@ -246,6 +246,37 @@ object TextOps {
       |    ELSE 0.0 END AS bpe_per_ws
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Deterministic train/val/test split by content hash: bucket =
+    * md5(text) mod 100 → 90/5/5. Hash-based (not random) so the split is
+    * reproducible run-to-run and machine-to-machine, duplicate documents
+    * land in the same split (no train/test leakage through near-identical
+    * text), and no shuffle is needed to assign — the standard way to split
+    * a 100 TB corpus. */
+  def trainValSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"), lit(100))
+    Tables.documents(spark, dir)
+      .withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("split"))
+  }
+
+  val trainValSplitSql: String =
+    """WITH s AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 < 90 THEN 'train'
+      |      WHEN CAST(concat('0x', substr(md5(text), 1, 15)) AS BIGINT) % 100 < 95 THEN 'val'
+      |      ELSE 'test' END AS split
+      |  FROM documents
+      |)
+      |SELECT split, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens,
+      |  MIN(doc_id) AS first_doc
+      |FROM s GROUP BY split ORDER BY split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
     QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
@@ -255,6 +286,7 @@ object TextOps {
     QueryDef("q25_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q26_fingerprint_dups", fingerprint, Some(fingerprintSql)),
     QueryDef("q27_lang_id", langId, Some(langIdSql)),
-    QueryDef("q34_bpe_tokens", bpeTokens, Some(bpeTokensSql))
+    QueryDef("q34_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
+    QueryDef("q35_train_val_split", trainValSplit, Some(trainValSplitSql))
   )
 }
