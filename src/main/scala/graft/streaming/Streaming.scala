@@ -77,6 +77,18 @@ object Streaming {
       }.toDF()
   }
 
+  /** Stream-static enrichment join: each incoming event picks up its
+    * user's historical profile (a static aggregate recomputed per
+    * micro-batch plan, broadcast when small). The static side needs no
+    * watermark or state — this is the standard dimension-enrichment shape
+    * at ingestion; for a mutable dimension at scale swap the static
+    * DataFrame for a Delta/compacted table the planner re-reads. */
+  def enrichWithUserProfile(events: DataFrame, profile: DataFrame): DataFrame =
+    events.join(
+      profile.select(col("user_id"), col("n_events").as("hist_events"),
+        col("total_value").as("hist_value")),
+      Seq("user_id"), "left")
+
   /** Streaming exact dedup: first event per event_id wins, duplicates
     * arriving within the watermark horizon are dropped. State holds one
     * entry per key inside the horizon and is evicted as the watermark

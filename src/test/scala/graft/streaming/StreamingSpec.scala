@@ -52,6 +52,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join attaches the static profile to every event") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows().take(100)
+    // static side: per-user totals over the full batch table
+    val profile = graft.Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("total_value"))
+    val stream = MemoryStream[Streaming.EventRow]
+    stream.addData(rows)
+    Streaming.runToMemory(
+      Streaming.enrichWithUserProfile(stream.toDF(), profile), "t_enrich",
+      OutputMode.Append())
+    val out = spark.table("t_enrich")
+    assert(out.count() == rows.length)
+    // every event's user exists in the profile -> no null enrichments
+    assert(out.filter(col("hist_events").isNull).count() == 0)
+    // spot-check one user's enrichment against the static aggregate
+    val u = rows.head.user_id
+    val expected = profile.filter(col("user_id") === u).collect().head.getLong(1)
+    val got = out.filter(col("user_id") === u).select("hist_events").collect().head.getLong(0)
+    assert(got == expected)
+  }
+
   test("streaming dedup drops duplicate event_ids across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
