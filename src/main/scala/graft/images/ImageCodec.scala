@@ -33,6 +33,12 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   */
 object ImageCodec {
 
+  // ImageIO defaults to a FILE-backed stream cache: every decode of an
+  // in-memory byte[] would round-trip through a temp file on executor-local
+  // disk — a silent 10x tax on the pixel path. All our inputs are already
+  // in memory, so force the memory cache once per JVM.
+  ImageIO.setUseCache(false)
+
   // ----------------------------------------------------------------- decode
 
   private def decode(bytes: Array[Byte]): Option[BufferedImage] =
