@@ -227,6 +227,36 @@ object Relational {
       |) WHERE rnk <= 3
       |ORDER BY p_brand, rnk""".stripMargin
 
+  /** q07's answer via the bounded-heap typed Aggregator instead of the
+    * ranking window: the window form sorts every (brand, part) row through
+    * the exchange; the Aggregator keeps 3-element buffers merged map-side,
+    * so the shuffle carries ≤ 3·partitions rows per brand regardless of
+    * group size. Same oracle as q07 — identical results, different
+    * physical strategy (the 100 TB-preferred one). */
+  def topPartsPerBrandAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    val agg = li.join(p, li("l_partkey") === p("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+        .cast(DecimalType(38, 18)).as("rev_dec"))
+    val topk = new graft.functions.TopKByScore(3).toColumn
+    agg.select(col("p_brand").as("brand"), col("rev_dec"), col("p_partkey"))
+      .as[(String, java.math.BigDecimal, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(topk.name("top"))
+      .toDF("p_brand", "top")
+      .select(col("p_brand"), posexplode(col("top")))
+      .select(col("p_brand"),
+        col("col._2").as("p_partkey"),
+        narrow(col("col._1"), 4).as("revenue"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
   /** Running per-customer spend: analytic window with a running frame. */
   def runningCustomerSpend(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
@@ -529,6 +559,7 @@ object Relational {
     QueryDef("q29_lineitem_cube", lineitemCube, Some(lineitemCubeSql)),
     QueryDef("q37_quantity_percentiles", quantityPercentiles, Some(quantityPercentilesSql)),
     QueryDef("q38_scalar_functions", scalarFunctions, Some(scalarFunctionsSql)),
-    QueryDef("q39_nation_coverage", nationCoverage, Some(nationCoverageSql))
+    QueryDef("q39_nation_coverage", nationCoverage, Some(nationCoverageSql)),
+    QueryDef("q51_topk_aggregator", topPartsPerBrandAgg, Some(topPartsPerBrandSql))
   )
 }

@@ -79,6 +79,12 @@ class RelationalSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("bounded-heap top-k aggregator equals the window formulation") {
+    val win = Relational.topPartsPerBrand(spark, sfDir).collect().toSeq
+    val agg = Relational.topPartsPerBrandAgg(spark, sfDir).collect().toSeq
+    assert(agg == win)
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
