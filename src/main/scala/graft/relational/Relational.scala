@@ -227,6 +227,30 @@ object Relational {
       |) WHERE rnk <= 3
       |ORDER BY p_brand, rnk""".stripMargin
 
+  /** Explicit GROUPING SETS with grouping_id disambiguation — the general
+    * form behind rollup (q11) and cube (q29): only the requested
+    * combinations expand, one Expand+partial-aggregate pass. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem_gs")
+    spark.sql(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+  }
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+      |  COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(14,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** q07's answer via the bounded-heap typed Aggregator instead of the
     * ranking window: the window form sorts every (brand, part) row through
     * the exchange; the Aggregator keeps 3-element buffers merged map-side,
@@ -560,6 +584,7 @@ object Relational {
     QueryDef("q37_quantity_percentiles", quantityPercentiles, Some(quantityPercentilesSql)),
     QueryDef("q38_scalar_functions", scalarFunctions, Some(scalarFunctionsSql)),
     QueryDef("q39_nation_coverage", nationCoverage, Some(nationCoverageSql)),
-    QueryDef("q51_topk_aggregator", topPartsPerBrandAgg, Some(topPartsPerBrandSql))
+    QueryDef("q51_topk_aggregator", topPartsPerBrandAgg, Some(topPartsPerBrandSql)),
+    QueryDef("q52_grouping_sets", groupingSets, Some(groupingSetsSql))
   )
 }

@@ -52,6 +52,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("watermark finalizes windows and drops late data (Append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, v: Double) = Streaming.EventRow(
+      id, java.sql.Timestamp.valueOf(t), user_id = 1L, event_type = "click", value = v)
+    val stream = MemoryStream[Streaming.EventRow]
+    val q = Streaming.tumbling(stream.toDF())
+      .writeStream.format("memory").queryName("t_late")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events in window [10:00, 10:10)
+      stream.addData(ev(1, "2026-01-01 10:01:00", 1.0), ev(2, "2026-01-01 10:05:00", 2.0))
+      q.processAllAvailable()
+      // batch 2: event at 12:00 advances the 1h watermark to 11:00 —
+      // window [10:00, 10:10) finalizes and is emitted
+      stream.addData(ev(3, "2026-01-01 12:00:00", 4.0))
+      q.processAllAvailable()
+      // batch 3: late event inside the closed window — must be DROPPED
+      stream.addData(ev(4, "2026-01-01 10:06:00", 100.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_late").collect()
+    val w10 = out.filter(_.getAs[java.sql.Timestamp]("win_start").toString.startsWith("2026-01-01 10:00"))
+    assert(w10.length == 1, s"expected one finalized 10:00 window, got ${out.mkString(";")}")
+    assert(w10.head.getAs[Long]("n_events") == 2, "late event leaked into the closed window")
+    assert(w10.head.getAs[Double]("total_value") == 3.0)
+    // the 12:00 window is still open (watermark 11:00 < 12:10) — not emitted
+    assert(!out.exists(_.getAs[java.sql.Timestamp]("win_start").toString.startsWith("2026-01-01 12:00")))
+  }
+
   test("stream-static enrichment join attaches the static profile to every event") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
