@@ -269,7 +269,10 @@ object Similarity {
 
   // ------------------------------------------------------------ q43 simhash
 
-  val SimhashBits = 16
+  // 32 bits: at 16 bits a 5k-doc corpus collides so densely that hamming
+  // radius 3 admits ~20% of all pairs; at 32 the random-collision floor is
+  // ~1e-6 and surviving pairs are genuine near-dups.
+  val SimhashBits = 32
 
   /** 16-bit SimHash over (multiset) tokens: bit k set iff the sum over
     * tokens of ±1 (sign = bit k of the token hash) is positive. Computed as
@@ -313,6 +316,70 @@ object Similarity {
        |), s AS (SELECT doc_id, CAST($shExpr AS BIGINT) AS simhash FROM bits)
        |SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
        |FROM s GROUP BY simhash ORDER BY simhash""".stripMargin
+  }
+
+  // ----------------------------------------- q53 simhash near-dup (hamming)
+
+  /** SimHash near-duplicate pairs: candidates share at least one of four
+    * 8-bit bands of the 32-bit simhash (a pair within hamming distance 3
+    * must agree on ≥1 band — pigeonhole, so banding misses nothing at this
+    * radius), verified by exact hamming distance ≤ 3 via xor + bit_count.
+    * Same slim-join shape as MinHash-LSH (q41) but the "signature" is one
+    * 64-bit integer — the cheapest near-dup tier of the cascade. */
+  def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val masks = typedLit((0 until SimhashBits).map(k => 1L << k))
+    val hs = transform(tokens(col("text")), t => hash60(t))
+    val acc = aggregate(hs, array_repeat(lit(0L), SimhashBits),
+      (a, h) => zip_with(a, masks,
+        (x, m) => x + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L))))
+    val sh = aggregate(zip_with(acc, masks, (v, w) => when(v > 0, w).otherwise(0L)),
+      lit(0L), (x, y) => x + y)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), sh.as("sh"))
+    // band value b of a 32-bit hash: (sh div 256^b) % 256 — exact integer math
+    val keyed = docs.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 3), b -> (sh div CAST(pow(256, b) AS BIGINT)) % 256)")))
+      .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bkey"))
+    val cand = keyed.select(col("bkey"), col("doc_id").as("id_a"))
+      .join(keyed.select(col("bkey"), col("doc_id").as("id_b")), Seq("bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    cand
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("int"))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
+      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
+  }
+
+  val simhashNearDupSql: String = {
+    val bitSums = (0 until SimhashBits)
+      .map(k => s"SUM(((h >> $k) & 1) * 2 - 1) AS b$k").mkString(",\n      |    ")
+    val shExpr = (0 until SimhashBits)
+      .map(k => s"(CASE WHEN b$k > 0 THEN ${1L << k} ELSE 0 END)").mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS t
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id,
+       |    $bitSums
+       |  FROM th GROUP BY doc_id
+       |), s AS (SELECT doc_id, CAST($shExpr AS BIGINT) AS sh FROM bits),
+       |keyed AS (
+       |  SELECT doc_id, b AS band, (sh // CAST(pow(256, b) AS BIGINT)) % 256 AS bval
+       |  FROM s, range(0, 4) t(b)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM keyed a JOIN keyed b ON a.band = b.band AND a.bval = b.bval
+       |  WHERE a.doc_id < b.doc_id
+       |)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+       |FROM cand JOIN s sa ON sa.doc_id = id_a JOIN s sb ON sb.doc_id = id_b
+       |WHERE bit_count(xor(sa.sh, sb.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
   }
 
   // ------------------------------------------- q44 brute-force cosine top-k
@@ -685,6 +752,7 @@ object Similarity {
     QueryDef("q47_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("q48_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     QueryDef("q49_ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql)),
-    QueryDef("q50_pipeline_stats", pipelineStats, Some(pipelineStatsSql))
+    QueryDef("q50_pipeline_stats", pipelineStats, Some(pipelineStatsSql)),
+    QueryDef("q53_simhash_neardup", simhashNearDup, Some(simhashNearDupSql))
   )
 }

@@ -29,6 +29,22 @@ object TextOps {
   def tokens(c: Column): Column =
     filter(split(c, "\\s+"), t => t =!= lit(""))
 
+  /** Raw text files → (file, line_id, value) with DETERMINISTIC line ids.
+    * `spark.read.text` + a partition-unordered window would number lines
+    * nondeterministically when a file splits across partitions; reading
+    * wholetext and exploding keeps exact in-file order. One trailing
+    * newline is stripped (a final "\n" does not open an empty last line,
+    * matching line-iterator semantics). Memory is bounded per FILE — for
+    * multi-GB single files switch to an offset-carrying datasource; for
+    * the reference's folder-of-small-files model this is the right
+    * trade. */
+  def linesWithIds(spark: SparkSession, globPath: String): DataFrame =
+    spark.read.option("wholetext", "true").text(globPath)
+      .select(input_file_name().as("file"),
+        posexplode(split(regexp_replace(col("value"), "\n$", ""), "\n", -1)))
+      .select(col("file"), col("pos").cast("long").as("line_id"),
+        col("col").as("value"))
+
   /** Order-preserving exact dedup (reference D1): first occurrence wins.
     * One hash-aggregate shuffle on the value — same cost shape as
     * dropDuplicates but with deterministic survivor choice. */

@@ -1,6 +1,8 @@
 package graft.text
 
 import graft.SparkSpec
+import java.nio.file.Files
+import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.functions._
 
 /** Text-operator semantics vs the reference
@@ -47,6 +49,18 @@ class TextOpsSpec extends SparkSpec {
     assert(recordsPerChunk == 2)
     val chunkOf = (rn: Int) => (rn - 1) / recordsPerChunk // 1-based row_number
     assert((1 to 10).map(chunkOf) == Seq(0, 0, 1, 1, 2, 2, 3, 3, 4, 4))
+  }
+
+  test("linesWithIds: exact per-file order, trailing newline, blank interior lines") {
+    val dir = Files.createTempDirectory("graft-lines")
+    Files.write(dir.resolve("a.txt"), "l1\n\nl3\n".getBytes(StandardCharsets.UTF_8))
+    Files.write(dir.resolve("b.txt"), "x".getBytes(StandardCharsets.UTF_8)) // no trailing \n
+    val rows = TextOps.linesWithIds(spark, dir.toString + "/*.txt")
+      .orderBy("file", "line_id").collect()
+      .map(r => (r.getString(0).split('/').last, r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      ("a.txt", 0L, "l1"), ("a.txt", 1L, ""), ("a.txt", 2L, "l3"),
+      ("b.txt", 0L, "x")))
   }
 
   test("harness queries return deterministic non-empty results at sf0.001") {
