@@ -64,6 +64,29 @@ class SimilaritySpec extends SparkSpec {
     assert(bs.distinct.size > 1, "all vectors in one bucket — planes degenerate")
   }
 
+  test("cosine near-dup pairs are canonical (id_a < id_b) and above threshold") {
+    val pairs = Similarity.cosineNearDup(spark, sfDir).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.4))
+  }
+
+  test("IVF: every reported neighbor shares the probe's cell; ranks dense from 1") {
+    val out = Similarity.annIvfTopk(spark, sfDir)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // per probe, ranks are 1..n without gaps
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(4)).sorted.toSeq == (1 to rs.length))
+    }
+  }
+
+  test("simhash near-dup: hamming bound holds and pairs are canonical") {
+    val rows = Similarity.simhashNearDup(spark, sfDir).collect()
+    assert(rows.forall(r => r.getInt(2) >= 0 && r.getInt(2) <= 3))
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+  }
+
   test("ann-lsh neighbors are a subset of brute-force candidates' buckets") {
     val ann = Similarity.annLshTopk(spark, sfDir)
     assert(ann.count() > 0)
