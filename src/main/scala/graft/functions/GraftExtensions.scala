@@ -37,5 +37,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_long(a, b) takes 2 arguments")
         DotProductLong(args.head, args(1))
       }))
+    // graft's standard sketch configuration (the constants baked into the
+    // oracle SQL): 64 fixed-LCG permutations for MinHash, 32-bit SimHash.
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "minhash_sig(hashes) takes 1 argument")
+        MinhashSignatureExpr(args.head,
+          graft.llm.Similarity.permA, graft.llm.Similarity.permB, graft.llm.Similarity.P)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash32"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash32(hashes) takes 1 argument")
+        SimhashExpr(args.head, graft.llm.Similarity.SimhashBits)
+      }))
   }
 }

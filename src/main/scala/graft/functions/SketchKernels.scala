@@ -1,0 +1,171 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftops.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Codegen'd signature kernels for the near-duplicate sketches.
+  *
+  * The interpreted forms these replace (round-1 hot spots, 38.5s of the
+  * 125.5s bench across q41/q43/q53):
+  *  - MinHash: `aggregate(hs, array_repeat(P, 64), (acc, h) =>
+  *    zip_with(acc, perms, ...))` — every shingle allocates a fresh 64-long
+  *    accumulator array and evaluates 64 interpreted lambda closures;
+  *  - SimHash: the same fold shape with a 32-wide counter array per token.
+  *
+  * Both are inherently straight-line integer loops over one input array, so
+  * each becomes a single expression with local `long[]` state: one
+  * allocation per ROW (not per element), no closures, inlined into
+  * whole-stage codegen. Equivalent interpreted eval provided for
+  * non-codegen contexts; results are bit-identical to the HOF forms
+  * (verified by the unchanged q40/q41/q43/q53 oracle hashes).
+  */
+object SketchKernels {
+
+  /** MinHash signature of a hashed-shingle set: element i is
+    * `min over h of (a(i)*h + b(i)) mod p`, i.e. the classic permutation
+    * minimum. `hs` must be ARRAY<LONG> with values in [0, p); `a(i)` in
+    * [1, p) and `b(i)` in [0, p) guarantee `a*h + b` stays below 2^62 for
+    * p <= 2^31, so plain `%` equals `pmod` (all operands non-negative,
+    * no overflow). Empty array → all-p signature (same as the fold's seed). */
+  def minhashSignature(hs: Column, a: Array[Long], b: Array[Long], p: Long): Column =
+    ColumnBridge.column(MinhashSignatureExpr(ColumnBridge.expression(hs), a, b, p))
+
+  /** SimHash of a token-hash multiset: bit k of the result is set iff
+    * `sum over h of (bit k of h ? +1 : -1)` is positive. `bits` <= 63;
+    * hashes must be non-negative. Empty array → 0. */
+  def simhash(hashes: Column, bits: Int): Column =
+    ColumnBridge.column(SimhashExpr(ColumnBridge.expression(hashes), bits))
+}
+
+case class MinhashSignatureExpr(child: Expression, a: Array[Long], b: Array[Long], p: Long)
+    extends UnaryExpression {
+  require(a.length == b.length, "permutation constant arrays must align")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val k = a.length
+    val acc = new Array[Long](k)
+    java.util.Arrays.fill(acc, p)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % p
+        if (v < acc(j)) acc(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val aRef = ctx.addReferenceObj("permA", a, "long[]")
+      val bRef = ctx.addReferenceObj("permB", b, "long[]")
+      val acc = ctx.freshName("acc")
+      val n = ctx.freshName("n")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      s"""
+         |final int $k = $aRef.length;
+         |final long[] $acc = new long[$k];
+         |java.util.Arrays.fill($acc, ${p}L);
+         |final int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $hs.getLong($i);
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    final long $v = ($aRef[$j] * $h + $bRef[$j]) % ${p}L;
+         |    if ($v < $acc[$j]) $acc[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
+case class SimhashExpr(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits > 0 && bits < 64, s"simhash bits must be in [1, 63], got $bits")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val counters = new Array[Long](bits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var k = 0
+      while (k < bits) {
+        counters(k) += (if (((h >> k) & 1L) != 0L) 1L else -1L)
+        k += 1
+      }
+      i += 1
+    }
+    var sh = 0L
+    var k = 0
+    while (k < bits) {
+      if (counters(k) > 0) sh |= 1L << k
+      k += 1
+    }
+    sh
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val cnt = ctx.freshName("cnt")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      val sh = ctx.freshName("sh")
+      s"""
+         |final long[] $cnt = new long[$bits];
+         |final int $n = $hs.numElements();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final long $h = $hs.getLong($i);
+         |  for (int $k = 0; $k < $bits; $k++) {
+         |    $cnt[$k] += ((($h >> $k) & 1L) != 0L) ? 1L : -1L;
+         |  }
+         |}
+         |long $sh = 0L;
+         |for (int $k = 0; $k < $bits; $k++) {
+         |  if ($cnt[$k] > 0) $sh |= 1L << $k;
+         |}
+         |${ev.value} = $sh;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
+    copy(child = newChild)
+}

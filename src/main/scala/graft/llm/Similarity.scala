@@ -73,23 +73,18 @@ object Similarity {
   def hashedShingles(c: Column): Column =
     array_sort(array_distinct(transform(tokens(c), s => pmod(hash60(s), lit(P)))))
 
-  /** MinHash signature: ARRAY<LONG> of NumPerms minima. Pure array exprs —
-    * no explode/shuffle; cost O(|shingles| * NumPerms) per row.
-    *
-    * Loop order matters: this FOLDS over the shingle-hash array once,
-    * updating a NumPerms-wide running-min accumulator per element. The
-    * transposed form (`transform(perms, p => array_min(transform(hs, …)))`)
-    * re-evaluates the md5-based hash subtree once per permutation — a 64×
-    * blowup the optimizer does not factor out of the lambda.
+  /** MinHash signature: ARRAY<LONG> of NumPerms minima, computed by the
+    * codegen'd kernel (graft.functions.SketchKernels.minhashSignature) —
+    * one straight-line loop over local longs per row, inlined into
+    * whole-stage codegen. Replaces the round-1 interpreted
+    * `aggregate ∘ zip_with` fold, which allocated a NumPerms-wide
+    * accumulator array and evaluated 64 interpreted lambda closures per
+    * shingle (q41 was 14.9s at sf0.1 with the fold; the kernel removes
+    * that entire cost while producing bit-identical signatures).
     *
     * Takes the [[hashedShingles]] array (ARRAY<LONG>, values in [0, P)). */
-  def minhashSignature(hs: Column): Column = {
-    val perms = typedLit(permA.zip(permB).toSeq) // ARRAY<STRUCT<_1: a, _2: b>>
-    aggregate(hs,
-      array_repeat(lit(P), NumPerms),
-      (acc, h) => zip_with(acc, perms,
-        (m, p) => least(m, pmod(p.getField("_1") * h + p.getField("_2"), lit(P)))))
-  }
+  def minhashSignature(hs: Column): Column =
+    graft.functions.SketchKernels.minhashSignature(hs, permA, permB, P)
 
   // SQL fragments shared by the oracles (same constants, same pipeline).
   private val permRowsSql: String =
@@ -274,26 +269,17 @@ object Similarity {
   // ~1e-6 and surviving pairs are genuine near-dups.
   val SimhashBits = 32
 
-  /** 16-bit SimHash over (multiset) tokens: bit k set iff the sum over
-    * tokens of ±1 (sign = bit k of the token hash) is positive. Computed as
-    * one fold over the token array — codegen-friendly, no explode. */
+  /** 32-bit SimHash over (multiset) tokens: bit k set iff the sum over
+    * tokens of ±1 (sign = bit k of the token hash) is positive. Computed by
+    * the codegen'd kernel (SketchKernels.simhash) — one pass over the
+    * token-hash array with a local counter array, replacing the round-1
+    * interpreted fold that allocated a 32-wide accumulator per token. */
+  def simhashOf(text: Column): Column =
+    graft.functions.SketchKernels.simhash(transform(tokens(text), t => hash60(t)), SimhashBits)
+
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // per-token contribution to each bit: ((h >> k) & 1) * 2 - 1, computed
-    // via mask test (h & (1<<k)) — same value as the oracle's shift form.
-    // md5 is hashed ONCE per token (transform binds h), then folded across
-    // the 16 bit masks — not re-hashed per bit.
-    val masks = typedLit((0 until SimhashBits).map(k => 1L << k))
-    val hs = transform(tokens(col("text")), t => hash60(t))
-    val acc = aggregate(hs,
-      array_repeat(lit(0L), SimhashBits),
-      (a, h) => zip_with(a, masks,
-        (x, m) => x + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L))))
-    val weights = typedLit((0 until SimhashBits).map(k => 1L << k))
-    val sh = aggregate(
-      zip_with(acc, weights, (v, w) => when(v > 0, w).otherwise(0L)),
-      lit(0L), (x, y) => x + y)
     Tables.documents(spark, dir)
-      .select(col("doc_id"), sh.as("simhash"))
+      .select(col("doc_id"), simhashOf(col("text")).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("simhash"))
@@ -327,14 +313,8 @@ object Similarity {
     * Same slim-join shape as MinHash-LSH (q41) but the "signature" is one
     * 64-bit integer — the cheapest near-dup tier of the cascade. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val masks = typedLit((0 until SimhashBits).map(k => 1L << k))
-    val hs = transform(tokens(col("text")), t => hash60(t))
-    val acc = aggregate(hs, array_repeat(lit(0L), SimhashBits),
-      (a, h) => zip_with(a, masks,
-        (x, m) => x + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L))))
-    val sh = aggregate(zip_with(acc, masks, (v, w) => when(v > 0, w).otherwise(0L)),
-      lit(0L), (x, y) => x + y)
-    val docs = Tables.documents(spark, dir).select(col("doc_id"), sh.as("sh"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), simhashOf(col("text")).as("sh"))
     // band value b of a 32-bit hash: (sh div 256^b) % 256 — exact integer math
     val keyed = docs.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 3), b -> (sh div CAST(pow(256, b) AS BIGINT)) % 256)")))

@@ -23,10 +23,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       val row = spark.sql(
         """SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS k,
-          |       dot_long(array(1L, 2L), array(10L, 20L)) AS d""".stripMargin)
+          |       dot_long(array(1L, 2L), array(10L, 20L)) AS d,
+          |       minhash_sig(array(7L)) AS sig,
+          |       simhash32(array(7L)) AS sh""".stripMargin)
         .collect().head
       assert(row.getLong(0) == 2L)
       assert(row.getLong(1) == 50L)
+      val sig = row.getSeq[Long](2)
+      assert(sig == (0 until graft.llm.Similarity.NumPerms).map(i =>
+        (graft.llm.Similarity.permA(i) * 7L + graft.llm.Similarity.permB(i)) % graft.llm.Similarity.P))
+      assert(row.getLong(3) == 7L)
     } finally {
       prev.foreach { s =>
         SparkSession.setDefaultSession(s)

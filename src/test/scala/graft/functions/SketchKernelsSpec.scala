@@ -1,0 +1,72 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.llm.Similarity
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The codegen sketch kernels must be bit-identical to the interpreted
+  * HOF folds they replaced (round 1 shipped the folds; their output is
+  * locked in by the q40/q41/q43/q53 oracle hashes). These specs re-state
+  * the fold forms inline and compare over the real sf0.001 corpus.
+  */
+class SketchKernelsSpec extends SparkSpec {
+
+  import Similarity.{NumPerms, P, SimhashBits, hash60, hashedShingles, permA, permB, tokens}
+
+  /** Round-1 interpreted MinHash fold (the shape the kernel replaced). */
+  private def minhashFold(hs: Column): Column = {
+    val perms = typedLit(permA.zip(permB).toSeq)
+    aggregate(hs,
+      array_repeat(lit(P), NumPerms),
+      (acc, h) => zip_with(acc, perms,
+        (m, p) => least(m, pmod(p.getField("_1") * h + p.getField("_2"), lit(P)))))
+  }
+
+  /** Round-1 interpreted SimHash fold. */
+  private def simhashFold(text: Column): Column = {
+    val masks = typedLit((0 until SimhashBits).map(k => 1L << k))
+    val hs = transform(tokens(text), t => hash60(t))
+    val acc = aggregate(hs, array_repeat(lit(0L), SimhashBits),
+      (a, h) => zip_with(a, masks,
+        (x, m) => x + when(h.bitwiseAND(m) > 0, lit(1L)).otherwise(lit(-1L))))
+    aggregate(zip_with(acc, masks, (v, w) => when(v > 0, w).otherwise(0L)),
+      lit(0L), (x, y) => x + y)
+  }
+
+  test("minhash kernel ≡ interpreted fold over the document corpus") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(hashedShingles(col("text")).as("hs"))
+    val diff = docs.select(
+        Similarity.minhashSignature(col("hs")).as("kernel"),
+        minhashFold(col("hs")).as("fold"))
+      .filter(col("kernel") =!= col("fold"))
+    assert(diff.count() == 0)
+  }
+
+  test("simhash kernel ≡ interpreted fold over the document corpus") {
+    val diff = graft.Tables.documents(spark, sfDir)
+      .select(Similarity.simhashOf(col("text")).as("kernel"),
+        simhashFold(col("text")).as("fold"))
+      .filter(col("kernel") =!= col("fold"))
+    assert(diff.count() == 0)
+  }
+
+  test("kernels handle empty and single-element arrays (fold seed semantics)") {
+    import spark.implicits._
+    val rows = Seq(Seq.empty[Long], Seq(7L), Seq(5L, 7L, 11L)).toDF("hs")
+      .select(
+        SketchKernels.minhashSignature(col("hs"), permA, permB, P).as("sig"),
+        SketchKernels.simhash(col("hs"), SimhashBits).as("sh"))
+      .collect()
+    val emptySig = rows(0).getSeq[Long](0)
+    assert(emptySig.size == NumPerms && emptySig.forall(_ == P),
+      "empty input must yield the fold's all-P seed")
+    assert(rows(0).getLong(1) == 0L, "empty simhash is 0")
+    val single = rows(1).getSeq[Long](0)
+    assert(single == (0 until NumPerms).map(i => (permA(i) * 7L + permB(i)) % P))
+    // single-element simhash: every bit of the result equals that element's bit
+    assert(rows(1).getLong(1) == (7L & ((1L << SimhashBits) - 1)))
+  }
+
+}
