@@ -654,10 +654,11 @@ object Similarity {
     * declarative plan — quality filter (q25's predicate), exact first-
     * occurrence dedup (q20), MinHash-LSH near-dup removal (q41, dropping
     * the higher id of each verified pair), reported as per-stage doc/token
-    * counts. Each stage is a flag column on the base corpus; Catalyst
-    * shares the scan across all four aggregations via the union. At 100 TB
-    * each stage's predicate is exactly the shape benchmarked individually:
-    * the funnel adds no new shuffles beyond q41's. */
+    * counts. Each stage is a flag column on the base corpus and all four
+    * stages aggregate in a single conditional-aggregation pass (stack of
+    * count/sum-if), so the expensive subtrees execute once. At 100 TB each
+    * stage's predicate is exactly the shape benchmarked individually: the
+    * funnel adds no new shuffles beyond q41's. */
   def pipelineStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val wText = Window.partitionBy(col("text"))
@@ -674,16 +675,24 @@ object Similarity {
     val flagged = base.join(dupIds.withColumn("is_dup_b", lit(true)),
         Seq("doc_id"), "left")
       .withColumn("near_ok", coalesce(col("is_dup_b"), lit(false)) === false)
-    def stage(name: String, pred: Column) =
-      flagged.filter(pred).agg(
-        lit(name).as("stage"),
-        count(lit(1)).as("n_docs"),
-        sum(col("n_tokens")).as("n_tokens"))
-    stage("1_raw", lit(true))
-      .unionByName(stage("2_quality", col("quality_ok")))
-      .unionByName(stage("3_exact_dedup", col("quality_ok") && col("is_first")))
-      .unionByName(stage("4_near_dedup",
-        col("quality_ok") && col("is_first") && col("near_ok")))
+    // ONE conditional-aggregation pass, then stack to rows: round 1 unioned
+    // four filtered aggregates, and union branches re-execute common
+    // subtrees — the full LSH pipeline ran 4×. Here the scan, the text
+    // window and the near-dup join execute exactly once.
+    val q = col("quality_ok")
+    val f = q && col("is_first")
+    val nd = f && col("near_ok")
+    flagged.agg(
+        count(lit(1)).as("n1"), sum(col("n_tokens")).as("t1"),
+        count(when(q, 1)).as("n2"), sum(when(q, col("n_tokens"))).as("t2"),
+        count(when(f, 1)).as("n3"), sum(when(f, col("n_tokens"))).as("t3"),
+        count(when(nd, 1)).as("n4"), sum(when(nd, col("n_tokens"))).as("t4"))
+      .selectExpr(
+        """stack(4,
+          |  '1_raw', n1, t1,
+          |  '2_quality', n2, t2,
+          |  '3_exact_dedup', n3, t3,
+          |  '4_near_dedup', n4, t4) AS (stage, n_docs, n_tokens)""".stripMargin)
       .orderBy(col("stage"))
   }
 

@@ -251,32 +251,27 @@ object Relational {
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
 
-  /** q07's answer via the bounded-heap typed Aggregator instead of the
-    * ranking window: the window form sorts every (brand, part) row through
-    * the exchange; the Aggregator keeps 3-element buffers merged map-side,
-    * so the shuffle carries ≤ 3·partitions rows per brand regardless of
-    * group size. Same oracle as q07 — identical results, different
-    * physical strategy (the 100 TB-preferred one). */
+  /** q07's answer via the bounded top-k imperative aggregate instead of
+    * the ranking window: the window form sorts every (brand, part) row
+    * through the exchange; the aggregate keeps 3-element buffers merged
+    * map-side, so the shuffle carries ≤ 3·partitions rows per brand
+    * regardless of group size. Same oracle as q07 — identical results,
+    * different physical strategy (the 100 TB-preferred one). The revenue
+    * sum stays at its natural DECIMAL(32,8) type — no widening cast, so
+    * no silent null-on-overflow headroom loss (round-1 used (38,18),
+    * leaving only 20 integer digits). */
   def topPartsPerBrandAgg(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.types.DecimalType
     val li = Tables.lineitem(spark, dir)
     val p = Tables.part(spark, dir)
     val agg = li.join(p, li("l_partkey") === p("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"))
-      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
-        .cast(DecimalType(38, 18)).as("rev_dec"))
-    val topk = new graft.functions.TopKByScore(3).toColumn
-    agg.select(col("p_brand").as("brand"), col("rev_dec"), col("p_partkey"))
-      .as[(String, java.math.BigDecimal, Long)]
-      .groupByKey(_._1)
-      .mapValues(r => (r._2, r._3))
-      .agg(topk.name("top"))
-      .toDF("p_brand", "top")
+      .agg(sum(discPrice(col("l_extendedprice"), col("l_discount"))).as("rev_dec"))
+    agg.groupBy(col("p_brand"))
+      .agg(graft.functions.TopK.decimalTopK(col("rev_dec"), col("p_partkey"), 3).as("top"))
       .select(col("p_brand"), posexplode(col("top")))
       .select(col("p_brand"),
-        col("col._2").as("p_partkey"),
-        narrow(col("col._1"), 4).as("revenue"),
+        col("col.id").as("p_partkey"),
+        narrow(col("col.score"), 4).as("revenue"),
         (col("pos") + 1).cast("int").as("rnk"))
       .orderBy(col("p_brand"), col("rnk"))
   }
@@ -399,18 +394,27 @@ object Relational {
 
   /** Set operations (SURVEY §2.12, generalizing the reference's merge U1):
     * customer-key sets of two order years combined with UNION / INTERSECT /
-    * EXCEPT, summarized per operation. Spark plans intersect/except as
-    * left-semi / left-anti hash joins over distinct inputs — shuffles on the
-    * key, no sort — exactly the shape that scales. */
+    * EXCEPT, summarized per operation.
+    *
+    * Computed as per-key membership flags from ONE scan + ONE hash-agg
+    * shuffle: `union = in_a ∨ in_b`, `intersect = in_a ∧ in_b`,
+    * `except = in_a ∧ ¬in_b`. Round 1 used the literal
+    * `union`/`intersect`/`except` operators, which re-scanned `orders` six
+    * times (each set op reads both sides); the flag form is algebraically
+    * identical — a set-membership truth table — and is the shape that
+    * scales: at 100 TB the scan dominates, so 1 scan beats 6. */
   def setOps(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir)
-    def custsOf(y: Int) =
-      o.filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
-    val a = custsOf(1996)
-    val b = custsOf(1997)
-    val tagged = a.union(b).distinct().withColumn("op", lit("union"))
-      .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
-      .unionByName(a.except(b).withColumn("op", lit("except")))
+    val flags = o.select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .filter(col("y") === 1996 || col("y") === 1997)
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("y") === 1996, 1).otherwise(0)).as("in_a"),
+        max(when(col("y") === 1997, 1).otherwise(0)).as("in_b"))
+    val tagged = flags.select(col("o_custkey"),
+      explode(array_compact(array(
+        lit("union"), // every surviving key is in a ∪ b
+        when(col("in_a") === 1 && col("in_b") === 1, "intersect"),
+        when(col("in_a") === 1 && col("in_b") === 0, "except")))).as("op"))
     tagged.groupBy(col("op"))
       .agg(count(lit(1)).as("n_custkeys"),
         min(col("o_custkey")).as("min_key"),
@@ -455,26 +459,40 @@ object Relational {
   /** Exact discrete percentiles (quantile_disc semantics: the value at rank
     * ceil(q·n), no interpolation) per return flag. Interpolating percentiles
     * (`percentile_cont`) mix FP shapes that differ per engine; the discrete
-    * definition is pure row selection — exact everywhere. Shape: one window
-    * pass per group (rank + count), conditional aggregation picks the four
-    * quantile rows; at 100 TB swap in approx_percentile and accept the
-    * sketch error, which this exact form baselines. */
+    * definition is pure row selection — exact everywhere. Shape: histogram
+    * aggregation (map-combined), cumulative-count windows over the
+    * histogram only, conditional aggregation picks the four quantile
+    * values; at 100 TB swap in approx_percentile and accept the sketch
+    * error, which this exact form baselines. */
   def quantityPercentiles(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
+    // Aggregate FIRST: per-(flag, qty) counts — one map-combined hash-agg
+    // shuffle, then windows over the tiny aggregated frame (3 flags ×
+    // distinct quantities). The value at global rank r in qty order is the
+    // qty whose cumulative-count interval (lo, hi] contains r, so the
+    // per-row ranking window is unnecessary. Round 1 ran
+    // row_number() over Window.partitionBy(l_returnflag) on RAW lineitem —
+    // every row through 3 tasks, a guaranteed straggler at 100×. Here no
+    // task ever sees more than the distinct-value histogram.
     // decimal cast is order-preserving, so ranking by qty == by l_quantity
-    val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("qty"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = li
-      .select(col("l_returnflag"), dec(col("l_quantity")).as("qty"),
-        col("l_orderkey"), col("l_linenumber"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
-    def pick(q: Double) =
-      max(when(col("rn") === ceil(lit(q) * col("n")), col("qty"))).cast("double")
-    ranked.groupBy(col("l_returnflag"))
+    val counts = li
+      .select(col("l_returnflag"), dec(col("l_quantity")).as("qty"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(count(lit(1)).as("cnt"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    val cum = counts
+      .withColumn("hi", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("lo", col("hi") - col("cnt"))
+    def pick(q: Double) = {
+      val r = ceil(lit(q) * col("n"))
+      max(when(r > col("lo") && r <= col("hi"), col("qty"))).cast("double")
+    }
+    cum.groupBy(col("l_returnflag"))
       .agg(pick(0.25).as("p25"), pick(0.50).as("p50"),
         pick(0.75).as("p75"), pick(0.95).as("p95"),
-        count(lit(1)).as("n_rows"))
+        max(col("n")).as("n_rows"))
       .orderBy(col("l_returnflag"))
   }
 

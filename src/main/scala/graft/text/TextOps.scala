@@ -194,12 +194,17 @@ object TextOps {
     * synthetic corpus it mostly predicts 'und'; the point is deterministic,
     * oracle-checkable plumbing for the scoring pipeline. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val toks = tokens(lower(col("text")))
     val en = Seq("the", "and", "of", "to", "a", "in", "is")
     val fr = Seq("le", "la", "et", "les", "des", "un", "une")
     val de = Seq("der", "die", "und", "das", "ein", "nicht")
-    def hits(ws: Seq[String]) = size(filter(toks, t => t.isInCollection(ws)))
+    // tokenize ONCE into a column, then filter the materialized array per
+    // language — round 1 inlined `tokens(lower(text))` into each of the
+    // three hit counters, re-splitting every document 3×. CollapseProject
+    // keeps the alias (multi-referenced non-cheap expressions don't get
+    // inlined back), so the split runs once per row.
+    def hits(ws: Seq[String]) = size(filter(col("toks"), t => t.isInCollection(ws)))
     Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), col("lang"),
         hits(en).cast("long").as("en_hits"),
         hits(fr).cast("long").as("fr_hits"),
