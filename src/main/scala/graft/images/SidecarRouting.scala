@@ -36,8 +36,14 @@ object SidecarRouting {
   def routeWithSidecars(files: DataFrame, keep: Column): (DataFrame, DataFrame) = {
     val primaries = files.filter(!isSidecar(col("path")))
       .withColumn("__keep", coalesce(keep, lit(false)))
+    // One verdict row per stem: if two primaries share a stem with
+    // different extensions (foo.png, foo.jpg), a plain join would
+    // duplicate the foo.txt sidecar into BOTH outputs; aggregate with
+    // max(keep) — the sidecar follows if ANY primary stays (the reference
+    // moves a sidecar when its tile moves).
     val verdicts = primaries
-      .select(stemOf(col("path")).as("__stem"), col("__keep").as("__primary_keep"))
+      .groupBy(stemOf(col("path")).as("__stem"))
+      .agg(max(col("__keep")).as("__primary_keep"))
     val sidecars = files.filter(isSidecar(col("path")))
       .withColumn("__stem", stemOf(col("path")))
       .join(verdicts, Seq("__stem"), "left")

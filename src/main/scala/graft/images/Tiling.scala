@@ -56,7 +56,11 @@ object Tiling {
     * Input: scanImages output. Output: one row per tile with encoded bytes
     * and the reference's `{stem}_tile_{i}_{j}.{ext}` name. */
   def tiles(images: DataFrame, p: TileParams): DataFrame = {
-    val ext = if (p.format == "None" || p.format.isEmpty) "png" else p.format.toLowerCase
+    // Reference format_mapping (`tiling.py:32-33`): JPG→JPEG encoder with a
+    // .jpg extension; PNG, NONE, and ANY unrecognized format (even "JPEG",
+    // "webp", "heic") fall back to PNG — mirrored exactly, so an unsupported
+    // format yields PNG tiles instead of null-data rows that get dropped.
+    val ext = if (p.format.toUpperCase == "JPG") "jpg" else "png"
     val base = withDims(images).filter(col("decoded"))
     // G5 per-image tile-size override: min(W,H) // int(sqrt(num_tiles))
     val tileC =

@@ -109,9 +109,15 @@ object Sinks {
   }
 
   /** Reference K4 chunked files: partitionBy(chunk) text write — each chunk
-    * directory holds that chunk's records, parallel-safe at any scale. */
+    * directory holds that chunk's records, parallel-safe at any scale.
+    * Record format matches the reference's splitter, which writes
+    * `line.rstrip("\n") + "\n\n"` (`other_tasks.py:87`): each record is
+    * followed by a blank line, so we append one "\n" to the value and let
+    * the text sink add the terminating newline. */
   def writeChunkedText(df: DataFrame, outDir: String,
-                       chunkCol: String = "chunk", textCol: String = "value"): Unit =
-    df.select(chunkCol, textCol)
+                       chunkCol: String = "chunk", textCol: String = "value"): Unit = {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    df.select(col(chunkCol), concat(col(textCol), lit("\n")).as(textCol))
       .write.mode("errorifexists").partitionBy(chunkCol).text(outDir)
+  }
 }

@@ -41,15 +41,60 @@ object Multimodal {
   // ------------------------------------------------------------ decode stub
 
   /** STUB audio decode: bytes → Array[Float] "PCM". Deterministic fake —
-    * each payload byte becomes one centered sample b/128f ∈ [-1, 1). A real
-    * deployment replaces the lambda body with a codec call (the signature,
-    * null-on-failure contract, and downstream feature math are unchanged).
-    * Kept as a scalar UDF: decode is inherently a black-box byte kernel,
-    * exactly like images/ImageCodec. */
+    * each payload byte becomes one centered sample b/128f ∈ [-1, 1). Kept
+    * for formats the JVM cannot parse (MP3/AAC/OGG — see
+    * [[decodeAudioPcm]] for the real WAV/AIFF path) and for plumbing
+    * tests that need payload-independent determinism. Kept as a scalar
+    * UDF: decode is inherently a black-box byte kernel, exactly like
+    * images/ImageCodec. */
   val decodeAudioStub: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>
       if (payload == null) null
       else payload.map(b => b.toFloat / 128.0f)
+    }
+
+  /** REAL audio decode for the containers the JDK ships codecs for
+    * (WAV/AIFF/AU, PCM and a-law/µ-law via javax.sound.sampled — fully
+    * offline). Bytes → mono float samples in [-1, 1): the stream is
+    * converted to 16-bit signed PCM at its native rate, channels averaged.
+    * Payloads AudioSystem cannot parse (MP3, AAC, OGG, truncated headers)
+    * return null — the same quarantine contract as image decode; route
+    * those to [[decodeAudioStub]] or a real codec in deployments that
+    * carry one. */
+  val decodeAudioPcm: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        try {
+          val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+          try {
+            val src = in.getFormat
+            val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+              src.getSampleRate, false) // little-endian
+            val pcm = AudioSystem.getAudioInputStream(target, in)
+            val bytes = pcm.readAllBytes()
+            val ch = target.getChannels
+            val nFrames = bytes.length / (2 * ch)
+            val out = new Array[Float](nFrames)
+            var i = 0
+            while (i < nFrames) {
+              var sum = 0.0f
+              var c = 0
+              while (c < ch) {
+                val base = (i * ch + c) * 2
+                val s = (((bytes(base + 1): Int) << 8) | (bytes(base) & 0xff)).toShort
+                sum += s / 32768.0f
+                c += 1
+              }
+              out(i) = sum / ch
+              i += 1
+            }
+            out
+          } finally in.close()
+        } catch { case _: Exception => null }
+      }
     }
 
   // ------------------------------------------------------------ features
@@ -60,11 +105,15 @@ object Multimodal {
     * wants per-frame rows. */
   def rmsFrames(samples: Column, frameLen: Int): Column = {
     val nFrames = floor(size(samples) / frameLen).cast("int")
-    transform(sequence(lit(0), nFrames - 1, lit(1)), f => {
-      val frame = slice(samples, f * frameLen + 1, lit(frameLen))
-      sqrt(aggregate(frame, lit(0.0d), (s, x) => s + x.cast("double") * x.cast("double"))
-        / frameLen)
-    })
+    // guard nFrames = 0 (input shorter than one frame): sequence(0, -1, 1)
+    // throws at runtime — same guard shape as frameSampleGrid
+    when(nFrames > 0,
+      transform(sequence(lit(0), nFrames - 1, lit(1)), f => {
+        val frame = slice(samples, f * frameLen + 1, lit(frameLen))
+        sqrt(aggregate(frame, lit(0.0d), (s, x) => s + x.cast("double") * x.cast("double"))
+          / frameLen)
+      }))
+      .otherwise(array().cast("array<double>"))
   }
 
   /** Peak absolute amplitude — one fold, no allocation. */

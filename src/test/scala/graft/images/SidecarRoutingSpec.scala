@@ -36,4 +36,20 @@ class SidecarRoutingSpec extends SparkSpec {
     val (kept, skipped) = SidecarRouting.routeWithSidecars(files(), col("size") >= 50)
     assert(kept.count() + skipped.count() == files().count())
   }
+
+  test("two primaries sharing a stem yield ONE sidecar verdict (any-keep wins)") {
+    import spark.implicits._
+    val mixed = Seq(
+      ("/d/foo.png", 100L), // kept
+      ("/d/foo.jpg", 10L),  // skipped — same stem, conflicting verdict
+      ("/d/foo.txt", 1L)
+    ).toDF("path", "size")
+    val (kept, skipped) = SidecarRouting.routeWithSidecars(mixed, col("size") >= 50)
+    val keptPaths = kept.select("path").collect().map(_.getString(0)).toSeq
+    val skippedPaths = skipped.select("path").collect().map(_.getString(0)).toSeq
+    // the sidecar appears exactly once, in kept (it follows if ANY primary stays)
+    assert(keptPaths.count(_ == "/d/foo.txt") == 1)
+    assert(!skippedPaths.contains("/d/foo.txt"))
+    assert(kept.count() + skipped.count() == 3)
+  }
 }

@@ -24,6 +24,61 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r(1) - 1.0) < 1e-12)
   }
 
+  test("rmsFrames: input shorter than one frame yields empty array, not error") {
+    import spark.implicits._
+    val r = Seq(Seq(0.5f), Seq.empty[Float]).toDF("s")
+      .select(Multimodal.rmsFrames(col("s"), 4).as("r"))
+      .collect().map(_.getSeq[Double](0))
+    assert(r(0).isEmpty && r(1).isEmpty)
+  }
+
+  /** Minimal RIFF/WAVE container: 16-bit signed little-endian mono PCM. */
+  private def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(sampleRate); bb.putInt(sampleRate * 2) // byte rate
+    bb.putShort(2); bb.putShort(16) // block align, bits
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeAudioPcm: real WAV decode matches pure-Scala RMS and peak") {
+    import spark.implicits._
+    // 800 Hz sine at 8 kHz, 400 samples, amplitude 0.25
+    val n = 400
+    val shorts = Array.tabulate(n) { i =>
+      (0.25 * math.sin(2 * math.Pi * 800 * i / 8000.0) * 32767).toShort
+    }
+    val expected = shorts.map(_ / 32768.0f)
+    val row = Seq((1L, wavBytes(shorts, 8000))).toDF("id", "payload")
+      .select(Multimodal.decodeAudioPcm(col("payload")).as("pcm"))
+      .select(col("pcm"), Multimodal.peak(col("pcm")).as("pk"),
+        Multimodal.rmsFrames(col("pcm"), 100).as("rms"))
+      .collect().head
+    val pcm = row.getSeq[Float](0)
+    assert(pcm.length == n)
+    assert(pcm.zip(expected).forall { case (a, b) => math.abs(a - b) < 1e-6 })
+    val expPeak = expected.map(x => math.abs(x.toDouble)).max
+    assert(math.abs(row.getDouble(1) - expPeak) < 1e-9)
+    val expRms = expected.grouped(100).map(f =>
+      math.sqrt(f.map(x => x.toDouble * x).sum / 100)).toSeq
+    val gotRms = row.getSeq[Double](2)
+    assert(gotRms.zip(expRms).forall { case (a, b) => math.abs(a - b) < 1e-9 })
+  }
+
+  test("decodeAudioPcm: unparseable payload quarantines to null") {
+    import spark.implicits._
+    val out = Seq((1L, Array[Byte](1, 2, 3, 4))).toDF("id", "payload")
+      .select(Multimodal.decodeAudioPcm(col("payload")).as("pcm"))
+      .collect().head
+    assert(out.isNullAt(0))
+  }
+
   test("peak is the max absolute amplitude") {
     import spark.implicits._
     val p = Seq(Seq(0.25f, -0.75f, 0.5f)).toDF("s")
