@@ -24,12 +24,22 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
+    // dev-only filters (driver runs with neither set): SPARK_GRAFT_ONLY
+    // restricts to queries whose name contains a given substring;
+    // SPARK_GRAFT_REPS re-times each query N times and keeps the minimum
+    // (isolates steady-state plan cost from codegen/JIT noise)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     // sorted order: stable per-query attribution across rounds (Map order
     // is hash-dependent, which made JIT-warmup cost land on random queries)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.contains) }
+      .map { case (name, fn) =>
+      val dt = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.min
       // drop cached/broadcast state between queries so late queries aren't
       // taxed by 50 predecessors' accumulated executor memory
       spark.catalog.clearCache()

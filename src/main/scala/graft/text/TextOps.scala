@@ -71,11 +71,37 @@ object TextOps {
       |  COUNT(*) - COUNT(DISTINCT text) AS removed_count
       |FROM documents""".stripMargin
 
+  /** Guard for single-row materialization: fail fast (with the offending
+    * keys) when any group's total payload exceeds `maxBytes`, BEFORE a
+    * collect_list concentrates it into one row and OOMs an executor. One
+    * cheap aggregate pass over (key, size) — at 100 TB this is the
+    * difference between a clear error and a dead executor mid-job. */
+  def requireBoundedGroups(df: DataFrame, key: Column, sizeExpr: Column,
+                           maxBytes: Long): Unit = {
+    val over = df.groupBy(key.as("__key"))
+      .agg(sum(sizeExpr).as("__bytes"))
+      .filter(col("__bytes") > maxBytes)
+      .select(col("__key"), col("__bytes"))
+      .limit(5)
+      .collect()
+    if (over.nonEmpty) {
+      val desc = over.map(r => s"${r.get(0)}=${r.get(1)}B").mkString(", ")
+      throw new IllegalStateException(
+        s"merge groups exceed $maxBytes bytes: $desc — split the source or raise the bound")
+    }
+  }
+
   /** Merge (reference U1): concatenate all docs of a source with blank-line
     * separators, in doc_id order. collect_list+array_sort keeps the
-    * aggregation single-pass; per-group payload is bounded by source size. */
-  def mergePerSource(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * aggregation single-pass; per-group payload is bounded by source size —
+    * enforced by [[requireBoundedGroups]] (default 256 MiB), which turns
+    * the would-be executor OOM on an oversized source into a fail-fast
+    * error naming the source. */
+  def mergePerSource(spark: SparkSession, dir: String,
+                     maxGroupBytes: Long = 256L << 20): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    requireBoundedGroups(docs, col("source"), length(col("text")).cast("long"), maxGroupBytes)
+    docs
       .groupBy(col("source"))
       .agg(
         array_join(
@@ -85,6 +111,7 @@ object TextOps {
           "\n\n").as("merged"),
         count(lit(1)).as("n_docs"))
       .orderBy(col("source"))
+  }
 
   val mergePerSourceSql: String =
     """SELECT source,
@@ -298,16 +325,80 @@ object TextOps {
       |  MIN(doc_id) AS first_doc
       |FROM s GROUP BY split ORDER BY split""".stripMargin
 
+  /** Winnowing document fingerprint (the rolling-hash dedup tier between
+    * whole-text md5 (q26) and MinHash (q40): robust to local edits, far
+    * cheaper than MinHash). Classic scheme [Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03]: hash every k-char gram of the whitespace-normalized
+    * lowercased text, then keep the minimum hash of each w-wide sliding
+    * window — any shared substring of length ≥ k+w-1 guarantees a shared
+    * fingerprint. All hashes are the engine-portable md5-based hash60, so
+    * the DuckDB oracle reproduces them bit-for-bit.
+    *
+    * Plan shape: pure per-row array expressions (no explode/shuffle until
+    * the final per-doc digest). `norm`/`hs`/`mins` are materialized
+    * columns between projections — each is referenced by several
+    * downstream expressions, and inlining a non-trivial expression into a
+    * HOF lambda re-evaluates it per element (the round-1 64× md5 blowup).
+    * Guarded for texts shorter than one gram / one window. */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val K = 8 // gram length (chars)
+    val W = 4 // winnow window (grams)
+    val P = graft.llm.Similarity.P
+    def hash60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val nGrams = (length(col("norm")) - (K - 1)).cast("int")
+    val nWins = (size(col("hs")) - (W - 1)).cast("int")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .select(col("doc_id"),
+        when(nGrams > 0,
+          transform(sequence(lit(1), nGrams), i =>
+            pmod(hash60(col("norm").substr(i, lit(K))), lit(P))))
+          .otherwise(array().cast("array<bigint>")).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
+        when(nWins > 0,
+          array_distinct(transform(sequence(lit(1), nWins), j =>
+            array_min(slice(col("hs"), j, lit(W))))))
+          .otherwise(array().cast("array<bigint>")).as("fps"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("fps")).cast("long").as("n_fp"),
+        array_min(col("fps")).as("fp_min"),
+        array_max(col("fps")).as("fp_max"))
+      .orderBy(col("doc_id"))
+  }
+
+  val winnowFingerprintsSql: String = {
+    val p = graft.llm.Similarity.P
+    s"""WITH nrm AS (
+       |  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    [CAST(concat('0x', substr(md5(substr(norm, i, 8)), 1, 15)) AS BIGINT) % $p
+       |     for i in range(1, greatest(length(norm) - 7, 0) + 1)] AS hs
+       |  FROM nrm
+       |), w AS (
+       |  SELECT doc_id, len(hs) AS n_grams,
+       |    list_distinct([list_min(hs[j:j+3]) for j in range(1, greatest(len(hs) - 3, 0) + 1)]) AS fps
+       |  FROM g
+       |)
+       |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+       |  CAST(len(fps) AS BIGINT) AS n_fp,
+       |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
     QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
-    QueryDef("q22_merge_per_source", mergePerSource, Some(mergePerSourceSql)),
+    QueryDef("q22_merge_per_source", (s, d) => mergePerSource(s, d), Some(mergePerSourceSql)),
     QueryDef("q23_split_chunks", splitChunks, Some(splitChunksSql)),
     QueryDef("q24_token_counts", tokenCounts, Some(tokenCountsSql)),
     QueryDef("q25_quality_score", qualityScore, Some(qualityScoreSql)),
     QueryDef("q26_fingerprint_dups", fingerprint, Some(fingerprintSql)),
     QueryDef("q27_lang_id", langId, Some(langIdSql)),
     QueryDef("q34_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
-    QueryDef("q35_train_val_split", trainValSplit, Some(trainValSplitSql))
+    QueryDef("q35_train_val_split", trainValSplit, Some(trainValSplitSql)),
+    QueryDef("q54_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql))
   )
 }

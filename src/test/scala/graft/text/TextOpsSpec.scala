@@ -63,6 +63,53 @@ class TextOpsSpec extends SparkSpec {
       ("b.txt", 0L, "x")))
   }
 
+  test("merge guard fails fast naming the oversized source") {
+    val e = intercept[IllegalStateException] {
+      TextOps.mergePerSource(spark, sfDir, maxGroupBytes = 10L)
+    }
+    assert(e.getMessage.contains("exceed 10 bytes"))
+    // generous bound passes and produces the merge
+    assert(TextOps.mergePerSource(spark, sfDir).count() > 0)
+  }
+
+  test("winnowing: shared long substring guarantees a shared fingerprint; " +
+       "local edit far from it preserves the overlap") {
+    import spark.implicits._
+    // K=8, W=4 → any shared run of ≥ 11 chars must share a fingerprint
+    val shared = "the quick brown fox jumps over it"
+    val a = s"AAAA $shared"
+    val b = s"ZZZZZZZZZZZZ $shared extra tail words"
+    val c = "completely unrelated content with no overlap at all here"
+    val d = Files.createTempDirectory("graft-winnow")
+    Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(d.toString + "/documents.parquet")
+    val full = TextOps.winnowFingerprints(spark, d.toString).collect()
+    assert(full.length == 3 && full.forall(_.getLong(2) > 0))
+    // recompute the fingerprint SETS in a pure-Scala model (the digest
+    // query only surfaces min/max) to assert the winnowing guarantee
+    val P = graft.llm.Similarity.P
+    def fps(text: String): Set[Long] = {
+      val norm = text.toLowerCase.replaceAll("\\s+", " ")
+      val hs = norm.sliding(8).filter(_.length == 8).map { g =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes(StandardCharsets.UTF_8))
+        val hex = md5.map("%02x".format(_)).mkString.take(15)
+        java.lang.Long.parseLong(hex, 16) % P
+      }.toArray
+      hs.sliding(4).filter(_.length == 4).map(_.min).toSet
+    }
+    assert((fps(a) & fps(b)).nonEmpty, "shared substring must share a fingerprint")
+    assert((fps(a) & fps(c)).isEmpty, "unrelated docs should not collide")
+    // and the Spark pipeline agrees with the pure-Scala model per doc
+    for ((docId, text) <- Seq((0L, a), (1L, b), (2L, c))) {
+      val row = full.find(_.getLong(0) == docId).get
+      val model = fps(text)
+      assert(row.getLong(2) == model.size, s"doc $docId n_fp")
+      assert(row.getLong(3) == model.min, s"doc $docId fp_min")
+      assert(row.getLong(4) == model.max, s"doc $docId fp_max")
+    }
+  }
+
   test("harness queries return deterministic non-empty results at sf0.001") {
     for (q <- TextOps.defs) {
       val df = q.build(spark, sfDir)
