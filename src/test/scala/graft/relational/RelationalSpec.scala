@@ -85,6 +85,29 @@ class RelationalSpec extends SparkSpec {
     assert(agg == win)
   }
 
+  test("q28 set ops read orders exactly once (membership-flag form)") {
+    val scans = collectAll(plan(Relational.setOps(spark, sfDir))).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"expected 1 orders scan, found ${scans.size}")
+  }
+
+  test("q37 percentile windows run over the aggregated histogram, not raw rows") {
+    val p = plan(Relational.quantityPercentiles(spark, sfDir))
+    val windows = collectAll(p).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    // every window's input subtree must already contain a hash aggregate
+    // (the (flag, qty) histogram) — raw lineitem never flows into a window
+    windows.foreach { w =>
+      val agg = collectAll(w.child).collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(agg.nonEmpty, "window consumes raw rows — straggler shape at scale")
+    }
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
