@@ -648,6 +648,84 @@ object Similarity {
       |  CAST(SUM(v) AS DOUBLE) / COUNT(*) / 1048576.0 AS centroid
       |FROM q WHERE pos < 4 GROUP BY label, pos ORDER BY label, pos""".stripMargin
 
+  // ------------------------------------ q55 near-dup clusters (connected comps)
+
+  /** Connected components over the verified near-dup pair graph — the step
+    * an actual dedup pipeline ends with: pairs say "a duplicates b";
+    * clusters say "keep ONE representative per duplicate family" (pairwise
+    * drop-the-higher-id, q50's rule, over-deletes when clusters overlap
+    * only transitively: a~b, b~c, a≁c still means one family).
+    *
+    * Algorithm: iterative min-label propagation. labels(v) starts at v;
+    * each round v takes the min of its own and its neighbors' labels;
+    * converged when the global label sum stops changing (labels only ever
+    * decrease, so the sum is a monotone convergence witness — one cheap
+    * aggregate per round, no change-join). Rounds needed = graph diameter;
+    * LSH near-dup clusters are dense (diameter 2-4), so this converges in
+    * a handful of rounds. Each round's frame is localCheckpoint'ed:
+    * without it, round N's lineage would replay the whole LSH pipeline N
+    * times (and the edge set itself is checkpointed once, up front).
+    *
+    * 100 TB notes: labels/edges shuffle on node id — plain equi-joins AQE
+    * re-plans (the label side is tiny next to the corpus and broadcasts);
+    * for adversarial graphs (long chains, mega-components) swap the loop
+    * body for the small-star/large-star rewrite, which bounds per-round
+    * degree; the driver holds ONE long per round (the sum), never data.
+    * Cluster id = min doc_id of the component — deterministic, so the
+    * DuckDB oracle (recursive-CTE reachability closure) hash-matches. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val edges = lshVerifiedPairs(spark, dir).select(col("id_a"), col("id_b"))
+      .localCheckpoint()
+    val sym = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
+      .union(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
+    var labels = sym.select(col("node")).distinct()
+      .withColumn("lbl", col("node")).localCheckpoint()
+    var prevSum = Long.MinValue
+    var curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var rounds = 0
+    while (curSum != prevSum && rounds < 25) {
+      val viaNbr = sym.join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+        .select(col("node"), col("lbl"))
+      labels = labels.select(col("node"), col("lbl")).union(viaNbr)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      prevSum = curSum
+      curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+      rounds += 1
+    }
+    require(curSum == prevSum, s"label propagation did not converge in $rounds rounds")
+    labels.groupBy(col("lbl").as("cluster_rep"))
+      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  val nearDupClustersSql: String =
+    s"""WITH RECURSIVE $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
+       |), sym AS (
+       |  SELECT id_a AS node, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(node, lbl) AS (
+       |  SELECT DISTINCT node, node FROM sym
+       |  UNION
+       |  SELECT s.node, r.lbl FROM sym s JOIN reach r ON s.nbr = r.node
+       |), comp AS (
+       |  SELECT node, MIN(lbl) AS cluster_rep FROM reach GROUP BY node
+       |)
+       |SELECT cluster_rep, COUNT(*) AS n_docs, MAX(node) AS max_doc
+       |FROM comp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
+
   // --------------------------------------- q50 composite training-data pipeline
 
   /** The flagship composite: the full training-data curation funnel as ONE
@@ -742,6 +820,7 @@ object Similarity {
     QueryDef("q48_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     QueryDef("q49_ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql)),
     QueryDef("q50_pipeline_stats", pipelineStats, Some(pipelineStatsSql)),
-    QueryDef("q53_simhash_neardup", simhashNearDup, Some(simhashNearDupSql))
+    QueryDef("q53_simhash_neardup", simhashNearDup, Some(simhashNearDupSql)),
+    QueryDef("q55_neardup_clusters", nearDupClusters, Some(nearDupClustersSql))
   )
 }

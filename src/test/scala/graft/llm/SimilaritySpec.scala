@@ -106,6 +106,29 @@ class SimilaritySpec extends SparkSpec {
       "funnel plan contains a union — per-stage subtree re-execution is back")
   }
 
+  test("near-dup clusters: every verified pair lands in one cluster; reps are minima") {
+    val pairs = Similarity.lshVerifiedPairs(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = Similarity.nearDupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // model: union-find over the same pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = parent.keys.toSeq.groupBy(find)
+      .map { case (_, members) => (members.min, members.size.toLong, members.max) }
+      .toSeq.sortBy(_._1)
+    assert(clusters.toSeq == model, "clusters disagree with union-find model")
+    assert(clusters.forall { case (rep, n, maxDoc) => n >= 2 && rep < maxDoc },
+      "singleton or mis-labeled cluster")
+  }
+
   test("ann-lsh neighbors are a subset of brute-force candidates' buckets") {
     val ann = Similarity.annLshTopk(spark, sfDir)
     assert(ann.count() > 0)
