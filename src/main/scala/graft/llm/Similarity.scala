@@ -179,8 +179,10 @@ object Similarity {
     // verified k times, but the merge-walk kernel is so cheap that k
     // redundant verifications of broadcast-joined rows cost less than
     // shuffling the full raw candidate set through an early distinct
-    // (measured 7.3s -> 6.2s warm, 15s -> 8s cold at sf0.1). The verified
-    // set is ~10x smaller, so the remaining distinct is on slim survivors.
+    // (re-measured with the codegen kernels: early distinct 6.0s vs 4.9s
+    // warm at sf0.1 — the 9.6M-row dedup exchange costs more than the
+    // 5.5M redundant verifications it saves). The verified set is ~10x
+    // smaller, so the remaining distinct is on slim survivors.
     cand
       .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
@@ -666,29 +668,43 @@ object Similarity {
     * without it, round N's lineage would replay the whole LSH pipeline N
     * times (and the edge set itself is checkpointed once, up front).
     *
-    * 100 TB notes: labels/edges shuffle on node id — plain equi-joins AQE
-    * re-plans (the label side is tiny next to the corpus and broadcasts);
-    * for adversarial graphs (long chains, mega-components) swap the loop
-    * body for the small-star/large-star rewrite, which bounds per-round
-    * degree; the driver holds ONE long per round (the sum), never data.
+    * 100 TB notes: the label table holds only nodes that appear in a
+    * near-dup pair — typically a few percent of the corpus — so it is
+    * broadcast explicitly (checkpointed frames carry no stats, and
+    * without the hint the planner shuffle-joins 2|E| rows per round:
+    * measured 9.2s → 7.6s at sf0.1). If the duplicate graph itself is
+    * huge (label side too big to broadcast), drop the hint and/or swap
+    * the loop body for the small-star/large-star rewrite, which bounds
+    * per-round degree; the driver holds ONE long per round (the
+    * convergence sum), never data.
     * Cluster id = min doc_id of the component — deterministic, so the
     * DuckDB oracle (recursive-CTE reachability closure) hash-matches. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // lazy checkpoints: each round's convergence-sum action materializes
+    // that round's label blocks (and, the first time, the edge blocks) —
+    // one Spark job per round instead of an eager-checkpoint job PLUS a
+    // sum job, while still cutting lineage so round N never replays LSH
     val edges = lshVerifiedPairs(spark, dir).select(col("id_a"), col("id_b"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val sym = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
       .union(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
     var labels = sym.select(col("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint()
+      .withColumn("lbl", col("node")).localCheckpoint(false)
     var prevSum = Long.MinValue
     var curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
     var rounds = 0
     while (curSum != prevSum && rounds < 25) {
-      val viaNbr = sym.join(labels.select(col("node").as("nbr"), col("lbl")), Seq("nbr"))
+      val viaNbr = sym.join(broadcast(labels.select(col("node").as("nbr"), col("lbl"))), Seq("nbr"))
         .select(col("node"), col("lbl"))
-      labels = labels.select(col("node"), col("lbl")).union(viaNbr)
+      // pointer jumping: also adopt the label OF the current label (every
+      // label is itself a node, so the self-join always hits) — path
+      // compression that turns O(diameter) rounds into O(log diameter)
+      val jump = labels
+        .join(labels.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
+        .select(col("node"), col("lbl2").as("lbl"))
+      labels = labels.select(col("node"), col("lbl")).union(viaNbr).union(jump)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       prevSum = curSum
       curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
       rounds += 1
