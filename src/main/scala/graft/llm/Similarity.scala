@@ -715,8 +715,30 @@ object Similarity {
       .orderBy(col("cluster_rep"))
   }
 
-  val nearDupClustersSql: String =
-    s"""WITH RECURSIVE $sigCteSql,
+  /** Oracle twin of the propagation itself, not a closure: a recursive-CTE
+    * reachability closure is exact but explodes at |E|×cluster_size per
+    * iteration (infeasible already at sf0.1's 958k-pair graph), so the
+    * oracle unrolls the SAME algorithm Spark runs — min-over-neighbors
+    * plus pointer jumping — for 8 rounds (covers component diameters up
+    * to ~2^8). A poison row (-1, -1, -1) is emitted if round 8 differs
+    * from round 7, turning any non-convergence into a loud hash mismatch
+    * instead of a silently-wrong oracle. */
+  val nearDupClustersSql: String = {
+    // AS MATERIALIZED is load-bearing: each round references the previous
+    // one 3×, so under DuckDB's default CTE inlining the plan would grow
+    // 3^rounds subtrees (observed as fd exhaustion from thousands of
+    // parquet re-scans); materialization evaluates each round once
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT node, MIN(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM lab${i - 1}
+         |    UNION ALL SELECT s.node, l.lbl FROM sym s JOIN lab${i - 1} l ON l.node = s.nbr
+         |    UNION ALL SELECT a.node, b.lbl FROM lab${i - 1} a JOIN lab${i - 1} b ON b.node = a.lbl
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $sigCteSql,
        |bands AS (
        |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
        |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
@@ -729,18 +751,21 @@ object Similarity {
        |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
        |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
        |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
-       |), sym AS (
+       |), sym AS MATERIALIZED (
        |  SELECT id_a AS node, id_b AS nbr FROM pairs
        |  UNION ALL SELECT id_b, id_a FROM pairs
-       |), reach(node, lbl) AS (
-       |  SELECT DISTINCT node, node FROM sym
-       |  UNION
-       |  SELECT s.node, r.lbl FROM sym s JOIN reach r ON s.nbr = r.node
-       |), comp AS (
-       |  SELECT node, MIN(lbl) AS cluster_rep FROM reach GROUP BY node
-       |)
-       |SELECT cluster_rep, COUNT(*) AS n_docs, MAX(node) AS max_doc
-       |FROM comp GROUP BY cluster_rep ORDER BY cluster_rep""".stripMargin
+       |), lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT node, node AS lbl FROM sym
+       |), $roundCtes
+       |SELECT cluster_rep, n_docs, max_doc FROM (
+       |  SELECT lbl AS cluster_rep, COUNT(*) AS n_docs, MAX(node) AS max_doc
+       |  FROM lab$rounds GROUP BY lbl
+       |  UNION ALL
+       |  SELECT -1, -1, -1
+       |  WHERE EXISTS (SELECT 1 FROM lab$rounds a JOIN lab${rounds - 1} b
+       |                ON a.node = b.node WHERE a.lbl <> b.lbl)
+       |) ORDER BY cluster_rep""".stripMargin
+  }
 
   // --------------------------------------- q50 composite training-data pipeline
 
