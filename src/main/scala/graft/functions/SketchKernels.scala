@@ -40,6 +40,19 @@ object SketchKernels {
     * hashes must be non-negative. Empty array → 0. */
   def simhash(hashes: Column, bits: Int): Column =
     ColumnBridge.column(SimhashExpr(ColumnBridge.expression(hashes), bits))
+
+  /** Fused tokenize→md5-hash kernel: whitespace-split the lowercased text,
+    * drop empties, hash each token to the 60-bit md5 prefix — one compiled
+    * pass per row. Drop-in for `transform(tokens(c), t => hash60(t))`
+    * (mod <= 0) and for [[graft.llm.Similarity.hashedShingles]]
+    * (mod = P, distinctSorted = true), bit-identical to both: the hash is
+    * the value of the first 15 hex chars of md5 = the top 60 bits of the
+    * digest, computed from the digest BYTES — no hex string, no substring,
+    * no base-16 parse, no interpreted lambda dispatch per token (the HOF
+    * forms evaluate `md5 → hex → substr → conv` as four expression nodes
+    * per element inside an interpreted lambda). */
+  def tokensHash60(text: Column, mod: Long, distinctSorted: Boolean): Column =
+    ColumnBridge.column(TokensHash60Expr(ColumnBridge.expression(text), mod, distinctSorted))
 }
 
 case class MinhashSignatureExpr(child: Expression, a: Array[Long], b: Array[Long], p: Long)
@@ -103,6 +116,80 @@ case class MinhashSignatureExpr(child: Expression, a: Array[Long], b: Array[Long
     })
 
   override protected def withNewChildInternal(newChild: Expression): MinhashSignatureExpr =
+    copy(child = newChild)
+}
+
+object TokensHash60 {
+  private val digests = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Top 60 bits of md5(bytes) == value of the first 15 hex chars. */
+  def hash60(bytes: Array[Byte]): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+  }
+
+  /** Static entry the generated code calls. Matches Spark semantics piece
+    * by piece: UTF8String.toLowerCase (same as the `lower` expression),
+    * java.util.regex split on "\s+" with limit -1 (same as `split`),
+    * empties dropped (same as the `filter` lambda). */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              mod: Long, distinctSorted: Boolean): ArrayData = {
+    val toks = splitPattern.split(text.toLowerCase.toString, -1)
+    var out = new Array[Long](toks.length)
+    var n = 0
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.isEmpty) {
+        val h = hash60(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out(n) = if (mod > 0) h % mod else h
+        n += 1
+      }
+      i += 1
+    }
+    if (distinctSorted && n > 0) {
+      java.util.Arrays.sort(out, 0, n)
+      var w = 1
+      var r = 1
+      while (r < n) {
+        if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+        r += 1
+      }
+      n = w
+    }
+    if (n != out.length) out = java.util.Arrays.copyOf(out, n)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  private val splitPattern = java.util.regex.Pattern.compile("\\s+")
+}
+
+case class TokensHash60Expr(child: Expression, mod: Long, distinctSorted: Boolean)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "tokens_hash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokensHash60.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], mod, distinctSorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.TokensHash60.compute($s, ${mod}L, $distinctSorted);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokensHash60Expr =
     copy(child = newChild)
 }
 

@@ -69,8 +69,20 @@ object Similarity {
     * hash, so any collision collides identically in both) and far cheaper
     * than UTF8-string set ops — a long compares in one instruction. Sorted
     * so intersections use the allocation-free merge-walk kernel
-    * (graft.functions.ArrayKernels.sortedIntersectCount). */
+    * (graft.functions.ArrayKernels.sortedIntersectCount).
+    *
+    * Computed by the fused tokenize→hash kernel (SketchKernels
+    * .tokensHash60): one compiled pass replaces the interpreted
+    * `array_sort(array_distinct(transform(filter(split(...)), md5→hex→
+    * substr→conv)))` chain, which paid four expression nodes per token
+    * plus two intermediate arrays per row. Bit-identical (spec-asserted
+    * against [[hashedShinglesHof]] over the corpus). */
   def hashedShingles(c: Column): Column =
+    graft.functions.SketchKernels.tokensHash60(c, P, distinctSorted = true)
+
+  /** The pre-kernel HOF formulation — the semantic definition the kernel
+    * must match; kept for the bit-identity regression spec. */
+  def hashedShinglesHof(c: Column): Column =
     array_sort(array_distinct(transform(tokens(c), s => pmod(hash60(s), lit(P)))))
 
   /** MinHash signature: ARRAY<LONG> of NumPerms minima, computed by the
@@ -229,7 +241,9 @@ object Similarity {
     * index by the lambda binder. Sorted sets feed the codegen'd
     * merge-intersect kernel. */
   def ngramJaccardTopk(spark: SparkSession, dir: String): DataFrame = {
-    val hs = transform(tokens(col("text")), t => pmod(hash60(t), lit(P)))
+    // ordered token-hash multiset (fused kernel; NOT distinct — bigrams
+    // need adjacency)
+    val hs = graft.functions.SketchKernels.tokensHash60(col("text"), P, distinctSorted = false)
     val grams = array_sort(array_distinct(array_compact(
       zip_with(hs, slice(hs, lit(2), greatest(size(hs) - 1, lit(0))),
         (a, b) => a * lit(P) + b))))
@@ -277,7 +291,9 @@ object Similarity {
     * token-hash array with a local counter array, replacing the round-1
     * interpreted fold that allocated a 32-wide accumulator per token. */
   def simhashOf(text: Column): Column =
-    graft.functions.SketchKernels.simhash(transform(tokens(text), t => hash60(t)), SimhashBits)
+    graft.functions.SketchKernels.simhash(
+      graft.functions.SketchKernels.tokensHash60(text, mod = 0L, distinctSorted = false),
+      SimhashBits)
 
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)

@@ -52,6 +52,36 @@ class SketchKernelsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("fused tokensHash60 ≡ HOF tokenize∘hash chain over the corpus (all 3 modes)") {
+    val hofRaw = transform(tokens(col("text")), t => hash60(t))
+    val hofMod = transform(tokens(col("text")), t => pmod(hash60(t), lit(P)))
+    val diff = graft.Tables.documents(spark, sfDir)
+      .select(
+        SketchKernels.tokensHash60(col("text"), 0L, distinctSorted = false).as("k_raw"),
+        hofRaw.as("h_raw"),
+        SketchKernels.tokensHash60(col("text"), P, distinctSorted = false).as("k_mod"),
+        hofMod.as("h_mod"),
+        Similarity.hashedShingles(col("text")).as("k_ds"),
+        Similarity.hashedShinglesHof(col("text")).as("h_ds"))
+      .filter(col("k_raw") =!= col("h_raw") ||
+        col("k_mod") =!= col("h_mod") || col("k_ds") =!= col("h_ds"))
+    assert(diff.count() == 0)
+  }
+
+  test("tokensHash60 edge cases: empty, whitespace-only, unicode, mixed case") {
+    import spark.implicits._
+    val texts = Seq("", "   \t\n  ", "Hello WORLD hello", "naïve Ünïcode déjà vu",
+      "a  b\tc\nd", "repeated repeated repeated")
+    val rows = texts.toDF("text")
+      .select(
+        SketchKernels.tokensHash60(col("text"), 0L, distinctSorted = false).as("kernel"),
+        transform(tokens(col("text")), t => hash60(t)).as("hof"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on '$t'")
+    }
+  }
+
   test("kernels handle empty and single-element arrays (fold seed semantics)") {
     import spark.implicits._
     val rows = Seq(Seq.empty[Long], Seq(7L), Seq(5L, 7L, 11L)).toDF("hs")
