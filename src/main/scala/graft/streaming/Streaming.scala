@@ -77,6 +77,78 @@ object Streaming {
       }.toDF()
   }
 
+  /** Per-user open-session accumulator for [[sessionCloseEvents]]. */
+  final case class SessionAgg(start: Long, lastTs: Long, n: Long, total: Double)
+  final case class ClosedSession(user_id: Long, sess_start: java.sql.Timestamp,
+                                 sess_end: java.sql.Timestamp, n_events: Long,
+                                 total_value: Double)
+
+  /** Session-CLOSE event emission via flatMapGroupsWithState + event-time
+    * timeout: per-user state buffers the open session; when the watermark
+    * passes last-event + gap, the timeout fires and exactly one row per
+    * closed session is emitted. This is the custom-emission pattern
+    * `session_window` cannot express (emit-on-close alerts, enriched
+    * session summaries into a downstream topic). Sessions that close
+    * WITHIN a batch (a gap between two events of the same user) are
+    * emitted immediately; `sess_end = last_ts + gap`, matching
+    * session_window's end semantics so outputs are comparable.
+    *
+    * State: one SessionAgg per user with an open session — evicted on
+    * close. At scale: RocksDB state store; the timeout timestamp IS the
+    * TTL, so state is bounded by (active users within one gap), not
+    * history. */
+  def sessionCloseEvents(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // state arithmetic runs in epoch MICROseconds: the event timestamps
+    // carry micros (nanos truncated at ingestion) and Timestamp.getTime
+    // alone would drop them, making sess_end diverge from session_window
+    val gapUs = gapMinutes * 60000000L
+    def toUs(t: java.sql.Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    def toTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
+    events.withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(ClosedSession(uid, toTs(s.start), toTs(s.lastTs + gapUs), s.n, s.total))
+          } else {
+            val sorted = rows.toArray.sortBy(e => (toUs(e.ts), e.event_id))
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var cur = state.getOption
+            for (e <- sorted) {
+              val t = toUs(e.ts)
+              cur match {
+                case Some(s) if t - s.lastTs <= gapUs =>
+                  cur = Some(SessionAgg(s.start, math.max(s.lastTs, t), s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed += ClosedSession(uid, toTs(s.start), toTs(s.lastTs + gapUs), s.n, s.total)
+                  cur = Some(SessionAgg(t, t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionAgg(t, t, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // fire once the event-time watermark passes the gap horizon
+              // (timeout API is millisecond-granular: round UP so the
+              // timeout never fires before the horizon)
+              state.setTimeoutTimestamp((s.lastTs + gapUs + 999) / 1000)
+            }
+            closed.iterator
+          }
+      }.toDF()
+  }
+
   /** Stream-static enrichment join: each incoming event picks up its
     * user's historical profile (a static aggregate recomputed per
     * micro-batch plan, broadcast when small). The static side needs no

@@ -142,6 +142,38 @@ class StreamingSpec extends SparkSpec {
     assert(finalSnaps == batch)
   }
 
+  test("flatMapGroupsWithState emits one row per CLOSED session, matching session_window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val maxTs = rows.map(_.ts.getTime).max
+    val stream = MemoryStream[Streaming.EventRow]
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first)
+    stream.addData(second)
+    // flusher: one far-future event for a sentinel user advances the
+    // watermark past every real session's (last_ts + gap), so all real
+    // sessions time out and emit; the sentinel's own session stays open
+    val flushTs = maxTs + (30 + 60 + 60) * 60000L
+    stream.addData(Streaming.EventRow(-1L, new java.sql.Timestamp(flushTs), -1L, "flush", 0.0))
+    val q = Streaming.sessionCloseEvents(stream.toDF())
+      .writeStream.format("memory").queryName("t_closed")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("t_closed")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "sess_start", "sess_end", "n_events")
+      .orderBy("user_id", "sess_start").collect().toSeq
+    val batch = graft.Tables.events(spark, sfDir)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"), col("n_events"))
+      .orderBy("user_id", "sess_start").collect().toSeq
+    assert(streamed == batch,
+      s"closed-session emission diverges: ${streamed.size} vs ${batch.size} sessions")
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
