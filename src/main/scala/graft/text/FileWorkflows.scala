@@ -1,0 +1,92 @@
+package graft.text
+
+import graft.io.Sinks
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** File-level twins of the reference's text entry points — the exact
+  * folder-in/file-out workflows a user of the reference runs, built on
+  * the table-level operators (which the oracle checks at scale):
+  *
+  *  - [[mergeTextFolder]]  ← `merge_text_files` (`other_tasks.py:6-26`)
+  *  - [[removeDuplicatesFile]] ← `remove_duplicates` (`other_tasks.py:100-125`)
+  *  - [[splitTextFile]]    ← `split_jsonl` (`other_tasks.py:69-98`)
+  *
+  * Outputs are byte-exact vs the reference (spec-verified against an
+  * inline reimplementation of the Python loops) with one documented
+  * deviation: the reference iterates `os.listdir` (OS-dependent order);
+  * we merge in SORTED filename order so results are deterministic
+  * everywhere. Inputs are assumed newline-terminated (POSIX text files) —
+  * the reference's own outputs always are.
+  *
+  * Scale shape: all three run as distributed plans until the final
+  * single-file materialization, which is inherent to the reference's
+  * one-file output contract (`writeFilePerRow` writes from executors;
+  * per-file payloads are bounded by the merge guard's reasoning —
+  * see TextOps.requireBoundedGroups).
+  */
+object FileWorkflows {
+
+  /** Concatenate every `*.txt` under `inDir` (sorted filename order) with
+    * a blank-line separator into `outDir/merged_output.txt`. */
+  def mergeTextFolder(spark: SparkSession, inDir: String, outDir: String): String = {
+    Sinks.requireEmptyDir(outDir)
+    val joined = spark.read.option("wholetext", "true").text(s"$inDir/*.txt")
+      .select(input_file_name().as("file"), col("value"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("file"), col("value")))),
+          x => x.getField("value")),
+        "\n\n").as("merged"))
+      .select(lit("merged_output.txt").as("file_name"),
+        encode(col("merged"), "UTF-8").as("data"))
+    Sinks.writeFilePerRow(joined, outDir)
+    s"$outDir/merged_output.txt"
+  }
+
+  /** First-occurrence line dedup of one text file into
+    * `outDir/{name}_purged{ext}` — the reference's `seen`-set loop as a
+    * hash aggregate + order restore. */
+  def removeDuplicatesFile(spark: SparkSession, inFile: String, outDir: String): String = {
+    Sinks.requireEmptyDir(outDir)
+    val base = new java.io.File(inFile).getName
+    val dot = base.lastIndexOf('.')
+    val outName =
+      if (dot >= 0) base.substring(0, dot) + "_purged" + base.substring(dot)
+      else base + "_purged"
+    val lines = TextOps.linesWithIds(spark, inFile)
+    val purged = lines
+      .groupBy(col("value")).agg(min(col("line_id")).as("line_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("line_id"), col("value")))),
+          x => x.getField("value")),
+        "\n").as("joined"))
+      .select(lit(outName).as("file_name"),
+        encode(concat(col("joined"), lit("\n")), "UTF-8").as("data"))
+    Sinks.writeFilePerRow(purged, outDir)
+    s"$outDir/$outName"
+  }
+
+  /** Split one text file into `outDir/split_{k}.txt` chunks: the
+    * reference counts +2 per record (record + blank line) and rolls the
+    * file at `linesPerFile`, i.e. ceil(linesPerFile/2) records per chunk;
+    * every record is written as `line + "\n\n"`. Distributed row
+    * numbering via Dist.globalRowNumber — no single-partition sort. */
+  def splitTextFile(spark: SparkSession, inFile: String, outDir: String,
+                    linesPerFile: Int): Long = {
+    Sinks.requireEmptyDir(outDir)
+    val perChunk = math.max(1, math.ceil(linesPerFile / 2.0).toInt)
+    val numbered = graft.Dist.globalRowNumber(
+      TextOps.linesWithIds(spark, inFile), col("line_id"))
+    val chunks = numbered
+      .withColumn("chunk", expr(s"(rn - 1) div $perChunk"))
+      .groupBy(col("chunk"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rn"), col("value")))),
+          x => concat(x.getField("value"), lit("\n\n"))),
+        "").as("body"))
+      .select(format_string("split_%d.txt", col("chunk") + 1).as("file_name"),
+        encode(col("body"), "UTF-8").as("data"))
+    Sinks.writeFilePerRow(chunks, outDir)
+    chunks.count()
+  }
+}

@@ -1,0 +1,71 @@
+package graft.text
+
+import graft.SparkSpec
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.{Files, Path}
+
+/** Byte-exact parity with the reference's file workflows: each test
+  * reimplements the Python loop inline (the model) and compares output
+  * files byte-for-byte. */
+class FileWorkflowsSpec extends SparkSpec {
+
+  private def tmp(prefix: String): Path = {
+    val d = Files.createTempDirectory(prefix)
+    d.toFile.deleteOnExit()
+    d
+  }
+
+  private def bytes(p: Path): Seq[Byte] = Files.readAllBytes(p).toSeq
+
+  test("mergeTextFolder == reference merge_text_files (sorted file order)") {
+    val in = tmp("fw-merge-in")
+    val contents = Map(
+      "a.txt" -> "alpha line 1\nalpha line 2\n",
+      "b.txt" -> "bravo\n",
+      "c.txt" -> "charlie 1\n\ncharlie 3\n") // interior blank line survives
+    contents.foreach { case (n, c) => Files.write(in.resolve(n), c.getBytes(UTF_8)) }
+    Files.write(in.resolve("ignored.md"), "not a txt\n".getBytes(UTF_8))
+    val outDir = tmp("fw-merge-out").resolve("out")
+    val outFile = FileWorkflows.mergeTextFolder(spark, in.toString, outDir.toString)
+    // reference model: concat file DATA with "\n\n" between files
+    val model = contents.toSeq.sortBy(_._1).map(_._2).mkString("\n\n")
+    assert(bytes(java.nio.file.Paths.get(outFile)) == model.getBytes(UTF_8).toSeq)
+  }
+
+  test("removeDuplicatesFile == reference remove_duplicates (order + count)") {
+    val in = tmp("fw-dedup-in").resolve("input.txt")
+    val lines = Seq("a", "b", "a", "c", "b", "a", "", "d", "")
+    Files.write(in, (lines.mkString("\n") + "\n").getBytes(UTF_8))
+    val outDir = tmp("fw-dedup-out").resolve("out")
+    val outFile = FileWorkflows.removeDuplicatesFile(spark, in.toString, outDir.toString)
+    assert(outFile.endsWith("input_purged.txt"))
+    // reference model: seen-set over "line\n" strings, first occurrence wins
+    val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+    lines.foreach(seen.add)
+    val model = seen.toSeq.mkString("\n") + "\n"
+    assert(bytes(java.nio.file.Paths.get(outFile)) == model.getBytes(UTF_8).toSeq)
+  }
+
+  test("splitTextFile == reference split_jsonl (ceil(N/2) records, blank-line records)") {
+    val in = tmp("fw-split-in").resolve("input.txt")
+    val lines = (1 to 7).map(i => s"""{"id": $i}""")
+    Files.write(in, (lines.mkString("\n") + "\n").getBytes(UTF_8))
+    val outDir = tmp("fw-split-out").resolve("out")
+    val nFiles = FileWorkflows.splitTextFile(spark, in.toString, outDir.toString, linesPerFile = 4)
+    // reference model: counter += 2 per record, roll at 4 → 2 records/file
+    val modelChunks = lines.grouped(2).map(_.map(_ + "\n\n").mkString).toSeq
+    assert(nFiles == modelChunks.size)
+    modelChunks.zipWithIndex.foreach { case (body, i) =>
+      val f = outDir.resolve(s"split_${i + 1}.txt")
+      assert(Files.exists(f), s"missing ${f.getFileName}")
+      assert(bytes(f) == body.getBytes(UTF_8).toSeq, s"chunk ${i + 1} bytes differ")
+    }
+    // split ∘ re-merge preserves the record multiset (separator round-trip)
+    val back = (1 to nFiles.toInt).flatMap { i =>
+      new String(Files.readAllBytes(outDir.resolve(s"split_$i.txt")), UTF_8)
+        .split("\n\n").filter(_.nonEmpty).toSeq
+    }
+    assert(back.sorted == lines.sorted)
+  }
+}
