@@ -92,23 +92,28 @@ object Tiling {
       .withColumn("caption", lit(p.caption))
   }
 
-  /** K1/K2 write action: tiles + caption sidecars into an empty folder. */
+  /** K1/K2 write action: tiles + caption sidecars into an empty folder.
+    * Runs under a cancellable job group (C1): `graft.Jobs.cancel(spark,
+    * jobGroup)` from any thread aborts the in-flight tiling — the
+    * reference's stop_process() for its flagship long-running job
+    * (`modules/utils.py:4-9`, polled at `tiling.py` loop boundaries). */
   def writeTiles(spark: SparkSession, inDir: String, outDir: String,
-                 p: TileParams): Long = {
-    Sinks.requireEmptyDir(outDir)
-    val t = tiles(scanImages(spark, inDir), p).cache()
-    try {
-      val ok = t.filter(col("data").isNotNull)
-      val n = ok.count()
-      Sinks.writeFilePerRow(ok, outDir)
-      if (p.caption.trim.nonEmpty)
-        Sinks.writeTextPerRow(
-          ok.withColumn("sidecar",
-            regexp_replace(col("file_name"), "\\.[^.]+$", ".txt")),
-          outDir, fileCol = "sidecar", textCol = "caption")
-      n
-    } finally { t.unpersist(); () }
-  }
+                 p: TileParams, jobGroup: String = "graft-tiling"): Long =
+    graft.Jobs.runCancellable(spark, jobGroup, s"tile $inDir -> $outDir") {
+      Sinks.requireEmptyDir(outDir)
+      val t = tiles(scanImages(spark, inDir), p).cache()
+      try {
+        val ok = t.filter(col("data").isNotNull)
+        val n = ok.count()
+        Sinks.writeFilePerRow(ok, outDir)
+        if (p.caption.trim.nonEmpty)
+          Sinks.writeTextPerRow(
+            ok.withColumn("sidecar",
+              regexp_replace(col("file_name"), "\\.[^.]+$", ".txt")),
+            outDir, fileCol = "sidecar", textCol = "caption")
+        n
+      } finally { t.unpersist(); () }
+    }
 
   /** F2 + M3: split one scan into compatible / incompatible, with
     * recommended center-crop dims and the advice text (M4) attached to the
