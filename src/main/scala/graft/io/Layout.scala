@@ -34,4 +34,25 @@ object Layout {
     * prune directories at planning time (visible as PartitionFilters). */
   def readPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
+
+  /** Write `df` as a BUCKETED catalog table: rows are hash-partitioned
+    * into `numBuckets` files per partition by `bucketCol`, and the bucket
+    * spec is recorded in the catalog. A join or aggregation keyed on the
+    * bucket column then reads each bucket as a pre-shuffled partition —
+    * NO exchange on that side (spec-asserted in LayoutSpec). This is the
+    * co-located-join lever for 100 TB fact tables: pay the shuffle once
+    * at write time, never again across the many reads.
+    *
+    * Bucketing requires the catalog (bucket metadata lives there, not in
+    * the files), hence saveAsTable rather than a path write. Pair fact
+    * tables bucketed on the SAME key and count so fact-fact joins are
+    * exchange-free on both sides; sortBy within buckets additionally
+    * enables merge joins without a sort. */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int, sorted: Boolean = true): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+    (if (sorted) w.sortBy(bucketCol) else w)
+      .format("parquet").saveAsTable(table)
+  }
 }
