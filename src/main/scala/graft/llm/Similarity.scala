@@ -707,7 +707,7 @@ object Similarity {
     var labels = sym.select(col("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(false)
     var prevSum = Long.MinValue
-    var curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+    var curSum = labels.agg(sum(col("lbl"))).head().getLong(0)
     var rounds = 0
     while (curSum != prevSum && rounds < 25) {
       val viaNbr = sym.join(broadcast(labels.select(col("node").as("nbr"), col("lbl"))), Seq("nbr"))
@@ -722,7 +722,7 @@ object Similarity {
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
       prevSum = curSum
-      curSum = labels.agg(sum(col("lbl"))).head.getLong(0)
+      curSum = labels.agg(sum(col("lbl"))).head().getLong(0)
       rounds += 1
     }
     require(curSum == prevSum, s"label propagation did not converge in $rounds rounds")
