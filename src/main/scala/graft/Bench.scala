@@ -16,8 +16,11 @@ object Bench {
     // at sf0.001, so parquet readers, codegen/JIT and shuffle machinery are
     // warm for ALL queries equally — no query's timed run is favored by a
     // targeted pre-run. Warmup failures are logged, never swallowed.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
     val warmDir = "/root/testdata/sf0.001"
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(name.contains) } // dev loop: warm what you time
+      .foreach { case (name, fn) =>
       try fn(spark, warmDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] warmup failed for $name: $e")
@@ -28,7 +31,6 @@ object Bench {
     // restricts to queries whose name contains a given substring;
     // SPARK_GRAFT_REPS re-times each query N times and keeps the minimum
     // (isolates steady-state plan cost from codegen/JIT noise)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
     // sorted order: stable per-query attribution across rounds (Map order
     // is hash-dependent, which made JIT-warmup cost land on random queries)
@@ -37,7 +39,10 @@ object Bench {
       .map { case (name, fn) =>
       val dt = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // failures are LOGGED, never silently timed as a fast success
+        try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: $e")
+        }
         (System.nanoTime() - t0) / 1e9
       }.min
       // drop cached/broadcast state between queries so late queries aren't

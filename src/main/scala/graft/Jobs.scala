@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   * re-expressed on Spark's native job-group machinery.
   *
   * Every action launched inside [[runCancellable]] is tagged with the
-  * group id (job groups are thread-local, so concurrent pipelines in one
-  * session don't collide); [[cancel]] is the reference's `stop_process()`
+  * group id (the TAG is thread-local; cancellation is by group NAME,
+  * cluster-wide — give concurrent pipelines distinct ids via
+  * [[uniqueGroup]]); [[cancel]] is the reference's `stop_process()`
   * — it aborts every running and pending job in the group cluster-wide.
   * With `interruptOnCancel = true` the cancel lands mid-task via thread
   * interrupt, which is STRONGER than the reference's poll-between-items
@@ -24,13 +25,27 @@ object Jobs {
 
   /** Run `body` (typically one or more write actions) under a cancellable
     * job group. Returns body's result; if [[cancel]] fires first, the
-    * action throws SparkException (job cancelled) out of `body`. */
+    * action throws SparkException (job cancelled) out of `body`.
+    *
+    * NOTE: cancellation is by group NAME, cluster-wide — concurrent
+    * pipelines that should be independently cancellable must use DISTINCT
+    * group ids (see [[uniqueGroup]]). The enclosing thread's job group,
+    * if any, is restored on exit rather than cleared. */
   def runCancellable[T](spark: SparkSession, group: String, desc: String = "")(body: => T): T = {
     val sc = spark.sparkContext
+    val prevGroup = sc.getLocalProperty("spark.jobGroup.id")
+    val prevDesc = sc.getLocalProperty("spark.job.description")
     sc.setJobGroup(group, if (desc.isEmpty) group else desc, interruptOnCancel = true)
     try body
-    finally sc.clearJobGroup()
+    finally {
+      if (prevGroup == null) sc.clearJobGroup()
+      else sc.setJobGroup(prevGroup, prevDesc, interruptOnCancel = true)
+    }
   }
+
+  /** A collision-free group id for one pipeline run. */
+  def uniqueGroup(prefix: String): String =
+    s"$prefix-${java.util.UUID.randomUUID()}"
 
   /** Signal the group to stop (reference `stop_process`). Safe to call
     * when nothing is running — a no-op, like setting the Event twice. */

@@ -96,10 +96,15 @@ object Tiling {
     * Runs under a cancellable job group (C1): `graft.Jobs.cancel(spark,
     * jobGroup)` from any thread aborts the in-flight tiling — the
     * reference's stop_process() for its flagship long-running job
-    * (`modules/utils.py:4-9`, polled at `tiling.py` loop boundaries). */
+    * (`modules/utils.py:4-9`, polled at `tiling.py` loop boundaries).
+    * Pass an explicit `jobGroup` to cancel THIS run; the default is
+    * unique per invocation (cancellation is by group name cluster-wide,
+    * so a shared default would let one run's cancel kill another's). */
   def writeTiles(spark: SparkSession, inDir: String, outDir: String,
-                 p: TileParams, jobGroup: String = "graft-tiling"): Long =
-    graft.Jobs.runCancellable(spark, jobGroup, s"tile $inDir -> $outDir") {
+                 p: TileParams, jobGroup: String = ""): Long =
+    graft.Jobs.runCancellable(spark,
+      if (jobGroup.nonEmpty) jobGroup else graft.Jobs.uniqueGroup("graft-tiling"),
+      s"tile $inDir -> $outDir") {
       Sinks.requireEmptyDir(outDir)
       val t = tiles(scanImages(spark, inDir), p).cache()
       try {

@@ -696,10 +696,21 @@ object Similarity {
     * Cluster id = min doc_id of the component — deterministic, so the
     * DuckDB oracle (recursive-CTE reachability closure) hash-matches. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // lazy checkpoints: each round's convergence-sum action materializes
-    // that round's label blocks (and, the first time, the edge blocks) —
-    // one Spark job per round instead of an eager-checkpoint job PLUS a
-    // sum job, while still cutting lineage so round N never replays LSH
+    // Per-round LINEAGE TRUNCATION is load-bearing, not just an
+    // optimization: labels appears 4× in each round's plan (itself,
+    // neighbor join, jump self-join ×2), so without a checkpoint the
+    // logical plan grows 4^rounds — the analyzer itself OOMs by round ~8
+    // (the DataFrame twin of the DuckDB CTE-inlining trap). Lazy
+    // checkpoints keep it one job per round (the convergence action
+    // materializes the blocks; the first action also materializes the
+    // edge checkpoint, so no round replays LSH). The PREVIOUS round's
+    // checkpoint blocks are freed eagerly once the new round is
+    // materialized — without that, every invocation stranded one block
+    // set per round until GC.
+    def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+      df.queryExecution.analyzed.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+      }
     val edges = lshVerifiedPairs(spark, dir).select(col("id_a"), col("id_b"))
       .localCheckpoint(false)
     val sym = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
@@ -718,11 +729,13 @@ object Similarity {
       val jump = labels
         .join(labels.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
         .select(col("node"), col("lbl2").as("lbl"))
-      labels = labels.select(col("node"), col("lbl")).union(viaNbr).union(jump)
+      val next = labels.select(col("node"), col("lbl")).union(viaNbr).union(jump)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
       prevSum = curSum
-      curSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+      curSum = next.agg(sum(col("lbl"))).head().getLong(0) // materializes next
+      checkpointRdd(labels).foreach(_.unpersist(false)) // free superseded blocks
+      labels = next
       rounds += 1
     }
     require(curSum == prevSum, s"label propagation did not converge in $rounds rounds")

@@ -128,9 +128,20 @@ object Streaming {
             for (e <- sorted) {
               val t = toUs(e.ts)
               cur match {
-                case Some(s) if t - s.lastTs <= gapUs =>
-                  cur = Some(SessionAgg(s.start, math.max(s.lastTs, t), s.n + 1, s.total + e.value))
-                case Some(s) =>
+                case Some(s) if t >= s.start - gapUs && t - s.lastTs <= gapUs =>
+                  // inside the session's gap envelope — including LATE
+                  // arrivals earlier than the current start (possible
+                  // across micro-batches while still above the watermark):
+                  // extend in BOTH directions, never let start postdate a
+                  // member event
+                  cur = Some(SessionAgg(math.min(s.start, t), math.max(s.lastTs, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) if t < s.start - gapUs =>
+                  // late event disjoint BEFORE the open session: its
+                  // session is already complete (nothing still in flight
+                  // can precede it and bridge the gap) — emit immediately
+                  closed += ClosedSession(uid, toTs(t), toTs(t + gapUs), 1L, e.value)
+                case Some(s) => // gap after lastTs: close current, open new
                   closed += ClosedSession(uid, toTs(s.start), toTs(s.lastTs + gapUs), s.n, s.total)
                   cur = Some(SessionAgg(t, t, 1L, e.value))
                 case None =>

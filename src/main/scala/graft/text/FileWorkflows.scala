@@ -27,12 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object FileWorkflows {
 
+  /** `input_file_name()` is a percent-ENCODED URI — sorting it directly
+    * would order `a b.txt` after `a!b.txt` (%20 > !). Decode to the real
+    * filename first. java.net.URI decoding (not URLDecoder, which eats
+    * `+` as space). */
+  private val decodedName = udf { (uri: String) =>
+    val path = try new java.net.URI(uri).getPath catch { case _: Exception => uri }
+    path.substring(path.lastIndexOf('/') + 1)
+  }
+
   /** Concatenate every `*.txt` under `inDir` (sorted filename order) with
     * a blank-line separator into `outDir/merged_output.txt`. */
   def mergeTextFolder(spark: SparkSession, inDir: String, outDir: String): String = {
     Sinks.requireEmptyDir(outDir)
     val joined = spark.read.option("wholetext", "true").text(s"$inDir/*.txt")
-      .select(input_file_name().as("file"), col("value"))
+      .select(decodedName(input_file_name()).as("file"), col("value"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("file"), col("value")))),
           x => x.getField("value")),
@@ -75,8 +84,11 @@ object FileWorkflows {
                     linesPerFile: Int): Long = {
     Sinks.requireEmptyDir(outDir)
     val perChunk = math.max(1, math.ceil(linesPerFile / 2.0).toInt)
-    val numbered = graft.Dist.globalRowNumber(
-      TextOps.linesWithIds(spark, inFile), col("line_id"))
+    val lines = TextOps.linesWithIds(spark, inFile)
+    // chunk count from one cheap line count — NOT chunks.count(), which
+    // would re-execute the whole numbering/grouping pipeline post-write
+    val nLines = lines.count()
+    val numbered = graft.Dist.globalRowNumber(lines, col("line_id"))
     val chunks = numbered
       .withColumn("chunk", expr(s"(rn - 1) div $perChunk"))
       .groupBy(col("chunk"))
@@ -87,6 +99,6 @@ object FileWorkflows {
       .select(format_string("split_%d.txt", col("chunk") + 1).as("file_name"),
         encode(col("body"), "UTF-8").as("data"))
     Sinks.writeFilePerRow(chunks, outDir)
-    chunks.count()
+    (nLines + perChunk - 1) / perChunk
   }
 }

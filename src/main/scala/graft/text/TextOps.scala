@@ -100,7 +100,11 @@ object TextOps {
   def mergePerSource(spark: SparkSession, dir: String,
                      maxGroupBytes: Long = 256L << 20): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    requireBoundedGroups(docs, col("source"), length(col("text")).cast("long"), maxGroupBytes)
+    // octet_length, not length: the guard bounds BYTES and multi-byte
+    // UTF-8 text is up to 4× its character count; +2 per doc for the
+    // blank-line separators the merge adds
+    requireBoundedGroups(docs, col("source"),
+      octet_length(col("text")).cast("long") + 2L, maxGroupBytes)
     docs
       .groupBy(col("source"))
       .agg(
@@ -344,7 +348,7 @@ object TextOps {
     val K = 8 // gram length (chars)
     val W = 4 // winnow window (grams)
     val P = graft.llm.Similarity.P
-    def hash60(c: Column) = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    import graft.llm.Similarity.hash60 // the one engine-portable hash definition
     val nGrams = (length(col("norm")) - (K - 1)).cast("int")
     val nWins = (size(col("hs")) - (W - 1)).cast("int")
     Tables.documents(spark, dir)
