@@ -13,11 +13,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Global JVM warmup (untimed): ONE full sweep of every registered query
-    // at sf0.001, so parquet readers, codegen/JIT and shuffle machinery are
-    // warm for ALL queries equally — no query's timed run is favored by a
-    // targeted pre-run. Warmup failures are logged, never swallowed.
+    // at the TIMED scale factor, so parquet readers, codegen/JIT, broadcast
+    // and shuffle machinery are warm for ALL queries equally — no query's
+    // timed run is favored by a targeted pre-run. Warming at the timed SF
+    // (not a smaller one) matters: round 2 warmed at sf0.001, and the first
+    // sf0.1 queries in sorted order (q02-q05) absorbed the one-time costs of
+    // first-touch file listing and JIT of the large-input join paths —
+    // q03 timed 4.20s single-shot vs 0.74s min-of-3 at identical config, a
+    // 5.7x attribution artifact, not a plan cost. Warmup failures are
+    // logged, never swallowed.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
-    val warmDir = "/root/testdata/sf0.001"
+    val warmDir = sfDir
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.contains) } // dev loop: warm what you time
       .foreach { case (name, fn) =>
@@ -37,14 +43,19 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(name.contains) }
       .map { case (name, fn) =>
-      val dt = (1 to reps).map { _ =>
+      var failed = false
+      val best = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        // failures are LOGGED, never silently timed as a fast success
+        // failures are LOGGED and poison the query's result with a -1
+        // sentinel — a query that throws quickly must never surface as a
+        // plausible-looking fast timing in the results JSON
         try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+          failed = true
           System.err.println(s"[bench] FAILED $name: $e")
         }
         (System.nanoTime() - t0) / 1e9
       }.min
+      val dt = if (failed) -1.0 else best
       // drop cached/broadcast state between queries so late queries aren't
       // taxed by 50 predecessors' accumulated executor memory
       spark.catalog.clearCache()

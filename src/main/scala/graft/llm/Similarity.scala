@@ -171,41 +171,104 @@ object Similarity {
     lshVerifiedPairs(spark, dir)
       .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
 
-  /** The pair pipeline without q41's presentation sort — consumers that
-    * only need the pair set (q50's near-dup stage) skip the
-    * single-partition ordering pass entirely. */
-  def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+  /** One row per DISTINCT hashed-shingle set: `gid` = min doc_id among the
+    * docs sharing the set, `members` = all their doc_ids sorted ascending.
+    *
+    * This is the exact-dedup cascade tier applied at the shingle-set
+    * granularity: docs with identical sets have identical signatures,
+    * identical band keys and pairwise Jaccard exactly 1, so running LSH
+    * per distinct SET loses nothing and shrinks dense buckets
+    * quadratically — exactly the "collapse identical-text mega-clusters
+    * upstream" skew mitigation this file's header prescribes, done
+    * inside the operator so every consumer gets it. At sf0.1: 5000 docs
+    * → 3935 groups (largest 248 docs), raw band candidates 9.62M → 2.47M
+    * (measured 2026-08-12). At 100 TB the groupBy is one shuffle of the
+    * shingle sets — the same cost class as the q20 exact-dedup pass a
+    * curation pipeline already pays. */
+  def shingleGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
       .select(col("doc_id"), hashedShingles(col("text")).as("hs"))
-    val banded = docs
+      .groupBy(col("hs"))
+      .agg(min(col("doc_id")).as("gid"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+
+  /** Verified near-dup pairs between DISTINCT shingle sets, in group-rep
+    * space: (gid_a < gid_b, n_shared, jaccard). Within-group pairs are
+    * not represented here (their Jaccard is 1 by construction);
+    * [[lshVerifiedPairs]] adds them on expansion. */
+  def lshVerifiedRepPairs(spark: SparkSession, dir: String): DataFrame =
+    repPairsFromGroups(shingleGroups(spark, dir))
+
+  /** The band/verify pipeline over an explicit (gid, hs, …) groups frame —
+    * shared so q55 can checkpoint the groups once and reuse them.
+    * Explicit `broadcast` on the attach joins is load-bearing: the groups
+    * frame is an aggregate (or a checkpoint), so it carries no size stats
+    * and the planner would otherwise shuffle the multi-million-row
+    * candidate set against a few-thousand-row build side. */
+  private[llm] def repPairsFromGroups(grps: DataFrame): DataFrame = {
+    val sets = grps.select(col("gid"), col("hs"))
+    val banded = sets
       .withColumn("sig", minhashSignature(col("hs")))
-      .select(col("doc_id"),
+      .select(col("gid"),
         posexplode(transform(sequence(lit(0), lit(Bands - 1)),
           b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
-      .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bkey"))
-    val cand = banded.select(col("bkey"), col("doc_id").as("id_a"))
-      .join(banded.select(col("bkey"), col("doc_id").as("id_b")), Seq("bkey"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(col("gid"), xxhash64(col("pos"), col("col")).as("bkey"))
+    val cand = banded.select(col("bkey"), col("gid").as("gid_a"))
+      .join(banded.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
+      .filter(col("gid_a") < col("gid_b"))
+      .select(col("gid_a"), col("gid_b"))
     // Dedup AFTER the verify, not before: a pair matching in k bands is
     // verified k times, but the merge-walk kernel is so cheap that k
     // redundant verifications of broadcast-joined rows cost less than
     // shuffling the full raw candidate set through an early distinct
     // (re-measured with the codegen kernels: early distinct 6.0s vs 4.9s
-    // warm at sf0.1 — the 9.6M-row dedup exchange costs more than the
-    // 5.5M redundant verifications it saves). The verified set is ~10x
+    // warm at sf0.1 — the raw-candidate dedup exchange costs more than
+    // the redundant verifications it saves). The verified set is ~10x
     // smaller, so the remaining distinct is on slim survivors.
     cand
-      .join(docs.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
-      .join(docs.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .join(broadcast(sets.select(col("gid").as("gid_a"), col("hs").as("hs_a"))), Seq("gid_a"))
+      .join(broadcast(sets.select(col("gid").as("gid_b"), col("hs").as("hs_b"))), Seq("gid_b"))
       .withColumn("sz_a", size(col("hs_a"))).withColumn("sz_b", size(col("hs_b")))
       .filter(least(col("sz_a"), col("sz_b")) * 10 >= greatest(col("sz_a"), col("sz_b")) * 9)
       .withColumn("n_shared",
         graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard", col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
       .filter(col("jaccard") >= 0.9)
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+      .select(col("gid_a"), col("gid_b"), col("n_shared"), col("jaccard"))
       .distinct()
+  }
+
+  /** The pair pipeline without q41's presentation sort — consumers that
+    * only need the pair set (q50's near-dup stage) skip the
+    * single-partition ordering pass entirely.
+    *
+    * Doc-space pairs are the rep-space pairs EXPANDED: each group of k
+    * identical shingle sets contributes its C(k,2) internal pairs
+    * (n_shared = |hs|, jaccard = 1.0 — exactly what the verify kernel
+    * returns for identical sorted sets), and each verified rep pair
+    * (A, B) expands to all |A|·|B| cross pairs carrying the rep pair's
+    * n_shared/jaccard (hs is constant within a group, so every cross
+    * pair's verification is the rep pair's). Every doc pair belongs to
+    * exactly one of those cases, so no final distinct is needed — the
+    * 958k-row doc-pair set never passes through a dedup exchange. */
+  def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val grps = shingleGroups(spark, dir)
+    val within = grps.filter(size(col("members")) > 1)
+      .select(size(col("hs")).cast("long").as("n_shared"), col("members"))
+      .select(col("n_shared"), explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"),
+        explode(filter(col("members"), m => m > col("id_a"))).as("id_b"),
+        col("n_shared"), lit(1.0).as("jaccard"))
+    val slim = grps.select(col("gid"), col("members"))
+    val cross = repPairsFromGroups(grps)
+      .join(broadcast(slim.select(col("gid").as("gid_a"), col("members").as("ma"))), Seq("gid_a"))
+      .join(broadcast(slim.select(col("gid").as("gid_b"), col("members").as("mb"))), Seq("gid_b"))
+      .select(explode(col("ma")).as("x"), col("mb"), col("n_shared"), col("jaccard"))
+      .select(col("x"), explode(col("mb")).as("y"), col("n_shared"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("n_shared"), col("jaccard"))
+    within.select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+      .union(cross)
   }
 
   val minhashLshPairsSql: String =
@@ -674,27 +737,41 @@ object Similarity {
     * drop-the-higher-id, q50's rule, over-deletes when clusters overlap
     * only transitively: a~b, b~c, a≁c still means one family).
     *
-    * Algorithm: iterative min-label propagation. labels(v) starts at v;
-    * each round v takes the min of its own and its neighbors' labels;
-    * converged when the global label sum stops changing (labels only ever
-    * decrease, so the sum is a monotone convergence witness — one cheap
-    * aggregate per round, no change-join). Rounds needed = graph diameter;
-    * LSH near-dup clusters are dense (diameter 2-4), so this converges in
-    * a handful of rounds. Each round's frame is localCheckpoint'ed:
-    * without it, round N's lineage would replay the whole LSH pipeline N
-    * times (and the edge set itself is checkpointed once, up front).
+    * Algorithm: ONE O(|E|) min-neighbor pass, then iterative min-label
+    * propagation on the CONTRACTED label graph.
     *
-    * 100 TB notes: the label table holds only nodes that appear in a
-    * near-dup pair — typically a few percent of the corpus — so it is
-    * broadcast explicitly (checkpointed frames carry no stats, and
-    * without the hint the planner shuffle-joins 2|E| rows per round:
-    * measured 9.2s → 7.6s at sf0.1). If the duplicate graph itself is
-    * huge (label side too big to broadcast), drop the hint and/or swap
-    * the loop body for the small-star/large-star rewrite, which bounds
-    * per-round degree; the driver holds ONE long per round (the
-    * convergence sum), never data.
-    * Cluster id = min doc_id of the component — deterministic, so the
-    * DuckDB oracle (recursive-CTE reachability closure) hash-matches. */
+    * Phase 1 assigns lbl1(v) = min(v, min neighbor(v)) — a single
+    * hash-aggregate over the symmetrized edges. Nodes sharing a round-1
+    * label are provably in one component, so contracting them to a
+    * supernode preserves the component structure exactly (edge
+    * contraction within components). The contracted graph has one node
+    * per distinct round-1 label and one edge per distinct cross-label
+    * pair — for near-dup graphs (dense cliques of mutually-similar docs)
+    * that is orders of magnitude smaller than |E|: at sf0.1 the 958k-pair
+    * graph contracts to a few hundred supernodes, so the iterative rounds
+    * touch thousands of rows instead of millions (round 2 ran every round
+    * over the full 1.9M-row sym frame; measured q55 7.8s → the loop was
+    * ~5s of it).
+    *
+    * Phase 2 is the round-2 loop verbatim, on the contracted graph:
+    * min-over-neighbors plus pointer jumping, converged when the global
+    * label sum stops changing (labels only ever decrease, so the sum is a
+    * monotone convergence witness — one cheap aggregate per round, no
+    * change-join). Finally each node's round-1 label is rewritten to its
+    * supernode's converged label. The component label is the component's
+    * min node id in both formulations (the min node m has lbl1(m) = m),
+    * so the output — and the DuckDB oracle — is unchanged.
+    *
+    * 100 TB notes: phase 1 is one shuffle of the edge set; the label and
+    * contracted-edge tables hold only nodes that appear in a near-dup
+    * pair — typically a few percent of the corpus — so they are broadcast
+    * explicitly (checkpointed frames carry no stats, and without the hint
+    * the planner shuffle-joins 2|E| rows: measured 9.2s → 7.6s at sf0.1
+    * before contraction). If the duplicate graph itself is huge (label
+    * side too big to broadcast), drop the hints and/or swap the loop body
+    * for the small-star/large-star rewrite, which bounds per-round
+    * degree; the driver holds ONE long per round (the convergence sum),
+    * never data. */
   def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
     // Per-round LINEAGE TRUNCATION is load-bearing, not just an
     // optimization: labels appears 4× in each round's plan (itself,
@@ -703,28 +780,57 @@ object Similarity {
     // (the DataFrame twin of the DuckDB CTE-inlining trap). Lazy
     // checkpoints keep it one job per round (the convergence action
     // materializes the blocks; the first action also materializes the
-    // edge checkpoint, so no round replays LSH). The PREVIOUS round's
-    // checkpoint blocks are freed eagerly once the new round is
+    // edge and phase-1 checkpoints, so no round replays LSH). Superseded
+    // checkpoint blocks are freed eagerly once their successor is
     // materialized — without that, every invocation stranded one block
-    // set per round until GC.
+    // set per round until GC. `lbl1` and the final `labels` stay alive:
+    // the returned (lazy) plan reads them.
     def checkpointRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
       df.queryExecution.analyzed.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
       }
-    val edges = lshVerifiedPairs(spark, dir).select(col("id_a"), col("id_b"))
+    // sum(lbl) of an empty frame is NULL — an edge-free corpus converges
+    // on the first comparison instead of NPE-ing
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("lbl"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    // The graph lives in GROUP-REP space: docs with identical shingle
+    // sets are one node (they are mutually connected by construction —
+    // jaccard 1 cliques — so contracting them first is exact), and the
+    // expansion back to doc counts happens only in the final aggregate.
+    // The 958k expanded doc pairs never exist as edges at all.
+    val grps = shingleGroups(spark, dir).localCheckpoint(false)
+    val edges = repPairsFromGroups(grps).select(col("gid_a"), col("gid_b"))
       .localCheckpoint(false)
-    val sym = edges.select(col("id_a").as("node"), col("id_b").as("nbr"))
-      .union(edges.select(col("id_b").as("node"), col("id_a").as("nbr")))
-    var labels = sym.select(col("node")).distinct()
+    val sym = edges.select(col("gid_a").as("node"), col("gid_b").as("nbr"))
+      .union(edges.select(col("gid_b").as("node"), col("gid_a").as("nbr")))
+    // Phase 1: the only O(|E|) aggregate — lbl1(v) = min(v, min nbr(v))
+    val lbl1 = sym.groupBy(col("node"))
+      .agg(least(col("node"), min(col("nbr"))).as("lbl"))
+      .localCheckpoint(false)
+    // Contract: project every edge into label space, keep distinct
+    // cross-label edges (within-label edges are already merged)
+    val cedges = sym
+      .join(broadcast(lbl1.select(col("node"), col("lbl").as("la"))), Seq("node"))
+      .join(broadcast(lbl1.select(col("node").as("nbr"), col("lbl").as("lb"))), Seq("nbr"))
+      .filter(col("la") =!= col("lb"))
+      .select(col("la"), col("lb")).distinct()
+      .localCheckpoint(false)
+    val csym = cedges.select(col("la").as("node"), col("lb").as("nbr"))
+      .union(cedges.select(col("lb").as("node"), col("la").as("nbr")))
+    // Every distinct round-1 label is a supernode, including ones with no
+    // cross-label edges (they just keep their own label through the loop)
+    var labels = lbl1.select(col("lbl").as("node")).distinct()
       .withColumn("lbl", col("node")).localCheckpoint(false)
     var prevSum = Long.MinValue
-    var curSum = labels.agg(sum(col("lbl"))).head().getLong(0)
+    var curSum = labelSum(labels)
     var rounds = 0
     while (curSum != prevSum && rounds < 25) {
-      val viaNbr = sym.join(broadcast(labels.select(col("node").as("nbr"), col("lbl"))), Seq("nbr"))
+      val viaNbr = csym.join(broadcast(labels.select(col("node").as("nbr"), col("lbl"))), Seq("nbr"))
         .select(col("node"), col("lbl"))
       // pointer jumping: also adopt the label OF the current label (every
-      // label is itself a node, so the self-join always hits) — path
+      // label is itself a supernode, so the self-join always hits) — path
       // compression that turns O(diameter) rounds into O(log diameter)
       val jump = labels
         .join(labels.select(col("node").as("lbl"), col("lbl").as("lbl2")), Seq("lbl"))
@@ -733,25 +839,45 @@ object Similarity {
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(false)
       prevSum = curSum
-      curSum = next.agg(sum(col("lbl"))).head().getLong(0) // materializes next
+      curSum = labelSum(next) // materializes next
       checkpointRdd(labels).foreach(_.unpersist(false)) // free superseded blocks
       labels = next
       rounds += 1
     }
     require(curSum == prevSum, s"label propagation did not converge in $rounds rounds")
-    labels.groupBy(col("lbl").as("cluster_rep"))
-      .agg(count(lit(1)).as("n_docs"), max(col("node")).as("max_doc"))
+    // The loop inputs are fully materialized now; the returned plan only
+    // reads grps + lbl1 + labels, so the edge blocks can be freed eagerly
+    checkpointRdd(edges).foreach(_.unpersist(false))
+    checkpointRdd(cedges).foreach(_.unpersist(false))
+    // Each group adopts its supernode's converged label …
+    val inGraph = lbl1.select(col("node"), col("lbl").as("snode"))
+      .join(broadcast(labels.select(col("node").as("snode"), col("lbl"))), Seq("snode"))
+      .select(col("node"), col("lbl"))
+    // … and a multi-doc group with NO cross-set edges is still a cluster
+    // (its docs are pairwise near-dups of each other), labeled by itself.
+    // Single-doc groups without edges are not in any pair → excluded,
+    // matching the doc-space formulation exactly.
+    val standalone = grps.filter(size(col("members")) > 1)
+      .join(inGraph.select(col("node")), col("gid") === col("node"), "left_anti")
+      .select(col("gid").as("node"), col("gid").as("lbl"))
+    inGraph.union(standalone)
+      .join(broadcast(grps.select(col("gid").as("node"), col("members"))), Seq("node"))
+      .groupBy(col("lbl").as("cluster_rep"))
+      .agg(sum(size(col("members"))).as("n_docs"),
+        max(element_at(col("members"), -1)).as("max_doc"))
       .orderBy(col("cluster_rep"))
   }
 
-  /** Oracle twin of the propagation itself, not a closure: a recursive-CTE
-    * reachability closure is exact but explodes at |E|×cluster_size per
-    * iteration (infeasible already at sf0.1's 958k-pair graph), so the
-    * oracle unrolls the SAME algorithm Spark runs — min-over-neighbors
-    * plus pointer jumping — for 8 rounds (covers component diameters up
-    * to ~2^8). A poison row (-1, -1, -1) is emitted if round 8 differs
-    * from round 7, turning any non-convergence into a loud hash mismatch
-    * instead of a silently-wrong oracle. */
+  /** Oracle with the same FIXPOINT as the Spark side, not the same rounds:
+    * a recursive-CTE reachability closure is exact but explodes at
+    * |E|×cluster_size per iteration (infeasible already at sf0.1's
+    * 958k-pair graph), so the oracle unrolls min-over-neighbors plus
+    * pointer jumping for 8 rounds (covers component diameters up to
+    * ~2^8). Both sides converge to min-node-id-per-component, so the
+    * Spark side's contraction rewrite needs no oracle change. A poison
+    * row (-1, -1, -1) is emitted if round 8 differs from round 7, turning
+    * any non-convergence into a loud hash mismatch instead of a
+    * silently-wrong oracle. */
   val nearDupClustersSql: String = {
     // AS MATERIALIZED is load-bearing: each round references the previous
     // one 3×, so under DuckDB's default CTE inlining the plan would grow
@@ -818,8 +944,29 @@ object Similarity {
       .withColumn("quality_ok",
         col("len") >= 40 && col("len") <= 5000 && col("punct_ratio") < 0.2)
       .withColumn("is_first", col("doc_id") === min(col("doc_id")).over(wText))
-    val dupIds = lshVerifiedPairs(spark, dir)
-      .select(col("id_b").as("doc_id")).distinct()
+    // near-dup id_b membership computed in GROUP-REP space (see
+    // shingleGroups): doc d in group G is the id_b of some verified pair
+    // iff d exceeds the smallest doc_id it is paired against — that is
+    // min( {gid_G if |G| ≥ 2}  ∪  {gid_H : H a verified neighbor set} ).
+    // One explode over per-group thresholds replaces materializing and
+    // deduping the full doc-pair expansion; groups partition docs, so the
+    // result is distinct by construction (safe on the left join below).
+    // Both edge directions go through ONE generator (no Union — union
+    // branches would re-execute the pair pipeline, the exact regression
+    // the plan spec locks out).
+    val grps = shingleGroups(spark, dir)
+    val nbrMin = repPairsFromGroups(grps)
+      .select(explode(array(
+          struct(col("gid_a").as("g"), col("gid_b").as("n")),
+          struct(col("gid_b").as("g"), col("gid_a").as("n")))).as("e"))
+      .groupBy(col("e.g").as("g")).agg(min(col("e.n")).as("nbr_min"))
+    val none = lit(Long.MaxValue)
+    val dupIds = grps
+      .join(broadcast(nbrMin), col("gid") === col("g"), "left")
+      .select(col("members"),
+        least(coalesce(col("nbr_min"), none),
+          when(size(col("members")) > 1, col("gid")).otherwise(none)).as("t"))
+      .select(explode(filter(col("members"), m => m > col("t"))).as("doc_id"))
     val flagged = base.join(dupIds.withColumn("is_dup_b", lit(true)),
         Seq("doc_id"), "left")
       .withColumn("near_ok", coalesce(col("is_dup_b"), lit(false)) === false)

@@ -79,24 +79,38 @@ object Streaming {
 
   /** Per-user open-session accumulator for [[sessionCloseEvents]]. */
   final case class SessionAgg(start: Long, lastTs: Long, n: Long, total: Double)
+  /** All of one user's still-open sessions, any of which a late (but
+    * above-watermark) event may yet extend or bridge. */
+  final case class OpenSessions(sessions: List[SessionAgg])
   final case class ClosedSession(user_id: Long, sess_start: java.sql.Timestamp,
                                  sess_end: java.sql.Timestamp, n_events: Long,
                                  total_value: Double)
 
   /** Session-CLOSE event emission via flatMapGroupsWithState + event-time
-    * timeout: per-user state buffers the open session; when the watermark
-    * passes last-event + gap, the timeout fires and exactly one row per
-    * closed session is emitted. This is the custom-emission pattern
-    * `session_window` cannot express (emit-on-close alerts, enriched
-    * session summaries into a downstream topic). Sessions that close
-    * WITHIN a batch (a gap between two events of the same user) are
-    * emitted immediately; `sess_end = last_ts + gap`, matching
+    * timeout: per-user state buffers every open session; a session is
+    * emitted exactly when the event-time watermark passes its gap horizon
+    * (last event + gap) — the point after which no admissible event can
+    * extend it. This is the custom-emission pattern `session_window`
+    * cannot express (emit-on-close alerts, enriched session summaries
+    * into a downstream topic); `sess_end = last_ts + gap` matches
     * session_window's end semantics so outputs are comparable.
     *
-    * State: one SessionAgg per user with an open session — evicted on
-    * close. At scale: RocksDB state store; the timeout timestamp IS the
-    * TTL, so state is bounded by (active users within one gap), not
-    * history. */
+    * State holds a LIST of open sessions, not just the newest: a late
+    * event disjoint-before the newest session starts its own session,
+    * which must stay open until the watermark passes it — a second late
+    * event within one gap of it must MERGE, exactly as session_window
+    * merges them (emitting the first immediately would split the pair
+    * into two 1-event sessions). An arriving event is merged with EVERY
+    * session whose envelope [start - gap, last + gap] it touches — one
+    * event can bridge two open sessions into one.
+    *
+    * State: one OpenSessions per active user. The watermark bounds the
+    * list: a session expires (and is emitted) as soon as the watermark
+    * passes its horizon, so a user holds at most the sessions inside one
+    * watermark delay — state is bounded by (active users × sessions per
+    * delay window), not history. At scale: RocksDB state store; the
+    * timeout timestamp is the MIN open horizon, so emission needs no
+    * per-trigger full-state scan. */
   def sessionCloseEvents(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -110,52 +124,47 @@ object Streaming {
       t.setNanos((us % 1000000L).toInt * 1000)
       t
     }
+    def close(uid: Long, s: SessionAgg): ClosedSession =
+      ClosedSession(uid, toTs(s.start), toTs(s.lastTs + gapUs), s.n, s.total)
+    // Emit every session the watermark has passed; keep the rest open and
+    // arm the timeout at the earliest remaining horizon (ms-granular API:
+    // round UP so the timeout never fires before the horizon).
+    def flush(uid: Long, open: List[SessionAgg],
+              state: GroupState[OpenSessions]): Iterator[ClosedSession] = {
+      val wmUs = state.getCurrentWatermarkMs() * 1000
+      val (expired, live) = open.partition(s => s.lastTs + gapUs <= wmUs)
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(OpenSessions(live))
+        state.setTimeoutTimestamp((live.map(_.lastTs).min + gapUs + 999) / 1000)
+      }
+      expired.sortBy(_.start).iterator.map(close(uid, _))
+    }
     events.withWatermark("ts", "1 hour")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
       .as[EventRow]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[EventRow], state: GroupState[SessionAgg]) =>
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[OpenSessions]) =>
           if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(ClosedSession(uid, toTs(s.start), toTs(s.lastTs + gapUs), s.n, s.total))
+            flush(uid, state.get.sessions, state)
           } else {
-            val sorted = rows.toArray.sortBy(e => (toUs(e.ts), e.event_id))
-            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
-            var cur = state.getOption
-            for (e <- sorted) {
+            var open = state.getOption.map(_.sessions).getOrElse(Nil)
+            for (e <- rows) {
               val t = toUs(e.ts)
-              cur match {
-                case Some(s) if t >= s.start - gapUs && t - s.lastTs <= gapUs =>
-                  // inside the session's gap envelope — including LATE
-                  // arrivals earlier than the current start (possible
-                  // across micro-batches while still above the watermark):
-                  // extend in BOTH directions, never let start postdate a
-                  // member event
-                  cur = Some(SessionAgg(math.min(s.start, t), math.max(s.lastTs, t),
-                    s.n + 1, s.total + e.value))
-                case Some(s) if t < s.start - gapUs =>
-                  // late event disjoint BEFORE the open session: its
-                  // session is already complete (nothing still in flight
-                  // can precede it and bridge the gap) — emit immediately
-                  closed += ClosedSession(uid, toTs(t), toTs(t + gapUs), 1L, e.value)
-                case Some(s) => // gap after lastTs: close current, open new
-                  closed += ClosedSession(uid, toTs(s.start), toTs(s.lastTs + gapUs), s.n, s.total)
-                  cur = Some(SessionAgg(t, t, 1L, e.value))
-                case None =>
-                  cur = Some(SessionAgg(t, t, 1L, e.value))
+              // merge with every session whose envelope the event touches
+              // (0, 1, or 2 of them — 2 when the event bridges a pair);
+              // arrival order within the batch is irrelevant to the result
+              val (touching, rest) =
+                open.partition(s => t >= s.start - gapUs && t <= s.lastTs + gapUs)
+              val merged = touching.foldLeft(SessionAgg(t, t, 1L, e.value)) {
+                (a, s) => SessionAgg(math.min(a.start, s.start),
+                  math.max(a.lastTs, s.lastTs), a.n + s.n, a.total + s.total)
               }
+              open = merged :: rest
             }
-            cur.foreach { s =>
-              state.update(s)
-              // fire once the event-time watermark passes the gap horizon
-              // (timeout API is millisecond-granular: round UP so the
-              // timeout never fires before the horizon)
-              state.setTimeoutTimestamp((s.lastTs + gapUs + 999) / 1000)
-            }
-            closed.iterator
+            flush(uid, open, state)
           }
       }.toDF()
   }

@@ -37,10 +37,24 @@ object FileWorkflows {
   }
 
   /** Concatenate every `*.txt` under `inDir` (sorted filename order) with
-    * a blank-line separator into `outDir/merged_output.txt`. */
-  def mergeTextFolder(spark: SparkSession, inDir: String, outDir: String): String = {
+    * a blank-line separator into `outDir/merged_output.txt`.
+    *
+    * The glob's character classes match any case of the extension
+    * (`a.TXT`, `a.Txt`, …), mirroring the reference's
+    * `fname.lower().endswith(".txt")` (`other_tasks.py:16`).
+    *
+    * The whole folder becomes ONE output row, so the merge guard runs
+    * first: a folder whose total payload exceeds `maxBytes` fails fast
+    * with the folder named instead of OOM-ing the executor that would
+    * have collected it (same policy as TextOps.mergePerSource). */
+  def mergeTextFolder(spark: SparkSession, inDir: String, outDir: String,
+                      maxBytes: Long = 256L << 20): String = {
     Sinks.requireEmptyDir(outDir)
-    val joined = spark.read.option("wholetext", "true").text(s"$inDir/*.txt")
+    val glob = s"$inDir/*.[tT][xX][tT]"
+    TextOps.requireBoundedGroups(
+      spark.read.option("wholetext", "true").text(glob),
+      lit(inDir), octet_length(col("value")).cast("long") + 2L, maxBytes)
+    val joined = spark.read.option("wholetext", "true").text(glob)
       .select(decodedName(input_file_name()).as("file"), col("value"))
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("file"), col("value")))),
@@ -79,7 +93,14 @@ object FileWorkflows {
     * reference counts +2 per record (record + blank line) and rolls the
     * file at `linesPerFile`, i.e. ceil(linesPerFile/2) records per chunk;
     * every record is written as `line + "\n\n"`. Distributed row
-    * numbering via Dist.globalRowNumber — no single-partition sort. */
+    * numbering via Dist.globalRowNumber — no single-partition sort.
+    *
+    * Exact-fill quirk, matched byte-for-byte: when the last record
+    * exactly fills a chunk (or the input is empty), the reference's
+    * rollover has already opened the NEXT file, so an empty
+    * `split_{k+1}.txt` exists on disk and is counted in the result
+    * (`other_tasks.py:88-95`: the counter resets, `file_count` is
+    * incremented and the file is opened before the loop ends). */
   def splitTextFile(spark: SparkSession, inFile: String, outDir: String,
                     linesPerFile: Int): Long = {
     Sinks.requireEmptyDir(outDir)
@@ -88,6 +109,9 @@ object FileWorkflows {
     // chunk count from one cheap line count — NOT chunks.count(), which
     // would re-execute the whole numbering/grouping pipeline post-write
     val nLines = lines.count()
+    val fileCount =
+      if (nLines % perChunk == 0) nLines / perChunk + 1 // incl. empty input
+      else (nLines + perChunk - 1) / perChunk
     val numbered = graft.Dist.globalRowNumber(lines, col("line_id"))
     val chunks = numbered
       .withColumn("chunk", expr(s"(rn - 1) div $perChunk"))
@@ -98,7 +122,13 @@ object FileWorkflows {
         "").as("body"))
       .select(format_string("split_%d.txt", col("chunk") + 1).as("file_name"),
         encode(col("body"), "UTF-8").as("data"))
-    Sinks.writeFilePerRow(chunks, outDir)
-    (nLines + perChunk - 1) / perChunk
+    val withTrailing =
+      if (nLines % perChunk == 0)
+        chunks.union(spark.range(1).select(
+          lit(s"split_$fileCount.txt").as("file_name"),
+          lit(Array.empty[Byte]).as("data")))
+      else chunks
+    Sinks.writeFilePerRow(withTrailing, outDir)
+    fileCount
   }
 }

@@ -174,6 +174,40 @@ class StreamingSpec extends SparkSpec {
       s"closed-session emission diverges: ${streamed.size} vs ${batch.size} sessions")
   }
 
+  test("two late pre-session events within one gap merge into ONE session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
+    val base = 24L * 60 // noon, in minutes
+    // batch 1: user 1 at 12:00 → open session [12:00, 12:30), watermark
+    // after the batch = 11:00
+    // batch 2: user 1 at 11:10 and 11:20 — above the watermark, both
+    // disjoint-BEFORE the open session's envelope [11:30, 12:30], and
+    // within one 30-min gap of each other: session_window merges them
+    // into [11:10, 11:50). Emitting either immediately would split them.
+    // batch 3: sentinel user -1 far in the future advances the watermark
+    // past every real horizon so all real sessions time out and emit.
+    val stream = MemoryStream[Streaming.EventRow]
+    stream.addData(Streaming.EventRow(1L, ts(base), 1L, "a", 1.0))
+    stream.addData(
+      Streaming.EventRow(2L, ts(base - 50), 1L, "a", 2.0),
+      Streaming.EventRow(3L, ts(base - 40), 1L, "a", 3.0))
+    stream.addData(Streaming.EventRow(-1L, ts(base + 240), -1L, "flush", 0.0))
+    val q = Streaming.sessionCloseEvents(stream.toDF())
+      .writeStream.format("memory").queryName("t_late_merge")
+      .outputMode(OutputMode.Append()).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("t_late_merge")
+      .filter(col("user_id") =!= -1L)
+      .select("sess_start", "sess_end", "n_events")
+      .orderBy("sess_start").collect().toSeq
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+    val want = Seq(
+      (ts(base - 50), ts(base - 40 + 30), 2L), // the merged late pair
+      (ts(base), ts(base + 30), 1L))
+    assert(got == want, s"expected $want, got $got")
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -68,4 +68,45 @@ class FileWorkflowsSpec extends SparkSpec {
     }
     assert(back.sorted == lines.sorted)
   }
+
+  test("splitTextFile exact fill leaves a counted trailing empty file (reference rollover)") {
+    val in = tmp("fw-splitx-in").resolve("input.txt")
+    val lines = (1 to 8).map(i => s"line $i")
+    Files.write(in, (lines.mkString("\n") + "\n").getBytes(UTF_8))
+    val outDir = tmp("fw-splitx-out").resolve("out")
+    // 8 lines at 4 records/file (linesPerFile=8 → counter rolls at 8 =
+    // 4 records): the reference's rollover fires on the LAST record too,
+    // opening (and counting) an empty split_3.txt — other_tasks.py:88-95
+    val nFiles = FileWorkflows.splitTextFile(spark, in.toString, outDir.toString, linesPerFile = 8)
+    assert(nFiles == 3)
+    val full = lines.grouped(4).map(_.map(_ + "\n\n").mkString).toSeq
+    full.zipWithIndex.foreach { case (body, i) =>
+      assert(bytes(outDir.resolve(s"split_${i + 1}.txt")) == body.getBytes(UTF_8).toSeq)
+    }
+    assert(Files.exists(outDir.resolve("split_3.txt")), "trailing empty file missing")
+    assert(bytes(outDir.resolve("split_3.txt")).isEmpty, "trailing file must be empty")
+  }
+
+  test("mergeTextFolder matches any case of the .txt extension (reference lower())") {
+    val in = tmp("fw-case-in")
+    val contents = Map(
+      "A.TXT" -> "upper\n",
+      "b.Txt" -> "mixed\n",
+      "c.txt" -> "lower\n")
+    contents.foreach { case (n, c) => Files.write(in.resolve(n), c.getBytes(UTF_8)) }
+    val outDir = tmp("fw-case-out").resolve("out")
+    val outFile = FileWorkflows.mergeTextFolder(spark, in.toString, outDir.toString)
+    val model = contents.toSeq.sortBy(_._1).map(_._2).mkString("\n\n")
+    assert(bytes(java.nio.file.Paths.get(outFile)) == model.getBytes(UTF_8).toSeq)
+  }
+
+  test("mergeTextFolder fails fast (naming the folder) before collecting an oversized folder") {
+    val in = tmp("fw-big-in")
+    Files.write(in.resolve("big.txt"), ("x" * 4096 + "\n").getBytes(UTF_8))
+    val outDir = tmp("fw-big-out").resolve("out")
+    val e = intercept[IllegalStateException] {
+      FileWorkflows.mergeTextFolder(spark, in.toString, outDir.toString, maxBytes = 1024L)
+    }
+    assert(e.getMessage.contains(in.toString), s"folder not named in: ${e.getMessage}")
+  }
 }
