@@ -15,7 +15,8 @@ object SparkEntry {
       relational.Events.defs ++
       text.TextOps.defs ++
       images.Geometry.defs ++
-      llm.Similarity.defs
+      llm.Similarity.defs ++
+      io.Layout.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

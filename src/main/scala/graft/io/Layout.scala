@@ -1,6 +1,9 @@
 package graft.io
 
+import graft.{QueryDef, Tables}
+import graft.Exact.{discPrice, narrow}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Table layout for scale: partitioned writes and the pruning they buy.
   *
@@ -55,4 +58,63 @@ object Layout {
     (if (sorted) w.sortBy(bucketCol) else w)
       .format("parquet").saveAsTable(table)
   }
+
+  /** q56: the co-located-join payoff as a REGISTERED query — q03's
+    * lineitem⋈orders core on bucketed twins of both tables, so neither
+    * the join nor the aggregation shuffles at read time (plan-asserted in
+    * LayoutSpec: zero ShuffleExchangeExec).
+    *
+    * The bucketed tables are materialized lazily, once per
+    * (session, sfDir): the first call pays the one-time bucketing shuffle
+    * at write (exactly the 100 TB deployment shape — land fact tables
+    * bucketed on their join key, then every subsequent join/agg on that
+    * key is exchange-free), later calls in the session reuse the catalog
+    * tables. In Bench the untimed warmup sweep materializes them, so the
+    * timed run measures the steady-state exchange-free read, not the
+    * write. Values are identical to running the same query on the raw
+    * parquet — the DuckDB oracle does exactly that. */
+  def bucketedOrderRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val liT = s"graft_li_bucketed_$suffix"
+    val oT = s"graft_ord_bucketed_$suffix"
+    if (!spark.catalog.tableExists(liT)) {
+      writeBucketed(Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"),
+        liT, "l_orderkey", numBuckets = 16)
+    }
+    if (!spark.catalog.tableExists(oT)) {
+      writeBucketed(Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        oT, "o_orderkey", numBuckets = 16)
+    }
+    val li = spark.table(liT)
+      .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+    val o = spark.table(oT)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(narrow(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 4).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Oracle: the same join/agg on the raw parquet (DuckDB neither knows
+    * nor needs the bucketing — the layout changes the plan, not the
+    * answer). */
+  val bucketedOrderRevenueSql: String =
+    """SELECT l_orderkey,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l_discount AS DECIMAL(6,4)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q56_bucketed_join", bucketedOrderRevenue, Some(bucketedOrderRevenueSql)))
 }

@@ -38,6 +38,20 @@ object Multimodal {
     struct(width.cast("int").as("width"), height.cast("int").as("height"),
       fps.cast("double").as("fps"), durationMs.cast("long").as("duration_ms"))
 
+  /** REAL video metadata from payload bytes: walks the MP4/QuickTime
+    * `moov` box tree ([[Mp4.parse]] — pure byte offsets, offline, no
+    * codec): width/height from `tkhd`, duration from `mvhd`, fps from the
+    * `stts` sample deltas at the `mdhd` timescale. Returns a struct with
+    * [[videoMeta]]'s exact schema, or null for payloads that are not
+    * ISO-BMFF or carry no video track — the same quarantine contract as
+    * [[decodeAudioPcm]]. Header-cost only: `mdat` is never touched, so
+    * this composes with column pruning exactly like header-only image
+    * dims. */
+  val videoMetaFromBytes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null else Mp4.parse(payload).orNull
+    }
+
   // ------------------------------------------------------------ decode stub
 
   /** STUB audio decode: bytes → Array[Float] "PCM". Deterministic fake —

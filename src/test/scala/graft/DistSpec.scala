@@ -32,6 +32,48 @@ class DistSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("saltedJoin bounds the max task input under a hot key") {
+    // 50% of the big side on one key: the plain shuffle join puts every
+    // hot row in ONE reducer task; the salted join spreads it over
+    // `factor` tasks. Assert on actual post-join partition sizes — the
+    // skew BOUND, not just result equality. Broadcast and AQE coalescing
+    // are disabled for the measurement (a broadcast join would hide the
+    // shuffle; coalescing merges the small partitions we count).
+    import spark.implicits._
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      // enough reducers that the `factor` salted twins of the hot key
+      // rarely collide into one partition (8 keys into 32 bins collide
+      // often enough to blur the bound being asserted)
+      conf.set("spark.sql.shuffle.partitions", "200")
+      val n = 40000
+      val factor = 8
+      val big = (0 until n)
+        .map(i => (if (i % 2 == 0) 0L else (i % 97).toLong, i.toLong))
+        .toDF("k", "payload").repartition(8)
+      val small = (0L until 97L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(spark_partition_id().as("pid")).count()
+          .agg(max("count")).head().getLong(0)
+      val plainMax = maxPartRows(big.join(small, Seq("k")))
+      val saltedMax = maxPartRows(
+        Dist.saltedJoin(big, small, Seq("k"), xxhash64(col("payload")), factor))
+      // hot key = n/2 rows; plain >= that in one task; salted ~ (n/2)/factor
+      assert(plainMax >= n / 2L, s"test premise broken: plain max $plainMax")
+      assert(saltedMax <= plainMax / (factor / 2L),
+        s"salting did not bound the hot task: salted $saltedMax vs plain $plainMax")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("globalRowNumber is dense 1..N") {
     val n = 123
     import spark.implicits._

@@ -66,6 +66,44 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q56 bucketed join runs exchange-free and matches the raw-parquet answer (sf0.01)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = "/root/testdata/sf0.01"
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] = {
+      val kids = p match {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case o => o.children
+      }
+      (p match { case s: ShuffleExchangeExec => Seq(s); case _ => Nil }) ++
+        kids.flatMap(shuffles)
+    }
+    try {
+      val q56 = Layout.bucketedOrderRevenue(spark, dir)
+      val got = q56.collect().toSeq
+      assert(shuffles(q56.queryExecution.executedPlan).isEmpty,
+        "q56 shuffled — bucket metadata unused in join or aggregation")
+      // same answer as the identical query on raw parquet (what the
+      // DuckDB oracle checks at the driver's gate)
+      import graft.Exact.{discPrice, narrow}
+      val raw = graft.Tables.lineitem(spark, dir)
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .join(graft.Tables.orders(spark, dir)
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(narrow(sum(discPrice(col("l_extendedprice"), col("l_discount"))), 4).as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10).collect().toSeq
+      assert(got == raw)
+    } finally {
+      spark.catalog.listTables().collect()
+        .filter(_.name.startsWith("graft_"))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS ${t.name}"))
+    }
+  }
+
   test("ErrorIfExists refuses a second write (reference K6 precondition)") {
     val out = Files.createTempDirectory("graft-layout2").resolve("docs").toString
     val docs = graft.Tables.documents(spark, sfDir).limit(10)

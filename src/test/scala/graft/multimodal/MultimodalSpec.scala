@@ -79,6 +79,77 @@ class MultimodalSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  // ------------------------------------------------------- MP4 moov parsing
+
+  /** ISO-BMFF box writer: [u32 size][4cc][payload]. */
+  private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + body.length) // big-endian default
+    bb.putInt(8 + body.length); bb.put(typ.getBytes("ISO-8859-1")); bb.put(body)
+    bb.array()
+  }
+  private def be32(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+  private def be16(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+
+  /** Minimal playable-shaped MP4 metadata tree: 640×360, movie timescale
+    * 600 with duration 6000 ticks (10 s), one video track whose stts
+    * declares 240 samples of 25 ticks (240 frames / 10 s = 24 fps). */
+  private def mp4Bytes(handler: String = "vide"): Array[Byte] = {
+    val verflags = be32(0)
+    val mvhd = box("mvhd", verflags, be32(0), be32(0), be32(600), be32(6000),
+      Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd", verflags, be32(0), be32(0), be32(1), be32(0), be32(6000),
+      Array.fill[Byte](16)(0), // reserved/layer/alt-group/volume/reserved
+      Array.fill[Byte](36)(0), // matrix
+      be16(640), be16(0), be16(360), be16(0)) // 16.16 fixed width/height
+    val mdhd = box("mdhd", verflags, be32(0), be32(0), be32(600), be32(6000), be16(0), be16(0))
+    val hdlr = box("hdlr", verflags, be32(0), handler.getBytes("ISO-8859-1"),
+      Array.fill[Byte](13)(0))
+    val stts = box("stts", verflags, be32(1), be32(240), be32(25))
+    val stbl = box("stbl", stts)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val ftyp = box("ftyp", "isom".getBytes, be32(512), "isomiso2".getBytes)
+    val mdat = box("mdat", Array[Byte](1, 2, 3))
+    ftyp ++ box("moov", mvhd, trak) ++ mdat
+  }
+
+  test("Mp4.parse reads width/height/fps/duration from real moov bytes") {
+    val meta = Mp4.parse(mp4Bytes()).get
+    assert(meta == Mp4.VideoMeta(640, 360, 24.0, 10000L))
+  }
+
+  test("Mp4.parse quarantines garbage, truncation, and audio-only files") {
+    assert(Mp4.parse("not an mp4 at all".getBytes).isEmpty)
+    assert(Mp4.parse(mp4Bytes().take(40)).isEmpty) // truncated mid-moov
+    assert(Mp4.parse(mp4Bytes(handler = "soun")).isEmpty) // no video track
+    assert(Mp4.parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("videoMetaFromBytes feeds frameSampleGrid with hand-computed indices") {
+    import spark.implicits._
+    val df = Seq((1L, mp4Bytes()), (2L, "junk".getBytes)).toDF("id", "payload")
+      .select(col("id"), Multimodal.videoMetaFromBytes(col("payload")).as("meta"))
+    // schema matches videoMeta exactly (so downstream operators are
+    // agnostic to whether metadata came from bytes or from columns)
+    assert(df.schema("meta").dataType ==
+      Seq((1, 1, 1.0, 1L)).toDF("a", "b", "c", "d")
+        .select(Multimodal.videoMeta(col("a"), col("b"), col("c"), col("d")).as("m"))
+        .schema("m").dataType)
+    val rows = df.collect().sortBy(_.getLong(0))
+    assert(rows(1).isNullAt(1), "junk payload must quarantine to null")
+    val m = rows(0).getStruct(1)
+    assert((m.getInt(0), m.getInt(1), m.getDouble(2), m.getLong(3)) == ((640, 360, 24.0, 10000L)))
+    // 240 frames at 24 fps, every 48th → indices 0,48,96,144,192 with
+    // ts_ms = floor(idx * 1000 / 24)
+    val frames = Multimodal.sampleFrames(df.filter(col("id") === 1L), everyNth = 48)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(frames == Seq(0, 48, 96, 144, 192).map(i => (i, i * 1000L / 24)))
+  }
+
   test("peak is the max absolute amplitude") {
     import spark.implicits._
     val p = Seq(Seq(0.25f, -0.75f, 0.5f)).toDF("s")

@@ -30,6 +30,29 @@ class RelationalSpec extends SparkSpec {
     (p +: kids.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
   }
 
+  test("q14 approx_count_distinct stays within the HLL error bound of exact (sf0.01)") {
+    // q14 is the one registered query with no DuckDB oracle (the HLL
+    // sketch is engine-specific) — this closes its verification gap
+    // quantitatively: per l_returnflag group, |approx − exact| must be
+    // within 3·ε·exact for ε = 0.02 (the rsd passed in approxDistinct;
+    // 3 standard deviations ≈ 99.7% bound, and the estimator is
+    // deterministic for a fixed input, so this cannot flake).
+    val dir = "/root/testdata/sf0.01"
+    val approx = Relational.approxDistinct(spark, dir)
+      .select("l_returnflag", "approx_parts").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    for ((flag, ex) <- exact) {
+      val ap = approx(flag)
+      assert(math.abs(ap - ex) <= 3 * 0.02 * ex,
+        s"group $flag: approx $ap vs exact $ex exceeds the 3ε bound")
+    }
+  }
+
   test("all registered queries are non-empty and deterministic at sf0.001") {
     for (q <- Relational.defs ++ Events.defs) {
       val df = q.build(spark, sfDir)
