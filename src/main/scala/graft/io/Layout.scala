@@ -78,12 +78,24 @@ object Layout {
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val liT = s"graft_li_bucketed_$suffix"
     val oT = s"graft_ord_bucketed_$suffix"
+    // The in-memory catalog dies with the session but the warehouse
+    // directory does not: a table "unknown" to this session may still
+    // have files on disk from a previous run, which saveAsTable refuses
+    // to overwrite. Clear the stale location before the first write.
+    def dropStaleLocation(table: String): Unit = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
     if (!spark.catalog.tableExists(liT)) {
+      dropStaleLocation(liT)
       writeBucketed(Tables.lineitem(spark, dir)
         .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"),
         liT, "l_orderkey", numBuckets = 16)
     }
     if (!spark.catalog.tableExists(oT)) {
+      dropStaleLocation(oT)
       writeBucketed(Tables.orders(spark, dir)
         .select("o_orderkey", "o_orderdate", "o_orderpriority"),
         oT, "o_orderkey", numBuckets = 16)
