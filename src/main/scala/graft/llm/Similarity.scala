@@ -221,10 +221,11 @@ object Similarity {
     // verified k times, but the merge-walk kernel is so cheap that k
     // redundant verifications of broadcast-joined rows cost less than
     // shuffling the full raw candidate set through an early distinct
-    // (re-measured with the codegen kernels: early distinct 6.0s vs 4.9s
-    // warm at sf0.1 — the raw-candidate dedup exchange costs more than
-    // the redundant verifications it saves). The verified set is ~10x
-    // smaller, so the remaining distinct is on slim survivors.
+    // (re-measured after the rep-space collapse, 2026-08-12: early
+    // distinct 3.04s vs 2.14s q41 min-of-3 at sf0.1 — even at 2.47M rows
+    // the dedup exchange costs more than the redundant verifications it
+    // saves). The verified set is ~10x smaller, so the remaining
+    // distinct is on slim survivors.
     cand
       .join(broadcast(sets.select(col("gid").as("gid_a"), col("hs").as("hs_a"))), Seq("gid_a"))
       .join(broadcast(sets.select(col("gid").as("gid_b"), col("hs").as("hs_b"))), Seq("gid_b"))

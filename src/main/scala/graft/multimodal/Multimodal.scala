@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * for decode / feature-extract / frame-sample.
   *
   * The reference handles only images (real decode via graft.images
-  * .ImageCodec / javax.imageio). This container has no audio/video codec
-  * libraries, so the byte→samples decode here is a clearly-marked
-  * DETERMINISTIC STUB — the schemas, partitioning behavior, per-row vs
-  * per-partition amortization, and window/feature math are the real,
-  * tested plumbing a codec would drop into.
+  * .ImageCodec / javax.imageio). What is REAL here without any codec
+  * library: WAV/AIFF/AU sample decode (javax.sound.sampled), WAV/AIFF/AU
+  * + MP3 audio METADATA ([[audioMetaFromBytes]]) and MP4/QuickTime video
+  * METADATA ([[videoMetaFromBytes]]) parsed from raw bytes. What remains
+  * a clearly-marked DETERMINISTIC STUB: MP3/AAC/OGG sample decode and
+  * video frame decode — for those, the schemas, partitioning behavior,
+  * per-row vs per-partition amortization, and window/feature math are
+  * the real, tested plumbing a codec would drop into.
   *
   * Scale notes: payloads stay opaque binary until a kernel needs them
   * (column pruning skips them entirely for metadata-only queries —
@@ -32,6 +35,31 @@ object Multimodal {
     struct(sampleRate.cast("int").as("sample_rate"),
       channels.cast("int").as("channels"),
       durationMs.cast("long").as("duration_ms"))
+
+  /** REAL audio metadata from payload bytes — header-only, no sample
+    * decode: WAV/AIFF/AU via AudioSystem.getAudioFileFormat (reads only
+    * the container header) and MP3 via [[Mp3.parse]]'s frame-header walk.
+    * Returns a struct with [[audioMeta]]'s exact schema, or null when no
+    * parser recognizes the payload — quarantine, as everywhere. The
+    * audio analog of header-only image dims: metadata queries never
+    * touch sample data, so column pruning + this keep a metadata scan
+    * I/O-proportional to headers. */
+  val audioMetaFromBytes: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        val viaJdk =
+          try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(payload))
+            val f = aff.getFormat
+            if (aff.getFrameLength <= 0 || f.getFrameRate <= 0 || f.getSampleRate <= 0) None
+            else Some(Mp3.AudioMeta(f.getSampleRate.toInt, f.getChannels,
+              (aff.getFrameLength * 1000.0 / f.getFrameRate).toLong))
+          } catch { case _: Exception => None }
+        viaJdk.orElse(Mp3.parse(payload)).orNull
+      }
+    }
 
   /** Typed video metadata: STRUCT<width, height, fps, duration_ms>. */
   def videoMeta(width: Column, height: Column, fps: Column, durationMs: Column): Column =

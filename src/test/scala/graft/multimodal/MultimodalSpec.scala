@@ -79,6 +79,50 @@ class MultimodalSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  // -------------------------------------------------- MP3 frame-header walk
+
+  /** MPEG1 Layer III 44100 Hz 128 kbps stereo frames, no padding:
+    * header FF FB 90 00, frame length 144·128000/44100 = 417 bytes. */
+  private def mp3Bytes(nFrames: Int, id3Junk: Int = 0): Array[Byte] = {
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](417 - 4)(0)
+    val id3 =
+      if (id3Junk == 0) Array.empty[Byte]
+      else Array[Byte]('I', 'D', '3', 4, 0, 0,
+        ((id3Junk >> 21) & 0x7f).toByte, ((id3Junk >> 14) & 0x7f).toByte,
+        ((id3Junk >> 7) & 0x7f).toByte, (id3Junk & 0x7f).toByte) ++
+        Array.fill[Byte](id3Junk)(0x55)
+    id3 ++ Array.fill(nFrames)(frame).flatten
+  }
+
+  test("Mp3.parse: rate/channels from the header, duration from the frame walk") {
+    val meta = Mp3.parse(mp3Bytes(38)).get
+    // 38 frames x 1152 samples / 44100 Hz = 992.6 ms
+    assert(meta == Mp3.AudioMeta(44100, 2, 38L * 1152 * 1000 / 44100))
+    // an ID3v2 tag (and its junk payload) is skipped via syncsafe length
+    assert(Mp3.parse(mp3Bytes(38, id3Junk = 100)) == Some(meta))
+    assert(Mp3.parse("definitely not audio".getBytes).isEmpty)
+    assert(Mp3.parse(Array.empty[Byte]).isEmpty)
+  }
+
+  test("audioMetaFromBytes: WAV via JDK header, MP3 via frame walk, junk to null") {
+    import spark.implicits._
+    val wav = wavBytes(Array.fill[Short](8000)(1000), sampleRate = 16000)
+    val df = Seq((1L, wav), (2L, mp3Bytes(38)), (3L, "junk".getBytes))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.audioMetaFromBytes(col("payload")).as("meta"))
+    assert(df.schema("meta").dataType ==
+      Seq((1, 1, 1L)).toDF("a", "b", "c")
+        .select(Multimodal.audioMeta(col("a"), col("b"), col("c")).as("m"))
+        .schema("m").dataType)
+    val rows = df.collect().sortBy(_.getLong(0))
+    val w = rows(0).getStruct(1)
+    assert((w.getInt(0), w.getInt(1), w.getLong(2)) == ((16000, 1, 500L)))
+    val m = rows(1).getStruct(1)
+    assert((m.getInt(0), m.getInt(1), m.getLong(2)) == ((44100, 2, 38L * 1152 * 1000 / 44100)))
+    assert(rows(2).isNullAt(1))
+  }
+
   // ------------------------------------------------------- MP4 moov parsing
 
   /** ISO-BMFF box writer: [u32 size][4cc][payload]. */
