@@ -253,8 +253,19 @@ object Similarity {
     * exactly one of those cases, so no final distinct is needed — the
     * 958k-row doc-pair set never passes through a dedup exchange. */
   def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val grps = shingleGroups(spark, dir)
-    val within = grps.filter(size(col("members")) > 1)
+    // ONE materialization of the groups aggregate: grps feeds the within
+    // branch, the two expansion attaches, and repPairsFromGroups' three
+    // internal references — without the checkpoint each reference re-runs
+    // the corpus scan + hash-aggregate (no plan CSE across union/join
+    // branches). Blocks are reclaimed by the ContextCleaner once the
+    // returned frame is GC'd.
+    val grps = shingleGroups(spark, dir).localCheckpoint(false)
+    // size(hs) > 0 is load-bearing, not an optimization: token-free docs
+    // (empty/whitespace text) share hs = [] and would expand to pairs
+    // with jaccard "1.0", but the verify kernel computes 0/0 -> NULL for
+    // them (filtered), and the oracle emits no sigs at all — emitting
+    // the pair would diverge from both
+    val within = grps.filter(size(col("members")) > 1 && size(col("hs")) > 0)
       .select(size(col("hs")).cast("long").as("n_shared"), col("members"))
       .select(col("n_shared"), explode(col("members")).as("id_a"), col("members"))
       .select(col("id_a"),
@@ -748,11 +759,13 @@ object Similarity {
     * contraction within components). The contracted graph has one node
     * per distinct round-1 label and one edge per distinct cross-label
     * pair — for near-dup graphs (dense cliques of mutually-similar docs)
-    * that is orders of magnitude smaller than |E|: at sf0.1 the 958k-pair
-    * graph contracts to a few hundred supernodes, so the iterative rounds
-    * touch thousands of rows instead of millions (round 2 ran every round
-    * over the full 1.9M-row sym frame; measured q55 7.8s → the loop was
-    * ~5s of it).
+    * that is orders of magnitude smaller than |E|: at sf0.1 the 958k
+    * verified doc pairs are already only 28.5k rep-space edges (identical
+    * shingle sets collapsed), and those contract to a few hundred
+    * supernodes, so the iterative rounds touch thousands of rows instead
+    * of millions (round 2 ran every round over the full 1.9M-row
+    * symmetrized doc-pair frame; measured q55 7.8s → the loop was ~5s of
+    * it, now ~0.4s).
     *
     * Phase 2 is the round-2 loop verbatim, on the contracted graph:
     * min-over-neighbors plus pointer jumping, converged when the global
@@ -857,8 +870,10 @@ object Similarity {
     // … and a multi-doc group with NO cross-set edges is still a cluster
     // (its docs are pairwise near-dups of each other), labeled by itself.
     // Single-doc groups without edges are not in any pair → excluded,
-    // matching the doc-space formulation exactly.
-    val standalone = grps.filter(size(col("members")) > 1)
+    // matching the doc-space formulation exactly. Token-free docs
+    // (hs = []) are excluded too: their pairwise verification is 0/0 →
+    // NULL → no edge in the doc-space graph.
+    val standalone = grps.filter(size(col("members")) > 1 && size(col("hs")) > 0)
       .join(inGraph.select(col("node")), col("gid") === col("node"), "left_anti")
       .select(col("gid").as("node"), col("gid").as("lbl"))
     inGraph.union(standalone)
@@ -955,7 +970,7 @@ object Similarity {
     // Both edge directions go through ONE generator (no Union — union
     // branches would re-execute the pair pipeline, the exact regression
     // the plan spec locks out).
-    val grps = shingleGroups(spark, dir)
+    val grps = shingleGroups(spark, dir).localCheckpoint(false)
     val nbrMin = repPairsFromGroups(grps)
       .select(explode(array(
           struct(col("gid_a").as("g"), col("gid_b").as("n")),
@@ -965,8 +980,11 @@ object Similarity {
     val dupIds = grps
       .join(broadcast(nbrMin), col("gid") === col("g"), "left")
       .select(col("members"),
+        // size(hs) > 0: token-free docs verify to NULL jaccard in doc
+        // space (0/0), so an empty-set group contributes no within pairs
         least(coalesce(col("nbr_min"), none),
-          when(size(col("members")) > 1, col("gid")).otherwise(none)).as("t"))
+          when(size(col("members")) > 1 && size(col("hs")) > 0, col("gid"))
+            .otherwise(none)).as("t"))
       .select(explode(filter(col("members"), m => m > col("t"))).as("doc_id"))
     val flagged = base.join(dupIds.withColumn("is_dup_b", lit(true)),
         Seq("doc_id"), "left")

@@ -69,6 +69,7 @@ object Mp4 {
     * layer/volume + 36 matrix); v1's 64-bit times push that to +88. */
   private def tkhdDims(b: Array[Byte], x: Box): Option[(Int, Int)] = {
     val v = b(x.start) & 0xff
+    if (v != 0 && v != 1) return None // unknown version: quarantine, don't misread
     val off = if (v == 1) x.start + 88 else x.start + 76
     if (x.end - off >= 8) Some((u16(b, off), u16(b, off + 4))) else None
   }

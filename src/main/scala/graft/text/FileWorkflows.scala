@@ -51,9 +51,18 @@ object FileWorkflows {
                       maxBytes: Long = 256L << 20): String = {
     Sinks.requireEmptyDir(outDir)
     val glob = s"$inDir/*.[tT][xX][tT]"
-    TextOps.requireBoundedGroups(
-      spark.read.option("wholetext", "true").text(glob),
-      lit(inDir), octet_length(col("value")).cast("long") + 2L, maxBytes)
+    // Size guard from file METADATA (globStatus), not a data pass: a
+    // wholetext row's octet_length equals the file's byte length, so
+    // summing FileStatus lengths is the same bound at listing cost —
+    // the payload is read exactly once (by the merge itself)
+    val globPath = new org.apache.hadoop.fs.Path(glob)
+    val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val statuses = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
+    val totalBytes = statuses.map(_.getLen + 2L).sum
+    if (totalBytes > maxBytes)
+      throw new IllegalStateException(
+        s"merge groups exceed $maxBytes bytes: $inDir=${totalBytes}B — " +
+          "split the source or raise the bound")
     val joined = spark.read.option("wholetext", "true").text(glob)
       .select(decodedName(input_file_name()).as("file"), col("value"))
       .agg(array_join(

@@ -106,6 +106,28 @@ class SimilaritySpec extends SparkSpec {
       "funnel plan contains a union — per-stage subtree re-execution is back")
   }
 
+  test("token-free documents never pair (empty shingle set is not jaccard 1)") {
+    import spark.implicits._
+    // Two empty/whitespace docs share hs = [] — the verify kernel scores
+    // such a pair 0/0 → NULL and the oracle emits no signatures for it,
+    // so neither the pair expansion, the clusters, nor q50's id_b
+    // membership may treat the group as duplicates.
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptydoc").toString
+    Seq(
+      (1L, "", "s1"), (2L, "   \n  ", "s1"),
+      (3L, "alpha beta gamma", "s1"), (4L, "alpha beta gamma", "s1"),
+      (5L, "totally different words here", "s1"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val pairs = Similarity.lshVerifiedPairs(spark, dir)
+      .select("id_a", "id_b", "n_shared", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(pairs == Seq((3L, 4L, 3L, 1.0)), s"got $pairs")
+    val clusters = Similarity.nearDupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(clusters == Seq((3L, 2L, 4L)), s"got $clusters")
+  }
+
   test("near-dup clusters: every verified pair lands in one cluster; reps are minima") {
     val pairs = Similarity.lshVerifiedPairs(spark, sfDir)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))

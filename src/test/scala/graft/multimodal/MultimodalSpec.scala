@@ -194,6 +194,25 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == Seq(0, 48, 96, 144, 192).map(i => (i, i * 1000L / 24)))
   }
 
+  test("container parsers are total: random and mutated bytes never throw") {
+    val rnd = new scala.util.Random(42) // fixed seed — deterministic
+    for (_ <- 1 to 300) {
+      val junk = Array.fill[Byte](rnd.nextInt(256))(rnd.nextInt().toByte)
+      Mp4.parse(junk); Mp3.parse(junk) // must return, never throw
+    }
+    // bit-flip mutations of VALID files: the dangerous inputs are the
+    // almost-well-formed ones (sizes/offsets corrupted mid-tree)
+    val mp4 = mp4Bytes(); val mp3 = mp3Bytes(4)
+    for (_ <- 1 to 300) {
+      val m4 = mp4.clone(); val i4 = rnd.nextInt(m4.length)
+      m4(i4) = (m4(i4) ^ (1 << rnd.nextInt(8))).toByte
+      Mp4.parse(m4)
+      val m3 = mp3.clone(); val i3 = rnd.nextInt(m3.length)
+      m3(i3) = (m3(i3) ^ (1 << rnd.nextInt(8))).toByte
+      Mp3.parse(m3)
+    }
+  }
+
   test("peak is the max absolute amplitude") {
     import spark.implicits._
     val p = Seq(Seq(0.25f, -0.75f, 0.5f)).toDF("s")

@@ -179,6 +179,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     def ts(min: Long): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
     val base = 24L * 60 // noon, in minutes
+    // REAL micro-batch boundaries: the query is started first and
+    // processAllAvailable() runs between addData calls (data added
+    // before start() would all land in one batch with watermark 0).
     // batch 1: user 1 at 12:00 → open session [12:00, 12:30), watermark
     // after the batch = 11:00
     // batch 2: user 1 at 11:10 and 11:20 — above the watermark, both
@@ -188,15 +191,19 @@ class StreamingSpec extends SparkSpec {
     // batch 3: sentinel user -1 far in the future advances the watermark
     // past every real horizon so all real sessions time out and emit.
     val stream = MemoryStream[Streaming.EventRow]
-    stream.addData(Streaming.EventRow(1L, ts(base), 1L, "a", 1.0))
-    stream.addData(
-      Streaming.EventRow(2L, ts(base - 50), 1L, "a", 2.0),
-      Streaming.EventRow(3L, ts(base - 40), 1L, "a", 3.0))
-    stream.addData(Streaming.EventRow(-1L, ts(base + 240), -1L, "flush", 0.0))
     val q = Streaming.sessionCloseEvents(stream.toDF())
       .writeStream.format("memory").queryName("t_late_merge")
       .outputMode(OutputMode.Append()).start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      stream.addData(Streaming.EventRow(1L, ts(base), 1L, "a", 1.0))
+      q.processAllAvailable()
+      stream.addData(
+        Streaming.EventRow(2L, ts(base - 50), 1L, "a", 2.0),
+        Streaming.EventRow(3L, ts(base - 40), 1L, "a", 3.0))
+      q.processAllAvailable()
+      stream.addData(Streaming.EventRow(-1L, ts(base + 240), -1L, "flush", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
     val got = spark.table("t_late_merge")
       .filter(col("user_id") =!= -1L)
       .select("sess_start", "sess_end", "n_events")
@@ -206,6 +213,37 @@ class StreamingSpec extends SparkSpec {
       (ts(base - 50), ts(base - 40 + 30), 2L), // the merged late pair
       (ts(base), ts(base + 30), 1L))
     assert(got == want, s"expected $want, got $got")
+  }
+
+  test("a late event bridging two open sessions merges them into one") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
+    val base = 24L * 60
+    // batch 1: 12:00 → open A=[12:00]; batch 2: 11:10 (late, disjoint:
+    // envelope gap) → open B=[11:10] buffered in STATE alongside A;
+    // batch 3: 11:35 touches BOTH (11:35 ≤ 11:10+30 and ≥ 12:00−30) →
+    // A and B must merge into one session [11:10, 12:30) n=3, exactly
+    // session_window's answer (gaps 25 and 25 minutes, both ≤ 30).
+    // Query started first so each addData is a genuine micro-batch and
+    // the watermark advances between them.
+    val stream = MemoryStream[Streaming.EventRow]
+    val q = Streaming.sessionCloseEvents(stream.toDF())
+      .writeStream.format("memory").queryName("t_bridge")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      Seq(Streaming.EventRow(1L, ts(base), 1L, "a", 1.0),
+        Streaming.EventRow(2L, ts(base - 50), 1L, "a", 2.0),
+        Streaming.EventRow(3L, ts(base - 25), 1L, "a", 3.0),
+        Streaming.EventRow(-1L, ts(base + 240), -1L, "flush", 0.0))
+        .foreach { e => stream.addData(e); q.processAllAvailable() }
+    } finally q.stop()
+    val got = spark.table("t_bridge")
+      .filter(col("user_id") =!= -1L)
+      .select("sess_start", "sess_end", "n_events")
+      .collect().toSeq
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2)))
+    assert(got == Seq((ts(base - 50), ts(base + 30), 3L)), s"got $got")
   }
 
   test("late data beyond the watermark is dropped in append mode") {
