@@ -53,6 +53,22 @@ object SketchKernels {
     * per element inside an interpreted lambda). */
   def tokensHash60(text: Column, mod: Long, distinctSorted: Boolean): Column =
     ColumnBridge.column(TokensHash60Expr(ColumnBridge.expression(text), mod, distinctSorted))
+
+  /** Fused winnowing kernel: hash every k-CODEPOINT gram of the (already
+    * normalized) text to the 60-bit md5 prefix mod `mod`, take the
+    * minimum of each w-wide window, return the DISTINCT minima sorted
+    * ascending. One compiled pass replaces the HOF chain
+    * `array_distinct(transform(seq, j => array_min(slice(transform(seq,
+    * i => pmod(hash60(substr(norm,i,k)), p)), j, w))))`, which pays four
+    * interpreted nodes per gram plus a slice allocation per window — and
+    * which Catalyst will happily SUBSTITUTE wholesale into pushed-down
+    * filters (see TextOps.decontaminate). Set-identical to the HOF form
+    * (consumers use fps as a set: q54 digests size/min/max, q57 joins);
+    * the HOF's first-occurrence order is not preserved. Substrings are
+    * taken by CODE POINT, matching Spark's `substr` and DuckDB's
+    * `substr` exactly (byte offsets would diverge on multibyte text). */
+  def winnowFps(norm: Column, k: Int, w: Int, mod: Long): Column =
+    ColumnBridge.column(WinnowFpsExpr(ColumnBridge.expression(norm), k, w, mod))
 }
 
 case class MinhashSignatureExpr(child: Expression, a: Array[Long], b: Array[Long], p: Long)
@@ -167,6 +183,82 @@ object TokensHash60 {
   }
 
   private val splitPattern = java.util.regex.Pattern.compile("\\s+")
+}
+
+object WinnowFps {
+  /** Static entry the generated code calls. */
+  def compute(norm: org.apache.spark.unsafe.types.UTF8String,
+              k: Int, w: Int, mod: Long): ArrayData = {
+    val s = norm.toString
+    // char index of each codepoint start, so gram substrings are taken by
+    // CODE POINT (Spark/DuckDB substr semantics), not UTF-16 unit
+    val nChars = s.length
+    var cps = 0
+    val cpStart = new Array[Int](nChars + 1)
+    var ci = 0
+    while (ci < nChars) {
+      cpStart(cps) = ci
+      cps += 1
+      ci += Character.charCount(s.codePointAt(ci))
+    }
+    cpStart(cps) = nChars
+    val nGrams = cps - (k - 1)
+    val nWins = nGrams - (w - 1)
+    if (nWins <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val bytes = s.substring(cpStart(i), cpStart(i + k))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hs(i) = TokensHash60.hash60(bytes) % mod
+      i += 1
+    }
+    val mins = new Array[Long](nWins)
+    var j = 0
+    while (j < nWins) {
+      var m = hs(j)
+      var q = 1
+      while (q < w) { if (hs(j + q) < m) m = hs(j + q); q += 1 }
+      mins(j) = m
+      j += 1
+    }
+    java.util.Arrays.sort(mins)
+    var n = 1
+    var r = 1
+    while (r < nWins) {
+      if (mins(r) != mins(n - 1)) { mins(n) = mins(r); n += 1 }
+      r += 1
+    }
+    val out = if (n != nWins) java.util.Arrays.copyOf(mins, n) else mins
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+case class WinnowFpsExpr(child: Expression, k: Int, w: Int, mod: Long)
+    extends UnaryExpression {
+  require(k > 0 && w > 0 && mod > 0, "winnow parameters must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.WinnowFps.compute($s, $k, $w, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
 }
 
 case class TokensHash60Expr(child: Expression, mod: Long, distinctSorted: Boolean)

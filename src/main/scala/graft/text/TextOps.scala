@@ -344,36 +344,40 @@ object TextOps {
     * downstream expressions, and inlining a non-trivial expression into a
     * HOF lambda re-evaluates it per element (the round-1 64× md5 blowup).
     * Guarded for texts shorter than one gram / one window. */
-  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
-    val K = 8 // gram length (chars)
-    val W = 4 // winnow window (grams)
-    val P = graft.llm.Similarity.P
-    import graft.llm.Similarity.hash60 // the one engine-portable hash definition
-    val nGrams = (length(col("norm")) - (K - 1)).cast("int")
-    val nWins = (size(col("hs")) - (W - 1)).cast("int")
+  val WinnowK = 8 // gram length (codepoints)
+  val WinnowW = 4 // winnow window (grams)
+
+  /** (doc_id, n_grams, fps) — the winnow fingerprint SET per document,
+    * shared by q54's digest and q57's decontamination join. Fingerprints
+    * come from the fused codegen kernel (SketchKernels.winnowFps): one
+    * compiled pass per row instead of four interpreted HOF nodes per
+    * gram plus a slice per window. Set-identical to the HOF formulation
+    * (spec-asserted in SketchKernelsSpec); every consumer treats fps as
+    * a set. Normalization stays in Spark expressions so the oracle twin
+    * is line-for-line. */
+  private def winnowFps(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
         lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
       .select(col("doc_id"),
-        when(nGrams > 0,
-          transform(sequence(lit(1), nGrams), i =>
-            pmod(hash60(col("norm").substr(i, lit(K))), lit(P))))
-          .otherwise(array().cast("array<bigint>")).as("hs"))
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"),
-        when(nWins > 0,
-          array_distinct(transform(sequence(lit(1), nWins), j =>
-            array_min(slice(col("hs"), j, lit(W))))))
-          .otherwise(array().cast("array<bigint>")).as("fps"))
+        greatest(length(col("norm")) - (WinnowK - 1), lit(0)).cast("long").as("n_grams"),
+        graft.functions.SketchKernels
+          .winnowFps(col("norm"), WinnowK, WinnowW, graft.llm.Similarity.P).as("fps"))
+
+
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame =
+    winnowFps(spark, dir)
       .select(col("doc_id"), col("n_grams"),
         size(col("fps")).cast("long").as("n_fp"),
         array_min(col("fps")).as("fp_min"),
         array_max(col("fps")).as("fp_max"))
       .orderBy(col("doc_id"))
-  }
 
-  val winnowFingerprintsSql: String = {
+  /** Shared oracle CTE prefix: per-doc winnow fingerprint sets (twin of
+    * [[winnowFps]]). MATERIALIZED — q57 references `w` twice. */
+  private val winnowCteSql: String = {
     val p = graft.llm.Similarity.P
-    s"""WITH nrm AS (
+    s"""nrm AS (
        |  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
        |  FROM documents
        |), g AS (
@@ -381,16 +385,67 @@ object TextOps {
        |    [CAST(concat('0x', substr(md5(substr(norm, i, 8)), 1, 15)) AS BIGINT) % $p
        |     for i in range(1, greatest(length(norm) - 7, 0) + 1)] AS hs
        |  FROM nrm
-       |), w AS (
+       |), w AS MATERIALIZED (
        |  SELECT doc_id, len(hs) AS n_grams,
        |    list_distinct([list_min(hs[j:j+3]) for j in range(1, greatest(len(hs) - 3, 0) + 1)]) AS fps
        |  FROM g
-       |)
+       |)""".stripMargin
+  }
+
+  val winnowFingerprintsSql: String =
+    s"""WITH $winnowCteSql
        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
        |  CAST(len(fps) AS BIGINT) AS n_fp,
        |  list_min(fps) AS fp_min, list_max(fps) AS fp_max
        |FROM w ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination (q57) — the training-data hygiene step the
+    * other dedup tiers don't cover: before training, any corpus document
+    * that textually overlaps an EVALUATION/benchmark document must be
+    * dropped, or downstream eval scores are contaminated. Overlap test =
+    * shared winnow fingerprints (q54's scheme): a shared fingerprint is
+    * implied by any shared normalized substring of length ≥ k+w-1 = 11
+    * chars, the standard n-gram-overlap decontamination shape.
+    *
+    * Here the "benchmark" probe set is doc_id < 20 (self-contained on the
+    * harness tables); a real deployment passes its eval suite instead.
+    * Output: each contaminated corpus doc with its count of matching
+    * fingerprints (n_hits) — review-then-drop, not silent deletion.
+    *
+    * 100 TB shape: benchmarks are tiny (thousands of docs), so the probe
+    * fingerprint set is collected into a BROADCAST and the corpus side is
+    * one narrow explode + broadcast hash join + per-doc count — no
+    * shuffle of corpus data at all beyond the final doc_id aggregation,
+    * and the corpus is scanned exactly once. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    // The checkpoint is a CORRECTNESS-OF-COST barrier, not a cache nicety:
+    // explode() makes Catalyst infer `size(fps) > 0 AND isnotnull(fps)`
+    // and push it below the projections, SUBSTITUTING the whole winnow
+    // expression chain into a per-row Filter — where the hs-transform gets
+    // inlined inside the window lambda and re-evaluated per window, an
+    // O(n_grams²)-md5 interpreted blowup (observed: sf0.01 ran >20 min on
+    // one core; with the barrier the whole query is sub-second). It also
+    // keeps the probe and corpus branches from computing the fingerprints
+    // twice (no plan CSE).
+    val fps = winnowFps(spark, dir).localCheckpoint(false)
+    val probe = fps.filter(col("doc_id") < 20)
+      .select(explode(col("fps")).as("fp")).distinct()
+    fps.filter(col("doc_id") >= 20)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .join(broadcast(probe), Seq("fp"))
+      // fps is distinct within a doc and probe is distinct, so each
+      // (doc_id, fp) row is unique — count(*) IS the distinct-hit count
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
   }
+
+  val decontaminateSql: String =
+    s"""WITH $winnowCteSql,
+       |probe AS (SELECT DISTINCT unnest(fps) AS fp FROM w WHERE doc_id < 20),
+       |corp AS (SELECT doc_id, unnest(fps) AS fp FROM w WHERE doc_id >= 20)
+       |SELECT doc_id, COUNT(*) AS n_hits
+       |FROM corp JOIN probe USING (fp)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
@@ -403,6 +458,7 @@ object TextOps {
     QueryDef("q27_lang_id", langId, Some(langIdSql)),
     QueryDef("q34_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q35_train_val_split", trainValSplit, Some(trainValSplitSql)),
-    QueryDef("q54_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql))
+    QueryDef("q54_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql)),
+    QueryDef("q57_decontaminate", decontaminate, Some(decontaminateSql))
   )
 }
