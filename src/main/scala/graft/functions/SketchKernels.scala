@@ -66,7 +66,10 @@ object SketchKernels {
     * (consumers use fps as a set: q54 digests size/min/max, q57 joins);
     * the HOF's first-occurrence order is not preserved. Substrings are
     * taken by CODE POINT, matching Spark's `substr` and DuckDB's
-    * `substr` exactly (byte offsets would diverge on multibyte text). */
+    * `substr` exactly (byte offsets would diverge on multibyte text).
+    * NULL-propagating (standard UnaryExpression semantics) — callers
+    * that need the HOF's NULL→[] contract coalesce the input to ''
+    * (TextOps.winnowFps does). */
   def winnowFps(norm: Column, k: Int, w: Int, mod: Long): Column =
     ColumnBridge.column(WinnowFpsExpr(ColumnBridge.expression(norm), k, w, mod))
 }

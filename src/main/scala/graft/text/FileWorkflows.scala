@@ -54,11 +54,24 @@ object FileWorkflows {
     // Size guard from file METADATA (globStatus), not a data pass: a
     // wholetext row's octet_length equals the file's byte length, so
     // summing FileStatus lengths is the same bound at listing cost —
-    // the payload is read exactly once (by the merge itself)
+    // the payload is read exactly once (by the merge itself). A
+    // DIRECTORY matching the glob is expanded one level (that is what
+    // spark.read.text does with a directory input), so its contents
+    // count toward the bound rather than its ~0-byte metadata length.
+    // Like any listing-based bound, files appended between this check
+    // and the merge read escape it — same TOCTOU window the reference's
+    // sequential loop has.
     val globPath = new org.apache.hadoop.fs.Path(glob)
     val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
-    val totalBytes = statuses.map(_.getLen + 2L).sum
+    val totalBytes = statuses.flatMap { st =>
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).filter(_.isFile)
+          .filterNot { f =>
+            val n = f.getPath.getName; n.startsWith("_") || n.startsWith(".")
+          }
+      else Array(st)
+    }.map(_.getLen + 2L).sum
     if (totalBytes > maxBytes)
       throw new IllegalStateException(
         s"merge groups exceed $maxBytes bytes: $inDir=${totalBytes}B — " +

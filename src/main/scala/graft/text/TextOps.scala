@@ -356,9 +356,12 @@ object TextOps {
     * a set. Normalization stays in Spark expressions so the oracle twin
     * is line-for-line. */
   private def winnowFps(spark: SparkSession, dir: String): DataFrame =
+    // coalesce: the kernel is null-propagating (UnaryExpression), but the
+    // round-2 HOF contract — and the oracle twin — give a NULL text an
+    // EMPTY fingerprint set; '' produces exactly that
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+        lower(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " ")).as("norm"))
       .select(col("doc_id"),
         greatest(length(col("norm")) - (WinnowK - 1), lit(0)).cast("long").as("n_grams"),
         graft.functions.SketchKernels
@@ -378,7 +381,7 @@ object TextOps {
   private val winnowCteSql: String = {
     val p = graft.llm.Similarity.P
     s"""nrm AS (
-       |  SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS norm
+       |  SELECT doc_id, lower(regexp_replace(COALESCE(text, ''), '\\s+', ' ', 'g')) AS norm
        |  FROM documents
        |), g AS (
        |  SELECT doc_id,

@@ -82,50 +82,49 @@ class SketchKernelsSpec extends SparkSpec {
     }
   }
 
-  test("winnowFps kernel ≡ HOF gram-hash∘window-min chain as a SET over the corpus") {
-    // HOF formulation exactly as q54 shipped it in round 2 (codepoint
-    // substrings, md5-prefix hash, w-window minima, distinct)
+  /** HOF winnow formulation exactly as q54 shipped it in round 2
+    * (codepoint substrings, md5-prefix hash, w-window minima, distinct;
+    * sorted here for set comparison) — the ONE reference both the corpus
+    * and edge-case winnow checks compare the kernel against. Input frame
+    * needs a `norm` column; adds `fps_hof` and `fps_kernel`. */
+  private def withWinnowBoth(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val K = graft.text.TextOps.WinnowK
     val W = graft.text.TextOps.WinnowW
     val nGrams = (length(col("norm")) - (K - 1)).cast("int")
     val nWins = (size(col("hs")) - (W - 1)).cast("int")
-    val hof = graft.Tables.documents(spark, sfDir)
-      .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
-      .select(col("doc_id"), col("norm"),
+    df.withColumn("hs",
         when(nGrams > 0,
           transform(sequence(lit(1), nGrams), i =>
             pmod(hash60(col("norm").substr(i, lit(K))), lit(P))))
-          .otherwise(array().cast("array<bigint>")).as("hs"))
-      .select(col("doc_id"), col("norm"),
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("fps_hof",
         when(nWins > 0,
           array_sort(array_distinct(transform(sequence(lit(1), nWins), j =>
             array_min(slice(col("hs"), j, lit(W)))))))
-          .otherwise(array().cast("array<bigint>")).as("fps_hof"))
-    val both = hof.withColumn("fps_kernel",
-      SketchKernels.winnowFps(col("norm"), K, W, P))
-    val rows = both.select("doc_id", "fps_hof", "fps_kernel").collect()
+          .otherwise(array().cast("array<bigint>")))
+      .withColumn("fps_kernel", SketchKernels.winnowFps(col("norm"), K, W, P))
+  }
+
+  test("winnowFps kernel ≡ HOF gram-hash∘window-min chain as a SET over the corpus") {
+    val rows = withWinnowBoth(
+      graft.Tables.documents(spark, sfDir)
+        .select(col("doc_id"), lower(regexp_replace(col("text"), "\\s+", " ")).as("norm")))
+      .select("doc_id", "fps_hof", "fps_kernel").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       assert(r.getSeq[Long](1) == r.getSeq[Long](2),
         s"winnow divergence at doc ${r.getLong(0)}")
     }
-    // multibyte + short-text edges: codepoint (not byte/UTF-16) substrings
+    // multibyte + short-text + null edges: codepoint (not byte/UTF-16)
+    // substrings; NULL text goes through the coalesce('') callers apply
     import spark.implicits._
-    val edge = Seq("", "short", "exactly8", "ünïcödé ünïcödé ünïcödé",
-      "日本語のテキストです、これはテストです", "a b c d e f g h i j k")
-      .toDF("norm")
-      .select(col("norm"),
-        when((length(col("norm")) - (K - 1)).cast("int") > 0,
-          transform(sequence(lit(1), (length(col("norm")) - (K - 1)).cast("int")), i =>
-            pmod(hash60(col("norm").substr(i, lit(K))), lit(P))))
-          .otherwise(array().cast("array<bigint>")).as("hs"))
-      .select(col("norm"),
-        when((size(col("hs")) - (W - 1)).cast("int") > 0,
-          array_sort(array_distinct(transform(sequence(lit(1), (size(col("hs")) - (W - 1)).cast("int")), j =>
-            array_min(slice(col("hs"), j, lit(W)))))))
-          .otherwise(array().cast("array<bigint>")).as("fps_hof"))
-      .withColumn("fps_kernel", SketchKernels.winnowFps(col("norm"), K, W, P))
-      .collect()
+    val edge = withWinnowBoth(
+      Seq(Some(""), Some("short"), Some("exactly8"), None,
+        Some("ünïcödé ünïcödé ünïcödé"),
+        Some("日本語のテキストです、これはテストです"), Some("a b c d e f g h i j k"))
+        .toDF("text")
+        .select(coalesce(col("text"), lit("")).as("norm")))
+      .select("norm", "fps_hof", "fps_kernel").collect()
     edge.foreach { r =>
       assert(r.getSeq[Long](1) == r.getSeq[Long](2),
         s"winnow divergence on edge case '${r.getString(0)}'")

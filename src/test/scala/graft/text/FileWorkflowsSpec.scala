@@ -109,4 +109,19 @@ class FileWorkflowsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains(in.toString), s"folder not named in: ${e.getMessage}")
   }
+
+  test("mergeTextFolder guard counts the CONTENTS of a directory matching the glob") {
+    // a directory named *.txt matches the glob; spark.read.text reads the
+    // files inside it, so the guard must bound those bytes, not the
+    // directory's ~0-byte metadata length
+    val in = tmp("fw-dirglob-in")
+    val dir = in.resolve("nested.txt")
+    Files.createDirectory(dir)
+    Files.write(dir.resolve("payload.txt"), ("y" * 4096 + "\n").getBytes(UTF_8))
+    val outDir = tmp("fw-dirglob-out").resolve("out")
+    val e = intercept[IllegalStateException] {
+      FileWorkflows.mergeTextFolder(spark, in.toString, outDir.toString, maxBytes = 1024L)
+    }
+    assert(e.getMessage.contains(in.toString), s"folder not named in: ${e.getMessage}")
+  }
 }
