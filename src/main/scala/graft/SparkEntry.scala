@@ -14,6 +14,7 @@ object SparkEntry {
     relational.Relational.defs ++
       relational.Events.defs ++
       text.TextOps.defs ++
+      text.CorpusStats.defs ++
       images.Geometry.defs ++
       llm.Similarity.defs ++
       io.Layout.defs

@@ -1,0 +1,319 @@
+package graft.text
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-level statistics and hygiene operators for training-data
+  * pipelines — the quality/mixing tier that sits between the per-doc
+  * scoring in [[TextOps]] (q24-q27, q34-q35) and the dedup cascade in
+  * `llm.Similarity` (q40-q55):
+  *
+  *  - repetition signals (Gopher-style): per-doc duplicate-word and
+  *    top-n-gram fractions, the standard heuristics for machine-generated
+  *    or boilerplate text [Rae et al., Gopher, arXiv:2112.11446 §A1.1];
+  *  - vocabulary coverage: corpus word-frequency table with cumulative
+  *    coverage — the first step of tokenizer/vocab construction;
+  *  - stratified sampling: deterministic hash-bucket sampling at
+  *    per-language rates — the "data mixing" step that reweights corpus
+  *    composition without a shuffle or RNG state;
+  *  - PII redaction: regex scrubbing of emails / IPv4s / phone numbers,
+  *    the pre-release hygiene pass.
+  *
+  * All four are expressed as declarative DataFrame plans over the harness
+  * `documents` table with DuckDB oracle twins.
+  */
+object CorpusStats {
+  import TextOps.tokens
+
+  // ---------------------------------------------------------------------
+  // q58: repetition signals (Gopher-style quality heuristics)
+  // ---------------------------------------------------------------------
+
+  /** Per-document repetition stats: duplicate-word fraction, most-frequent
+    * word fraction, most-frequent word-bigram fraction, and a composite
+    * `repetitious` flag.
+    *
+    * 100 TB shape: one explode per n-gram order, each feeding a two-level
+    * hash aggregation — (doc_id, term) partial counts combine map-side, so
+    * the shuffle carries at most |doc| distinct terms per doc, not raw
+    * tokens. Bigrams come from a per-row array transform over the
+    * materialized token array (NOT a window `lead` over an exploded frame:
+    * that would globally sort every token of every document per doc —
+    * a far bigger exchange than re-scanning the column-pruned text field,
+    * which is all the second branch costs). The two branches are both
+    * hash-partitioned by doc_id after their final aggregation, so the join
+    * that recombines them reuses that partitioning without a new exchange.
+    * Docs too short for grams keep a row via the left joins (all-zero
+    * stats), so the output is total over the corpus. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+
+    val words = base
+      .select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        max(col("n")).cast("long").as("top_word_n"))
+
+    // sequence(1, n) with n <= 0 DESCENDS or throws — guard before building
+    val nBg = size(col("toks")) - 1
+    val bigramArr = when(nBg > 0,
+      transform(sequence(lit(1), nBg), i =>
+        concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bigrams = base
+      .select(col("doc_id"), explode(bigramArr).as("b"))
+      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).cast("long").as("n_bigrams"),
+        max(col("n")).cast("long").as("top_bigram_n"))
+
+    // ratios are double divisions of identical integers => exact in both
+    // engines (same pattern as q25)
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(words, Seq("doc_id"), "left")
+      .join(bigrams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("top_word_n"), lit(0L)).as("top_word_n"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+      .withColumn("dup_word_frac",
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_distinct")) / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("top_word_frac",
+        when(col("n_tokens") > 0, col("top_word_n") / col("n_tokens")).otherwise(lit(0.0)))
+      .withColumn("top_bigram_frac",
+        when(col("n_bigrams") > 0, col("top_bigram_n") / col("n_bigrams")).otherwise(lit(0.0)))
+      .withColumn("repetitious",
+        col("dup_word_frac") > 0.5 || col("top_word_frac") > 0.1 || col("top_bigram_frac") > 0.05)
+      .orderBy(col("doc_id"))
+  }
+
+  val repetitionSignalsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), wc AS (
+      |  SELECT doc_id, w, COUNT(*) AS n
+      |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2
+      |), ws AS (
+      |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+      |    CAST(MAX(n) AS BIGINT) AS top_word_n
+      |  FROM wc GROUP BY 1
+      |), bc AS (
+      |  SELECT doc_id, b, COUNT(*) AS n
+      |  FROM (SELECT doc_id,
+      |          unnest([toks[i] || ' ' || toks[i+1] for i in range(1, greatest(len(toks) - 1, 0) + 1)]) AS b
+      |        FROM t) GROUP BY 1, 2
+      |), bs AS (
+      |  SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams, CAST(MAX(n) AS BIGINT) AS top_bigram_n
+      |  FROM bc GROUP BY 1
+      |), j AS (
+      |  SELECT t.doc_id,
+      |    COALESCE(n_tokens, 0) AS n_tokens, COALESCE(n_distinct, 0) AS n_distinct,
+      |    COALESCE(top_word_n, 0) AS top_word_n,
+      |    COALESCE(n_bigrams, 0) AS n_bigrams, COALESCE(top_bigram_n, 0) AS top_bigram_n
+      |  FROM t LEFT JOIN ws ON t.doc_id = ws.doc_id LEFT JOIN bs ON t.doc_id = bs.doc_id
+      |)
+      |SELECT doc_id, n_tokens, n_distinct, top_word_n, n_bigrams, top_bigram_n,
+      |  CASE WHEN n_tokens > 0 THEN (n_tokens - n_distinct) / n_tokens ELSE 0.0 END AS dup_word_frac,
+      |  CASE WHEN n_tokens > 0 THEN top_word_n / n_tokens ELSE 0.0 END AS top_word_frac,
+      |  CASE WHEN n_bigrams > 0 THEN top_bigram_n / n_bigrams ELSE 0.0 END AS top_bigram_frac,
+      |  (CASE WHEN n_tokens > 0 THEN (n_tokens - n_distinct) / n_tokens ELSE 0.0 END > 0.5
+      |   OR CASE WHEN n_tokens > 0 THEN top_word_n / n_tokens ELSE 0.0 END > 0.1
+      |   OR CASE WHEN n_bigrams > 0 THEN top_bigram_n / n_bigrams ELSE 0.0 END > 0.05) AS repetitious
+      |FROM j ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q59: vocabulary coverage (tokenizer-construction prep)
+  // ---------------------------------------------------------------------
+
+  /** Corpus word-frequency table with cumulative coverage: the top-50
+    * words by frequency, each with its share and the running share of the
+    * vocabulary so far — the curve a tokenizer builder reads to size a
+    * vocab.
+    *
+    * 100 TB shape: the distributed work is the explode + hash aggregation
+    * (map-side partial combine reduces each partition to its distinct
+    * words). The ranking windows then run over the AGGREGATED vocab table,
+    * which is ≤ |vocabulary| rows regardless of corpus size — the
+    * single-partition window is over thousands of rows, not the corpus
+    * (same aggregated-frame-first pattern as q37's percentiles). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val order = Window.orderBy(col("n").desc, col("w"))
+    counts
+      .withColumn("rank", row_number().over(order).cast("long"))
+      .withColumn("cum_n",
+        sum(col("n")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total_n", sum(col("n")).over(Window.partitionBy()))
+      .filter(col("rank") <= 50)
+      .select(col("rank"), col("w"), col("n").cast("long").as("n"),
+        (col("cum_n") / col("total_n")).as("cum_frac"))
+      .orderBy(col("rank"))
+  }
+
+  val vocabCoverageSql: String =
+    """WITH c AS (
+      |  SELECT w, COUNT(*) AS n
+      |  FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      |        FROM documents)
+      |  GROUP BY w
+      |), r AS (
+      |  SELECT w, CAST(n AS BIGINT) AS n,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC, w) AS BIGINT) AS rank,
+      |    CAST(SUM(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+      |    CAST(SUM(n) OVER () AS BIGINT) AS total_n
+      |  FROM c
+      |)
+      |SELECT rank, w, n, cum_n / total_n AS cum_frac
+      |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q60: deterministic stratified sampling (data mixing)
+  // ---------------------------------------------------------------------
+
+  /** Per-language sampling rates in basis points (integer, so the keep
+    * test is an exact integer comparison in both engines). The shape of a
+    * training-mix config: downsample the dominant language, keep the rest
+    * at intermediate rates. */
+  private val MixRatesBp: Seq[(String, Int)] =
+    Seq("en" -> 9000, "zh" -> 5000, "de" -> 7000, "es" -> 7000, "fr" -> 7000)
+  private val MixDefaultBp = 2500
+
+  /** Deterministic stratified (per-language) sample: bucket =
+    * md5("mix:" ++ text) mod 10000, keep iff bucket < rate_bp(lang).
+    * Content-hash bucketing (not `rand()`) means the sample is
+    * reproducible across runs/retries/engines, duplicate texts sample
+    * identically, and — because the decision is a per-row expression — the
+    * whole pass is shuffle-free until the reporting aggregation. The
+    * "mix:" salt makes this decision independent of q35's split bucketing
+    * (different salt ⇒ uncorrelated buckets from the same md5 machinery).
+    *
+    * Output: per-language audit of the mix — docs/tokens kept vs total. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rateBp = MixRatesBp.foldRight(lit(MixDefaultBp)) { case ((l, bp), acc) =>
+      when(col("lang") === l, lit(bp)).otherwise(acc)
+    }
+    val bucket = pmod(
+      conv(substring(md5(concat(lit("mix:"), col("text"))), 1, 15), 16, 10).cast("long"),
+      lit(10000))
+    Tables.documents(spark, dir)
+      .withColumn("rate_bp", rateBp)
+      .withColumn("keep", bucket < col("rate_bp"))
+      .groupBy(col("lang"), col("rate_bp"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("keep"), size(tokens(col("text")))).otherwise(0)).cast("long").as("kept_tokens"),
+        min(when(col("keep"), col("doc_id"))).as("first_kept"))
+      .withColumn("rate_bp", col("rate_bp").cast("long"))
+      .orderBy(col("lang"))
+  }
+
+  val stratifiedSampleSql: String = {
+    val cases = MixRatesBp.map { case (l, bp) => s"WHEN lang = '$l' THEN $bp" }.mkString(" ")
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE $cases ELSE $MixDefaultBp END AS rate_bp,
+       |    CAST(concat('0x', substr(md5('mix:' || text), 1, 15)) AS BIGINT) % 10000 AS bucket
+       |  FROM documents
+       |)
+       |SELECT lang, CAST(rate_bp AS BIGINT) AS rate_bp, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN bucket < rate_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN bucket < rate_bp
+       |    THEN len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) ELSE 0 END) AS BIGINT) AS kept_tokens,
+       |  MIN(CASE WHEN bucket < rate_bp THEN doc_id END) AS first_kept
+       |FROM s GROUP BY lang, rate_bp ORDER BY lang NULLS FIRST""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q61: PII redaction
+  // ---------------------------------------------------------------------
+
+  /** PII patterns, kept to constructs Java regex and DuckDB's RE2 read
+    * identically: no backreferences, no lookaround; word boundaries and
+    * non-capturing groups are common to both. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\b[0-9]{3}[-.][0-9]{3}[-.][0-9]{4}\\b"
+
+  /** Redact emails → `<EMAIL>`, IPv4s → `<IP>`, phone-shaped numbers →
+    * `<PHONE>`. Email first: its pattern can contain dots+digits that the
+    * later passes would otherwise partially consume. Pure codegen'd
+    * expressions — no UDF. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** q61: redaction over contact-enriched documents. The harness corpus is
+    * synthetic word soup with no PII, so the query plants deterministic
+    * contact strings derived from real columns (doc_id, source) and then
+    * proves the scrubber removes them: counts per PII class before
+    * redaction, and the md5 of the redacted text — which the DuckDB oracle
+    * recomputes independently, so both the planting and the scrubbing are
+    * cross-engine-verified. The operator itself ([[redactPii]]) is the
+    * deliverable; the enrichment is the verification harness.
+    *
+    * 100 TB shape: narrow per-row string expressions only — no shuffle,
+    * no UDF; whole-stage codegen end to end until the final sort. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val enriched = concat(
+      col("text"),
+      lit(" contact u"), col("doc_id").cast("string"), lit("@"), col("source"),
+      lit(".example.com via "),
+      lit("10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 tel 555-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+      lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), enriched.as("enriched"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("enriched"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("enriched"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
+        size(regexp_extract_all(col("enriched"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        length(redactPii(col("enriched"))).cast("long").as("redacted_len"),
+        md5(redactPii(col("enriched"))).as("redacted_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  val piiRedactSql: String =
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |    text || ' contact u' || doc_id || '@' || source || '.example.com via ' ||
+       |    '10.0.' || (doc_id % 256) || '.7 tel 555-' ||
+       |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+       |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS enriched
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, enriched,
+       |    regexp_replace(regexp_replace(regexp_replace(enriched,
+       |      '$EmailRe', '<EMAIL>', 'g'),
+       |      '$Ipv4Re', '<IP>', 'g'),
+       |      '$PhoneRe', '<PHONE>', 'g') AS redacted
+       |  FROM e
+       |)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(enriched, '$EmailRe')) AS n_emails,
+       |  len(regexp_extract_all(enriched, '$Ipv4Re')) AS n_ips,
+       |  len(regexp_extract_all(enriched, '$PhoneRe')) AS n_phones,
+       |  length(redacted) AS redacted_len,
+       |  md5(redacted) AS redacted_md5
+       |FROM r ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
+    QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
+    QueryDef("q60_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
+    QueryDef("q61_pii_redact", piiRedact, Some(piiRedactSql))
+  )
+}

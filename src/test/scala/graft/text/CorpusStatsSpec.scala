@@ -1,0 +1,108 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Corpus-statistics operators: independent Scala recomputations (not the
+  * DuckDB oracle, which the driver runs) plus targeted edge cases. */
+class CorpusStatsSpec extends SparkSpec {
+
+  private def scalaTokens(s: String): Seq[String] =
+    s.split("\\s+").filter(_.nonEmpty).toSeq
+
+  test("redactPii scrubs emails, IPv4s and phones; leaves near-misses alone") {
+    import spark.implicits._
+    val cases = Seq(
+      ("mail me at jane.doe+spam@sub.example.org today",
+        "mail me at <EMAIL> today"),
+      ("server 192.168.0.1 and 10.2.3.4 up", "server <IP> and <IP> up"),
+      ("call 555-123-4567 or 555.987.6543", "call <PHONE> or <PHONE>"),
+      ("a@b.co 1.2.3.4 111-222-3333", "<EMAIL> <IP> <PHONE>"),
+      // near-misses stay: no TLD, 3 octets, 4-3-4 digit phone, version string
+      ("a@b 1.2.3 5555-123-4567 v1.2.3.4beta", "a@b 1.2.3 5555-123-4567 v1.2.3.4beta"),
+      ("no pii here", "no pii here"))
+    val out = cases.map(_._1).toDF("t")
+      .select(CorpusStats.redactPii(col("t")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("repetitionSignals matches an independent Scala recomputation (sf0.001)") {
+    val got = CorpusStats.repetitionSignals(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val toks = scalaTokens(docs(r.getLong(0)).toLowerCase)
+      val wc = toks.groupBy(identity).map(_._2.size)
+      val bgs = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      val bc = bgs.groupBy(identity).map(_._2.size)
+      assert(r.getLong(1) == toks.size, s"n_tokens doc ${r.getLong(0)}")
+      assert(r.getLong(2) == wc.size, s"n_distinct doc ${r.getLong(0)}")
+      assert(r.getLong(3) == (if (wc.isEmpty) 0 else wc.max), s"top_word_n doc ${r.getLong(0)}")
+      assert(r.getLong(4) == bgs.size, s"n_bigrams doc ${r.getLong(0)}")
+      assert(r.getLong(5) == (if (bc.isEmpty) 0 else bc.max), s"top_bigram_n doc ${r.getLong(0)}")
+      val dup = if (toks.isEmpty) 0.0 else (toks.size - wc.size).toDouble / toks.size
+      assert(r.getDouble(6) == dup, s"dup_word_frac doc ${r.getLong(0)}")
+    }
+  }
+
+  test("vocabCoverage: rank-1 is the corpus mode, coverage is monotone in (0,1]") {
+    val rows = CorpusStats.vocabCoverage(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val freq = graft.Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap(r => scalaTokens(r.getString(0).toLowerCase))
+      .groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    val expectedTop = freq.toSeq.sortBy { case (w, n) => (-n, w) }.take(rows.length)
+    rows.zip(expectedTop).zipWithIndex.foreach { case ((r, (w, n)), i) =>
+      assert(r.getLong(0) == i + 1)
+      assert(r.getString(1) == w, s"rank ${i + 1} word")
+      assert(r.getLong(2) == n, s"rank ${i + 1} count")
+    }
+    val fracs = rows.map(_.getDouble(3))
+    assert(fracs.zip(fracs.tail).forall { case (a, b) => a < b }, "cum_frac strictly increases")
+    assert(fracs.head > 0.0 && fracs.last <= 1.0)
+    // full-vocab sanity: if the whole vocab fits in 50 rows, coverage ends at 1
+    if (freq.size <= 50) assert(fracs.last == 1.0)
+  }
+
+  test("stratifiedSample matches a Scala md5-bucket recomputation per language") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val rates = Map("en" -> 9000, "zh" -> 5000, "de" -> 7000, "es" -> 7000, "fr" -> 7000)
+    def bucket(text: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(("mix:" + text).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 10000
+    }
+    val expected = docs.groupBy(_._2).map { case (lang, g) =>
+      val bp = rates.getOrElse(lang, 2500)
+      val kept = g.filter(d => bucket(d._3) < bp)
+      (lang, (g.length.toLong, kept.length.toLong,
+        if (kept.isEmpty) None else Some(kept.map(_._1).min)))
+    }
+    val got = CorpusStats.stratifiedSample(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == expected.keySet)
+    got.foreach { r =>
+      val (nDocs, nKept, firstKept) = expected(r.getString(0))
+      assert(r.getLong(2) == nDocs, s"n_docs ${r.getString(0)}")
+      assert(r.getLong(3) == nKept, s"n_kept ${r.getString(0)}")
+      assert((if (r.isNullAt(5)) None else Some(r.getLong(5))) == firstKept,
+        s"first_kept ${r.getString(0)}")
+    }
+  }
+
+  test("piiRedact plants and scrubs exactly one of each PII class per doc") {
+    val rows = CorpusStats.piiRedact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 1L, s"n_emails doc ${r.getLong(0)}")
+      assert(r.getLong(2) == 1L, s"n_ips doc ${r.getLong(0)}")
+      assert(r.getLong(3) == 1L, s"n_phones doc ${r.getLong(0)}")
+    }
+  }
+}
