@@ -310,10 +310,126 @@ object CorpusStats {
        |  md5(redacted) AS redacted_md5
        |FROM r ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q62: fixed-stride token windows (context chunking)
+  // ---------------------------------------------------------------------
+
+  /** Window/stride for chunking: 32-token windows advancing 24 tokens, so
+    * consecutive chunks overlap by 8 tokens (the standard long-document
+    * chunking shape for fixed-context training/embedding). */
+  val ChunkW = 32
+  val ChunkS = 24
+
+  /** Split each document into overlapping fixed-stride token windows:
+    * chunk k covers tokens [k·S, min(k·S+W, n)) for k in [0, ceil(n/S)).
+    * The last windows may be shorter than W; every token belongs to ≥ 1
+    * chunk. Emits one row per chunk with its token count, first token and
+    * an md5 digest of the joined window (so the oracle verifies CONTENT,
+    * not just shape).
+    *
+    * 100 TB shape: tokenize once into a materialized array column, then a
+    * per-row transform + explode — narrow, shuffle-free, whole-stage
+    * codegen until the output sort. Chunk fan-out is bounded by n/S per
+    * doc, so output size is ~(W/S)× input tokens by construction. */
+  def tokenWindows(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    val nChunks = ceil(n.cast("double") / ChunkS).cast("int")
+    // sequence(0, nChunks-1) DESCENDS when nChunks-1 < 0 — guard empties
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), nChunks - 1), k =>
+        struct(k.cast("long").as("chunk_id"),
+          slice(col("toks"), k * ChunkS + 1, least(lit(ChunkW), n - k * ChunkS)).as("chunk"))))
+      .otherwise(array().cast("array<struct<chunk_id:bigint,chunk:array<string>>>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.chunk_id").as("chunk_id"),
+        size(col("c.chunk")).cast("long").as("n_ctoks"),
+        element_at(col("c.chunk"), 1).as("first_tok"),
+        md5(array_join(col("c.chunk"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val tokenWindowsSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |    unnest([{'chunk_id': k,
+       |             'chunk': toks[k*$ChunkS+1 : least(k*$ChunkS+$ChunkW, len(toks))]}
+       |            for k in range(0, CAST(ceil(len(toks) / $ChunkS.0) AS BIGINT))]) AS ch
+       |  FROM t
+       |)
+       |SELECT doc_id, ch.chunk_id AS chunk_id,
+       |  len(ch.chunk) AS n_ctoks,
+       |  ch.chunk[1] AS first_tok,
+       |  md5(array_to_string(ch.chunk, ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q63: sequence packing into fixed token budgets
+  // ---------------------------------------------------------------------
+
+  /** Context budget for packing (tokens per training sequence). */
+  val PackC = 256
+
+  /** Pack documents into fixed token budgets: within each source (the
+    * pipeline's shard key), docs are taken in doc_id order and assigned to
+    * bin floor((cumulative_tokens − 1) / C) — i.e. each doc lands in the
+    * bin where its token interval ENDS. This is the contiguous-cumsum
+    * approximation of greedy first-fit packing: deterministic, one window
+    * pass, no sequential driver loop; a doc whose interval straddles a
+    * boundary counts against the bin it finishes in (real packers truncate
+    * or pad there — this audit reports `bin_tokens` so overflow is
+    * visible).
+    *
+    * 100 TB shape: the running sum partitions by source — each shard packs
+    * independently in parallel, which is exactly how a real pipeline packs
+    * (global sequential packing would serialize the corpus). One shuffle
+    * (by source) + per-partition sort; the report agg reuses the same
+    * partitioning. */
+  def sequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      // exact integer division (not floor(double)); greatest() keeps a
+      // leading zero-token doc at bin 0 (Spark `div` truncates toward 0,
+      // DuckDB `//` floors — they disagree only below zero)
+      .withColumn("bin_id", expr(s"greatest(cum - 1, 0L) div $PackC"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("bin_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  val sequencePackSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source,
+       |    len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_tokens
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, source, n_tokens,
+       |    CAST(greatest(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) - 1, 0) // $PackC AS BIGINT) AS bin_id
+       |  FROM d
+       |)
+       |SELECT source, bin_id, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM b GROUP BY source, bin_id ORDER BY source NULLS FIRST, bin_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("q60_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
-    QueryDef("q61_pii_redact", piiRedact, Some(piiRedactSql))
+    QueryDef("q61_pii_redact", piiRedact, Some(piiRedactSql)),
+    QueryDef("q62_token_windows", tokenWindows, Some(tokenWindowsSql)),
+    QueryDef("q63_sequence_pack", sequencePack, Some(sequencePackSql))
   )
 }

@@ -96,6 +96,56 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("tokenWindows matches a Scala sliding-window recomputation (sf0.001)") {
+    val W = CorpusStats.ChunkW
+    val S = CorpusStats.ChunkS
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val expected = docs.toSeq.flatMap { case (id, text) =>
+      val toks = scalaTokens(text.toLowerCase)
+      val nChunks = math.ceil(toks.size.toDouble / S).toInt
+      (0 until nChunks).map { k =>
+        val chunk = toks.slice(k * S, math.min(k * S + W, toks.size))
+        (id, k.toLong, chunk.size.toLong, chunk.head)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = CorpusStats.tokenWindows(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+    // every token is covered: sum of chunk tokens >= total tokens, and
+    // consecutive chunks overlap by exactly W - S when both are full
+    assert(got.map(_._3).sum >=
+      docs.valuesIterator.map(t => scalaTokens(t.toLowerCase).size.toLong).sum)
+  }
+
+  test("sequencePack: bins are contiguous per source and respect cumulative order") {
+    val C = CorpusStats.PackC
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), scalaTokens(r.getString(2)).size.toLong))
+    val expected = docs.toSeq.groupBy(_._2).toSeq.flatMap { case (src, g) =>
+      var cum = 0L
+      g.sortBy(_._1).map { case (id, _, n) =>
+        cum += n
+        (src, math.max(cum - 1, 0L) / C, id, n)
+      }
+    }.groupBy(t => (t._1, t._2)).map { case ((src, bin), rows) =>
+      (src, bin, rows.size.toLong, rows.map(_._4).sum,
+        rows.map(_._3).min, rows.map(_._3).max)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = CorpusStats.sequencePack(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expected)
+    // bins fill to ~C: every bin except possibly the last per source holds
+    // > 0 tokens and bin ids are dense from 0
+    got.groupBy(_._1).foreach { case (src, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids == (0L until ids.size).toSeq, s"dense bins for $src")
+    }
+  }
+
   test("piiRedact plants and scrubs exactly one of each PII class per doc") {
     val rows = CorpusStats.piiRedact(spark, sfDir).collect()
     assert(rows.nonEmpty)
