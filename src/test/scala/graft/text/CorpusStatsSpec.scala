@@ -2,6 +2,8 @@ package graft.text
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 
 /** Corpus-statistics operators: independent Scala recomputations (not the
   * DuckDB oracle, which the driver runs) plus targeted edge cases. */
@@ -144,6 +146,33 @@ class CorpusStatsSpec extends SparkSpec {
       val ids = bins.map(_._2).sorted
       assert(ids == (0L until ids.size).toSeq, s"dense bins for $src")
     }
+  }
+
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
+    df.collect()
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    def all(p: SparkPlan): Seq[SparkPlan] = {
+      val kids = p match {
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
+        case other => other.children
+      }
+      (p +: kids.flatMap(all)) ++ p.subqueries.flatMap(all)
+    }
+    all(unwrap(df.queryExecution.executedPlan))
+      .count(_.isInstanceOf[ShuffleExchangeExec])
+  }
+
+  test("plan locks: chunking/redaction are shuffle-free, sampling/packing one-shuffle") {
+    // the documented 100 TB shapes, made checkable: the only exchange in
+    // q61/q62 is the presentation sort; q60 adds its audit aggregation and
+    // q63 its per-source window — whose partitioning the report agg reuses
+    assert(shuffleCount(CorpusStats.piiRedact(spark, sfDir)) == 1, "q61: sort only")
+    assert(shuffleCount(CorpusStats.tokenWindows(spark, sfDir)) == 1, "q62: sort only")
+    assert(shuffleCount(CorpusStats.stratifiedSample(spark, sfDir)) == 2, "q60: agg + sort")
+    assert(shuffleCount(CorpusStats.sequencePack(spark, sfDir)) == 2, "q63: window + sort")
   }
 
   test("piiRedact plants and scrubs exactly one of each PII class per doc") {
