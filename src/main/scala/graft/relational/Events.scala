@@ -192,12 +192,50 @@ object Events {
       |SELECT event_id, user_id, ts, asof_ts, asof_value
       |FROM w WHERE is_probe ORDER BY event_id""".stripMargin
 
+  /** Interval (range) join: every purchase matched to each click by the
+    * same user in the preceding 30 minutes — the attribution query, and
+    * the batch twin of `streaming.Streaming.attributionJoin` (the spec
+    * proves stream/batch agreement). Equi-key `user_id` carries the
+    * shuffle; the time range rides along as a join filter, so the plan is
+    * one sort-merge join on user_id — NOT a cross product: at 100 TB the
+    * match fan-out is bounded by events-per-user-per-30min, and in the
+    * streaming form the same range bounds the join state retention. */
+  def attributionJoin(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val clicks = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    purchases.join(clicks, Seq("user_id"))
+      .filter(col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
+  val attributionJoinSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      |  FROM events WHERE event_type = 'purchase'
+      |)
+      |SELECT p.user_id, purchase_id, purchase_ts, click_id, click_ts, value
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND purchase_ts >= click_ts
+      |  AND purchase_ts <= click_ts + INTERVAL '30 minutes'
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),
     QueryDef("q17_events_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q18_events_daily_funnel", dailyFunnel, Some(dailyFunnelSql)),
     QueryDef("q19_session_window", sessionWindow, Some(sessionWindowSql)),
-    QueryDef("q36_asof_join", asofJoin, Some(asofJoinSql))
+    QueryDef("q36_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("q64_attribution_join", attributionJoin, Some(attributionJoinSql))
   )
 }

@@ -22,6 +22,36 @@ import graft.Exact._
   */
 object Streaming {
 
+  /** Stream-stream interval join (attribution): purchases matched to the
+    * same user's clicks within the preceding `windowMinutes` — streaming
+    * twin of `relational.Events.attributionJoin` (q64; the spec proves
+    * agreement on identical input).
+    *
+    * Both sides carry a watermark and the join condition carries the time
+    * range — together they let Spark BOUND the join state: buffered clicks
+    * are evicted once the purchase-side watermark passes
+    * `click_ts + windowMinutes`, and buffered purchases once the click
+    * side passes `purchase_ts`. Without the range the state store would
+    * grow forever; with it, state is O(events per watermark horizon).
+    * Inner joins emit on match (Append mode); both inputs shuffle on
+    * user_id exactly like the batch SMJ. */
+  def attributionJoin(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("click_id"), col("click_ts"), col("value"))
+  }
+
   /** File-source stream over a directory of event parquet (each new file is
     * a micro-batch — the standard landing-zone pattern). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

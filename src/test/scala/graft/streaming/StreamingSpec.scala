@@ -52,6 +52,22 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream attribution join matches the batch interval join (q64)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows()
+    val stream = MemoryStream[Streaming.EventRow]
+    val (first, second) = rows.splitAt(rows.size / 2)
+    stream.addData(first); stream.addData(second)
+    Streaming.runToMemory(Streaming.attributionJoin(stream.toDF()), "t_attrib",
+      OutputMode.Append())
+    val streamed = spark.table("t_attrib")
+      .orderBy("purchase_id", "click_id").collect().toSeq
+    val batch = graft.relational.Events.attributionJoin(spark, sfDir).collect().toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("watermark finalizes windows and drops late data (Append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
