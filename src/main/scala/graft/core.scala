@@ -80,6 +80,30 @@ object Dist {
       .drop("__pid", "__local_rn", "__offset")
   }
 
+  /** Unlock multi-core compute above an UNSPLITTABLE scan: repartition to
+    * the session's default parallelism IFF the frame currently plans fewer
+    * partitions (on splittable many-row-group inputs this is a no-op by
+    * the partition-count test). The harness parquet is written as ONE row
+    * group per table, so file-range splitting cannot parallelize those
+    * scans (a split that contains no row-group midpoint reads zero rows)
+    * and everything upstream of the first exchange runs on one core.
+    *
+    * Measured guidance (sf0.1, local[32], 2026-08-12): do NOT apply this
+    * routinely. The round-robin exchange re-ships the rows once from the
+    * single scan task and breaks scan→kernel→partial-agg stage fusion;
+    * for every registered query's kernel (MinHash/SimHash/winnow over
+    * ~300-char docs, int8 dot products, decimal aggs over 600k rows) that
+    * cost ≥ the parallelism gain — q41 2.42→2.83s, q07's agg 1.44→1.27s,
+    * rest neutral. It pays only when per-row compute ≫ per-row bytes:
+    * image/audio decode, model scoring, multi-KB documents — the decode
+    * paths in `images.Tiling` get their parallelism from binaryFile's
+    * many-files layout instead, which is why no registered query calls
+    * this today. */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Skew-mitigating equi-join: salt the big (skewed) side with
     * `pmod(saltSource, factor)` and replicate the small side `factor`
     * times, so one hot key's rows spread over `factor` reducers instead of

@@ -5,6 +5,18 @@ import org.apache.spark.sql.functions._
 
 class DistSpec extends SparkSpec {
 
+  test("fanOut widens single-partition frames and leaves wide frames alone") {
+    val single = Tables.documents(spark, sfDir) // one row group -> one split
+    assert(single.rdd.getNumPartitions == 1, "harness parquet should plan 1 split")
+    val fanned = Dist.fanOut(single)
+    assert(fanned.rdd.getNumPartitions == spark.sparkContext.defaultParallelism)
+    // values survive the round-robin exchange
+    assert(fanned.count() == single.count())
+    // already-parallel frames are untouched (no gratuitous exchange)
+    val wide = single.repartition(7)
+    assert(Dist.fanOut(wide).queryExecution.logical eq wide.queryExecution.logical)
+  }
+
   test("globalRowNumber matches the single-partition window row_number") {
     val docs = Tables.documents(spark, sfDir).select(col("doc_id"))
       .repartition(7) // scramble the layout first
