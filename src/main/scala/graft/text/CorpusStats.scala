@@ -275,14 +275,23 @@ object CorpusStats {
       lit("10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7 tel 555-"),
       lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
       lit("-"), lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
-    Tables.documents(spark, dir)
+    // fanOut: six regex passes per row (~200µs) dwarf the ~400 B the
+    // exchange re-ships — the one registered query where per-row compute
+    // is heavy enough that parallelizing the single-row-group scan pays
+    // (measured: 1.18s → see README; the sketch kernels measured the
+    // opposite and stay un-fanned)
+    graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), enriched.as("enriched"))
+      // materialize the redaction once: the chain is non-cheap and
+      // multi-referenced, so CollapseProject keeps the alias instead of
+      // inlining the three regex passes into both consumers
+      .withColumn("redacted", redactPii(col("enriched")))
       .select(col("doc_id"),
         size(regexp_extract_all(col("enriched"), lit(EmailRe), lit(0))).cast("long").as("n_emails"),
         size(regexp_extract_all(col("enriched"), lit(Ipv4Re), lit(0))).cast("long").as("n_ips"),
         size(regexp_extract_all(col("enriched"), lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
-        length(redactPii(col("enriched"))).cast("long").as("redacted_len"),
-        md5(redactPii(col("enriched"))).as("redacted_md5"))
+        length(col("redacted")).cast("long").as("redacted_len"),
+        md5(col("redacted")).as("redacted_md5"))
       .orderBy(col("doc_id"))
   }
 

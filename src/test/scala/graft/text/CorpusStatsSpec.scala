@@ -165,14 +165,16 @@ class CorpusStatsSpec extends SparkSpec {
       .count(_.isInstanceOf[ShuffleExchangeExec])
   }
 
-  test("plan locks: chunking/redaction are shuffle-free, sampling/packing one-shuffle") {
-    // the documented 100 TB shapes, made checkable: the only exchange in
-    // q61/q62 is the presentation sort; q60 adds its audit aggregation and
-    // q63 its per-source window — whose partitioning the report agg reuses
-    assert(shuffleCount(CorpusStats.piiRedact(spark, sfDir)) == 1, "q61: sort only")
+  test("plan locks: chunking is shuffle-free, sampling/packing/redaction one-shuffle") {
+    // the documented 100 TB shapes, made checkable: q62's only exchange is
+    // the presentation sort; q60 adds its audit aggregation, q63 its
+    // per-source window (whose partitioning the report agg reuses), and
+    // q61 the fanOut round-robin that parallelizes its regex passes above
+    // the unsplittable scan
     assert(shuffleCount(CorpusStats.tokenWindows(spark, sfDir)) == 1, "q62: sort only")
     assert(shuffleCount(CorpusStats.stratifiedSample(spark, sfDir)) == 2, "q60: agg + sort")
     assert(shuffleCount(CorpusStats.sequencePack(spark, sfDir)) == 2, "q63: window + sort")
+    assert(shuffleCount(CorpusStats.piiRedact(spark, sfDir)) == 2, "q61: fanOut + sort")
   }
 
   test("piiRedact plants and scrubs exactly one of each PII class per doc") {
