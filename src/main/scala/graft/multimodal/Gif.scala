@@ -1,0 +1,140 @@
+package graft.multimodal
+
+/** Animated-GIF frame decode and metadata — the one moving-image container
+  * the JDK ships a full codec for (javax.imageio's GIF plugin), so unlike
+  * MP4/MPEG this path is REAL end to end: pixels, per-frame delays,
+  * offsets and disposal all come from the actual payload, fully offline.
+  *
+  * This closes the "video frame decode is a stub" gap for GIF clips:
+  * [[Multimodal.videoMetaFromBytes]] recognizes GIF payloads through
+  * [[parse]] (so they flow through the same `videoMeta` schema and
+  * frame-sampling grid as MP4), and [[Multimodal.decodeGifFrames]]
+  * returns the decoded frames themselves.
+  *
+  * Decode contract: each frame is returned AS STORED (its own raster,
+  * with its logical-screen offset and disposal method) — inter-frame
+  * composition is the caller's choice, exactly as ImageIO exposes it.
+  * Pixels are digested per frame (exact integer channel sums + md5 of the
+  * ARGB raster) so tests and dedup can verify content without shipping
+  * rasters through the driver; [[frameArgb]] returns the raw pixels for
+  * kernels that need them.
+  *
+  * Malformed or non-GIF payloads yield None — the same
+  * quarantine-not-throw contract as Mp3/Mp4/ImageCodec.
+  */
+object Gif {
+
+  /** One decoded frame: raster dims/offset, timing, disposal, and exact
+    * pixel digests (channel sums are exact integers; md5 is of the
+    * row-major ARGB int stream, big-endian). */
+  final case class GifFrame(frame_idx: Int, width: Int, height: Int,
+                            x: Int, y: Int, delay_cs: Int, disposal: String,
+                            rgb_sum: Long, argb_md5: String)
+
+  private def reader(bytes: Array[Byte]) = {
+    val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    r.setInput(iis, false, false) // need metadata for delays/offsets
+    r
+  }
+
+  private def isGif(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length > 6 &&
+      bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == '8'
+
+  private def attr(node: org.w3c.dom.Node, name: String): Option[String] = {
+    val attrs = node.getAttributes
+    Option(attrs).flatMap(a => Option(a.getNamedItem(name))).map(_.getNodeValue)
+  }
+
+  private def findNodes(root: org.w3c.dom.Node, name: String): Seq[org.w3c.dom.Node] = {
+    val out = scala.collection.mutable.ArrayBuffer[org.w3c.dom.Node]()
+    def walk(n: org.w3c.dom.Node): Unit = {
+      if (n.getNodeName == name) out += n
+      var c = n.getFirstChild
+      while (c != null) { walk(c); c = c.getNextSibling }
+    }
+    walk(root)
+    out.toSeq
+  }
+
+  /** Decode every frame with its GraphicControlExtension timing and
+    * ImageDescriptor offset. None for non-GIF / undecodable payloads. */
+  def frames(bytes: Array[Byte]): Option[Seq[GifFrame]] = {
+    if (!isGif(bytes)) return None
+    try {
+      val r = reader(bytes)
+      try {
+        val n = r.getNumImages(true)
+        if (n <= 0) return None
+        Some((0 until n).map { i =>
+          val img = r.read(i)
+          val md = r.getImageMetadata(i)
+          val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+          val gce = findNodes(tree, "GraphicControlExtension").headOption
+          val desc = findNodes(tree, "ImageDescriptor").headOption
+          val delay = gce.flatMap(attr(_, "delayTime")).map(_.toInt).getOrElse(0)
+          val disposal = gce.flatMap(attr(_, "disposalMethod")).getOrElse("none")
+          val x = desc.flatMap(attr(_, "imageLeftPosition")).map(_.toInt).getOrElse(0)
+          val y = desc.flatMap(attr(_, "imageTopPosition")).map(_.toInt).getOrElse(0)
+          val w = img.getWidth
+          val h = img.getHeight
+          val argb = img.getRGB(0, 0, w, h, null, 0, w)
+          var rgbSum = 0L
+          val buf = java.nio.ByteBuffer.allocate(argb.length * 4)
+          argb.foreach { p =>
+            rgbSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            buf.putInt(p)
+          }
+          val md5 = java.security.MessageDigest.getInstance("MD5")
+            .digest(buf.array()).map("%02x".format(_)).mkString
+          GifFrame(i, w, h, x, y, delay, disposal, rgbSum, md5)
+        })
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+  }
+
+  /** Raw ARGB pixels of one frame (row-major ints), for kernels that need
+    * the raster itself rather than a digest. */
+  def frameArgb(bytes: Array[Byte], idx: Int): Option[Array[Int]] = {
+    if (!isGif(bytes)) return None
+    try {
+      val r = reader(bytes)
+      try {
+        if (idx < 0 || idx >= r.getNumImages(true)) None
+        else {
+          val img = r.read(idx)
+          Some(img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
+        }
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+  }
+
+  /** GIF clip → the SAME VideoMeta shape MP4 produces, so GIF payloads
+    * flow through videoMetaFromBytes / frameSampleGrid unchanged:
+    * width/height from the logical screen descriptor, duration as the sum
+    * of frame delays (centiseconds → ms), fps as frames over that span.
+    * A single-frame or all-zero-delay GIF is a still image: fps 0,
+    * duration 0 — the sampling grid then yields no frames, which is the
+    * right answer for a non-animation. */
+  def parse(bytes: Array[Byte]): Option[Mp4.VideoMeta] = {
+    if (!isGif(bytes)) return None
+    try {
+      val r = reader(bytes)
+      try {
+        val sm = r.getStreamMetadata
+        val tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
+        val lsd = findNodes(tree, "LogicalScreenDescriptor").headOption
+        val w = lsd.flatMap(attr(_, "logicalScreenWidth")).map(_.toInt)
+          .getOrElse(r.getWidth(0))
+        val h = lsd.flatMap(attr(_, "logicalScreenHeight")).map(_.toInt)
+          .getOrElse(r.getHeight(0))
+        val fs = frames(bytes).getOrElse(return None)
+        val durationMs = fs.map(_.delay_cs.toLong * 10).sum
+        val fps = if (durationMs > 0) fs.size * 1000.0 / durationMs else 0.0
+        Some(Mp4.VideoMeta(w, h, fps, durationMs))
+      } finally r.dispose()
+    } catch { case _: Exception => None }
+  }
+}

@@ -69,15 +69,29 @@ object Multimodal {
   /** REAL video metadata from payload bytes: walks the MP4/QuickTime
     * `moov` box tree ([[Mp4.parse]] — pure byte offsets, offline, no
     * codec): width/height from `tkhd`, duration from `mvhd`, fps from the
-    * `stts` sample deltas at the `mdhd` timescale. Returns a struct with
-    * [[videoMeta]]'s exact schema, or null for payloads that are not
-    * ISO-BMFF or carry no video track — the same quarantine contract as
-    * [[decodeAudioPcm]]. Header-cost only: `mdat` is never touched, so
-    * this composes with column pruning exactly like header-only image
-    * dims. */
+    * `stts` sample deltas at the `mdhd` timescale; animated GIF via
+    * [[Gif.parse]] (logical screen + per-frame delays). Returns a struct
+    * with [[videoMeta]]'s exact schema, or null for payloads neither
+    * parser recognizes — the same quarantine contract as
+    * [[decodeAudioPcm]]. MP4 stays header-cost only (`mdat` never
+    * touched); GIF walks frames, which IS the container's header-less
+    * reality. */
   val videoMetaFromBytes: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>
-      if (payload == null) null else Mp4.parse(payload).orNull
+      if (payload == null) null
+      else Mp4.parse(payload).orElse(Gif.parse(payload)).orNull
+    }
+
+  /** REAL video-frame decode for the one moving-image container the JDK
+    * ships a codec for: animated GIF ([[Gif.frames]]). One array element
+    * per frame — raster dims/offset, delay, disposal, exact pixel digests
+    * (integer channel sum + ARGB md5). explode() for one row per frame;
+    * [[Gif.frameArgb]] hands kernels the raster itself. MP4/AVC stays a
+    * declared stub (no offline JVM codec); this makes the frame-decode
+    * PATH real, not just its plumbing. */
+  val decodeGifFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null else Gif.frames(payload).map(_.toArray).orNull
     }
 
   // ------------------------------------------------------------ decode stub

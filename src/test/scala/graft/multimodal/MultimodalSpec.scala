@@ -213,6 +213,101 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  /** Write a real animated GIF (ImageIO sequence writer): one solid-color
+    * frame per (rgb, delay_cs) pair. */
+  private def makeGif(w: Int, h: Int, frames: Seq[(Int, Int)]): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for ((rgb, delayCs) <- frames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb))
+      g.fillRect(0, 0, w, h)
+      g.dispose()
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), param)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = {
+        var c = tree.getFirstChild
+        var found: IIOMetadataNode = null
+        while (c != null) {
+          if (c.getNodeName == "GraphicControlExtension")
+            found = c.asInstanceOf[IIOMetadataNode]
+          c = c.getNextSibling
+        }
+        if (found == null) {
+          val n = new IIOMetadataNode("GraphicControlExtension")
+          tree.appendChild(n); n
+        } else found
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new IIOImage(img, null, meta), param)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  test("Gif.frames: real multi-frame decode with exact pixel digests and delays") {
+    val w = 11; val h = 7
+    val spec = Seq((0xff0000, 12), (0x00ff00, 25), (0x0000ff, 50))
+    val gif = makeGif(w, h, spec)
+    val fs = Gif.frames(gif).get
+    assert(fs.size == 3)
+    fs.zip(spec).zipWithIndex.foreach { case ((f, (rgb, delay)), i) =>
+      assert(f.frame_idx == i && f.width == w && f.height == h)
+      assert(f.x == 0 && f.y == 0)
+      assert(f.delay_cs == delay, s"frame $i delay")
+      // solid primary color survives GIF palettization exactly
+      val chanSum = ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+      assert(f.rgb_sum == chanSum.toLong * w * h, s"frame $i rgb_sum")
+    }
+    // the raster itself: every pixel of frame 2 is opaque blue
+    val argb = Gif.frameArgb(gif, 2).get
+    assert(argb.length == w * h && argb.forall(_ == 0xff0000ff))
+    // digests distinguish frames
+    assert(fs.map(_.argb_md5).distinct.size == 3)
+  }
+
+  test("Gif.parse + videoMetaFromBytes route GIF clips through the video schema") {
+    import spark.implicits._
+    val gif = makeGif(5, 4, Seq((0xffffff, 10), (0x000000, 10), (0x808080, 10), (0x404040, 10)))
+    val meta = Gif.parse(gif).get
+    assert(meta.width == 5 && meta.height == 4)
+    assert(meta.duration_ms == 400) // 4 × 10 cs
+    assert(math.abs(meta.fps - 10.0) < 1e-9) // 4 frames / 0.4 s
+    // the UDF path: GIF payloads land in videoMeta's struct schema and
+    // feed the SAME sampling grid as MP4 clips
+    val df = Seq((1L, gif)).toDF("id", "payload")
+      .select(col("id"), Multimodal.videoMetaFromBytes(col("payload")).as("meta"))
+    val sampled = Multimodal.sampleFrames(df, everyNth = 2).collect()
+    assert(sampled.map(r => (r.getInt(1), r.getLong(2))).toSeq == Seq((0, 0L), (2, 200L)))
+    // decode UDF: one struct per frame, exploded
+    val n = Seq((1L, gif)).toDF("id", "payload")
+      .select(explode(Multimodal.decodeGifFrames(col("payload"))).as("f"))
+      .count()
+    assert(n == 4)
+    // quarantine: non-GIF bytes are null through both UDFs
+    val junk = Seq((2L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8))).toDF("id", "payload")
+      .select(Multimodal.videoMetaFromBytes(col("payload")).as("m"),
+        Multimodal.decodeGifFrames(col("payload")).as("f"))
+      .collect().head
+    assert(junk.isNullAt(0) && junk.isNullAt(1))
+  }
+
   test("peak is the max absolute amplitude") {
     import spark.implicits._
     val p = Seq(Seq(0.25f, -0.75f, 0.5f)).toDF("s")
