@@ -31,12 +31,20 @@ object Gif {
                             x: Int, y: Int, delay_cs: Int, disposal: String,
                             rgb_sum: Long, argb_md5: String)
 
-  private def reader(bytes: Array[Byte]) = {
+  /** Run `f` with a GIF reader over `bytes`, closing BOTH the reader and
+    * its ImageInputStream (dispose() does not close the stream — leaking
+    * it per row is exactly what a per-payload UDF would amplify). */
+  private def withReader[A](bytes: Array[Byte])(f: javax.imageio.ImageReader => A): A = {
     val r = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
-    r.setInput(iis, false, false) // need metadata for delays/offsets
-    r
+    try {
+      r.setInput(iis, false, false) // need metadata for delays/offsets
+      f(r)
+    } finally {
+      r.dispose()
+      iis.close()
+    }
   }
 
   private def isGif(bytes: Array[Byte]): Boolean =
@@ -59,19 +67,25 @@ object Gif {
     out.toSeq
   }
 
+  /** Per-frame GraphicControlExtension delay in centiseconds — metadata
+    * only, no raster decode. */
+  private def delayCs(r: javax.imageio.ImageReader, i: Int): Int = {
+    val tree = r.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
+    findNodes(tree, "GraphicControlExtension").headOption
+      .flatMap(attr(_, "delayTime")).map(_.toInt).getOrElse(0)
+  }
+
   /** Decode every frame with its GraphicControlExtension timing and
     * ImageDescriptor offset. None for non-GIF / undecodable payloads. */
   def frames(bytes: Array[Byte]): Option[Seq[GifFrame]] = {
     if (!isGif(bytes)) return None
     try {
-      val r = reader(bytes)
-      try {
+      withReader(bytes) { r =>
         val n = r.getNumImages(true)
-        if (n <= 0) return None
-        Some((0 until n).map { i =>
+        if (n <= 0) None
+        else Some((0 until n).map { i =>
           val img = r.read(i)
-          val md = r.getImageMetadata(i)
-          val tree = md.getAsTree("javax_imageio_gif_image_1.0")
+          val tree = r.getImageMetadata(i).getAsTree("javax_imageio_gif_image_1.0")
           val gce = findNodes(tree, "GraphicControlExtension").headOption
           val desc = findNodes(tree, "ImageDescriptor").headOption
           val delay = gce.flatMap(attr(_, "delayTime")).map(_.toInt).getOrElse(0)
@@ -91,7 +105,7 @@ object Gif {
             .digest(buf.array()).map("%02x".format(_)).mkString
           GifFrame(i, w, h, x, y, delay, disposal, rgbSum, md5)
         })
-      } finally r.dispose()
+      }
     } catch { case _: Exception => None }
   }
 
@@ -100,14 +114,13 @@ object Gif {
   def frameArgb(bytes: Array[Byte], idx: Int): Option[Array[Int]] = {
     if (!isGif(bytes)) return None
     try {
-      val r = reader(bytes)
-      try {
+      withReader(bytes) { r =>
         if (idx < 0 || idx >= r.getNumImages(true)) None
         else {
           val img = r.read(idx)
           Some(img.getRGB(0, 0, img.getWidth, img.getHeight, null, 0, img.getWidth))
         }
-      } finally r.dispose()
+      }
     } catch { case _: Exception => None }
   }
 
@@ -115,26 +128,30 @@ object Gif {
     * flow through videoMetaFromBytes / frameSampleGrid unchanged:
     * width/height from the logical screen descriptor, duration as the sum
     * of frame delays (centiseconds → ms), fps as frames over that span.
-    * A single-frame or all-zero-delay GIF is a still image: fps 0,
-    * duration 0 — the sampling grid then yields no frames, which is the
-    * right answer for a non-animation. */
+    * METADATA COST ONLY — frame counting and delays come from
+    * getImageMetadata, no raster is ever decoded here (that is
+    * [[frames]]' job), preserving the header-vs-pixels split the
+    * metadata path promises. A single-frame or all-zero-delay GIF is a
+    * still image: fps 0, duration 0 — the sampling grid then yields no
+    * frames, which is the right answer for a non-animation. */
   def parse(bytes: Array[Byte]): Option[Mp4.VideoMeta] = {
     if (!isGif(bytes)) return None
     try {
-      val r = reader(bytes)
-      try {
-        val sm = r.getStreamMetadata
-        val tree = sm.getAsTree("javax_imageio_gif_stream_1.0")
+      withReader(bytes) { r =>
+        val tree = r.getStreamMetadata.getAsTree("javax_imageio_gif_stream_1.0")
         val lsd = findNodes(tree, "LogicalScreenDescriptor").headOption
         val w = lsd.flatMap(attr(_, "logicalScreenWidth")).map(_.toInt)
           .getOrElse(r.getWidth(0))
         val h = lsd.flatMap(attr(_, "logicalScreenHeight")).map(_.toInt)
           .getOrElse(r.getHeight(0))
-        val fs = frames(bytes).getOrElse(return None)
-        val durationMs = fs.map(_.delay_cs.toLong * 10).sum
-        val fps = if (durationMs > 0) fs.size * 1000.0 / durationMs else 0.0
-        Some(Mp4.VideoMeta(w, h, fps, durationMs))
-      } finally r.dispose()
+        val n = r.getNumImages(true)
+        if (n <= 0) None
+        else {
+          val durationMs = (0 until n).map(delayCs(r, _).toLong * 10).sum
+          val fps = if (durationMs > 0) n * 1000.0 / durationMs else 0.0
+          Some(Mp4.VideoMeta(w, h, fps, durationMs))
+        }
+      }
     } catch { case _: Exception => None }
   }
 }

@@ -64,12 +64,16 @@ object FileWorkflows {
     val globPath = new org.apache.hadoop.fs.Path(glob)
     val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
-    val totalBytes = statuses.flatMap { st =>
+    // _/.-prefixed names are HIDDEN to Spark's file reader (its default
+    // PathFilter) even when the glob matches them directly — the guard
+    // must skip them at BOTH levels or a large _backup.txt would abort a
+    // merge whose actual read payload is tiny
+    def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
+      val n = p.getName; n.startsWith("_") || n.startsWith(".")
+    }
+    val totalBytes = statuses.filterNot(st => hidden(st.getPath)).flatMap { st =>
       if (st.isDirectory)
-        fs.listStatus(st.getPath).filter(_.isFile)
-          .filterNot { f =>
-            val n = f.getPath.getName; n.startsWith("_") || n.startsWith(".")
-          }
+        fs.listStatus(st.getPath).filter(_.isFile).filterNot(f => hidden(f.getPath))
       else Array(st)
     }.map(_.getLen + 2L).sum
     if (totalBytes > maxBytes)

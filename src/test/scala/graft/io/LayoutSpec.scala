@@ -42,23 +42,12 @@ class LayoutSpec extends SparkSpec {
       val joined = spark.table("docs_bucketed")
         .join(spark.table("lens_bucketed"), "doc_id")
       joined.collect()
-      val plan = joined.queryExecution.executedPlan
-      def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] = {
-        val kids = p match {
-          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
-          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case o => o.children
-        }
-        (p match { case s: ShuffleExchangeExec => Seq(s); case _ => Nil }) ++
-          kids.flatMap(shuffles)
-      }
-      assert(shuffles(plan).isEmpty,
+      assert(shuffleExchanges(joined).isEmpty,
         "bucket-key join shuffled — bucketing metadata not used")
       assert(joined.count() == docs.count())
       // aggregation on the bucket key is exchange-free too
       val agg = spark.table("docs_bucketed").groupBy("doc_id").agg(count(lit(1)))
-      agg.collect()
-      assert(shuffles(agg.queryExecution.executedPlan).isEmpty,
+      assert(shuffleExchanges(agg).isEmpty,
         "bucket-key aggregation shuffled")
     } finally {
       spark.sql("DROP TABLE IF EXISTS docs_bucketed")
@@ -67,21 +56,11 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("q56 bucketed join runs exchange-free and matches the raw-parquet answer (sf0.01)") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val dir = "/root/testdata/sf0.01"
-    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] = {
-      val kids = p match {
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => Seq(a.executedPlan)
-        case o => o.children
-      }
-      (p match { case s: ShuffleExchangeExec => Seq(s); case _ => Nil }) ++
-        kids.flatMap(shuffles)
-    }
     try {
       val q56 = Layout.bucketedOrderRevenue(spark, dir)
       val got = q56.collect().toSeq
-      assert(shuffles(q56.queryExecution.executedPlan).isEmpty,
+      assert(shuffleExchanges(q56).isEmpty,
         "q56 shuffled — bucket metadata unused in join or aggregation")
       // same answer as the identical query on raw parquet (what the
       // DuckDB oracle checks at the driver's gate)

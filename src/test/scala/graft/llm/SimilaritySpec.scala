@@ -89,19 +89,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("q50 funnel is one conditional-aggregation pass (no union re-execution)") {
     val df = Similarity.pipelineStats(spark, sfDir)
-    df.collect()
-    val p = df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    def all(x: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
-      val kids = x match {
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
-        case o => o.children
-      }
-      (x +: kids.flatMap(all)) ++ x.subqueries.flatMap(all)
-    }
-    val unions = all(p).collect { case u: org.apache.spark.sql.execution.UnionExec => u }
+    val unions = allPlanNodes(executedPlanOf(df))
+      .collect { case u: org.apache.spark.sql.execution.UnionExec => u }
     assert(unions.isEmpty,
       "funnel plan contains a union — per-stage subtree re-execution is back")
   }

@@ -11,24 +11,9 @@ import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
   * reach the parquet scan). */
 class RelationalSpec extends SparkSpec {
 
-  /** Final physical plan: run the query so AQE materializes its re-planned
-    * tree, then unwrap the adaptive root. */
-  private def plan(df: org.apache.spark.sql.DataFrame): SparkPlan = {
-    df.collect()
-    df.queryExecution.executedPlan match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        a.executedPlan
-      case p => p
-    }
-  }
-
-  private def collectAll(p: SparkPlan): Seq[SparkPlan] = {
-    val kids = p match {
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
-      case other => other.children
-    }
-    (p +: kids.flatMap(collectAll)) ++ p.subqueries.flatMap(collectAll)
-  }
+  // plan walks come from SparkSpec (executedPlanOf / allPlanNodes)
+  private def plan(df: org.apache.spark.sql.DataFrame): SparkPlan = executedPlanOf(df)
+  private def collectAll(p: SparkPlan): Seq[SparkPlan] = allPlanNodes(p)
 
   test("q14 approx_count_distinct stays within the HLL error bound of exact (sf0.01)") {
     // q14 is the one registered query with no DuckDB oracle (the HLL

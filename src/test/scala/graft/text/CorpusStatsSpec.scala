@@ -148,22 +148,8 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
-  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int = {
-    df.collect()
-    def unwrap(p: SparkPlan): SparkPlan = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-      case other => other
-    }
-    def all(p: SparkPlan): Seq[SparkPlan] = {
-      val kids = p match {
-        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(s.plan)
-        case other => other.children
-      }
-      (p +: kids.flatMap(all)) ++ p.subqueries.flatMap(all)
-    }
-    all(unwrap(df.queryExecution.executedPlan))
-      .count(_.isInstanceOf[ShuffleExchangeExec])
-  }
+  private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
+    shuffleExchanges(df).size
 
   test("plan locks: chunking is shuffle-free, sampling/packing/redaction one-shuffle") {
     // the documented 100 TB shapes, made checkable: q62's only exchange is
