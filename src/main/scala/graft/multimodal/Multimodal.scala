@@ -10,12 +10,15 @@ import org.apache.spark.sql.functions._
   * The reference handles only images (real decode via graft.images
   * .ImageCodec / javax.imageio). What is REAL here without any codec
   * library: WAV/AIFF/AU sample decode (javax.sound.sampled), WAV/AIFF/AU
-  * + MP3 audio METADATA ([[audioMetaFromBytes]]) and MP4/QuickTime video
-  * METADATA ([[videoMetaFromBytes]]) parsed from raw bytes. What remains
-  * a clearly-marked DETERMINISTIC STUB: MP3/AAC/OGG sample decode and
-  * video frame decode — for those, the schemas, partitioning behavior,
-  * per-row vs per-partition amortization, and window/feature math are
-  * the real, tested plumbing a codec would drop into.
+  * + MP3 audio METADATA ([[audioMetaFromBytes]]), MP4/QuickTime + AVI +
+  * GIF video METADATA ([[videoMetaFromBytes]]) parsed from raw bytes,
+  * and FRAME DECODE for animated GIF and AVI/MJPEG clips
+  * ([[decodeVideoFrames]] — JDK GIF/JPEG codecs over pure-byte container
+  * walks). What remains a clearly-marked DETERMINISTIC STUB: MP3/AAC/OGG
+  * sample decode and MP4/AVC frame decode — for those, the schemas,
+  * partitioning behavior, per-row vs per-partition amortization, and
+  * window/feature math are the real, tested plumbing a codec would drop
+  * into.
   *
   * Scale notes: payloads stay opaque binary until a kernel needs them
   * (column pruning skips them entirely for metadata-only queries —
@@ -71,15 +74,16 @@ object Multimodal {
     * codec): width/height from `tkhd`, duration from `mvhd`, fps from the
     * `stts` sample deltas at the `mdhd` timescale; animated GIF via
     * [[Gif.parse]] (logical screen + per-frame delays). Returns a struct
-    * with [[videoMeta]]'s exact schema, or null for payloads neither
+    * with [[videoMeta]]'s exact schema, or null for payloads no
     * parser recognizes — the same quarantine contract as
-    * [[decodeAudioPcm]]. MP4 stays header-cost only (`mdat` never
-    * touched); GIF walks frames, which IS the container's header-less
-    * reality. */
+    * [[decodeAudioPcm]]. MP4 and AVI ([[Avi.parse]] — RIFF header walk)
+    * stay header-cost only (sample data never touched); GIF walks
+    * frames, which IS the container's header-less reality. */
   val videoMetaFromBytes: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>
       if (payload == null) null
-      else Mp4.parse(payload).orElse(Gif.parse(payload)).orNull
+      else Mp4.parse(payload).orElse(Gif.parse(payload))
+        .orElse(Avi.parse(payload)).orNull
     }
 
   /** REAL video-frame decode for the one moving-image container the JDK
@@ -92,6 +96,29 @@ object Multimodal {
   val decodeGifFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>
       if (payload == null) null else Gif.frames(payload).map(_.toArray).orNull
+    }
+
+  /** Container-agnostic REAL video-frame decode: animated GIF (JDK GIF
+    * codec) and AVI/MJPEG ([[Avi.frames]] — RIFF walk + JDK JPEG codec)
+    * both land in the shared [[VideoFrame]] schema, with per-frame
+    * presentation timestamps (GIF: cumulative GCE delays; AVI: frame
+    * index at the stream's exact scale/rate). Unrecognized payloads →
+    * null. MP4/AVC remains the one declared stub (no offline JVM codec);
+    * everything downstream of THIS column is container-independent. */
+  val decodeVideoFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else {
+        val viaGif = Gif.frames(payload).map { fs =>
+          var ts = 0L
+          fs.map { f =>
+            val v = VideoFrame(f.frame_idx, f.width, f.height, ts, f.rgb_sum, f.argb_md5)
+            ts += f.delay_cs * 10L
+            v
+          }.toArray
+        }
+        viaGif.orElse(Avi.frames(payload).map(_.toArray)).orNull
+      }
     }
 
   // ------------------------------------------------------------ decode stub

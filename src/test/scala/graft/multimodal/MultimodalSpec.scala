@@ -308,6 +308,132 @@ class MultimodalSpec extends SparkSpec {
     assert(junk.isNullAt(0) && junk.isNullAt(1))
   }
 
+  // ------------------------------------------------------ AVI / MJPEG
+
+  private def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    baos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: RIFF('AVI ' LIST hdrl(avih, LIST strl(strh,
+    * strf)) LIST movi(00dc...)). All little-endian, chunks padded to
+    * even length — the layout Avi.scala documents. */
+  private def aviBytes(w: Int, h: Int, scale: Int, rate: Int,
+                       frames: Seq[Array[Byte]],
+                       audioFirst: Boolean = false): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ bodies.flatten)
+    val fps = rate.toDouble / scale
+    val avih = le32(math.round(1e6 / fps)) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.size) ++ le32(0) ++ le32(if (audioFirst) 2 else 1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    def strh(fccType: String, handler: String) =
+      fccType.getBytes("ISO-8859-1") ++ handler.getBytes("ISO-8859-1") ++
+        le32(0) ++ le32(0) ++ // flags, priority+language
+        le32(0) ++ le32(scale) ++ le32(rate) ++ le32(0) ++
+        le32(frames.size) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        Array.fill[Byte](8)(0) // rcFrame
+    val vidStrl = list("strl", chunk("strh", strh("vids", "MJPG")),
+      chunk("strf", Array.fill[Byte](40)(0)))
+    // an optional leading audio stream shifts the video stream to index
+    // 01 — exercises the NN-prefix selection in the movi walk
+    val audStrl = list("strl", chunk("strh", strh("auds", "    ")),
+      chunk("strf", Array.fill[Byte](16)(0)))
+    val hdrl =
+      if (audioFirst) list("hdrl", chunk("avih", avih), audStrl, vidStrl)
+      else list("hdrl", chunk("avih", avih), vidStrl)
+    val prefix = if (audioFirst) "01" else "00"
+    val movi = list("movi", frames.map(f => chunk(prefix + "dc", f)): _*)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  test("Avi.parse: dims from avih, fps from strh rate/scale, duration exact") {
+    val frames = Seq(jpegBytes(16, 12, 0xcc3344), jpegBytes(16, 12, 0x3344cc),
+      jpegBytes(16, 12, 0x44cc33))
+    val avi = aviBytes(16, 12, scale = 1001, rate = 30000, frames = frames)
+    val meta = Avi.parse(avi).get
+    assert(meta.width == 16 && meta.height == 12)
+    assert(math.abs(meta.fps - 30000.0 / 1001) < 1e-9)
+    assert(meta.duration_ms == math.round(3 * 1001000.0 / 30000)) // 100 ms
+    assert(Avi.parse("RIFFjunk".getBytes).isEmpty)
+    assert(Avi.parse(jpegBytes(4, 4, 0)).isEmpty)
+  }
+
+  test("Avi.frames: real MJPEG decode matches direct ImageIO decode of the same JPEGs") {
+    val jpegs = Seq(jpegBytes(16, 12, 0xaa1122), jpegBytes(16, 12, 0x22aa11))
+    val avi = aviBytes(16, 12, scale = 1, rate = 10, frames = jpegs)
+    val fs = Avi.frames(avi).get
+    assert(fs.size == 2)
+    fs.zip(jpegs).zipWithIndex.foreach { case ((f, jpeg), i) =>
+      assert(f.frame_idx == i && f.width == 16 && f.height == 12)
+      assert(f.ts_ms == i * 100L) // 10 fps exactly
+      // digest equals what decoding the embedded JPEG directly yields —
+      // the container walk must hand the codec the exact chunk bytes
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      val argb = img.getRGB(0, 0, 16, 12, null, 0, 16)
+      val expSum = argb.map(p =>
+        ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).map(_.toLong).sum
+      assert(f.rgb_sum == expSum, s"frame $i rgb_sum")
+      assert(Avi.frameArgb(avi, i).get.sameElements(argb), s"frame $i raster")
+    }
+    assert(fs.map(_.argb_md5).distinct.size == 2)
+  }
+
+  test("Avi: video stream at index 01 behind an audio stream still decodes") {
+    val jpegs = Seq(jpegBytes(8, 8, 0x102030))
+    val avi = aviBytes(8, 8, scale = 1, rate = 5, frames = jpegs, audioFirst = true)
+    assert(Avi.parse(avi).get.fps == 5.0)
+    assert(Avi.frames(avi).get.size == 1)
+  }
+
+  test("decodeVideoFrames: GIF and AVI land in one schema with correct timestamps") {
+    import spark.implicits._
+    val gif = makeGif(6, 5, Seq((0xff0000, 10), (0x00ff00, 30), (0x0000ff, 10)))
+    val avi = aviBytes(16, 12, scale = 1, rate = 4,
+      frames = Seq(jpegBytes(16, 12, 0x555555), jpegBytes(16, 12, 0x999999)))
+    val df = Seq((1L, gif), (2L, avi), (3L, "junk1234".getBytes))
+      .toDF("id", "payload")
+      .select(col("id"), Multimodal.decodeVideoFrames(col("payload")).as("fs"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    // GIF: ts is the cumulative delay BEFORE each frame (0, 100, 400 ms)
+    val gifTs = rows(0).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getInt(0), r.getLong(3)))
+    assert(gifTs == Seq((0, 0L), (1, 100L), (2, 400L)))
+    // AVI: frame index at 4 fps → 0, 250 ms
+    val aviTs = rows(1).getSeq[org.apache.spark.sql.Row](1).map(r => (r.getInt(0), r.getLong(3)))
+    assert(aviTs == Seq((0, 0L), (1, 250L)))
+    assert(rows(2).isNullAt(1), "junk payload must quarantine to null")
+    // exploded per-frame rows carry non-degenerate digests
+    val md5s = df.filter(col("id") =!= 3L)
+      .select(explode(col("fs")).as("f")).select(col("f.argb_md5"))
+      .collect().map(_.getString(0))
+    assert(md5s.length == 5 && md5s.distinct.length == 5)
+  }
+
+  test("Avi parsers are total: random and mutated bytes never throw") {
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 300) {
+      val junk = Array.fill[Byte](rnd.nextInt(256))(rnd.nextInt().toByte)
+      Avi.parse(junk); Avi.frames(junk)
+    }
+    val avi = aviBytes(8, 8, 1, 10, Seq(jpegBytes(8, 8, 0x776655)))
+    for (_ <- 1 to 300) {
+      val m = avi.clone(); val i = rnd.nextInt(m.length)
+      m(i) = (m(i) ^ (1 << rnd.nextInt(8))).toByte
+      Avi.parse(m); Avi.frames(m) // must return (Some or None), never throw
+    }
+  }
+
   test("peak is the max absolute amplitude") {
     import spark.implicits._
     val p = Seq(Seq(0.25f, -0.75f, 0.5f)).toDF("s")
