@@ -229,6 +229,49 @@ object Events {
       |  AND purchase_ts <= click_ts + INTERVAL '30 minutes'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** KEYLESS interval (range) join, binned: every 'error' event opens a
+    * 5-minute incident window [s, s+5m); count ALL events (any user)
+    * inside each window. With no equality key, Spark plans a raw range
+    * predicate as BroadcastNestedLoopJoin — O(|incidents|·|events|)
+    * comparisons, the classic 100 TB cliff. The standard rewrite: bin
+    * both sides at the window width W, explode each interval to the (at
+    * most 2) bins it overlaps, equi-join on the bin, then refine with
+    * the exact containment predicate. Each matching pair survives in
+    * exactly ONE bin (the point's), so no dedup is needed; the join
+    * shuffles on a uniformly-distributed key and the comparison count
+    * drops to |pairs in the same bin| — proportional to the true match
+    * density, not the cross product. The spec asserts the plan contains
+    * no nested-loop join and agrees with the naive range join.
+    *
+    * Bin arithmetic uses exact integer epoch-micros (DIV), never double
+    * division — epoch micros exceed 2^53 by 2255, and a quotient one ulp
+    * under an integer would misbin a boundary event. */
+  def rangeJoinBinned(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 5L * 60 * 1000000
+    val e = Tables.events(spark, dir)
+    val pts = e.select(col("event_id"), unix_micros(col("ts")).as("p_us"), col("value"))
+      .withColumn("bin", expr(s"p_us DIV $winUs"))
+    val incidents = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), unix_micros(col("ts")).as("s_us"))
+      .select(col("incident_id"), col("s_us"),
+        explode(sequence(expr(s"s_us DIV $winUs"),
+          expr(s"(s_us + ${winUs - 1}) DIV $winUs"))).as("bin"))
+    incidents.join(pts, Seq("bin"))
+      .filter(col("p_us") >= col("s_us") && col("p_us") < col("s_us") + winUs)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+      .orderBy(col("incident_id"))
+  }
+
+  val rangeJoinBinnedSql: String =
+    """WITH err AS (
+      |  SELECT event_id AS incident_id, ts AS s FROM events WHERE event_type = 'error'
+      |)
+      |SELECT incident_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+      |FROM err JOIN events e ON e.ts >= s AND e.ts < s + INTERVAL '5 minutes'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),
@@ -236,6 +279,7 @@ object Events {
     QueryDef("q18_events_daily_funnel", dailyFunnel, Some(dailyFunnelSql)),
     QueryDef("q19_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("q36_asof_join", asofJoin, Some(asofJoinSql)),
-    QueryDef("q64_attribution_join", attributionJoin, Some(attributionJoinSql))
+    QueryDef("q64_attribution_join", attributionJoin, Some(attributionJoinSql)),
+    QueryDef("q65_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql))
   )
 }

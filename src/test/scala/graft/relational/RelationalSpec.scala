@@ -38,6 +38,35 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q65 binned range join: no nested-loop join, agrees with the naive range predicate") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    val df = Events.rangeJoinBinned(spark, sfDir)
+    // the point of the rewrite: a keyless range predicate would plan as
+    // BroadcastNestedLoopJoin (O(n·m)); the binned form must not
+    val nested = collectAll(plan(df))
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nested.isEmpty, "binned range join planned a nested-loop join")
+    // correctness vs the naive formulation Spark CAN run at spec scale
+    val e = graft.Tables.events(spark, sfDir)
+    val err = e.filter(col("event_type") === "error")
+      .select(col("event_id").as("incident_id"), col("ts").as("s"))
+    val naive = err.join(e,
+        e("ts") >= col("s") && e("ts") < col("s") + expr("INTERVAL 5 MINUTES"))
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // and the naive plan really is the nested-loop cliff we dodged
+    val naiveDf = err.join(e,
+      e("ts") >= col("s") && e("ts") < col("s") + expr("INTERVAL 5 MINUTES"))
+    assert(collectAll(plan(naiveDf))
+      .exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "naive keyless range join no longer plans a nested loop — revisit the rewrite's premise")
+    val binned = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned == naive, "binned range join disagrees with naive range join")
+    // every incident window contains at least its own opening event
+    assert(binned.values.forall(_ >= 1))
+  }
+
   test("all registered queries are non-empty and deterministic at sf0.001") {
     for (q <- Relational.defs ++ Events.defs) {
       val df = q.build(spark, sfDir)
