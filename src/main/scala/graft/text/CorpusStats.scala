@@ -433,12 +433,79 @@ object CorpusStats {
        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
        |FROM b GROUP BY source, bin_id ORDER BY source NULLS FIRST, bin_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q66: TF-IDF keyword extraction (linear idf)
+  // ---------------------------------------------------------------------
+
+  /** Top-3 salient terms per document by tf-idf with a LINEAR idf:
+    * score = (tf / n_tokens) · (n_docs / df). The idf is deliberately
+    * log-free: every float op here is a single correctly-rounded IEEE
+    * division or multiply, so Spark and DuckDB produce bit-identical
+    * scores and the hash gate can cover the doubles (ln() is only
+    * 1-ulp-accurate and differs between libm implementations — the same
+    * reasoning as Exact.narrow for wide decimals). Linear idf ranks more
+    * aggressively toward rare terms than log idf but is the same
+    * "frequent here, rare elsewhere" salience signal.
+    *
+    * 100 TB shape: ONE tf aggregation (map-side combine over the
+    * exploded tokens), then df and document length as window aggregates
+    * OVER THE TF FRAME — no self-joined branches, so the token explode
+    * runs exactly once (DataFrame unions/self-joins re-execute shared
+    * subtrees; windows don't). Three exchanges total, each on a
+    * high-cardinality key ((doc,term) → term → doc); the rank window
+    * shares the doc_id exchange with the length window. n_docs rides in
+    * as a broadcast 1-row aggregate, never a driver-side count. */
+  def tfidfTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .withColumn("n_tokens", sum(col("tf")).over(Window.partitionBy(col("doc_id"))))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf").cast("double") / col("n_tokens")) *
+          (col("n_docs").cast("double") / col("df")))
+    val rankW = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("w"))
+    scored
+      .withColumn("rnk", row_number().over(rankW).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("w").as("term"),
+        col("tf").cast("long").as("tf"), col("df").cast("long").as("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  val tfidfTermsSql: String =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      |  FROM documents
+      |), tf AS (
+      |  SELECT doc_id, w, COUNT(*) AS tf FROM t GROUP BY 1, 2
+      |), x AS (
+      |  SELECT doc_id, w, tf,
+      |    COUNT(*) OVER (PARTITION BY w) AS df,
+      |    SUM(tf) OVER (PARTITION BY doc_id) AS n_tokens
+      |  FROM tf
+      |), n AS (SELECT COUNT(*) AS n_docs FROM documents), s AS (
+      |  SELECT doc_id, w, tf, df,
+      |    (CAST(tf AS DOUBLE) / n_tokens) * (CAST(n_docs AS DOUBLE) / df) AS score
+      |  FROM x CROSS JOIN n
+      |), r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rnk FROM s
+      |)
+      |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, w AS term,
+      |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("q60_stratified_sample", stratifiedSample, Some(stratifiedSampleSql)),
     QueryDef("q61_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q62_token_windows", tokenWindows, Some(tokenWindowsSql)),
-    QueryDef("q63_sequence_pack", sequencePack, Some(sequencePackSql))
+    QueryDef("q63_sequence_pack", sequencePack, Some(sequencePackSql)),
+    QueryDef("q66_tfidf_terms", tfidfTerms, Some(tfidfTermsSql))
   )
 }

@@ -51,6 +51,39 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("q66 tf-idf: matches Scala recomputation; one token pass (2 scans, no branch re-execution)") {
+    val df = CorpusStats.tfidfTerms(spark, sfDir)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> scalaTokens(r.getString(1).toLowerCase))
+    val nDocs = docs.length
+    val dfreq = docs.flatMap(_._2.distinct).groupBy(identity).map { case (w, g) => w -> g.size }
+    val exp = docs.flatMap { case (id, ws) =>
+      if (ws.isEmpty) Nil
+      else {
+        val tf = ws.groupBy(identity).map { case (w, g) => w -> g.size }
+        tf.toSeq
+          .map { case (w, f) =>
+            (w, f, dfreq(w), (f.toDouble / ws.size) * (nDocs.toDouble / dfreq(w)))
+          }
+          .sortBy { case (w, _, _, s) => (-s, w) }
+          .take(3).zipWithIndex
+          .map { case ((w, f, d, _), i) => (id, (i + 1).toLong, w, f.toLong, d.toLong) }
+      }
+    }.sortBy(x => (x._1, x._2)).toSeq
+    assert(got == exp)
+
+    // the df/doc-length windows run over the ONE tf frame: exactly two
+    // parquet scans (tf pipeline + the broadcast n_docs aggregate) — a
+    // third scan means a self-joined branch re-executing the explode
+    val scans = allPlanNodes(executedPlanOf(df))
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(scans == 2, s"expected 2 documents scans, found $scans")
+  }
+
   test("vocabCoverage: rank-1 is the corpus mode, coverage is monotone in (0,1]") {
     val rows = CorpusStats.vocabCoverage(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 50)
