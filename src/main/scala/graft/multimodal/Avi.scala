@@ -9,6 +9,24 @@ package graft.multimodal
 final case class VideoFrame(frame_idx: Int, width: Int, height: Int,
                             ts_ms: Long, rgb_sum: Long, argb_md5: String)
 
+object VideoFrame {
+  /** Exact digests of a row-major ARGB raster: integer R+G+B channel sum
+    * and md5 of the big-endian ARGB int stream. The ONE definition of the
+    * digest contract — GIF and AVI frames must digest identical rasters
+    * identically or cross-container frame dedup silently breaks. */
+  private[multimodal] def digest(argb: Array[Int]): (Long, String) = {
+    val buf = java.nio.ByteBuffer.allocate(argb.length * 4)
+    var rgbSum = 0L
+    argb.foreach { p =>
+      rgbSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+      buf.putInt(p)
+    }
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(buf.array()).map("%02x".format(_)).mkString
+    (rgbSum, md5)
+  }
+}
+
 /** AVI (RIFF) container parsing and MJPEG frame decode — the second
   * moving-image path that is REAL end to end offline: the container walk
   * is pure byte arithmetic (RIFF chunks are trivially simpler than
@@ -156,15 +174,7 @@ object Avi {
         decoded = chunks.zipWithIndex.map { case (c, i) =>
           decodeFrame(bytes, c).map { img =>
             val w = img.getWidth; val h = img.getHeight
-            val argb = img.getRGB(0, 0, w, h, null, 0, w)
-            val buf = java.nio.ByteBuffer.allocate(argb.length * 4)
-            var rgbSum = 0L
-            argb.foreach { p =>
-              rgbSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-              buf.putInt(p)
-            }
-            val md5 = java.security.MessageDigest.getInstance("MD5")
-              .digest(buf.array()).map("%02x".format(_)).mkString
+            val (rgbSum, md5) = VideoFrame.digest(img.getRGB(0, 0, w, h, null, 0, w))
             VideoFrame(i, w, h, i.toLong * 1000L * scale / rate, rgbSum, md5)
           }
         }

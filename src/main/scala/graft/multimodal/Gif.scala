@@ -94,15 +94,7 @@ object Gif {
           val y = desc.flatMap(attr(_, "imageTopPosition")).map(_.toInt).getOrElse(0)
           val w = img.getWidth
           val h = img.getHeight
-          val argb = img.getRGB(0, 0, w, h, null, 0, w)
-          var rgbSum = 0L
-          val buf = java.nio.ByteBuffer.allocate(argb.length * 4)
-          argb.foreach { p =>
-            rgbSum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            buf.putInt(p)
-          }
-          val md5 = java.security.MessageDigest.getInstance("MD5")
-            .digest(buf.array()).map("%02x".format(_)).mkString
+          val (rgbSum, md5) = VideoFrame.digest(img.getRGB(0, 0, w, h, null, 0, w))
           GifFrame(i, w, h, x, y, delay, disposal, rgbSum, md5)
         })
       }
@@ -131,9 +123,13 @@ object Gif {
     * METADATA COST ONLY — frame counting and delays come from
     * getImageMetadata, no raster is ever decoded here (that is
     * [[frames]]' job), preserving the header-vs-pixels split the
-    * metadata path promises. A single-frame or all-zero-delay GIF is a
-    * still image: fps 0, duration 0 — the sampling grid then yields no
-    * frames, which is the right answer for a non-animation. */
+    * metadata path promises. Consequence (shared with Mp4.parse, whose
+    * mdat is never read): a payload with intact structure but corrupt
+    * pixel data passes parse yet fails [[frames]] — metadata validity
+    * does not certify decodability; quarantine on the stage you run.
+    * A single-frame or all-zero-delay GIF is a still image: fps 0,
+    * duration 0 — the sampling grid then yields no frames, which is the
+    * right answer for a non-animation. */
   def parse(bytes: Array[Byte]): Option[Mp4.VideoMeta] = {
     if (!isGif(bytes)) return None
     try {

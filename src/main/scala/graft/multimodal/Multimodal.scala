@@ -86,13 +86,12 @@ object Multimodal {
         .orElse(Avi.parse(payload)).orNull
     }
 
-  /** REAL video-frame decode for the one moving-image container the JDK
-    * ships a codec for: animated GIF ([[Gif.frames]]). One array element
-    * per frame — raster dims/offset, delay, disposal, exact pixel digests
-    * (integer channel sum + ARGB md5). explode() for one row per frame;
-    * [[Gif.frameArgb]] hands kernels the raster itself. MP4/AVC stays a
-    * declared stub (no offline JVM codec); this makes the frame-decode
-    * PATH real, not just its plumbing. */
+  /** REAL GIF-specific frame decode ([[Gif.frames]]) with the GIF-only
+    * fields (per-frame delay, disposal, logical-screen offset) the
+    * container-agnostic [[decodeVideoFrames]] schema drops. One array
+    * element per frame — raster dims/offset, delay, disposal, exact
+    * pixel digests (integer channel sum + ARGB md5). explode() for one
+    * row per frame; [[Gif.frameArgb]] hands kernels the raster itself. */
   val decodeGifFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>
       if (payload == null) null else Gif.frames(payload).map(_.toArray).orNull

@@ -64,12 +64,20 @@ object FileWorkflows {
     val globPath = new org.apache.hadoop.fs.Path(glob)
     val fs = globPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val statuses = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
-    // _/.-prefixed names are HIDDEN to Spark's file reader (its default
-    // PathFilter) even when the glob matches them directly — the guard
-    // must skip them at BOTH levels or a large _backup.txt would abort a
-    // merge whose actual read payload is tiny
+    // Names HIDDEN to Spark's file reader are skipped even when the glob
+    // matches them directly — the guard must skip them at BOTH levels or
+    // a large _backup.txt would abort a merge whose actual read payload
+    // is tiny. The rule that decides what the reader treats as DATA is
+    // PartitioningAwareFileIndex.isDataPath (verified against the Spark
+    // 4.1 bytecode, and empirically in the spec): hidden iff
+    // (`_`-prefixed AND not containing '=') OR `.`-prefixed. Note this is
+    // NOT HadoopFSUtils.shouldFilterOutPathName — that listing-time rule
+    // exempts `_metadata*`, but such files are still excluded as DATA, so
+    // they must not count toward the bound (a spec plants one and proves
+    // the reader skips it); `_`-names containing '=' ARE data and count.
     def hidden(p: org.apache.hadoop.fs.Path): Boolean = {
-      val n = p.getName; n.startsWith("_") || n.startsWith(".")
+      val n = p.getName
+      (n.startsWith("_") && !n.contains("=")) || n.startsWith(".")
     }
     val totalBytes = statuses.filterNot(st => hidden(st.getPath)).flatMap { st =>
       if (st.isDirectory)

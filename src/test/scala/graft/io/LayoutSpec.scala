@@ -41,10 +41,11 @@ class LayoutSpec extends SparkSpec {
     try {
       val joined = spark.table("docs_bucketed")
         .join(spark.table("lens_bucketed"), "doc_id")
-      joined.collect()
+      // shuffleExchanges executes the frame itself (AQE finalization) —
+      // no separate warm-up collect needed before the plan walk
       assert(shuffleExchanges(joined).isEmpty,
         "bucket-key join shuffled — bucketing metadata not used")
-      assert(joined.count() == docs.count())
+      assert(joined.count() == docs.count(), "bucket-key join dropped or duplicated rows")
       // aggregation on the bucket key is exchange-free too
       val agg = spark.table("docs_bucketed").groupBy("doc_id").agg(count(lit(1)))
       assert(shuffleExchanges(agg).isEmpty,

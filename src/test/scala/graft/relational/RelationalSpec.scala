@@ -46,21 +46,20 @@ class RelationalSpec extends SparkSpec {
     val nested = collectAll(plan(df))
       .collect { case j: BroadcastNestedLoopJoinExec => j }
     assert(nested.isEmpty, "binned range join planned a nested-loop join")
-    // correctness vs the naive formulation Spark CAN run at spec scale
+    // correctness vs the naive formulation Spark CAN run at spec scale —
+    // ONE frame serves both the plan-shape and the value check
     val e = graft.Tables.events(spark, sfDir)
     val err = e.filter(col("event_type") === "error")
       .select(col("event_id").as("incident_id"), col("ts").as("s"))
-    val naive = err.join(e,
+    val naiveAgg = err.join(e,
         e("ts") >= col("s") && e("ts") < col("s") + expr("INTERVAL 5 MINUTES"))
       .groupBy(col("incident_id"))
       .agg(count(lit(1)).as("n_events"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // and the naive plan really is the nested-loop cliff we dodged
-    val naiveDf = err.join(e,
-      e("ts") >= col("s") && e("ts") < col("s") + expr("INTERVAL 5 MINUTES"))
-    assert(collectAll(plan(naiveDf))
+    // the naive plan really is the nested-loop cliff we dodged
+    assert(collectAll(plan(naiveAgg))
       .exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
       "naive keyless range join no longer plans a nested loop — revisit the rewrite's premise")
+    val naive = naiveAgg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val binned = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(binned == naive, "binned range join disagrees with naive range join")
     // every incident window contains at least its own opening event

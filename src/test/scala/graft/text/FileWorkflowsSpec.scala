@@ -110,6 +110,40 @@ class FileWorkflowsSpec extends SparkSpec {
     assert(e.getMessage.contains(in.toString), s"folder not named in: ${e.getMessage}")
   }
 
+  test("mergeTextFolder guard agrees with Spark's data-file rule (isDataPath), both directions") {
+    // Spark's DATA selection (PartitioningAwareFileIndex.isDataPath)
+    // hides `_`/`.`-prefixed names — including `_metadata.txt`, despite
+    // the listing-time HadoopFSUtils exemption — but `_`-names containing
+    // '=' ARE data. The guard must agree in BOTH directions or it either
+    // spuriously aborts tiny merges or waves through OOM-sized ones.
+    val in = tmp("fw-hidden-in")
+    Files.write(in.resolve("a.txt"), "visible\n".getBytes(UTF_8))
+    Files.write(in.resolve("_backup.txt"), ("z" * 4096 + "\n").getBytes(UTF_8))
+    Files.write(in.resolve("_metadata.txt"), ("m" * 4096 + "\n").getBytes(UTF_8))
+    val outDir = tmp("fw-hidden-out").resolve("out")
+    // succeeds under a bound either hidden file would blow: guard skipped
+    // them, and the reader proves it right — no 'z'/'m' payload in output
+    val outFile = FileWorkflows.mergeTextFolder(spark, in.toString, outDir.toString,
+      maxBytes = 1024L)
+    assert(bytes(java.nio.file.Paths.get(outFile)) == "visible\n".getBytes(UTF_8).toSeq)
+
+    // the '=' exemption: `_v=2.txt` IS data → must count toward the bound
+    val in2 = tmp("fw-eq-in")
+    Files.write(in2.resolve("a.txt"), "visible\n".getBytes(UTF_8))
+    Files.write(in2.resolve("_v=2.txt"), ("e" * 4096 + "\n").getBytes(UTF_8))
+    val e = intercept[IllegalStateException] {
+      FileWorkflows.mergeTextFolder(spark, in2.toString,
+        tmp("fw-eq-out1").resolve("out").toString, maxBytes = 1024L)
+    }
+    assert(e.getMessage.contains(in2.toString))
+    // and the reader really reads it: unrestricted merge contains it
+    val outFile2 = FileWorkflows.mergeTextFolder(spark, in2.toString,
+      tmp("fw-eq-out2").resolve("out").toString)
+    val merged = new String(Files.readAllBytes(java.nio.file.Paths.get(outFile2)), UTF_8)
+    assert(merged.contains("eee"), "_v=2.txt was not read — guard premise broken")
+    assert(merged.contains("visible"))
+  }
+
   test("mergeTextFolder guard counts the CONTENTS of a directory matching the glob") {
     // a directory named *.txt matches the glob; spark.read.text reads the
     // files inside it, so the guard must bound those bytes, not the
