@@ -785,8 +785,14 @@ object Similarity {
     * side too big to broadcast), drop the hints and/or swap the loop body
     * for the small-star/large-star rewrite, which bounds per-round
     * degree; the driver holds ONE long per round (the convergence sum),
-    * never data. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    * never data.
+    *
+    * Returns `(grps, groupLabels)`: the checkpointed shingle-group frame
+    * and one row per group that belongs to some cluster, `(node = gid,
+    * lbl = converged component label)`. Shared by q55 (aggregates the
+    * groups without ever expanding members) and q67 (expands members to
+    * pick a per-cluster representative doc). */
+  private[llm] def clusterGroupLabels(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
     // Per-round LINEAGE TRUNCATION is load-bearing, not just an
     // optimization: labels appears 4× in each round's plan (itself,
     // neighbor join, jump self-join ×2), so without a checkpoint the
@@ -876,12 +882,99 @@ object Similarity {
     val standalone = grps.filter(size(col("members")) > 1 && size(col("hs")) > 0)
       .join(inGraph.select(col("node")), col("gid") === col("node"), "left_anti")
       .select(col("gid").as("node"), col("gid").as("lbl"))
-    inGraph.union(standalone)
+    (grps, inGraph.union(standalone))
+  }
+
+  /** q55 output: one row per cluster with its size and max member —
+    * aggregated in GROUP space (member lists summed, never exploded). */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val (grps, groupLabels) = clusterGroupLabels(spark, dir)
+    groupLabels
       .join(broadcast(grps.select(col("gid").as("node"), col("members"))), Seq("node"))
       .groupBy(col("lbl").as("cluster_rep"))
       .agg(sum(size(col("members"))).as("n_docs"),
         max(element_at(col("members"), -1)).as("max_doc"))
       .orderBy(col("cluster_rep"))
+  }
+
+  // --------------------------------- q67 per-cluster representative selection
+
+  /** The step that turns clusters into a deduplicated corpus: for each
+    * near-dup family, keep exactly ONE representative — the longest
+    * document (ties broken by lowest doc_id, so the choice is total and
+    * engine-independent). Everything else in the cluster is the "drop"
+    * set a curation pipeline deletes.
+    *
+    * Shape: the cluster labels live in group space (a few percent of the
+    * corpus at most — only docs that near-duplicate something); expanding
+    * members and BROADCASTING the doc→label table against the corpus scan
+    * keeps the big side shuffle-free — the corpus is only probed for the
+    * lengths of in-cluster docs. The rep argmax then runs a window over
+    * the in-cluster subset only (|cluster docs| rows, not |corpus|). */
+  def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
+    val (grps, groupLabels) = clusterGroupLabels(spark, dir)
+    val docLabels = groupLabels
+      .join(broadcast(grps.select(col("gid").as("node"), col("members"))), Seq("node"))
+      .select(col("lbl"), explode(col("members")).as("doc_id"))
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+    val w = Window.partitionBy(col("lbl")).orderBy(col("len").desc, col("doc_id"))
+    lens.join(broadcast(docLabels), Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("lbl"))))
+      .filter(col("rk") === 1)
+      .select(col("lbl").as("cluster_rep"), col("doc_id").as("rep_doc"),
+        col("len").as("rep_len"), col("n_docs"))
+      .orderBy(col("cluster_rep"))
+  }
+
+  /** Same fixpoint machinery as [[nearDupClustersSql]] (8 unrolled rounds
+    * + poison row on non-convergence), finished with the argmax instead of
+    * the aggregate. */
+  val clusterRepresentativesSql: String = {
+    val rounds = 8
+    val roundCtes = (1 to rounds).map { i =>
+      s"""lab$i AS MATERIALIZED (
+         |  SELECT node, MIN(lbl) AS lbl FROM (
+         |    SELECT node, lbl FROM lab${i - 1}
+         |    UNION ALL SELECT s.node, l.lbl FROM sym s JOIN lab${i - 1} l ON l.node = s.nbr
+         |    UNION ALL SELECT a.node, b.lbl FROM lab${i - 1} a JOIN lab${i - 1} b ON b.node = a.lbl
+         |  ) GROUP BY node
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
+       |), sym AS MATERIALIZED (
+       |  SELECT id_a AS node, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT node, node AS lbl FROM sym
+       |), $roundCtes, r AS (
+       |  SELECT l.lbl, l.node AS doc_id, CAST(length(d.text) AS BIGINT) AS len,
+       |    ROW_NUMBER() OVER (PARTITION BY l.lbl
+       |                       ORDER BY length(d.text) DESC, l.node) AS rk,
+       |    COUNT(*) OVER (PARTITION BY l.lbl) AS n_docs
+       |  FROM lab$rounds l JOIN documents d ON d.doc_id = l.node
+       |)
+       |SELECT cluster_rep, rep_doc, rep_len, n_docs FROM (
+       |  SELECT lbl AS cluster_rep, doc_id AS rep_doc, len AS rep_len, n_docs
+       |  FROM r WHERE rk = 1
+       |  UNION ALL
+       |  SELECT -1, -1, -1, -1
+       |  WHERE EXISTS (SELECT 1 FROM lab$rounds a JOIN lab${rounds - 1} b
+       |                ON a.node = b.node WHERE a.lbl <> b.lbl)
+       |) ORDER BY cluster_rep""".stripMargin
   }
 
   /** Oracle with the same FIXPOINT as the Spark side, not the same rounds:
@@ -937,6 +1030,102 @@ object Similarity {
        |                ON a.node = b.node WHERE a.lbl <> b.lbl)
        |) ORDER BY cluster_rep""".stripMargin
   }
+
+  // ------------------------------------------------ q68 incremental dedup
+
+  /** Deduplicate an INCOMING batch against an EXISTING corpus — the shape
+    * every recurring ingest needs (yesterday's 100 TB is clean; today's
+    * 1 TB crawl must not re-add what it already contains). The split here
+    * is deterministic (`doc_id % 10 = 7` plays the incoming batch) so both
+    * engines see the same partition.
+    *
+    * Each incoming doc gets a status:
+    *   'exact' — its text occurs verbatim in the corpus;
+    *   'near'  — a verified MinHash-LSH match (Jaccard ≥ 0.9) exists in
+    *             the corpus;
+    *   'kept'  — survives both checks.
+    * Exact takes precedence (an exact dup is also a near dup).
+    *
+    * Scale shape — deliberately ASYMMETRIC, unlike q41's self-join:
+    *  - signatures are computed once for both sides from the same scan;
+    *  - the band join probes the big corpus side with the SMALL incoming
+    *    side broadcast (at 100 TB the corpus banded frame is huge but
+    *    never shuffles: each corpus partition streams past the broadcast
+    *    incoming band keys); the corpus never self-joins at all — the
+    *    quadratic part of q41 is gone;
+    *  - candidate verification attaches the corpus shingle payload by an
+    *    equi-join on the (few) candidate ids, the incoming payload by
+    *    broadcast;
+    *  - the exact check is a broadcast left-semi join on text against the
+    *    corpus (the corpus side is the streamed side).
+    * The final assembly joins only over the incoming batch. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val isIncoming = pmod(col("doc_id"), lit(10)) === 7
+    val sigs = docs.select(col("doc_id"), col("text"),
+      hashedShingles(col("text")).as("hs"))
+    val incoming = sigs.filter(isIncoming)
+    val corpus = sigs.filter(!isIncoming)
+    def banded(side: DataFrame): DataFrame = side
+      .withColumn("sig", minhashSignature(col("hs")))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+          b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
+      .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bkey"))
+    // Corpus side streams; incoming side broadcasts. Candidates are slim
+    // (two ids), then payloads attach: incoming by broadcast, corpus by an
+    // equi-join that shuffles only the candidate ids — never the corpus.
+    val cand = banded(corpus).select(col("bkey"), col("doc_id").as("cor_id"))
+      .join(broadcast(banded(incoming).select(col("bkey"), col("doc_id").as("inc_id"))),
+        Seq("bkey"))
+      .select(col("inc_id"), col("cor_id"))
+    val nearIds = cand
+      .join(broadcast(incoming.select(col("doc_id").as("inc_id"), col("hs").as("hs_i"))),
+        Seq("inc_id"))
+      .join(corpus.select(col("doc_id").as("cor_id"), col("hs").as("hs_c")), Seq("cor_id"))
+      .withColumn("sz_i", size(col("hs_i"))).withColumn("sz_c", size(col("hs_c")))
+      .filter(least(col("sz_i"), col("sz_c")) * 10 >= greatest(col("sz_i"), col("sz_c")) * 9)
+      .withColumn("n_shared",
+        graft.functions.ArrayKernels.sortedIntersectCount(col("hs_i"), col("hs_c")))
+      .filter(col("n_shared") / (col("sz_i") + col("sz_c") - col("n_shared")) >= 0.9)
+      .select(col("inc_id").as("doc_id")).distinct()
+    val exactIds = incoming.select(col("doc_id"), col("text"))
+      .join(corpus.select(col("text")), Seq("text"), "left_semi")
+      .select(col("doc_id"))
+    incoming.select(col("doc_id"))
+      .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")
+      .join(nearIds.withColumn("is_near", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("is_exact"), lit(false)), "exact")
+          .when(coalesce(col("is_near"), lit(false)), "near")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT i.doc_id AS inc_id, c.doc_id AS cor_id
+       |  FROM bands i JOIN bands c ON i.band = c.band AND i.bsig = c.bsig
+       |  WHERE i.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+       |), near_ids AS (
+       |  SELECT DISTINCT inc_id AS doc_id FROM cand
+       |  JOIN sh sa ON sa.doc_id = inc_id JOIN sh sb ON sb.doc_id = cor_id
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
+       |), exact_ids AS (
+       |  SELECT DISTINCT d.doc_id FROM documents d
+       |  WHERE d.doc_id % 10 = 7 AND EXISTS (
+       |    SELECT 1 FROM documents c WHERE c.doc_id % 10 <> 7 AND c.text = d.text)
+       |)
+       |SELECT d.doc_id,
+       |  CASE WHEN d.doc_id IN (SELECT doc_id FROM exact_ids) THEN 'exact'
+       |       WHEN d.doc_id IN (SELECT doc_id FROM near_ids) THEN 'near'
+       |       ELSE 'kept' END AS status
+       |FROM documents d WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""".stripMargin
 
   // --------------------------------------- q50 composite training-data pipeline
 
@@ -1057,6 +1246,8 @@ object Similarity {
     QueryDef("q49_ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql)),
     QueryDef("q50_pipeline_stats", pipelineStats, Some(pipelineStatsSql)),
     QueryDef("q53_simhash_neardup", simhashNearDup, Some(simhashNearDupSql)),
-    QueryDef("q55_neardup_clusters", nearDupClusters, Some(nearDupClustersSql))
+    QueryDef("q55_neardup_clusters", nearDupClusters, Some(nearDupClustersSql)),
+    QueryDef("q67_cluster_reps", clusterRepresentatives, Some(clusterRepresentativesSql)),
+    QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql))
   )
 }

@@ -140,6 +140,59 @@ class SimilaritySpec extends SparkSpec {
       "singleton or mis-labeled cluster")
   }
 
+  test("q67 representatives: longest member (tie: lowest id) of each union-find cluster") {
+    val pairs = Similarity.lshVerifiedPairs(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val lens = graft.Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "CAST(length(text) AS LONG)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val model = parent.keys.toSeq.groupBy(find).map { case (rep, members) =>
+      val best = members.minBy(d => (-lens(d), d))
+      (rep, best, lens(best), members.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.clusterRepresentatives(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model, s"representatives disagree with union-find+argmax model")
+  }
+
+  test("q68 incremental dedup agrees with the full pair graph restricted to cross pairs") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))
+    val incoming = docs.filter(_._1 % 10 == 7).map(_._1).toSet
+    val corpusTexts = docs.filterNot(d => incoming(d._1)).map(_._2).toSet
+    val exact = docs.filter(d => incoming(d._1) && corpusTexts(d._2)).map(_._1).toSet
+    val near = Similarity.lshVerifiedPairs(spark, sfDir)
+      .select("id_a", "id_b").collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (incoming(a) && !incoming(b)) Some(a)
+        else if (incoming(b) && !incoming(a)) Some(b)
+        else None
+      }.toSet
+    val expected = incoming.toSeq.sorted.map { id =>
+      (id, if (exact(id)) "exact" else if (near(id)) "near" else "kept")
+    }
+    val got = Similarity.incrementalDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == expected, "statuses disagree with the cross-pair model")
+    assert(got.nonEmpty)
+  }
+
+  test("q68 plan: corpus band join is broadcast (incoming side), corpus never self-joins") {
+    val joins = allPlanNodes(executedPlanOf(Similarity.incrementalDedup(spark, sfDir)))
+      .collect { case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(joins.nonEmpty, "expected broadcast hash joins in the incremental-dedup plan")
+  }
+
   test("ann-lsh neighbors are a subset of brute-force candidates' buckets") {
     val ann = Similarity.annLshTopk(spark, sfDir)
     assert(ann.count() > 0)
