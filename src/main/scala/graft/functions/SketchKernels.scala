@@ -35,6 +35,19 @@ object SketchKernels {
   def minhashSignature(hs: Column, a: Array[Long], b: Array[Long], p: Long): Column =
     ColumnBridge.column(MinhashSignatureExpr(ColumnBridge.expression(hs), a, b, p))
 
+  /** Membership probe against a serialized `org.apache.spark.util.sketch
+    * .BloomFilter` — Catalyst's own `BloomFilterMightContain` (the codegen
+    * expression Spark's runtime-filter rewrite injects), exposed for
+    * explicit use: `value` must be LONG and the filter must have been
+    * built over the same raw long values (`DataFrameStatFunctions
+    * .bloomFilter` does exactly that for integral columns). May return
+    * false positives, never false negatives — callers re-verify with the
+    * real join. */
+  def bloomMightContain(bloomBytes: Column, value: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        ColumnBridge.expression(bloomBytes), ColumnBridge.expression(value)))
+
   /** SimHash of a token-hash multiset: bit k of the result is set iff
     * `sum over h of (bit k of h ? +1 : -1)` is positive. `bits` <= 63;
     * hashes must be non-negative. Empty array → 0. */

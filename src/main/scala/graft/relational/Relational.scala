@@ -606,6 +606,49 @@ object Relational {
       |FROM c FULL OUTER JOIN s ON c.nk = s.nk
       |ORDER BY nk""".stripMargin
 
+  /** Runtime-filter pattern made explicit: a fact⋈dim semi-join where the
+    * dim side is too big to broadcast AS A JOIN but its key set fits a
+    * Bloom filter. Build a compact sketch over the filtered dim keys
+    * (distributed aggregation; the driver holds only the ~12 KB sketch),
+    * broadcast it back as a literal, and prune the fact scan BEFORE the
+    * shuffle — the join then re-verifies exactly, so Bloom false
+    * positives cannot reach the output and the result equals the plain
+    * semi-join (spec-asserted, plus the DuckDB oracle).
+    *
+    * This is what Spark's own `runtime.bloomFilter` rewrite injects for
+    * selective joins; doing it explicitly (a) survives plans the
+    * optimizer's cost heuristics skip, (b) documents the 100 TB shape: at
+    * 1000 executors the win is the fact rows that never enter the
+    * exchange (~98% here). The SHUFFLE_MERGE hint models the
+    * dim-exceeds-broadcast case — with a broadcast join the bloom would
+    * be redundant (the hash table itself filters). */
+  def bloomPruneJoin(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 490000.0)
+      .select(col("o_orderkey"))
+    val bf = hot.stat.bloomFilter("o_orderkey", 10000, 0.01)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val li = Tables.lineitem(spark, dir)
+    li.filter(graft.functions.SketchKernels.bloomMightContain(lit(bytes), col("l_orderkey")))
+      .join(hot.hint("shuffle_merge"), col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val bloomPruneJoinSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 490000.0)
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -627,6 +670,7 @@ object Relational {
     QueryDef("q38_scalar_functions", scalarFunctions, Some(scalarFunctionsSql)),
     QueryDef("q39_nation_coverage", nationCoverage, Some(nationCoverageSql)),
     QueryDef("q51_topk_aggregator", topPartsPerBrandAgg, Some(topPartsPerBrandSql)),
-    QueryDef("q52_grouping_sets", groupingSets, Some(groupingSetsSql))
+    QueryDef("q52_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("q69_bloom_prune_join", bloomPruneJoin, Some(bloomPruneJoinSql))
   )
 }

@@ -144,6 +144,41 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q69 bloom-pruned semi-join: exact result, bloom filter below a shuffle join") {
+    // exactness: the bloom pre-filter + re-verifying join must equal the
+    // plain (unpruned) semi-join — false positives are filtered, false
+    // negatives are impossible when build and probe use the same raw longs
+    val hot = graft.Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 490000.0).select("o_orderkey")
+    val plain = graft.Tables.lineitem(spark, sfDir)
+      .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n_items"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val got = Relational.bloomPruneJoin(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == plain, "bloom-pruned result diverges from the plain semi-join")
+
+    val p = plan(Relational.bloomPruneJoin(spark, sfDir))
+    // the might_contain predicate must sit in the plan (scan-side prune) …
+    val hasBloom = collectAll(p).exists(_.toString.contains("might_contain"))
+    assert(hasBloom, "no bloom might_contain filter in the executed plan")
+    // … and the join must be the modeled shuffle join, not a broadcast
+    val smj = collectAll(p).collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.nonEmpty, "expected a shuffle join (SHUFFLE_MERGE hint ignored?)")
+
+    // the sketch prunes: far fewer fact rows pass the bloom than exist
+    val bf = hot.stat.bloomFilter("o_orderkey", 10000, 0.01)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val pruned = li.filter(graft.functions.SketchKernels
+      .bloomMightContain(lit(bytes), col("l_orderkey"))).count()
+    val total = li.count()
+    assert(pruned < total / 5, s"bloom barely prunes: $pruned of $total rows pass")
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
