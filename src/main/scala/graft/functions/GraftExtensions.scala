@@ -40,6 +40,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // graft's standard sketch configuration (the constants baked into the
     // oracle SQL): 64 fixed-LCG permutations for MinHash, 32-bit SimHash.
     ext.injectFunction((
+      new FunctionIdentifier("dot_int8"),
+      new ExpressionInfo(classOf[DotProductByte].getName, "dot_int8"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_int8(a, b) takes 2 arguments")
+        DotProductByte(args.head, args(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSignatureExpr].getName, "minhash_sig"),
       (args: Seq[Expression]) => {

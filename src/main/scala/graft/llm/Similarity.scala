@@ -1031,6 +1031,71 @@ object Similarity {
        |) ORDER BY cluster_rep""".stripMargin
   }
 
+  // -------------------------------- q70 int8 scalar-quantized ANN top-k
+
+  /** Scalar (symmetric per-vector) int8 quantization + integer-dot top-k —
+    * the memory-bandwidth scale path for embedding search: each vector
+    * stores one double scale plus 64 BYTES (8× less traffic than the
+    * long-quantized form q44 scans), and the inner loop is the int8 dot
+    * kernel. The score is the RECONSTRUCTED inner product
+    * `dot_i · mx_p · mx_c / 127²` — approximate relative to float cosine,
+    * but bit-deterministic: quantization is `floor(x / mx · 127)` over
+    * correctly-rounded double ops, the dot is exact integer math, and the
+    * final rescale is the same three IEEE ops in both engines, so the
+    * DuckDB oracle gates every score byte-for-byte.
+    *
+    * Shape: probes (vec_id < 8) broadcast; the corpus side streams
+    * through one codegen'd dot per (probe, vector) pair. At 100 TB the
+    * byte payload is the entire point — scan bandwidth, shuffle bytes and
+    * cache footprint all shrink 8× vs int64 quantization. */
+  def int8AnnTopk(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("q8",
+        when(col("mx") === 0.0, transform(col("embedding"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / col("mx") * 127.0).cast("byte"))))
+      .select(col("vec_id"), col("mx"), col("q8"))
+    val probes = broadcast(e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("probe_id"), col("mx").as("mx_p"), col("q8").as("p8")))
+    val scored = e.crossJoin(probes).filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("dot_i", graft.functions.ArrayKernels.dotByte(col("p8"), col("q8")))
+      .withColumn("est",
+        col("dot_i").cast("double") * col("mx_p") * col("mx") / lit(16129.0))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("est").desc, col("vec_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        col("dot_i"), col("est"), col("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val int8AnnTopkSql: String =
+    """WITH m AS (
+      |  SELECT vec_id, embedding,
+      |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx
+      |  FROM embeddings
+      |), q8 AS (
+      |  SELECT vec_id, mx,
+      |    CASE WHEN mx = 0.0 THEN [CAST(0 AS BIGINT) for x in embedding]
+      |         ELSE [CAST(floor(CAST(x AS DOUBLE) / mx * 127.0) AS BIGINT) for x in embedding]
+      |    END AS q
+      |  FROM m
+      |), pairs AS (
+      |  SELECT p.vec_id AS probe_id, e.vec_id AS neighbor_id,
+      |    CAST(list_sum([p.q[i] * e.q[i] for i in range(1, 65)]) AS BIGINT) AS dot_i,
+      |    CAST(list_sum([p.q[i] * e.q[i] for i in range(1, 65)]) AS DOUBLE)
+      |      * p.mx * e.mx / 16129.0 AS est
+      |  FROM q8 p JOIN q8 e ON e.vec_id <> p.vec_id
+      |  WHERE p.vec_id < 8
+      |), ranked AS (
+      |  SELECT probe_id, neighbor_id, dot_i, est,
+      |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY est DESC, neighbor_id) AS rnk
+      |  FROM pairs
+      |)
+      |SELECT probe_id, neighbor_id, dot_i, est, CAST(rnk AS INT) AS rnk
+      |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
+
   // ------------------------------------------------ q68 incremental dedup
 
   /** Deduplicate an INCOMING batch against an EXISTING corpus — the shape
@@ -1248,6 +1313,7 @@ object Similarity {
     QueryDef("q53_simhash_neardup", simhashNearDup, Some(simhashNearDupSql)),
     QueryDef("q55_neardup_clusters", nearDupClusters, Some(nearDupClustersSql)),
     QueryDef("q67_cluster_reps", clusterRepresentatives, Some(clusterRepresentativesSql)),
-    QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql))
+    QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("q70_int8_ann_topk", int8AnnTopk, Some(int8AnnTopkSql))
   )
 }

@@ -32,6 +32,25 @@ class ArrayKernelsSpec extends SparkSpec {
     df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("dotByte equals dotLong on byte-range values; random property") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val cases = (1 to 60).map { _ =>
+      val n = rnd.nextInt(70)
+      (Seq.fill(n)((rnd.nextInt(255) - 127).toByte),
+        Seq.fill(n)((rnd.nextInt(255) - 127).toByte))
+    }
+    val df = cases.toDF("a", "b").select(
+      ArrayKernels.dotByte(col("a"), col("b")).as("k"),
+      ArrayKernels.dotLong(
+        transform(col("a"), _.cast("long")), transform(col("b"), _.cast("long"))).as("ref"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val expected = cases.map { case (a, b) =>
+      a.zip(b).map { case (x, y) => x.toLong * y }.sum }
+    val got = df.collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
   test("null array input yields null") {
     import spark.implicits._
     val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")

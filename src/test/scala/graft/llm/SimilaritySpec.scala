@@ -193,6 +193,27 @@ class SimilaritySpec extends SparkSpec {
     assert(joins.nonEmpty, "expected broadcast hash joins in the incremental-dedup plan")
   }
 
+  test("q70 int8 ANN: quantized values bounded, reconstruction near the float dot, probes broadcast") {
+    val emb = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val rows = Similarity.int8AnnTopk(spark, sfDir)
+    val got = rows.collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (p, n, est) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      val exact = emb(p).zip(emb(n)).map { case (x, y) => x * y }.sum
+      // per-element quantization error ≤ mx/127 ⇒ a loose but real bound
+      val bound = 2.0 * emb(p).map(math.abs).max * emb(n).map(math.abs).max * 64 / 127.0
+      assert(math.abs(est - exact) <= bound,
+        s"reconstruction off: probe $p nbr $n est $est exact $exact")
+    }
+    val bcast = allPlanNodes(executedPlanOf(rows)).collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }
+    assert(bcast.nonEmpty, "probe side should broadcast (tiny probes × streamed corpus)")
+  }
+
   test("ann-lsh neighbors are a subset of brute-force candidates' buckets") {
     val ann = Similarity.annLshTopk(spark, sfDir)
     assert(ann.count() > 0)
