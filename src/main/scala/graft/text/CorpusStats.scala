@@ -499,6 +499,33 @@ object CorpusStats {
       |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
       |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q71: heavy hitters via the Misra-Gries sketch
+  // ---------------------------------------------------------------------
+
+  /** Top-20 most frequent tokens estimated by a 64-counter Misra-Gries
+    * sketch ([[graft.functions.MisraGries]]) — q59's exact vocabulary
+    * table replaced by O(k) state per partition. At 100 TB the exact
+    * (term → count) aggregate is itself a giant shuffle (the vocabulary
+    * is unbounded over n-grams); the sketch ships 64 counters per
+    * partition and merges map-side, turning frequency estimation into a
+    * constant-size reduction.
+    *
+    * Like q14's HLL, the estimates depend on partition layout, so there
+    * is no cross-engine oracle (rows-only check); the quantitative gate
+    * is the spec, which asserts the three MG guarantees against exact
+    * counts: est ≤ true, true − est ≤ N/(k+1), and every token with
+    * true count > N/(k+1) present in the sketch. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+    toks
+      .agg(graft.functions.MisraGries.sketch(col("tok"), 64).as("hh"))
+      .select(posexplode(slice(col("hh"), 1, 20)))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.item").as("item"), col("col.est").as("est"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -506,6 +533,7 @@ object CorpusStats {
     QueryDef("q61_pii_redact", piiRedact, Some(piiRedactSql)),
     QueryDef("q62_token_windows", tokenWindows, Some(tokenWindowsSql)),
     QueryDef("q63_sequence_pack", sequencePack, Some(sequencePackSql)),
-    QueryDef("q66_tfidf_terms", tfidfTerms, Some(tfidfTermsSql))
+    QueryDef("q66_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
+    QueryDef("q71_heavy_hitters", heavyHitters, None)
   )
 }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Misra-Gries guarantees hold against exact counts — the quantitative
+  * gate for q71 (which, like q14's HLL, has no cross-engine oracle). */
+class MisraGriesSpec extends SparkSpec {
+
+  private def tokenFrame = graft.Tables.documents(spark, sfDir)
+    .select(explode(graft.text.TextOps.tokens(lower(col("text")))).as("tok"))
+
+  private def checkGuarantees(k: Int, parts: Int): Unit = {
+    val toks = if (parts > 0) tokenFrame.repartition(parts) else tokenFrame
+    val sketch = toks.agg(MisraGries.sketch(col("tok"), k)).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = tokenFrame.groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    val bound = n / (k + 1) // integer floor is fine: error ≤ N/(k+1)
+    assert(sketch.size <= k)
+    sketch.foreach { case (item, est) =>
+      val t = exact(item)
+      assert(est <= t, s"overcount: $item est $est > true $t")
+      assert(t - est <= bound, s"undercount beyond N/(k+1): $item est $est true $t bound $bound")
+    }
+    exact.foreach { case (item, t) =>
+      if (t > bound)
+        assert(sketch.contains(item), s"heavy hitter missing: $item true $t > bound $bound")
+    }
+  }
+
+  test("MG bounds vs exact token counts (natural partitioning)") {
+    checkGuarantees(k = 64, parts = 0)
+  }
+
+  test("MG bounds survive merging across many partitions") {
+    checkGuarantees(k = 64, parts = 7)
+    checkGuarantees(k = 16, parts = 13)
+  }
+
+  test("buffer model: random stream, small k, bounds hold") {
+    val rnd = new scala.util.Random(11)
+    // zipf-ish: item i drawn with weight ~ 1/(i+1)
+    val items = (1 to 5000).map { _ =>
+      val r = rnd.nextDouble()
+      val i = math.min((1.0 / (r + 0.02)).toInt, 40)
+      s"item$i"
+    }
+    val k = 8
+    val buf = new MGBuffer(k)
+    items.foreach { it => buf.add(it, 1L); buf.shrink() }
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = items.size.toLong / (k + 1)
+    val est = {
+      val m = scala.collection.mutable.Map[String, Long]()
+      buf.counts.forEach((k2, v) => m(k2) = v)
+      m.toMap
+    }
+    assert(est.size <= k)
+    est.foreach { case (item, e) =>
+      assert(e <= exact(item) && exact(item) - e <= bound)
+    }
+    exact.foreach { case (item, t) =>
+      if (t > bound) assert(est.contains(item), s"missing heavy hitter $item ($t > $bound)")
+    }
+  }
+
+  test("q71 emits 20 ranked rows with positive estimates") {
+    val rows = graft.text.CorpusStats.heavyHitters(spark, sfDir).collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    assert(rows.forall(_.getLong(2) > 0))
+    // ranks are ordered by estimate desc
+    val ests = rows.sortBy(_.getLong(0)).map(_.getLong(2))
+    assert(ests.zip(ests.tail).forall { case (a, b) => a >= b })
+  }
+}
