@@ -84,6 +84,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("q72 partition-pruned scan: year predicate is a PartitionFilter and skips files") {
+    val df = Layout.partitionPrunedRevenue(spark, sfDir)
+    val scan = allPlanNodes(executedPlanOf(df)).collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.exists(_.toString.contains("o_year")),
+      s"o_year not resolved as a partition filter: ${scan.metadata}")
+    // the pruned scan must read strictly fewer files than the layout holds
+    val allFiles = scan.relation.location.inputFiles.length
+    val readFiles = scan.metrics("numFiles").value
+    assert(readFiles < allFiles,
+      s"no files skipped: read $readFiles of $allFiles")
+    // values equal the raw-parquet filter (the oracle's formulation)
+    val raw = graft.Tables.orders(spark, sfDir)
+      .filter(year(col("o_orderdate")) === 1997)
+      .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n_orders"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == raw)
+  }
+
   test("ErrorIfExists refuses a second write (reference K6 precondition)") {
     val out = Files.createTempDirectory("graft-layout2").resolve("docs").toString
     val docs = graft.Tables.documents(spark, sfDir).limit(10)
