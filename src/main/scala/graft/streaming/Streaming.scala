@@ -221,6 +221,22 @@ object Streaming {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming ingest dedup — the streaming twin of q68's incremental
+    * dedup: a document stream is deduplicated (a) WITHIN itself by
+    * content hash under a watermark (state holds one hash per horizon,
+    * evicted as the watermark advances) and (b) AGAINST the static
+    * already-clean corpus by a stream-static LEFT ANTI join on the hash
+    * (stateless: each micro-batch probes the static side, which the
+    * planner broadcasts when small — at 100 TB swap the static frame for
+    * a compacted/bucketed table, or pre-filter it with q69's Bloom
+    * pattern). Expects `(doc_id, ts, text)`; emits surviving rows only. */
+  def ingestDedup(docs: DataFrame, corpus: DataFrame): DataFrame =
+    docs.withColumn("h", md5(col("text")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("h")
+      .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
+      .drop("h")
+
   /** Drive a streaming DataFrame to a named in-memory table and block until
     * the input is drained — used by tests and local inspection. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

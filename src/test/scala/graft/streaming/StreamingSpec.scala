@@ -137,6 +137,29 @@ class StreamingSpec extends SparkSpec {
     assert(ids.distinct.length == ids.length)
   }
 
+  test("ingest dedup: within-stream and vs-static-corpus duplicates both dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val corpus = Seq((100L, "alpha beta"), (101L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    stream.addData(
+      (1L, ts(1), "alpha beta"),      // exact dup of corpus → dropped
+      (2L, ts(2), "epsilon zeta"),    // fresh → kept
+      (3L, ts(3), "epsilon zeta"))    // within-batch dup of 2 → dropped
+    stream.addData(
+      (4L, ts(4), "epsilon zeta"),    // cross-batch dup of 2 → dropped
+      (5L, ts(5), "gamma delta"),     // corpus dup → dropped
+      (6L, ts(6), "eta theta"))       // fresh → kept
+    Streaming.runToMemory(
+      Streaming.ingestDedup(stream.toDF().toDF("doc_id", "ts", "text"), corpus),
+      "t_ingest", OutputMode.Append())
+    val kept = spark.table("t_ingest").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 6L), s"got $kept")
+  }
+
   test("mapGroupsWithState running totals match a batch groupBy") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
