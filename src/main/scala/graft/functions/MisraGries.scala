@@ -50,15 +50,30 @@ final class MGBuffer(val k: Int) {
     counts.put(item, counts.getOrDefault(item, 0L) + c)
 
   /** Subtract the (k+1)-th largest count from all entries, drop ≤0 —
-    * restores |counts| ≤ k while preserving the MG bounds. */
+    * restores |counts| ≤ k while preserving the MG bounds.
+    *
+    * The per-row update path overflows by exactly ONE entry, where the
+    * (k+1)-th largest IS the minimum — found in one allocation-free O(k)
+    * pass (the textbook decrement step). The sort-based selection runs
+    * only in merge(), which can overflow by up to k at once and executes
+    * once per map-side partial, not per row. */
   def shrink(): Unit = {
-    if (counts.size <= k) return
-    val vs = new Array[Long](counts.size)
-    val it = counts.values.iterator
-    var i = 0
-    while (it.hasNext) { vs(i) = it.next(); i += 1 }
-    java.util.Arrays.sort(vs)
-    val sub = vs(vs.length - (k + 1)) // (k+1)-th largest
+    val size = counts.size
+    if (size <= k) return
+    val sub =
+      if (size == k + 1) {
+        var min = Long.MaxValue
+        val it = counts.values.iterator
+        while (it.hasNext) { val v = it.next(); if (v < min) min = v }
+        min
+      } else {
+        val vs = new Array[Long](size)
+        val it = counts.values.iterator
+        var i = 0
+        while (it.hasNext) { vs(i) = it.next(); i += 1 }
+        java.util.Arrays.sort(vs)
+        vs(vs.length - (k + 1)) // (k+1)-th largest
+      }
     val eit = counts.entrySet.iterator
     while (eit.hasNext) {
       val e = eit.next()

@@ -192,12 +192,17 @@ object Similarity {
       .agg(min(col("doc_id")).as("gid"),
         sort_array(collect_list(col("doc_id"))).as("members"))
 
-  /** Verified near-dup pairs between DISTINCT shingle sets, in group-rep
-    * space: (gid_a < gid_b, n_shared, jaccard). Within-group pairs are
-    * not represented here (their Jaccard is 1 by construction);
-    * [[lshVerifiedPairs]] adds them on expansion. */
-  def lshVerifiedRepPairs(spark: SparkSession, dir: String): DataFrame =
-    repPairsFromGroups(shingleGroups(spark, dir))
+  /** LSH band keys for an (id, hs) frame: one row per (id, band), keyed
+    * by `xxhash64(band index, signature slice)` — THE banding definition,
+    * shared by the self-join (q41/q50/q55 via [[repPairsFromGroups]]) and
+    * the asymmetric probe join (q68), so a change to Bands/RowsPerBand or
+    * the band-key hash cannot make them silently disagree. */
+  private[llm] def bandKeys(df: DataFrame, idCol: String): DataFrame = df
+    .withColumn("sig", minhashSignature(col("hs")))
+    .select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
+    .select(col(idCol), xxhash64(col("pos"), col("col")).as("bkey"))
 
   /** The band/verify pipeline over an explicit (gid, hs, …) groups frame —
     * shared so q55 can checkpoint the groups once and reuse them.
@@ -207,12 +212,7 @@ object Similarity {
     * candidate set against a few-thousand-row build side. */
   private[llm] def repPairsFromGroups(grps: DataFrame): DataFrame = {
     val sets = grps.select(col("gid"), col("hs"))
-    val banded = sets
-      .withColumn("sig", minhashSignature(col("hs")))
-      .select(col("gid"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
-      .select(col("gid"), xxhash64(col("pos"), col("col")).as("bkey"))
+    val banded = bandKeys(sets, "gid")
     val cand = banded.select(col("bkey"), col("gid").as("gid_a"))
       .join(banded.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
       .filter(col("gid_a") < col("gid_b"))
@@ -1112,7 +1112,12 @@ object Similarity {
     * Exact takes precedence (an exact dup is also a near dup).
     *
     * Scale shape — deliberately ASYMMETRIC, unlike q41's self-join:
-    *  - signatures are computed once for both sides from the same scan;
+    *  - signatures are computed once from one scan and CHECKPOINTED —
+    *    the frame feeds seven subtrees (two band sides, two payload
+    *    attaches, the exact check's two projections, the final assembly)
+    *    and Spark does no plan CSE across join branches, so without the
+    *    checkpoint the corpus would be re-scanned and re-hashed per
+    *    branch (the same trap [[lshVerifiedPairs]] documents);
     *  - the band join probes the big corpus side with the SMALL incoming
     *    side broadcast (at 100 TB the corpus banded frame is huge but
     *    never shuffles: each corpus partition streams past the broadcast
@@ -1121,27 +1126,24 @@ object Similarity {
     *  - candidate verification attaches the corpus shingle payload by an
     *    equi-join on the (few) candidate ids, the incoming payload by
     *    broadcast;
-    *  - the exact check is a broadcast left-semi join on text against the
-    *    corpus (the corpus side is the streamed side).
+    *  - the exact check keeps the same asymmetry: the corpus streams past
+    *    the BROADCAST incoming texts (left-semi with the corpus as the
+    *    probe side would make the huge corpus the build side), and the
+    *    ≤|incoming| matched texts flow back as a second broadcast.
     * The final assembly joins only over the incoming batch. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val isIncoming = pmod(col("doc_id"), lit(10)) === 7
     val sigs = docs.select(col("doc_id"), col("text"),
       hashedShingles(col("text")).as("hs"))
+      .localCheckpoint(false)
     val incoming = sigs.filter(isIncoming)
     val corpus = sigs.filter(!isIncoming)
-    def banded(side: DataFrame): DataFrame = side
-      .withColumn("sig", minhashSignature(col("hs")))
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(Bands - 1)),
-          b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
-      .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bkey"))
     // Corpus side streams; incoming side broadcasts. Candidates are slim
     // (two ids), then payloads attach: incoming by broadcast, corpus by an
     // equi-join that shuffles only the candidate ids — never the corpus.
-    val cand = banded(corpus).select(col("bkey"), col("doc_id").as("cor_id"))
-      .join(broadcast(banded(incoming).select(col("bkey"), col("doc_id").as("inc_id"))),
+    val cand = bandKeys(corpus, "doc_id").withColumnRenamed("doc_id", "cor_id")
+      .join(broadcast(bandKeys(incoming, "doc_id").withColumnRenamed("doc_id", "inc_id")),
         Seq("bkey"))
       .select(col("inc_id"), col("cor_id"))
     val nearIds = cand
@@ -1154,8 +1156,13 @@ object Similarity {
         graft.functions.ArrayKernels.sortedIntersectCount(col("hs_i"), col("hs_c")))
       .filter(col("n_shared") / (col("sz_i") + col("sz_c") - col("n_shared")) >= 0.9)
       .select(col("inc_id").as("doc_id")).distinct()
+    // corpus texts that occur in the incoming batch: corpus streams past
+    // the broadcast incoming texts; survivors are ≤ |incoming| rows
+    val matchedTexts = corpus.select(col("text"))
+      .join(broadcast(incoming.select(col("text"))), Seq("text"), "left_semi")
+      .distinct()
     val exactIds = incoming.select(col("doc_id"), col("text"))
-      .join(corpus.select(col("text")), Seq("text"), "left_semi")
+      .join(broadcast(matchedTexts), Seq("text"), "left_semi")
       .select(col("doc_id"))
     incoming.select(col("doc_id"))
       .join(exactIds.withColumn("is_exact", lit(true)), Seq("doc_id"), "left")

@@ -162,6 +162,16 @@ object Streaming {
     def flush(uid: Long, open: List[SessionAgg],
               state: GroupState[OpenSessions]): Iterator[ClosedSession] = {
       val wmUs = state.getCurrentWatermarkMs() * 1000
+      // Expiry at EQUALITY (<=) is safe even though session_window merges
+      // an event landing exactly on the gap horizon (12:00 + 12:30 at a
+      // 30-min gap form ONE session — the merge test above is inclusive
+      // for this reason): Spark's late-row filter drops input with
+      // ts <= current watermark before it reaches this operator (verified
+      // empirically — a ts == watermark event never arrives), so once
+      // wm == horizon every event that can still arrive has ts > horizon
+      // and would fail the inclusive merge test anyway. Emitting at
+      // equality just closes the session one batch earlier than the
+      // (ms-rounded-up, strictly-fired) timeout would.
       val (expired, live) = open.partition(s => s.lastTs + gapUs <= wmUs)
       if (live.isEmpty) state.remove()
       else {

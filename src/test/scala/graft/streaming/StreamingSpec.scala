@@ -285,6 +285,39 @@ class StreamingSpec extends SparkSpec {
     assert(got == Seq((ts(base - 50), ts(base + 30), 3L)), s"got $got")
   }
 
+  test("event exactly on the gap horizon merges (session_window's inclusive boundary)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long): java.sql.Timestamp = new java.sql.Timestamp(min * 60000L)
+    def ev(id: Long, uid: Long, min: Long) =
+      Streaming.EventRow(id, ts(min), uid, "view", 1.0)
+    // session_window semantics: events at minute 1 and minute 31 with a
+    // 30-min gap form ONE session [1, 61) — the boundary is inclusive.
+    // The custom emitter's merge test must agree. (The expiry-at-equality
+    // in flush can never split such a pair: Spark's late filter drops
+    // ts <= watermark before the operator, so once wm == horizon no
+    // admissible event can land ON the horizon — locked here by keeping
+    // the boundary event well above the watermark.)
+    val stream = MemoryStream[Streaming.EventRow]
+    stream.addData(ev(1, 1, 1), ev(2, 99, 60))   // wm for b2: max(1,60)-60 = 0
+    stream.addData(ev(3, 1, 31))                 // exactly lastTs + gap → merge
+    stream.addData(ev(4, 99, 9999))              // close everything
+    Streaming.runToMemory(Streaming.sessionCloseEvents(stream.toDF()),
+      "t_boundary", OutputMode.Append())
+    val u1 = spark.table("t_boundary").filter(col("user_id") === 1)
+      .select("sess_start", "sess_end", "n_events")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000,
+        r.getTimestamp(1).getTime / 60000, r.getLong(2))).toSet
+    assert(u1 == Set((1L, 61L, 2L)), s"got $u1")
+    // batch twin agrees
+    val batch = Seq(ev(1, 1, 1), ev(3, 1, 31)).toDF()
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n")).select("session_window.start", "session_window.end", "n")
+      .collect().map(r => (r.getTimestamp(0).getTime / 60000,
+        r.getTimestamp(1).getTime / 60000, r.getLong(2))).toSet
+    assert(batch == Set((1L, 61L, 2L)), s"batch twin got $batch")
+  }
+
   test("late data beyond the watermark is dropped in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
