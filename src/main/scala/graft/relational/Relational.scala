@@ -649,6 +649,36 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Pivot: order counts by year × priority, priorities as columns. The
+    * value list is EXPLICIT — with an inferred list Spark first runs a
+    * distinct() job over the pivot column (an extra corpus pass) and the
+    * output schema becomes data-dependent, which breaks both column-name
+    * determinism (the oracle hash sorts by name) and, at 100 TB, schema
+    * stability across ingest days. Explicit values make pivot a single
+    * groupBy with a conditional-aggregate fan-out — same cost class as
+    * q50's stack, no extra shuffle. Absent combinations surface as 0. */
+  def orderPivot(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Seq("1-URGENT" -> "p_urgent", "2-HIGH" -> "p_high",
+      "3-MEDIUM" -> "p_medium", "4-NOT SPECIFIED" -> "p_notspec", "5-LOW" -> "p_low")
+    val pivoted = Tables.orders(spark, dir)
+      .withColumn("yr", year(col("o_orderdate")))
+      .groupBy(col("yr"))
+      .pivot("o_orderpriority", vals.map(_._1))
+      .agg(count(lit(1)))
+    vals.foldLeft(pivoted) { case (df, (v, alias)) =>
+      df.withColumn(alias, coalesce(col(s"`$v`"), lit(0L))).drop(v)
+    }.orderBy(col("yr"))
+  }
+
+  val orderPivotSql: String =
+    """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr,
+      |  COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS p_urgent,
+      |  COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS p_high,
+      |  COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS p_medium,
+      |  COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS p_notspec,
+      |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
+      |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -671,6 +701,7 @@ object Relational {
     QueryDef("q39_nation_coverage", nationCoverage, Some(nationCoverageSql)),
     QueryDef("q51_topk_aggregator", topPartsPerBrandAgg, Some(topPartsPerBrandSql)),
     QueryDef("q52_grouping_sets", groupingSets, Some(groupingSetsSql)),
-    QueryDef("q69_bloom_prune_join", bloomPruneJoin, Some(bloomPruneJoinSql))
+    QueryDef("q69_bloom_prune_join", bloomPruneJoin, Some(bloomPruneJoinSql)),
+    QueryDef("q73_pivot", orderPivot, Some(orderPivotSql))
   )
 }

@@ -179,6 +179,29 @@ class RelationalSpec extends SparkSpec {
     assert(pruned < total / 5, s"bloom barely prunes: $pruned of $total rows pass")
   }
 
+  test("q73 pivot: one scan, one aggregate pair, agrees with manual conditional agg") {
+    val df = Relational.orderPivot(spark, sfDir)
+    val p = plan(df)
+    val scans = collectAll(p).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 1, s"pivot with explicit values must not re-scan (distinct job): ${scans.size} scans")
+    // Spark plans pivot as TWO stacked aggregates — pre-aggregate to
+    // (yr, priority), then pivot the partials — i.e. ≤ 4 physical
+    // (partial+final each); anything more would mean branch re-execution
+    val aggs = collectAll(p).collect {
+      case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+    }
+    assert(aggs.size <= 4, s"expected the two-level pivot aggregate, got ${aggs.size}")
+    val o = graft.Tables.orders(spark, sfDir).withColumn("yr", year(col("o_orderdate")))
+    val manual = o.groupBy("yr")
+      .agg(count(when(col("o_orderpriority") === "1-URGENT", 1)).as("p_urgent"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      assert(r.getLong(r.fieldIndex("p_urgent")) == manual(r.getInt(0)))
+    }
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
