@@ -120,4 +120,51 @@ object Sinks {
     df.select(col(chunkCol), concat(col(textCol), lit("\n")).as(textCol))
       .write.mode("errorifexists").partitionBy(chunkCol).text(outDir)
   }
+
+  /** Training-shard sink: pack `(doc_id, source, text)` documents into
+    * token-budget shards (q63's contiguous-cumsum bin assignment — each
+    * source packs independently, in doc_id order), write ONE text file
+    * per shard (docs joined by "\n\n", the reference's record separator),
+    * and return the MANIFEST — the table a downstream trainer reads
+    * instead of listing directories: one row per shard with its file
+    * name, doc range and token count.
+    *
+    * Shard text is assembled with the bounded-group guarantee the token
+    * budget provides (a shard holds ≤ budget tokens plus the one doc that
+    * straddles the boundary — collect_list is safe by construction, no
+    * separate guard pass needed). The shard frame is checkpointed ONCE so
+    * the written files and the returned manifest come from the same
+    * materialization (at 100 TB, trade the cache for a recompute — the
+    * plan is deterministic either way). */
+  def writePackedShards(docs: DataFrame, outDir: String,
+                        tokensPerShard: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.text.TextOps.tokens(col("text"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val shards = docs
+      .select(col("doc_id"), col("source"), col("text"),
+        size(toks).cast("long").as("n_tokens"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin_id", expr(s"greatest(cum - 1, 0L) div $tokensPerShard"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+            s => s.getField("text")),
+          "\n\n").as("shard_text"))
+      .withColumn("shard_file",
+        concat(col("source"), lit("_shard"), col("bin_id"), lit(".txt")))
+      .localCheckpoint(true)
+    writeTextPerRow(
+      shards.select(col("shard_file"), col("shard_text")),
+      outDir, fileCol = "shard_file", textCol = "shard_text")
+    shards.select(col("source"), col("bin_id"), col("shard_file"),
+        col("n_docs"), col("n_tokens"), col("first_doc"), col("last_doc"))
+      .orderBy(col("source"), col("bin_id"))
+  }
 }

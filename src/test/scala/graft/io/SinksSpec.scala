@@ -65,6 +65,47 @@ class SinksSpec extends SparkSpec {
     assert(back.sorted.toSeq == lines.sorted)
   }
 
+  test("packed shards: files match the cumsum-packing model, manifest accounts for every token") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val budget = 256L
+    val docs = graft.Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val manifest = Sinks.writePackedShards(docs, out, budget).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4)))
+
+    // Scala model of the same packing
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def nTokens(t: String): Long = t.toLowerCase.split("\\s+").count(_.nonEmpty).toLong
+    val packed: Seq[(String, Long, String, Long)] =
+      rows.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        var cum = 0L
+        ds.sortBy(_._1).toSeq.map { case (_, _, text) =>
+          cum += nTokens(text)
+          val bin = math.max(cum - 1, 0L) / budget
+          (src, bin, text, nTokens(text))
+        }
+      }
+    val model: Map[(String, Long), (String, Long, Long)] =
+      packed.groupBy(t => (t._1, t._2)).map { case (key, ts) =>
+        key -> ((ts.map(_._3).mkString("\n\n"), ts.size.toLong, ts.map(_._4).sum))
+      }
+
+    assert(manifest.length == model.size, "manifest row per model shard")
+    manifest.foreach { case (src, bin, file, nDocs, nToks) =>
+      val (text, mDocs, mToks) = model((src, bin))
+      assert(nDocs == mDocs && nToks == mToks, s"manifest counts wrong for $src/$bin")
+      val p = java.nio.file.Paths.get(out, file)
+      if (text.trim.nonEmpty) {
+        val got = new String(java.nio.file.Files.readAllBytes(p),
+          java.nio.charset.StandardCharsets.UTF_8)
+        assert(got == text, s"shard $file content differs from model")
+      }
+    }
+    // every corpus token is accounted for exactly once
+    val totalTokens = rows.map(r => nTokens(r._3)).sum
+    assert(manifest.map(_._5).sum == totalTokens)
+  }
+
   test("merged single file concatenates all rows") {
     import spark.implicits._
     val d = tmpDir("graft-sink-merge")
