@@ -67,6 +67,35 @@ class MisraGriesSpec extends SparkSpec {
     }
   }
 
+  test("grouped sketches: per-language MG bounds hold independently") {
+    val k = 32
+    val perLang = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(graft.text.TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang").agg(MisraGries.sketch(col("tok"), k).as("hh"))
+      .collect().map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+          .map(x => x.getString(0) -> x.getLong(1)).toMap
+      }.toMap
+    assert(perLang.size > 1, "fixture needs multiple languages")
+    val exact = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(graft.text.TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy("lang", "tok").count().collect()
+      .groupBy(_.getString(0)).map { case (lang, rs) =>
+        lang -> rs.map(r => r.getString(1) -> r.getLong(2)).toMap
+      }
+    perLang.foreach { case (lang, sketch) =>
+      val ex = exact(lang)
+      val bound = ex.values.sum / (k + 1)
+      assert(sketch.size <= k)
+      sketch.foreach { case (t, est) =>
+        assert(est <= ex(t) && ex(t) - est <= bound, s"$lang/$t bounds violated")
+      }
+      ex.foreach { case (t, n) =>
+        if (n > bound) assert(sketch.contains(t), s"$lang heavy hitter $t missing")
+      }
+    }
+  }
+
   test("q71 emits 20 ranked rows with positive estimates") {
     val rows = graft.text.CorpusStats.heavyHitters(spark, sfDir).collect()
     assert(rows.length == 20)
