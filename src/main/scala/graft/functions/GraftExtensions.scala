@@ -37,6 +37,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_long(a, b) takes 2 arguments")
         DotProductLong(args.head, args(1))
       }))
+    // Custom AGGREGATES are SQL-callable too — the analyzer wraps a bare
+    // AggregateFunction from the registry in an AggregateExpression. The
+    // k argument must be a literal (it sizes the buffer at plan time).
+    def litInt(e: Expression, fn: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case _ => throw new IllegalArgumentException(s"$fn: k must be an INT literal")
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("decimal_top_k"),
+      new ExpressionInfo(classOf[DecimalTopK].getName, "decimal_top_k"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "decimal_top_k(score, id, k) takes 3 arguments")
+        DecimalTopK(args.head, args(1), litInt(args(2), "decimal_top_k"))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "misra_gries"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "misra_gries(item, k) takes 2 arguments")
+        MisraGriesAgg(args.head, litInt(args(1), "misra_gries"))
+      }))
     // graft's standard sketch configuration (the constants baked into the
     // oracle SQL): 64 fixed-LCG permutations for MinHash, 32-bit SimHash.
     ext.injectFunction((

@@ -33,6 +33,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(sig == (0 until graft.llm.Similarity.NumPerms).map(i =>
         (graft.llm.Similarity.permA(i) * 7L + graft.llm.Similarity.permB(i)) % graft.llm.Similarity.P))
       assert(row.getLong(3) == 7L)
+      // custom AGGREGATES resolve from SQL text too
+      val agg = spark.sql(
+        """SELECT misra_gries(w, 4) AS hh,
+          |       decimal_top_k(CAST(v AS DECIMAL(10,2)), id, 2) AS tk,
+          |       dot_int8(array(CAST(2 AS TINYINT)), array(CAST(3 AS TINYINT))) AS d8
+          |FROM VALUES ('a', 1.0, 1L), ('a', 2.0, 2L), ('b', 3.0, 3L) AS t(w, v, id)""".stripMargin)
+        .collect().head
+      val hh = agg.getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(hh == Map("a" -> 2L, "b" -> 1L))
+      val tk = agg.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(1))
+      assert(tk == Seq(3L, 2L), s"top-2 by score desc: got $tk")
+      assert(agg.getLong(2) == 6L)
     } finally {
       prev.foreach { s =>
         SparkSession.setDefaultSession(s)
