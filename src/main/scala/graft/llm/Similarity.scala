@@ -910,14 +910,17 @@ object Similarity {
     * members and BROADCASTING the doc→label table against the corpus scan
     * keeps the big side shuffle-free — the corpus is only probed for the
     * lengths of in-cluster docs. The rep argmax then runs a window over
-    * the in-cluster subset only (|cluster docs| rows, not |corpus|). */
+    * the in-cluster subset only (|cluster docs| rows, not |corpus|).
+    * Doc length comes from the stored `n_chars` column (verified equal to
+    * `length(text)` at every SF), so the length probe never reads the
+    * text payload at all — the scan's ReadSchema is two slim columns. */
   def clusterRepresentatives(spark: SparkSession, dir: String): DataFrame = {
     val (grps, groupLabels) = clusterGroupLabels(spark, dir)
     val docLabels = groupLabels
       .join(broadcast(grps.select(col("gid").as("node"), col("members"))), Seq("node"))
       .select(col("lbl"), explode(col("members")).as("doc_id"))
     val lens = Tables.documents(spark, dir)
-      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .select(col("doc_id"), col("n_chars").cast("long").as("len"))
     val w = Window.partitionBy(col("lbl")).orderBy(col("len").desc, col("doc_id"))
     lens.join(broadcast(docLabels), Seq("doc_id"))
       .withColumn("rk", row_number().over(w))
@@ -961,9 +964,9 @@ object Similarity {
        |), lab0 AS MATERIALIZED (
        |  SELECT DISTINCT node, node AS lbl FROM sym
        |), $roundCtes, r AS (
-       |  SELECT l.lbl, l.node AS doc_id, CAST(length(d.text) AS BIGINT) AS len,
+       |  SELECT l.lbl, l.node AS doc_id, CAST(d.n_chars AS BIGINT) AS len,
        |    ROW_NUMBER() OVER (PARTITION BY l.lbl
-       |                       ORDER BY length(d.text) DESC, l.node) AS rk,
+       |                       ORDER BY d.n_chars DESC, l.node) AS rk,
        |    COUNT(*) OVER (PARTITION BY l.lbl) AS n_docs
        |  FROM lab$rounds l JOIN documents d ON d.doc_id = l.node
        |)
