@@ -679,6 +679,56 @@ object Relational {
       |  COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS p_low
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
 
+  /** RANGE-frame window: per-customer 30-day TRAILING spend over daily
+    * totals — the time-based rolling aggregate (q08's running total is a
+    * ROWS frame; a RANGE frame closes the family). Spark's rangeBetween
+    * needs a numeric sort key, so days become an integer day number; the
+    * frame [-29, 0] then means "this day and the 29 calendar days before
+    * it", regardless of how many order-days exist in between — exactly
+    * where ROWS and RANGE diverge.
+    *
+    * Window sums stay DECIMAL until after the frame so the result is
+    * order-independent (summing doubles inside a frame would depend on
+    * row order, which the engines don't share). ONE shuffle total: the
+    * explicit custkey repartition satisfies BOTH the (custkey, day)
+    * aggregate's clustering (custkey ⊆ grouping keys, so same-group rows
+    * are already co-located) and the window's custkey partitioning —
+    * without it Spark plans two exchanges, (custkey, day) then custkey.
+    * Spec-locked. */
+  def rollingSpend(spark: SparkSession, dir: String): DataFrame = {
+    // day stays TIMESTAMP (midnight-truncated): a DATE column round-trips
+    // through the two engines' parquet/pandas paths with different dtypes
+    // and fails the compare on type, not value
+    val daily = Tables.orders(spark, dir)
+      .repartition(col("o_custkey"))
+      .groupBy(col("o_custkey"), date_trunc("DAY", col("o_orderdate")).as("day"))
+      .agg(sum(dec(col("o_totalprice"))).as("day_spend"))
+      .withColumn("day_n", datediff(col("day"), lit("1992-01-01").cast("date")))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_n"))
+      .rangeBetween(-29, 0)
+    daily
+      .withColumn("spend_30d", narrow(sum(col("day_spend")).over(w), 4))
+      .withColumn("n_days_30d", count(lit(1)).over(w))
+      .select(col("o_custkey"), col("day"),
+        col("day_spend").cast("double").as("day_spend"),
+        col("spend_30d"), col("n_days_30d"))
+      .orderBy(col("o_custkey"), col("day"))
+  }
+
+  val rollingSpendSql: String =
+    """WITH daily AS (
+      |  SELECT o_custkey, date_trunc('day', o_orderdate) AS day,
+      |    SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS day_spend,
+      |    datediff('day', TIMESTAMP '1992-01-01 00:00:00', date_trunc('day', o_orderdate)) AS day_n
+      |  FROM orders GROUP BY 1, 2
+      |)
+      |SELECT o_custkey, day, CAST(day_spend AS DOUBLE) AS day_spend,
+      |  CAST(CAST(SUM(day_spend) OVER (PARTITION BY o_custkey ORDER BY day_n
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DECIMAL(18,4)) AS DOUBLE) AS spend_30d,
+      |  COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day_n
+      |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_days_30d
+      |FROM daily ORDER BY o_custkey, day""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -702,6 +752,7 @@ object Relational {
     QueryDef("q51_topk_aggregator", topPartsPerBrandAgg, Some(topPartsPerBrandSql)),
     QueryDef("q52_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q69_bloom_prune_join", bloomPruneJoin, Some(bloomPruneJoinSql)),
-    QueryDef("q73_pivot", orderPivot, Some(orderPivotSql))
+    QueryDef("q73_pivot", orderPivot, Some(orderPivotSql)),
+    QueryDef("q74_rolling_spend", rollingSpend, Some(rollingSpendSql))
   )
 }

@@ -202,6 +202,31 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q74 rolling spend: RANGE frame semantics, one shuffle for agg+window") {
+    val df = Relational.rollingSpend(spark, sfDir)
+    val rows = df.collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime / 86400000L,
+      r.getDouble(2), r.getDouble(3), r.getLong(4)))
+    // model: per customer, trailing 30-calendar-day sums over daily totals
+    rows.groupBy(_._1).foreach { case (_, rs) =>
+      val byDay = rs.map(r => r._2 -> r._3).toMap
+      rs.foreach { case (_, d, _, spend30, nDays) =>
+        val window = byDay.filter { case (d2, _) => d2 <= d && d2 >= d - 29 }
+        assert(nDays == window.size, "RANGE frame must count calendar days, not rows")
+        assert(math.abs(spend30 - window.values.sum) < 1e-6)
+      }
+    }
+    // the explicit custkey repartition serves both the aggregate and the
+    // window: exactly ONE hash exchange in the executed plan (the final
+    // orderBy is a range exchange — allow it, ban a second hash exchange;
+    // match on outputPartitioning, not toString, which prints the subtree)
+    val hashEx = shuffleExchanges(df).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => s
+    }
+    assert(hashEx.size == 1, s"expected one hash exchange, got ${hashEx.size}")
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
