@@ -717,6 +717,103 @@ object Similarity {
       |SELECT probe_id, neighbor_id, CAST(cell AS INT) AS cell, cos, CAST(rnk AS INT) AS rnk
       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  // -------------------------------------- q75 k-means (Lloyd) over embeddings
+
+  /** Distributed k-means (Lloyd's algorithm, k = 8, two iterations) — the
+    * primitive behind IVF coarse-quantizer training (q49's cells assumed
+    * labels; this LEARNS them), semantic clustering and data-mixing by
+    * embedding region.
+    *
+    * Cross-engine exactness for an ITERATIVE float algorithm: everything
+    * runs in quantized integer space. Distances are
+    * ‖a‖² − 2a·b + ‖b‖² over exact 64-bit ints (no FP accumulation —
+    * order-independent), argmin ties break on the lowest centroid id via
+    * `min(struct(dist, cid))`, and centroid updates are
+    * `floor(sum/count)` where the sum is exact and the one double
+    * division is correctly rounded in both engines — so both engines walk
+    * the IDENTICAL centroid trajectory and the oracle gates the final
+    * assignment exactly. An empty cell simply drops out of the update
+    * (both engines agree, again exactly).
+    *
+    * Scale shape: each iteration is (broadcast k centroids → one codegen
+    * distance pass over the corpus → slim (vec_id, cid) frame →
+    * posexplode keyed (cid, dim) partial-agg). The corpus quantization is
+    * checkpointed once; per-round centroid frames are k rows. At 100 TB
+    * this is exactly MLlib's k-means dataflow, minus sampling-based init
+    * (deterministic first-k init keeps the oracle exact). */
+  def kmeans(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+      .localCheckpoint(false) // reused by every assign/update pass
+    def assign(cents: DataFrame): DataFrame =
+      e.crossJoin(broadcast(cents))
+        .withColumn("dist",
+          dotQ(col("q"), col("q")) - lit(2L) * dotQ(col("q"), col("qc")) +
+            dotQ(col("qc"), col("qc")))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("cid"))).as("m"))
+        .select(col("vec_id"), col("m").getField("cid").as("cid"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(e, Seq("vec_id"))
+        .select(col("cid"), posexplode(col("q")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("v", floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("cid"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("qc"))
+        .localCheckpoint(false) // k rows; truncates the per-round lineage
+    val c0 = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("q").as("qc"))
+    val c1 = update(assign(c0))
+    val a2 = assign(c1)
+    val c2 = update(a2)
+    a2.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"), min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .join(c2.select(col("cid"), element_at(col("qc"), 1).as("c0")), Seq("cid"))
+      .orderBy(col("cid"))
+  }
+
+  val kmeansSql: String = {
+    def distSql(v: String, c: String): String =
+      s"""CAST(list_sum([$v.q[i] * $v.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      - 2 * CAST(list_sum([$v.q[i] * $c.qc[i] for i in range(1, 65)]) AS BIGINT)
+         |      + CAST(list_sum([$c.qc[i] * $c.qc[i] for i in range(1, 65)]) AS BIGINT)""".stripMargin
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+       |  FROM embeddings
+       |), qe AS MATERIALIZED (
+       |  SELECT vec_id, unnest(q) AS v, unnest(range(0, len(q))) AS pos FROM q
+       |), c0 AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, q AS qc FROM q WHERE vec_id < 8
+       |), a1 AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${distSql("v", "c")}, c.cid) AS r
+       |    FROM q v CROSS JOIN c0 c) WHERE r = 1
+       |), c1 AS MATERIALIZED (
+       |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS qc
+       |  FROM (SELECT a1.cid, qe.pos, SUM(qe.v) AS s, COUNT(*) AS n
+       |        FROM a1 JOIN qe USING (vec_id) GROUP BY a1.cid, qe.pos)
+       |  GROUP BY cid
+       |), a2 AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${distSql("v", "c")}, c.cid) AS r
+       |    FROM q v CROSS JOIN c1 c) WHERE r = 1
+       |), c2 AS (
+       |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS qc
+       |  FROM (SELECT a2.cid, qe.pos, SUM(qe.v) AS s, COUNT(*) AS n
+       |        FROM a2 JOIN qe USING (vec_id) GROUP BY a2.cid, qe.pos)
+       |  GROUP BY cid
+       |)
+       |SELECT a.cid, COUNT(*) AS n_vecs, MIN(a.vec_id) AS min_vec,
+       |  MAX(a.vec_id) AS max_vec, MIN(c2.qc[1]) AS c0
+       |FROM a2 a JOIN c2 ON a.cid = c2.cid
+       |GROUP BY a.cid ORDER BY a.cid""".stripMargin
+  }
+
   // ------------------------------------------------- q47 per-label centroid
 
   /** Per-label centroid (first 4 dims) from quantized ints — exact sums,
@@ -1324,6 +1421,7 @@ object Similarity {
     QueryDef("q55_neardup_clusters", nearDupClusters, Some(nearDupClustersSql)),
     QueryDef("q67_cluster_reps", clusterRepresentatives, Some(clusterRepresentativesSql)),
     QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
-    QueryDef("q70_int8_ann_topk", int8AnnTopk, Some(int8AnnTopkSql))
+    QueryDef("q70_int8_ann_topk", int8AnnTopk, Some(int8AnnTopkSql)),
+    QueryDef("q75_kmeans", kmeans, Some(kmeansSql))
   )
 }

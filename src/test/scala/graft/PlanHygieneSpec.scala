@@ -14,7 +14,9 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *    streamed corpus — the nested loop is over ≤8 broadcast rows per
   *    input row, the 100 TB-legitimate scan shape;
   *  - q66: a broadcast ONE-ROW aggregate (the corpus doc count) attached
-  *    to every row — the scalar-subquery shape, bounded by construction.
+  *    to every row — the scalar-subquery shape, bounded by construction;
+  *  - q75: k-means assignment passes — k = 8 broadcast centroids against
+  *    the streamed corpus, the MLlib dataflow.
   *
   * Anything else that starts planning one of these nodes is a regression
   * (a join key was lost, a broadcast hint dropped, a filter stopped
@@ -24,7 +26,7 @@ class PlanHygieneSpec extends SparkSpec {
   private val boundedBaselines = Set(
     "q42_ngram_jaccard_topk", "q48_cosine_neardup",
     "q44_cosine_topk", "q49_ann_ivf_topk", "q70_int8_ann_topk",
-    "q66_tfidf_terms")
+    "q66_tfidf_terms", "q75_kmeans")
 
   test("no registered query plans an unbounded cross product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

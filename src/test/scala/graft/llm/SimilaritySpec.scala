@@ -214,6 +214,40 @@ class SimilaritySpec extends SparkSpec {
     assert(bcast.nonEmpty, "probe side should broadcast (tiny probes × streamed corpus)")
   }
 
+  test("q75 k-means matches a sequential Lloyd model in quantized space") {
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray)
+      .sortBy(_._1)
+    def dist(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    def assign(cents: Map[Int, Array[Long]]): Map[Long, Int] =
+      vecs.map { case (id, q) =>
+        id -> cents.toSeq.map { case (cid, c) => (dist(q, c), cid) }.min._2
+      }.toMap
+    def update(a: Map[Long, Int]): Map[Int, Array[Long]] = {
+      val byId = vecs.toMap
+      a.groupBy(_._2).map { case (cid, members) =>
+        val qs = members.keys.toSeq.map(byId)
+        val dims = qs.head.indices.map { i =>
+          math.floor(qs.map(_(i)).sum.toDouble / qs.size).toLong
+        }.toArray
+        cid -> dims
+      }
+    }
+    val c0 = vecs.filter(_._1 < 8).map { case (id, q) => id.toInt -> q }.toMap
+    val c1 = update(assign(c0))
+    val a2 = assign(c1)
+    val c2 = update(a2)
+    val model = a2.groupBy(_._2).map { case (cid, m) =>
+      (cid, m.size.toLong, m.keys.min, m.keys.max, c2(cid)(0))
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.kmeans(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == model, "k-means trajectory diverges from the sequential model")
+  }
+
   test("ann-lsh neighbors are a subset of brute-force candidates' buckets") {
     val ann = Similarity.annLshTopk(spark, sfDir)
     assert(ann.count() > 0)
