@@ -450,6 +450,59 @@ object TextOps {
        |FROM corp JOIN probe USING (fp)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q76: snapshot diff (reconciliation) — given two corpus snapshots,
+    * report per doc_id whether it was added, removed, changed or
+    * unchanged. The CDC primitive behind incremental corpus refreshes:
+    * at 100 TB you diff yesterday's crawl against today's by content
+    * digest, not by re-reading both texts twice.
+    *
+    * Snapshots are carved deterministically from the harness table so
+    * both engines see the same inputs: A = doc_id % 11 ≠ 0,
+    * B = doc_id % 13 ≠ 0, and B's text is REVERSED for doc_id % 17 = 0
+    * (a synthetic in-place edit, so every status actually occurs).
+    *
+    * Shape: one full-outer join on doc_id carrying (id, md5) only — the
+    * text payload never flows through the join; digests are computed at
+    * the scan and compared as 32-byte strings. Output is the per-status
+    * census plus id bounds (bounded rows, scale-independent). */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_a"))
+    val b = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(17)) === 0, reverse(col("text")))
+          .otherwise(col("text"))).as("h_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_a").isNull, "added")
+          .when(col("h_b").isNull, "removed")
+          .when(col("h_a") === col("h_b"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy(col("status"))
+  }
+
+  val snapshotDiffSql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS h_a FROM documents WHERE doc_id % 11 <> 0
+      |), b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 17 = 0 THEN reverse(text) ELSE text END) AS h_b
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |), j AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.doc_id IS NULL THEN 'added'
+      |         WHEN b.doc_id IS NULL THEN 'removed'
+      |         WHEN h_a = h_b THEN 'unchanged'
+      |         ELSE 'changed' END AS status
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |)
+      |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM j GROUP BY status ORDER BY status""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
     QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
@@ -462,6 +515,7 @@ object TextOps {
     QueryDef("q34_bpe_tokens", bpeTokens, Some(bpeTokensSql)),
     QueryDef("q35_train_val_split", trainValSplit, Some(trainValSplitSql)),
     QueryDef("q54_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql)),
-    QueryDef("q57_decontaminate", decontaminate, Some(decontaminateSql))
+    QueryDef("q57_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("q76_snapshot_diff", snapshotDiff, Some(snapshotDiffSql))
   )
 }

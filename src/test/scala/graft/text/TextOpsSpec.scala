@@ -110,6 +110,22 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("q76 snapshot diff partitions the id universe and matches the set model") {
+    val ids = graft.Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val a = ids.filter(_ % 11 != 0)
+    val b = ids.filter(_ % 13 != 0)
+    val expected = Map(
+      "added" -> (b -- a).size.toLong,
+      "removed" -> (a -- b).size.toLong,
+      "changed" -> (a & b).count(_ % 17 == 0).toLong,
+      "unchanged" -> (a & b).count(_ % 17 != 0).toLong)
+    val got = TextOps.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected.filter(_._2 > 0), s"got $got expected $expected")
+    assert(got.values.sum == (a ++ b).size.toLong)
+  }
+
   test("harness queries return deterministic non-empty results at sf0.001") {
     for (q <- TextOps.defs) {
       val df = q.build(spark, sfDir)
