@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "dot_long(a, b) takes 2 arguments")
         DotProductLong(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc"),
+      new ExpressionInfo(classOf[NormalizeNfc].getName, "nfc"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc(s) takes 1 argument")
+        NormalizeNfc(args.head)
+      }))
     // Custom AGGREGATES are SQL-callable too — the analyzer wraps a bare
     // AggregateFunction from the registry in an AggregateExpression. The
     // k argument must be a literal (it sizes the buffer at plan time).

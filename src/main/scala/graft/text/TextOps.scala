@@ -503,6 +503,34 @@ object TextOps {
       |SELECT status, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
       |FROM j GROUP BY status ORDER BY status""".stripMargin
 
+  /** q77: NFC-normalized fingerprint census — the dedup fingerprint tier
+    * (q26) with Unicode normalization composed in, reported as a
+    * class-size histogram: for each duplicate-class size, how many
+    * classes exist. Composition-variant spellings (é vs e+◌́) fingerprint
+    * identically ([[graft.functions.TextNormalize]]); the DuckDB twin
+    * uses `nfc_normalize`, so the oracle gates the normalization itself,
+    * not just the counting. Two-level aggregation: (fingerprint) then
+    * (class size) — both hash aggs with map-side partials. */
+  def normalizedFingerprintCensus(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(graft.functions.TextNormalize.nfc(lower(col("text")))).as("nfp"))
+      .groupBy(col("nfp"))
+      .agg(count(lit(1)).as("class_size"), min(col("doc_id")).as("first_doc"))
+      .groupBy(col("class_size"))
+      .agg(count(lit(1)).as("n_classes"), min(col("first_doc")).as("sample_doc"))
+      .orderBy(col("class_size"))
+
+  val normalizedFingerprintCensusSql: String =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(nfc_normalize(lower(text))) AS nfp FROM documents
+      |), cls AS (
+      |  SELECT nfp, COUNT(*) AS class_size, MIN(doc_id) AS first_doc
+      |  FROM fp GROUP BY nfp
+      |)
+      |SELECT class_size, COUNT(*) AS n_classes, MIN(first_doc) AS sample_doc
+      |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
     QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
@@ -516,6 +544,8 @@ object TextOps {
     QueryDef("q35_train_val_split", trainValSplit, Some(trainValSplitSql)),
     QueryDef("q54_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql)),
     QueryDef("q57_decontaminate", decontaminate, Some(decontaminateSql)),
-    QueryDef("q76_snapshot_diff", snapshotDiff, Some(snapshotDiffSql))
+    QueryDef("q76_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("q77_normalized_census", normalizedFingerprintCensus,
+      Some(normalizedFingerprintCensusSql))
   )
 }
