@@ -118,6 +118,68 @@ object Events {
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q78: STRICT ordered funnel — q18 counts events per type, which
+    * overstates conversion (a purchase before any view still counts).
+    * Here a user converts only through the ordered sequence
+    * first view → a click AFTER it → a purchase AFTER that click:
+    * `t_click = min(click ts > t_view)`, `t_purchase = min(purchase ts >
+    * t_click)`. NULL propagation does the sequencing (no view ⇒ t_view
+    * NULL ⇒ the click predicate is NULL ⇒ no t_click), identically in
+    * both engines.
+    *
+    * Shape: three chained whole-partition window minima over ONE user_id
+    * partitioning — no ORDER BY, so no per-partition sort, and the three
+    * Window operators share a single exchange; the final census is a
+    * scalar conditional aggregate. At 100 TB this is one shuffle of
+    * (user, type, ts) — the funnel never joins events to events. */
+  def orderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t_v",
+        min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_c",
+        min(when(col("event_type") === "click" && col("ts") > col("t_v"), col("ts"))).over(w))
+      .withColumn("t_p",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_c"), col("ts"))).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("t_v")).as("t_v"), max(col("t_c")).as("t_c"), max(col("t_p")).as("t_p"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("t_v")).as("n_viewed"),
+        count(col("t_c")).as("n_view_click"),
+        count(col("t_p")).as("n_converted"),
+        (sum(when(col("t_p").isNotNull,
+            unix_micros(col("t_p")) - unix_micros(col("t_v")))).cast("double") /
+          count(col("t_p")) / 1000000.0).as("avg_seconds_to_convert"))
+  }
+
+  val orderedFunnelSql: String =
+    """WITH f AS (
+      |  SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) OVER (PARTITION BY user_id) AS t_v,
+      |    ts, event_type
+      |  FROM events
+      |), g AS (
+      |  SELECT user_id, t_v,
+      |    MIN(CASE WHEN event_type = 'click' AND ts > t_v THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_c, ts, event_type
+      |  FROM f
+      |), h AS (
+      |  SELECT user_id, t_v, t_c,
+      |    MIN(CASE WHEN event_type = 'purchase' AND ts > t_c THEN ts END)
+      |      OVER (PARTITION BY user_id) AS t_p
+      |  FROM g
+      |), u AS (
+      |  SELECT user_id, MAX(t_v) AS t_v, MAX(t_c) AS t_c, MAX(t_p) AS t_p
+      |  FROM h GROUP BY user_id
+      |)
+      |SELECT COUNT(*) AS n_users, COUNT(t_v) AS n_viewed,
+      |  COUNT(t_c) AS n_view_click, COUNT(t_p) AS n_converted,
+      |  CAST(SUM(CASE WHEN t_p IS NOT NULL THEN epoch_us(t_p) - epoch_us(t_v) END) AS DOUBLE)
+      |    / COUNT(t_p) / 1000000.0 AS avg_seconds_to_convert
+      |FROM u""".stripMargin
+
   /** Native session_window operator in batch mode (its streaming twin is
     * graft.streaming.Streaming.sessions). Semantically the same sessions as
     * q17; the oracle derives start/end from the gap-based CTE:
@@ -277,6 +339,7 @@ object Events {
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),
     QueryDef("q17_events_sessionize", sessionize, Some(sessionizeSql)),
     QueryDef("q18_events_daily_funnel", dailyFunnel, Some(dailyFunnelSql)),
+    QueryDef("q78_ordered_funnel", orderedFunnel, Some(orderedFunnelSql)),
     QueryDef("q19_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("q36_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q64_attribution_join", attributionJoin, Some(attributionJoinSql)),

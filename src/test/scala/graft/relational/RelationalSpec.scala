@@ -227,6 +227,36 @@ class RelationalSpec extends SparkSpec {
     assert(hashEx.size == 1, s"expected one hash exchange, got ${hashEx.size}")
   }
 
+  test("q78 ordered funnel matches a sequential per-user model; no self-join") {
+    val events = graft.Tables.events(spark, sfDir)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    val model = events.groupBy(_._1).values.map { es =>
+      val tv = es.filter(_._2 == "view").map(_._3).minOption
+      val tc = tv.flatMap(v => es.filter(e => e._2 == "click" && e._3 > v).map(_._3).minOption)
+      val tp = tc.flatMap(c => es.filter(e => e._2 == "purchase" && e._3 > c).map(_._3).minOption)
+      (tv, tc, tp)
+    }.toSeq
+    val r = Events.orderedFunnel(spark, sfDir).collect().head
+    assert(r.getLong(0) == model.size)
+    assert(r.getLong(1) == model.count(_._1.isDefined))
+    assert(r.getLong(2) == model.count(_._2.isDefined))
+    assert(r.getLong(3) == model.count(_._3.isDefined))
+    // strictness sanity: ordered counts are monotone down the funnel
+    assert(r.getLong(1) >= r.getLong(2) && r.getLong(2) >= r.getLong(3))
+    // the funnel plan is shuffle-lean: no join anywhere, and only the
+    // user partitioning + the final scalar collapse exchange
+    val nodes = collectAll(plan(Events.orderedFunnel(spark, sfDir)))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]),
+      "funnel must not join events to events")
+    val hashEx = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if s.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => s
+    }
+    assert(hashEx.size <= 1, s"three windows + groupBy should share one user exchange, got ${hashEx.size}")
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
