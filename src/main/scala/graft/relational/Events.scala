@@ -291,6 +291,72 @@ object Events {
       |  AND purchase_ts <= click_ts + INTERVAL '30 minutes'
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  /** q79: linear multi-touch attribution with EXACT money allocation —
+    * each purchase's value is split equally across its attributed clicks
+    * (q64's interval-join matches). Division done in floats leaks cents
+    * (n shares that don't re-sum to the price) and is summation-order-
+    * dependent; here the purchase is converted to integer CENTS
+    * (`round(value·100)` — exact for 2-decimal money), each click gets
+    * `cents div n`, and the remainder goes to the EARLIEST click
+    * (tie: lowest click_id) — the deterministic financial-prorating rule.
+    * Conservation (Σ attributed = Σ matched purchase cents) is exact and
+    * spec-asserted; every number in the output is integer arithmetic
+    * until the final display division.
+    *
+    * Shape: q64's equi-join on user_id + time-range filter, then one
+    * count window per purchase and one rank window (same purchase_id
+    * partitioning — a single exchange serves both), then a user-keyed
+    * aggregate. */
+  def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val matched = attributionJoin(spark, dir)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+    val wP = Window.partitionBy(col("purchase_id"))
+    val wRank = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("click_ts"), col("click_id"))
+    matched
+      .withColumn("n_clicks", count(lit(1)).over(wP))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("attr_cents",
+        expr("cents div n_clicks") + // integer div, no double round-trip
+          when(col("rk") === 1, pmod(col("cents"), col("n_clicks"))).otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        count(lit(1)).as("n_credited_clicks"),
+        sum(col("attr_cents")).as("attr_cents"))
+      .withColumn("attributed_value", (col("attr_cents").cast("double") / 100.0))
+      .drop("attr_cents")
+      .orderBy(col("user_id"))
+  }
+
+  val linearAttributionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), m AS (
+      |  SELECT p.user_id, purchase_id, click_id, click_ts,
+      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND purchase_ts >= click_ts
+      |    AND purchase_ts <= click_ts + INTERVAL '30 minutes'
+      |), shares AS (
+      |  SELECT user_id, purchase_id, cents,
+      |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_clicks,
+      |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                       ORDER BY click_ts, click_id) AS rk
+      |  FROM m
+      |), attr AS (
+      |  SELECT user_id, purchase_id,
+      |    cents // n_clicks + CASE WHEN rk = 1 THEN cents % n_clicks ELSE 0 END AS attr_cents
+      |  FROM shares
+      |)
+      |SELECT user_id, COUNT(DISTINCT purchase_id) AS n_purchases,
+      |  COUNT(*) AS n_credited_clicks,
+      |  CAST(SUM(attr_cents) AS DOUBLE) / 100.0 AS attributed_value
+      |FROM attr GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** KEYLESS interval (range) join, binned: every 'error' event opens a
     * 5-minute incident window [s, s+5m); count ALL events (any user)
     * inside each window. With no equality key, Spark plans a raw range
@@ -343,6 +409,7 @@ object Events {
     QueryDef("q19_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("q36_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("q64_attribution_join", attributionJoin, Some(attributionJoinSql)),
+    QueryDef("q79_linear_attribution", linearAttribution, Some(linearAttributionSql)),
     QueryDef("q65_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql))
   )
 }

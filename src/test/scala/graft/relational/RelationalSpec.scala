@@ -257,6 +257,18 @@ class RelationalSpec extends SparkSpec {
     assert(hashEx.size <= 1, s"three windows + groupBy should share one user exchange, got ${hashEx.size}")
   }
 
+  test("q79 attribution conserves money exactly: attributed cents == matched purchase cents") {
+    val matchedPurchases = Events.attributionJoin(spark, sfDir)
+      .select("purchase_id", "value").distinct().collect()
+    val expectedCents = matchedPurchases.map(r => math.round(r.getDouble(1) * 100)).sum
+    val attributed = Events.linearAttribution(spark, sfDir).collect()
+    val gotCents = attributed.map(r =>
+      math.round(r.getDouble(r.fieldIndex("attributed_value")) * 100)).sum
+    assert(gotCents == expectedCents,
+      s"leaked cents: attributed $gotCents vs purchases $expectedCents")
+    assert(attributed.nonEmpty)
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
