@@ -248,6 +248,68 @@ class SimilaritySpec extends SparkSpec {
     assert(got == model, "k-means trajectory diverges from the sequential model")
   }
 
+  test("randomized differential: lshVerifiedPairs matches an independent Scala mirror") {
+    import spark.implicits._
+    // Random corpora with planted structure: exact dup groups, near-dups
+    // (one token changed), and unrelated docs. The model reimplements the
+    // FULL pipeline semantics (md5-hash shingles, LCG minhash, banding,
+    // exact-jaccard verify) independently of the Spark expressions, so
+    // any drift in kernels, banding or expansion shows up as a diff.
+    val rnd = new scala.util.Random(271828)
+    val vocab = (1 to 40).map(i => s"tok$i")
+    def doc(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = (0 until 30).map(_ => doc(12 + rnd.nextInt(20)))
+    val docs = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    var id = 0L
+    base.foreach { d =>
+      docs += ((id, d)); id += 1
+      if (rnd.nextBoolean()) { docs += ((id, d)); id += 1 } // exact dup
+      if (rnd.nextInt(3) == 0) { // near-dup: append one token
+        docs += ((id, d + " " + vocab(rnd.nextInt(vocab.size)))); id += 1
+      }
+    }
+    docs += ((id, "")); id += 1 // token-free doc must never pair
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-lshdiff").toString
+    docs.toSeq.map { case (i, t) => (i, t, "s") }.toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+
+    // independent model
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    def hs(t: String): Set[Long] = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .map(tok => java.lang.Long.parseLong(md5hex(tok).take(15), 16) % Similarity.P).toSet
+    def sig(h: Set[Long]): Array[Long] = (0 until Similarity.NumPerms).map { i =>
+      if (h.isEmpty) Similarity.P
+      else h.map(x => (Similarity.permA(i) * x + Similarity.permB(i)) % Similarity.P).min
+    }.toArray
+    val hsets = docs.toSeq.map { case (i, t) => i -> hs(t) }.toMap
+    val sigs = hsets.map { case (i, h) => i -> sig(h) }
+    val bandsOf = sigs.map { case (i, s) =>
+      i -> (0 until Similarity.Bands).map(b =>
+        (b, s.slice(b * Similarity.RowsPerBand, (b + 1) * Similarity.RowsPerBand).toSeq)).toSet
+    }
+    val allIds = docs.toSeq.map(_._1)
+    val modelPairs = (for {
+      a <- allIds; b <- allIds if a < b
+      if (bandsOf(a) & bandsOf(b)).nonEmpty
+      ha = hsets(a); hb = hsets(b)
+      if ha.nonEmpty || hb.nonEmpty
+      inter = (ha & hb).size
+      union = ha.size + hb.size - inter
+      if union > 0 && inter.toDouble / union >= 0.9
+    } yield (a, b, inter.toLong, inter.toDouble / union)).toSet
+
+    val got = Similarity.lshVerifiedPairs(spark, dir)
+      .select("id_a", "id_b", "n_shared", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == modelPairs,
+      s"pipeline diverges from mirror: missing=${modelPairs -- got} extra=${got -- modelPairs}")
+    assert(modelPairs.nonEmpty, "fixture must contain planted duplicates")
+  }
+
   test("ann-lsh neighbors are a subset of brute-force candidates' buckets") {
     val ann = Similarity.annLshTopk(spark, sfDir)
     assert(ann.count() > 0)
