@@ -526,6 +526,49 @@ object CorpusStats {
         col("col.item").as("item"), col("col.est").as("est"))
   }
 
+  // ---------------------------------------------------------------------
+  // q80: per-source contribution cap
+  // ---------------------------------------------------------------------
+
+  /** Cap each source's contribution to the corpus at K docs, keeping the
+    * highest-quality ones — the anti-domination rule every web-scale mix
+    * applies (one crawler-friendly domain must not become 40% of
+    * training data). Quality here is the q25 signal reduced to its
+    * dominant term (doc length), with doc_id as the total tie-break.
+    *
+    * Shape: one window rank per source (`row_number` over the source
+    * partition) then the cap filter — a single shuffle keyed by source;
+    * skew (one giant source) is the window's partition, which is exactly
+    * the case `Dist.saltedJoin`-style mitigation or AQE handles upstream
+    * at 100 TB. Reports per-source kept/dropped census so the cap's
+    * effect is visible. */
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val K = 40
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("rk") <= K, 1)).as("n_kept"),
+        count(when(col("rk") > K, 1)).as("n_dropped"),
+        min(when(col("rk") <= K, col("n_chars"))).cast("long").as("min_kept_chars"))
+      .orderBy(col("source"))
+  }
+
+  val sourceCapSql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents
+      |)
+      |SELECT source, COUNT(*) AS n_docs,
+      |  COUNT(CASE WHEN rk <= 40 THEN 1 END) AS n_kept,
+      |  COUNT(CASE WHEN rk > 40 THEN 1 END) AS n_dropped,
+      |  CAST(MIN(CASE WHEN rk <= 40 THEN n_chars END) AS BIGINT) AS min_kept_chars
+      |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -534,6 +577,7 @@ object CorpusStats {
     QueryDef("q62_token_windows", tokenWindows, Some(tokenWindowsSql)),
     QueryDef("q63_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("q66_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
-    QueryDef("q71_heavy_hitters", heavyHitters, None)
+    QueryDef("q71_heavy_hitters", heavyHitters, None),
+    QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }
