@@ -159,6 +159,15 @@ object Sinks {
           "\n\n").as("shard_text"))
       .withColumn("shard_file",
         concat(col("source"), lit("_shard"), col("bin_id"), lit(".txt")))
+      // An all-blank shard (every doc empty/whitespace — token-free docs
+      // exist) would be SKIPPED by writeTextPerRow's non-blank guard while
+      // still appearing in the manifest: a manifest row pointing at a file
+      // that does not exist. Such shards carry zero tokens, so dropping
+      // them keeps the manifest's token accounting exact AND every listed
+      // file real (spec asserts both). The predicate must match the
+      // guard's JAVA trim (all chars ≤ U+0020, not Spark trim's spaces):
+      // "contains any char above U+0020".
+      .filter(length(regexp_replace(col("shard_text"), "[\\x00-\\x20]", "")) > 0)
       .localCheckpoint(true)
     writeTextPerRow(
       shards.select(col("shard_file"), col("shard_text")),

@@ -316,9 +316,16 @@ object Events {
     matched
       .withColumn("n_clicks", count(lit(1)).over(wP))
       .withColumn("rk", row_number().over(wRank))
+      // share/remainder must be a CONSISTENT pair (rem = cents − share·n)
+      // or conservation breaks for negative values (refunds): Spark `div`
+      // truncates toward zero while `pmod` is always non-negative, so
+      // div+pmod leaks cents when cents < 0. rem carries cents' sign here,
+      // and the SQL twin computes the identical trunc-div pair explicitly
+      // (DuckDB's `//` FLOORS for negatives — not used).
+      .withColumn("share", expr("cents div n_clicks"))
       .withColumn("attr_cents",
-        expr("cents div n_clicks") + // integer div, no double round-trip
-          when(col("rk") === 1, pmod(col("cents"), col("n_clicks"))).otherwise(0L))
+        col("share") + when(col("rk") === 1,
+          col("cents") - col("share") * col("n_clicks")).otherwise(0L))
       .groupBy(col("user_id"))
       .agg(countDistinct(col("purchase_id")).as("n_purchases"),
         count(lit(1)).as("n_credited_clicks"),
@@ -349,8 +356,11 @@ object Events {
       |  FROM m
       |), attr AS (
       |  SELECT user_id, purchase_id,
-      |    cents // n_clicks + CASE WHEN rk = 1 THEN cents % n_clicks ELSE 0 END AS attr_cents
-      |  FROM shares
+      |    share + CASE WHEN rk = 1 THEN cents - share * n_clicks ELSE 0 END AS attr_cents
+      |  FROM (SELECT *,
+      |          CASE WHEN cents >= 0 THEN cents // n_clicks
+      |               ELSE -((-cents) // n_clicks) END AS share
+      |        FROM shares)
       |)
       |SELECT user_id, COUNT(DISTINCT purchase_id) AS n_purchases,
       |  COUNT(*) AS n_credited_clicks,

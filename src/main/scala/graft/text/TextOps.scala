@@ -467,17 +467,23 @@ object TextOps {
     * census plus id bounds (bounded rows, scale-independent). */
   def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
+    // presence is tracked by a flag, NOT by digest nullness: md5(NULL
+    // text) is NULL, so a null-text doc present on one side would
+    // otherwise masquerade as absent ('added'/'removed' misclassified).
+    // The digest compare is null-safe (<=>) for the same reason: two
+    // present null-text versions are 'unchanged', matching the oracle's
+    // IS NOT DISTINCT FROM.
     val a = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
-      .select(col("doc_id"), md5(col("text")).as("h_a"))
+      .select(col("doc_id"), md5(col("text")).as("h_a"), lit(true).as("in_a"))
     val b = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
       .select(col("doc_id"),
         md5(when(pmod(col("doc_id"), lit(17)) === 0, reverse(col("text")))
-          .otherwise(col("text"))).as("h_b"))
+          .otherwise(col("text"))).as("h_b"), lit(true).as("in_b"))
     a.join(b, Seq("doc_id"), "full_outer")
       .withColumn("status",
-        when(col("h_a").isNull, "added")
-          .when(col("h_b").isNull, "removed")
-          .when(col("h_a") === col("h_b"), "unchanged")
+        when(col("in_a").isNull, "added")
+          .when(col("in_b").isNull, "removed")
+          .when(col("h_a") <=> col("h_b"), "unchanged")
           .otherwise("changed"))
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"),
@@ -496,7 +502,7 @@ object TextOps {
       |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
       |    CASE WHEN a.doc_id IS NULL THEN 'added'
       |         WHEN b.doc_id IS NULL THEN 'removed'
-      |         WHEN h_a = h_b THEN 'unchanged'
+      |         WHEN h_a IS NOT DISTINCT FROM h_b THEN 'unchanged'
       |         ELSE 'changed' END AS status
       |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
       |)

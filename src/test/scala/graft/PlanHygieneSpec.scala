@@ -3,39 +3,44 @@ package graft
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** The "scale-killer sweep" as a regression lock instead of a manual
-  * audit: NO registered query may plan an unbounded cross product. The
-  * only plans allowed to carry a CartesianProduct / nested-loop join are
-  * the documented bounded baselines:
+  * audit: NO registered query may plan an unbounded cross product. Two
+  * separate allowances, so each query keeps the strongest ban that still
+  * fits its documented shape:
   *
-  *  - q42/q48: deliberately bounded brute-force oracle baselines for
-  *    their LSH twins (input capped by a doc_id predicate, stated in
-  *    their scaladoc);
-  *  - q44/q49/q70: a BROADCAST tiny probe/centroid side against the
-  *    streamed corpus — the nested loop is over ≤8 broadcast rows per
-  *    input row, the 100 TB-legitimate scan shape;
-  *  - q66: a broadcast ONE-ROW aggregate (the corpus doc count) attached
-  *    to every row — the scalar-subquery shape, bounded by construction;
-  *  - q75: k-means assignment passes — k = 8 broadcast centroids against
-  *    the streamed corpus, the MLlib dataflow.
+  *  - CARTESIAN (non-broadcast cross product) allowed ONLY for q42/q48 —
+  *    the deliberately bounded brute-force oracle baselines for their
+  *    LSH twins (input capped by a doc_id predicate, stated in their
+  *    scaladoc). Everything else, including the BNLJ-whitelisted
+  *    queries, fails on a CartesianProduct — so if a broadcast hint is
+  *    ever dropped and the planner falls back to a shuffled cross
+  *    product, the sweep still catches it.
+  *  - BROADCAST nested-loop allowed additionally for q44/q49/q70 (tiny
+  *    probe/centroid side broadcast against the streamed corpus), q66
+  *    (a broadcast ONE-ROW aggregate attached to every row — the
+  *    scalar-subquery shape) and q75 (k = 8 broadcast centroids per
+  *    k-means assignment pass — the MLlib dataflow). The broadcast
+  *    itself bounds these: the build side must fit in the driver/
+  *    executor broadcast limit or the job fails loudly.
   *
   * Anything else that starts planning one of these nodes is a regression
   * (a join key was lost, a broadcast hint dropped, a filter stopped
   * pushing) — this sweep catches it at sf0.001 cost. */
 class PlanHygieneSpec extends SparkSpec {
 
-  private val boundedBaselines = Set(
-    "q42_ngram_jaccard_topk", "q48_cosine_neardup",
+  private val cartesianBaselines = Set("q42_ngram_jaccard_topk", "q48_cosine_neardup")
+  private val broadcastLoopAllowed = cartesianBaselines ++ Set(
     "q44_cosine_topk", "q49_ann_ivf_topk", "q70_int8_ann_topk",
     "q66_tfidf_terms", "q75_kmeans")
 
   test("no registered query plans an unbounded cross product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filterNot { case (name, _) => boundedBaselines(name) }
       .flatMap { case (name, fn) =>
         val nodes = allPlanNodes(executedPlanOf(fn(spark, sfDir)))
         val bad = nodes.collect {
-          case c: CartesianProductExec => s"$name: CartesianProduct"
-          case b: BroadcastNestedLoopJoinExec => s"$name: BroadcastNestedLoopJoin"
+          case _: CartesianProductExec if !cartesianBaselines(name) =>
+            s"$name: CartesianProduct"
+          case _: BroadcastNestedLoopJoinExec if !broadcastLoopAllowed(name) =>
+            s"$name: BroadcastNestedLoopJoin"
         }
         bad.distinct
       }

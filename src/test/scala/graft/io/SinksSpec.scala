@@ -90,18 +90,21 @@ class SinksSpec extends SparkSpec {
         key -> ((ts.map(_._3).mkString("\n\n"), ts.size.toLong, ts.map(_._4).sum))
       }
 
-    assert(manifest.length == model.size, "manifest row per model shard")
+    // all-blank shards (zero tokens by construction) are dropped from BOTH
+    // the files and the manifest — every manifest row must name a real file
+    val visibleModel = model.filter { case (_, (text, _, _)) => text.trim.nonEmpty }
+    assert(manifest.length == visibleModel.size, "manifest row per non-blank model shard")
     manifest.foreach { case (src, bin, file, nDocs, nToks) =>
-      val (text, mDocs, mToks) = model((src, bin))
+      val (text, mDocs, mToks) = visibleModel((src, bin))
       assert(nDocs == mDocs && nToks == mToks, s"manifest counts wrong for $src/$bin")
       val p = java.nio.file.Paths.get(out, file)
-      if (text.trim.nonEmpty) {
-        val got = new String(java.nio.file.Files.readAllBytes(p),
-          java.nio.charset.StandardCharsets.UTF_8)
-        assert(got == text, s"shard $file content differs from model")
-      }
+      assert(java.nio.file.Files.exists(p), s"manifest names missing file $file")
+      val got = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(got == text, s"shard $file content differs from model")
     }
-    // every corpus token is accounted for exactly once
+    // every corpus token is accounted for exactly once (dropped blank
+    // shards carry zero tokens, so the accounting is unaffected)
     val totalTokens = rows.map(r => nTokens(r._3)).sum
     assert(manifest.map(_._5).sum == totalTokens)
   }

@@ -269,6 +269,24 @@ class RelationalSpec extends SparkSpec {
     assert(attributed.nonEmpty)
   }
 
+  test("q79 conserves cents for NEGATIVE values (refunds): share/remainder pair consistent") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-refund").toString
+    Seq(
+      (1L, ts(0), 7L, "click", 0.0),
+      (2L, ts(5), 7L, "click", 0.0),
+      (3L, ts(10), 7L, "purchase", -0.07)) // refund split across 2 clicks
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    val r = Events.linearAttribution(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 7L && r.head.getLong(2) == 2L)
+    // -7 cents: shares -3 and -4 (remainder to earliest click), sum exact
+    assert(math.round(r.head.getDouble(3) * 100) == -7L,
+      s"refund leaked cents: ${r.head.getDouble(3)}")
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
