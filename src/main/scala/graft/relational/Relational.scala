@@ -729,6 +729,82 @@ object Relational {
       |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_days_30d
       |FROM daily ORDER BY o_custkey, day""".stripMargin
 
+  /** The full ranking-function family over one window — rank, dense_rank,
+    * ntile, percent_rank, cume_dist (row_number is all over the suite;
+    * this closes the rest). All five share ONE (nation, spend-ordered)
+    * window, so the plan is a single exchange + sort; percent_rank and
+    * cume_dist are integer-ratio doubles ((rank−1)/(n−1), rank/n) —
+    * correctly-rounded identical divisions in both engines, so the hash
+    * gate covers them. Customers are pre-aggregated to one spend row
+    * each, top-3-per-nation keeps the output bounded. */
+  def rankingFamily(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(dec(col("o_totalprice"))).as("spend"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("spend").desc, col("o_custkey"))
+    spend.join(c, col("o_custkey") === col("c_custkey"))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("c_nationkey").cast("int").as("nation"),
+        col("o_custkey").as("custkey"), col("spend").cast("double").as("spend"),
+        col("rnk"), col("drnk"), col("quartile"), col("pct_rank"), col("cume"))
+      .orderBy(col("nation"), col("rnk"), col("custkey"))
+  }
+
+  val rankingFamilySql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS spend
+      |  FROM orders GROUP BY o_custkey
+      |), j AS (
+      |  SELECT c_nationkey, o_custkey, spend FROM spend
+      |  JOIN customer ON o_custkey = c_custkey
+      |), r AS (
+      |  SELECT c_nationkey, o_custkey, spend,
+      |    RANK()         OVER w AS rnk,
+      |    DENSE_RANK()   OVER w AS drnk,
+      |    NTILE(4)       OVER w AS quartile,
+      |    PERCENT_RANK() OVER w AS pct_rank,
+      |    CUME_DIST()    OVER w AS cume
+      |  FROM j
+      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
+      |)
+      |SELECT CAST(c_nationkey AS INT) AS nation, o_custkey AS custkey,
+      |  CAST(spend AS DOUBLE) AS spend, CAST(rnk AS INT) AS rnk,
+      |  CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile,
+      |  pct_rank, cume
+      |FROM r WHERE rnk <= 3 ORDER BY nation, rnk, custkey""".stripMargin
+
+  /** Re-aggregatable distinct counts via DataSketches HLL — the rollup
+    * q14's `approx_count_distinct` cannot do: per-month customer sketches
+    * merge into a total WITHOUT rescanning orders (the lambda-architecture
+    * primitive: store small sketches per partition/day, union on demand).
+    * Sketch state is register maxima — order-independent — so estimates
+    * are deterministic for a given input set and the driver's rows-only
+    * check is stable; the quantitative gate lives in the spec, which
+    * bounds each estimate against the exact distinct count and pins the
+    * union estimate to a directly-built global sketch (close but not
+    * equal: DataSketches unions drop the HIP estimator, so the merged
+    * sketch answers with the composite estimator). */
+  def hllRollup(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(expr("hll_sketch_agg(o_custkey, 12)").as("sk"))
+    val perMonth = monthly.select(
+      date_format(col("mon"), "yyyy-MM").as("period"),
+      expr("hll_sketch_estimate(sk)").as("est_customers"))
+    val total = monthly.agg(
+      expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("est_customers"))
+      .select(lit("TOTAL").as("period"), col("est_customers"))
+    perMonth.union(total).orderBy(col("period"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -753,6 +829,8 @@ object Relational {
     QueryDef("q52_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("q69_bloom_prune_join", bloomPruneJoin, Some(bloomPruneJoinSql)),
     QueryDef("q73_pivot", orderPivot, Some(orderPivotSql)),
-    QueryDef("q74_rolling_spend", rollingSpend, Some(rollingSpendSql))
+    QueryDef("q74_rolling_spend", rollingSpend, Some(rollingSpendSql)),
+    QueryDef("q81_ranking_family", rankingFamily, Some(rankingFamilySql)),
+    QueryDef("q82_hll_rollup", hllRollup, None)
   )
 }

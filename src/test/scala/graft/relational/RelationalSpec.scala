@@ -287,6 +287,35 @@ class RelationalSpec extends SparkSpec {
       s"refund leaked cents: ${r.head.getDouble(3)}")
   }
 
+  test("q82 HLL rollup: estimates bounded by exact counts; union == direct global sketch") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Relational.hllRollup(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.orders(spark, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("period"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val globalExact = graft.Tables.orders(spark, dir)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    // lgK=12 → ~1.6% relative standard error; 8% is a ≥5σ bound
+    exact.foreach { case (p, n) =>
+      val est = rows(p)
+      assert(math.abs(est - n) <= math.max(3, n * 0.08),
+        s"period $p est $est vs exact $n")
+    }
+    assert(math.abs(rows("TOTAL") - globalExact) <= globalExact * 0.08)
+    // mergeability: the union's estimate tracks a directly-built global
+    // sketch closely but NOT exactly — DataSketches unions drop the HIP
+    // estimator, so the merged sketch answers with the (slightly less
+    // tight) composite estimator. Both stay inside the error bound; pin
+    // the gap so an implementation change that breaks merging shows up.
+    val direct = graft.Tables.orders(spark, dir)
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey, 12))"))
+      .collect().head.getLong(0)
+    assert(math.abs(rows("TOTAL") - direct) <= globalExact * 0.03,
+      s"union-of-sketches ${rows("TOTAL")} drifted from sketch-of-union $direct")
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
