@@ -805,6 +805,73 @@ object Relational {
     perMonth.union(total).orderBy(col("period"))
   }
 
+  /** Data-quality audit (the Deequ-style "expectations" primitive): one
+    * pass over lineitem computes every row-local constraint as a
+    * conditional aggregate — null keys, non-positive quantity/price,
+    * discount out of [0,1], ship-date range — and ONE left-anti join
+    * counts referential orphans (lineitems whose order does not exist).
+    * Output is a (check, n_violations, n_rows) report; a healthy corpus
+    * reports zeros, and the query's cost is ONE full-width scan (all
+    * row-local checks in a single conditional aggregate — adding a check
+    * is a column, not a pass) plus one slim two-column scan for the
+    * anti-join. The 1-row aggregate is checkpointed because three output
+    * branches reference it and Spark does no cross-branch CSE — without
+    * it the full-width scan re-runs per branch (spec-locked at ≤ 2
+    * lineitem scans). */
+  def qualityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val orphans = li.select(col("l_orderkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n"))
+      .select(lit("ref_order_exists").as("check"), col("n").as("n_violations"))
+    val rowChecks = li.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("l_orderkey").isNull || col("l_partkey").isNull, 1)).as("null_keys"),
+        count(when(col("l_quantity") <= 0, 1)).as("bad_quantity"),
+        count(when(col("l_extendedprice") <= 0, 1)).as("bad_price"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
+        count(when(col("l_shipdate") < lit("1995-01-01").cast("timestamp") ||
+          col("l_shipdate") > lit("2001-12-31").cast("timestamp"), 1)).as("bad_shipdate"))
+      .localCheckpoint(true) // 1 row; three branches below reference it
+    val stacked = rowChecks.selectExpr(
+      """stack(5,
+        |  'null_keys', null_keys,
+        |  'positive_quantity', bad_quantity,
+        |  'positive_price', bad_price,
+        |  'discount_in_range', bad_discount,
+        |  'shipdate_in_range', bad_shipdate) AS (check, n_violations)""".stripMargin)
+    val n = rowChecks.select(col("n_rows"))
+    stacked.union(orphans).crossJoin(broadcast(n))
+      .select(col("check"), col("n_violations"), col("n_rows"))
+      .orderBy(col("check"))
+  }
+
+  val qualityAuditSql: String =
+    """WITH rc AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    COUNT(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL THEN 1 END) AS null_keys,
+      |    COUNT(CASE WHEN l_quantity <= 0 THEN 1 END) AS bad_quantity,
+      |    COUNT(CASE WHEN l_extendedprice <= 0 THEN 1 END) AS bad_price,
+      |    COUNT(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END) AS bad_discount,
+      |    COUNT(CASE WHEN l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      |               OR l_shipdate > TIMESTAMP '2001-12-31 00:00:00' THEN 1 END) AS bad_shipdate
+      |  FROM lineitem
+      |), orphans AS (
+      |  SELECT COUNT(*) AS n FROM lineitem
+      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |), stacked AS (
+      |  SELECT 'null_keys' AS check, null_keys AS n_violations FROM rc
+      |  UNION ALL SELECT 'positive_quantity', bad_quantity FROM rc
+      |  UNION ALL SELECT 'positive_price', bad_price FROM rc
+      |  UNION ALL SELECT 'discount_in_range', bad_discount FROM rc
+      |  UNION ALL SELECT 'shipdate_in_range', bad_shipdate FROM rc
+      |  UNION ALL SELECT 'ref_order_exists', n FROM orphans
+      |)
+      |SELECT s."check", s.n_violations, rc.n_rows
+      |FROM stacked s CROSS JOIN rc
+      |ORDER BY s."check"""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -831,6 +898,7 @@ object Relational {
     QueryDef("q73_pivot", orderPivot, Some(orderPivotSql)),
     QueryDef("q74_rolling_spend", rollingSpend, Some(rollingSpendSql)),
     QueryDef("q81_ranking_family", rankingFamily, Some(rankingFamilySql)),
-    QueryDef("q82_hll_rollup", hllRollup, None)
+    QueryDef("q82_hll_rollup", hllRollup, None),
+    QueryDef("q83_quality_audit", qualityAudit, Some(qualityAuditSql))
   )
 }

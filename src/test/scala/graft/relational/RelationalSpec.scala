@@ -316,6 +316,19 @@ class RelationalSpec extends SparkSpec {
       s"union-of-sketches ${rows("TOTAL")} drifted from sketch-of-union $direct")
   }
 
+  test("q83 quality audit: clean harness reports zero violations from at most 2 lineitem scans") {
+    val df = Relational.qualityAudit(spark, sfDir)
+    val rows = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.size == 6)
+    assert(rows.values.forall(_ == 0L), s"harness data should be clean: $rows")
+    val scans = collectAll(plan(Relational.qualityAudit(spark, sfDir))).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.toString.contains("lineitem") => f
+    }
+    assert(scans.size <= 2,
+      s"row checks must share one scan (checkpoint missing?): ${scans.size} lineitem scans")
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
