@@ -729,57 +729,71 @@ object Relational {
       |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n_days_30d
       |FROM daily ORDER BY o_custkey, day""".stripMargin
 
-  /** The full ranking-function family over one window — rank, dense_rank,
-    * ntile, percent_rank, cume_dist (row_number is all over the suite;
-    * this closes the rest). All five share ONE (nation, spend-ordered)
-    * window, so the plan is a single exchange + sort; percent_rank and
-    * cume_dist are integer-ratio doubles ((rank−1)/(n−1), rank/n) —
-    * correctly-rounded identical divisions in both engines, so the hash
-    * gate covers them. Customers are pre-aggregated to one spend row
-    * each, top-3-per-nation keeps the output bounded. */
+  /** The full ranking-function family — rank, dense_rank, ntile,
+    * percent_rank, cume_dist (row_number is all over the suite; this
+    * closes the rest). TWO windows over one partitioning on purpose:
+    * the PEER window orders by the COARSE key (spend bucket: spend div
+    * 10000, deliberately tie-rich) so rank gaps, dense_rank's no-gap
+    * counting and cume_dist's peer groups are actually exercised — with
+    * a unique ordering those functions all degenerate to row_number and
+    * their tie semantics go untested. Peer-window outputs are
+    * deterministic under ties; ntile is NOT (it splits peer groups
+    * arbitrarily), so it runs on the second, uniquely-ordered window.
+    * Same partitioning → one exchange, two sorts. percent_rank and
+    * cume_dist are integer-ratio doubles — correctly-rounded identical
+    * divisions in both engines — and spend surfaces through
+    * [[Exact.narrow]] (the wide-decimal→double guard). */
   def rankingFamily(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(dec(col("o_totalprice"))).as("spend"))
+      // explicit floor: DuckDB's decimal→BIGINT cast ROUNDS while
+      // Spark's truncates (the q38 precedent) — floor-then-cast agrees
+      .withColumn("bucket", expr("CAST(floor(spend) AS BIGINT) div 10000"))
     val c = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_nationkey"))
-    val w = Window.partitionBy(col("c_nationkey"))
-      .orderBy(col("spend").desc, col("o_custkey"))
+    val wPeers = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bucket").desc)
+    val wUnique = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("bucket").desc, col("o_custkey"))
     spend.join(c, col("o_custkey") === col("c_custkey"))
-      .withColumn("rnk", rank().over(w))
-      .withColumn("drnk", dense_rank().over(w))
-      .withColumn("quartile", ntile(4).over(w))
-      .withColumn("pct_rank", percent_rank().over(w))
-      .withColumn("cume", cume_dist().over(w))
-      .filter(col("rnk") <= 3)
+      .withColumn("rnk", rank().over(wPeers))
+      .withColumn("drnk", dense_rank().over(wPeers))
+      .withColumn("pct_rank", percent_rank().over(wPeers))
+      .withColumn("cume", cume_dist().over(wPeers))
+      .withColumn("quartile", ntile(4).over(wUnique))
+      .filter(col("rnk") <= 5)
       .select(col("c_nationkey").cast("int").as("nation"),
-        col("o_custkey").as("custkey"), col("spend").cast("double").as("spend"),
+        col("o_custkey").as("custkey"),
+        narrow(col("spend"), 4).as("spend"), col("bucket"),
         col("rnk"), col("drnk"), col("quartile"), col("pct_rank"), col("cume"))
       .orderBy(col("nation"), col("rnk"), col("custkey"))
   }
 
   val rankingFamilySql: String =
     """WITH spend AS (
-      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS spend
+      |  SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS spend,
+      |    CAST(floor(SUM(CAST(o_totalprice AS DECIMAL(14,4)))) AS BIGINT) // 10000 AS bucket
       |  FROM orders GROUP BY o_custkey
       |), j AS (
-      |  SELECT c_nationkey, o_custkey, spend FROM spend
+      |  SELECT c_nationkey, o_custkey, spend, bucket FROM spend
       |  JOIN customer ON o_custkey = c_custkey
       |), r AS (
-      |  SELECT c_nationkey, o_custkey, spend,
-      |    RANK()         OVER w AS rnk,
-      |    DENSE_RANK()   OVER w AS drnk,
-      |    NTILE(4)       OVER w AS quartile,
-      |    PERCENT_RANK() OVER w AS pct_rank,
-      |    CUME_DIST()    OVER w AS cume
+      |  SELECT c_nationkey, o_custkey, spend, bucket,
+      |    RANK()         OVER wp AS rnk,
+      |    DENSE_RANK()   OVER wp AS drnk,
+      |    PERCENT_RANK() OVER wp AS pct_rank,
+      |    CUME_DIST()    OVER wp AS cume,
+      |    NTILE(4)       OVER wu AS quartile
       |  FROM j
-      |  WINDOW w AS (PARTITION BY c_nationkey ORDER BY spend DESC, o_custkey)
+      |  WINDOW wp AS (PARTITION BY c_nationkey ORDER BY bucket DESC),
+      |         wu AS (PARTITION BY c_nationkey ORDER BY bucket DESC, o_custkey)
       |)
       |SELECT CAST(c_nationkey AS INT) AS nation, o_custkey AS custkey,
-      |  CAST(spend AS DOUBLE) AS spend, CAST(rnk AS INT) AS rnk,
-      |  CAST(drnk AS INT) AS drnk, CAST(quartile AS INT) AS quartile,
-      |  pct_rank, cume
-      |FROM r WHERE rnk <= 3 ORDER BY nation, rnk, custkey""".stripMargin
+      |  CAST(CAST(spend AS DECIMAL(18,4)) AS DOUBLE) AS spend, bucket,
+      |  CAST(rnk AS INT) AS rnk, CAST(drnk AS INT) AS drnk,
+      |  CAST(quartile AS INT) AS quartile, pct_rank, cume
+      |FROM r WHERE rnk <= 5 ORDER BY nation, rnk, custkey""".stripMargin
 
   /** Re-aggregatable distinct counts via DataSketches HLL — the rollup
     * q14's `approx_count_distinct` cannot do: per-month customer sketches
@@ -833,7 +847,10 @@ object Relational {
         count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
         count(when(col("l_shipdate") < lit("1995-01-01").cast("timestamp") ||
           col("l_shipdate") > lit("2001-12-31").cast("timestamp"), 1)).as("bad_shipdate"))
-      .localCheckpoint(true) // 1 row; three branches below reference it
+      .localCheckpoint(false) // 1 row, LAZY: three branches share one
+                              // materialization at first action, and
+                              // plan-only callers (Explain, the hygiene
+                              // sweep) don't pay the scan eagerly
     val stacked = rowChecks.selectExpr(
       """stack(5,
         |  'null_keys', null_keys,
@@ -858,8 +875,13 @@ object Relational {
       |               OR l_shipdate > TIMESTAMP '2001-12-31 00:00:00' THEN 1 END) AS bad_shipdate
       |  FROM lineitem
       |), orphans AS (
-      |  SELECT COUNT(*) AS n FROM lineitem
-      |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+      |  -- NOT EXISTS, not NOT IN: a NULL l_orderkey must COUNT as an
+      |  -- orphan (left_anti keeps it — null matches nothing) and a NULL
+      |  -- o_orderkey must not poison the whole check, which NOT IN's
+      |  -- three-valued logic would do on exactly the dirty data a
+      |  -- quality audit exists to catch
+      |  SELECT COUNT(*) AS n FROM lineitem l
+      |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
       |), stacked AS (
       |  SELECT 'null_keys' AS check, null_keys AS n_violations FROM rc
       |  UNION ALL SELECT 'positive_quantity', bad_quantity FROM rc
