@@ -1,0 +1,53 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** JSONL/CSV round-trips must be LOSSLESS for adversarial document text —
+  * quoting/escaping bugs are the classic corpus-interchange failure. */
+class FormatsSpec extends SparkSpec {
+
+  private def adversarial = {
+    import spark.implicits._
+    Seq(
+      (1L, "plain text"),
+      (2L, "comma, separated, values"),
+      (3L, "a \"quoted\" word and a lone \" quote"),
+      (4L, "line one\nline two\r\nline three"),
+      (5L, "unicode: café 中文 ǟ and a tab\there"),
+      (6L, ""),
+      (7L, "trailing backslash \\ and \\\" escaped-quote lookalike"),
+      (8L, "null-ish strings: null NULL \\N"))
+      .toDF("doc_id", "text")
+  }
+
+  test("JSONL round-trip is byte-lossless for adversarial text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    val in = adversarial
+    Formats.writeJsonl(in, dir)
+    val back = Formats.readJsonl(spark, dir, in.schema)
+    val a = in.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b == a, s"JSONL round-trip mutated text: ${b.toSet -- a.toSet}")
+  }
+
+  test("CSV round-trip with quoteAll/escape/multiLine is lossless for adversarial text") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv").toString + "/docs"
+    val in = adversarial
+    Formats.writeCsv(in, dir)
+    val back = Formats.readCsv(spark, dir, in.schema)
+    val a = in.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b == a, s"CSV round-trip mutated text: ${b.toSet -- a.toSet}")
+  }
+
+  test("JSONL round-trips the real documents table unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-corpus").toString + "/docs"
+    val in = graft.Tables.documents(spark, sfDir)
+    Formats.writeJsonl(in, dir)
+    val back = Formats.readJsonl(spark, dir, in.schema)
+    assert(back.count() == in.count())
+    val diff = in.exceptAll(back).count() + back.exceptAll(in).count()
+    assert(diff == 0, s"$diff corpus rows mutated by JSONL round-trip")
+  }
+}
