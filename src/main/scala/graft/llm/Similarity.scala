@@ -1311,6 +1311,32 @@ object Similarity {
     * stage's predicate is exactly the shape benchmarked individually: the
     * funnel adds no new shuffles beyond q41's. */
   def pipelineStats(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = curationFlags(spark, dir)
+    // ONE conditional-aggregation pass, then stack to rows: round 1 unioned
+    // four filtered aggregates, and union branches re-execute common
+    // subtrees — the full LSH pipeline ran 4×. Here the scan, the text
+    // window and the near-dup join execute exactly once.
+    val q = col("quality_ok")
+    val f = q && col("is_first")
+    val nd = f && col("near_ok")
+    flagged.agg(
+        count(lit(1)).as("n1"), sum(col("n_tokens")).as("t1"),
+        count(when(q, 1)).as("n2"), sum(when(q, col("n_tokens"))).as("t2"),
+        count(when(f, 1)).as("n3"), sum(when(f, col("n_tokens"))).as("t3"),
+        count(when(nd, 1)).as("n4"), sum(when(nd, col("n_tokens"))).as("t4"))
+      .selectExpr(
+        """stack(4,
+          |  '1_raw', n1, t1,
+          |  '2_quality', n2, t2,
+          |  '3_exact_dedup', n3, t3,
+          |  '4_near_dedup', n4, t4) AS (stage, n_docs, n_tokens)""".stripMargin)
+      .orderBy(col("stage"))
+  }
+
+  /** The per-doc curation flags q50 aggregates and q85 filters: quality
+    * predicate, exact-dedup first-occurrence, near-dup id_b membership —
+    * every stage as a flag column on ONE pass over the corpus. */
+  private[llm] def curationFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val wText = Window.partitionBy(col("text"))
     val base = docs.select(col("doc_id"), col("text"),
@@ -1347,29 +1373,50 @@ object Similarity {
           when(size(col("members")) > 1 && size(col("hs")) > 0, col("gid"))
             .otherwise(none)).as("t"))
       .select(explode(filter(col("members"), m => m > col("t"))).as("doc_id"))
-    val flagged = base.join(dupIds.withColumn("is_dup_b", lit(true)),
+    base.join(dupIds.withColumn("is_dup_b", lit(true)),
         Seq("doc_id"), "left")
       .withColumn("near_ok", coalesce(col("is_dup_b"), lit(false)) === false)
-    // ONE conditional-aggregation pass, then stack to rows: round 1 unioned
-    // four filtered aggregates, and union branches re-execute common
-    // subtrees — the full LSH pipeline ran 4×. Here the scan, the text
-    // window and the near-dup join execute exactly once.
-    val q = col("quality_ok")
-    val f = q && col("is_first")
-    val nd = f && col("near_ok")
-    flagged.agg(
-        count(lit(1)).as("n1"), sum(col("n_tokens")).as("t1"),
-        count(when(q, 1)).as("n2"), sum(when(q, col("n_tokens"))).as("t2"),
-        count(when(f, 1)).as("n3"), sum(when(f, col("n_tokens"))).as("t3"),
-        count(when(nd, 1)).as("n4"), sum(when(nd, col("n_tokens"))).as("t4"))
-      .selectExpr(
-        """stack(4,
-          |  '1_raw', n1, t1,
-          |  '2_quality', n2, t2,
-          |  '3_exact_dedup', n3, t3,
-          |  '4_near_dedup', n4, t4) AS (stage, n_docs, n_tokens)""".stripMargin)
-      .orderBy(col("stage"))
   }
+
+  // ----------------------------------------------- q85 curated corpus output
+
+  /** The funnel's ANSWER, not just its census: the doc_ids that survive
+    * quality → exact dedup → near dedup — what actually ships to
+    * training. Same flags as q50 (one pass), filtered instead of
+    * aggregated; at 100 TB this is the frame you hand to
+    * [[graft.io.Sinks.writePackedShards]]. */
+  def curatedCorpus(spark: SparkSession, dir: String): DataFrame =
+    curationFlags(spark, dir)
+      .filter(col("quality_ok") && col("is_first") && col("near_ok"))
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy(col("doc_id"))
+
+  val curatedCorpusSql: String =
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), dup_b AS (
+       |  SELECT DISTINCT id_b AS doc_id FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
+       |), base AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |    (length(text) >= 40 AND length(text) <= 5000 AND
+       |     length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) / length(text) < 0.2) AS quality_ok,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY text) AS is_first,
+       |    doc_id NOT IN (SELECT doc_id FROM dup_b) AS near_ok
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_tokens FROM base
+       |WHERE quality_ok AND is_first AND near_ok
+       |ORDER BY doc_id""".stripMargin
 
   val pipelineStatsSql: String =
     s"""WITH $sigCteSql,
@@ -1422,6 +1469,7 @@ object Similarity {
     QueryDef("q67_cluster_reps", clusterRepresentatives, Some(clusterRepresentativesSql)),
     QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q70_int8_ann_topk", int8AnnTopk, Some(int8AnnTopkSql)),
-    QueryDef("q75_kmeans", kmeans, Some(kmeansSql))
+    QueryDef("q75_kmeans", kmeans, Some(kmeansSql)),
+    QueryDef("q85_curated_corpus", curatedCorpus, Some(curatedCorpusSql))
   )
 }

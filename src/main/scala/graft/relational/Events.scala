@@ -254,6 +254,51 @@ object Events {
       |SELECT event_id, user_id, ts, asof_ts, asof_value
       |FROM w WHERE is_probe ORDER BY event_id""".stripMargin
 
+  /** q84: FORWARD as-of join — for each click, the NEXT purchase of the
+    * same user at-or-after it (q36 looks backward; "what happened next"
+    * is the other half of every event-correlation analysis: time-to-
+    * conversion, next-error-after-deploy). Same composed-from-built-ins
+    * shape mirrored: one window per user ordered by ts, FIRST non-null
+    * purchase carried BACKWARD over [currentRow, unboundedFollowing] —
+    * still one shuffle, no range join, no per-row forward scan. The
+    * time-to-next gap is exact integer micros surfaced as seconds. */
+  def asofForward(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        (col("event_type") === "click").as("is_probe"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    e.withColumn("next_value",
+        first(when(!col("is_probe"), col("value")), ignoreNulls = true).over(w))
+      .withColumn("next_ts",
+        first(when(!col("is_probe"), col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_probe"))
+      .withColumn("secs_to_next",
+        (unix_micros(col("next_ts")) - unix_micros(col("ts"))).cast("double") / 1000000.0)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("next_ts"), col("next_value"), col("secs_to_next"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofForwardSql: String =
+    """WITH u AS (
+      |  SELECT event_id, user_id, ts, value, (event_type = 'click') AS is_probe
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), w AS (
+      |  SELECT event_id, user_id, ts, is_probe,
+      |    first_value(CASE WHEN NOT is_probe THEN value END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_value,
+      |    first_value(CASE WHEN NOT is_probe THEN ts END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+      |  FROM u
+      |)
+      |SELECT event_id, user_id, ts, next_ts, next_value,
+      |  CAST(epoch_us(next_ts) - epoch_us(ts) AS DOUBLE) / 1000000.0 AS secs_to_next
+      |FROM w WHERE is_probe ORDER BY event_id""".stripMargin
+
   /** Interval (range) join: every purchase matched to each click by the
     * same user in the preceding 30 minutes — the attribution query, and
     * the batch twin of `streaming.Streaming.attributionJoin` (the spec
@@ -418,6 +463,7 @@ object Events {
     QueryDef("q78_ordered_funnel", orderedFunnel, Some(orderedFunnelSql)),
     QueryDef("q19_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("q36_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("q84_asof_forward", asofForward, Some(asofForwardSql)),
     QueryDef("q64_attribution_join", attributionJoin, Some(attributionJoinSql)),
     QueryDef("q79_linear_attribution", linearAttribution, Some(linearAttributionSql)),
     QueryDef("q65_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql))

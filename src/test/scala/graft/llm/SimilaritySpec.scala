@@ -310,6 +310,17 @@ class SimilaritySpec extends SparkSpec {
     assert(modelPairs.nonEmpty, "fixture must contain planted duplicates")
   }
 
+  test("q85 curated corpus is exactly q50's stage-4 census") {
+    val kept = Similarity.curatedCorpus(spark, sfDir).collect()
+    val stage4 = Similarity.pipelineStats(spark, sfDir).collect()
+      .find(_.getString(0) == "4_near_dedup").get
+    assert(kept.length.toLong == stage4.getLong(1),
+      "curated doc count != funnel stage-4 n_docs")
+    assert(kept.map(_.getLong(1)).sum == stage4.getLong(2),
+      "curated token sum != funnel stage-4 n_tokens")
+    assert(kept.map(_.getLong(0)).distinct.length == kept.length)
+  }
+
   test("ann-lsh neighbors are a subset of brute-force candidates' buckets") {
     val ann = Similarity.annLshTopk(spark, sfDir)
     assert(ann.count() > 0)

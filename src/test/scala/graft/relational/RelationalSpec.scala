@@ -329,6 +329,18 @@ class RelationalSpec extends SparkSpec {
       s"row checks must share one scan (checkpoint missing?): ${scans.size} lineitem scans")
   }
 
+  test("q84 forward as-of: next purchase is at-or-after, symmetric to q36's backward") {
+    val rows = Events.asofForward(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(3))
+        assert(!r.getTimestamp(3).before(r.getTimestamp(2)),
+          s"next_ts precedes the probe for event ${r.getLong(0)}")
+    }
+    // some probes have no later purchase (nulls must survive to output)
+    assert(rows.exists(_.isNullAt(3)), "expected tail clicks with no next purchase")
+  }
+
   test("intersect/except agree with manual predicates") {
     val o = graft.Tables.orders(spark, sfDir)
     val both = Relational.repeatCustomers(spark, sfDir).count()
