@@ -894,6 +894,42 @@ object Relational {
       |FROM stacked s CROSS JOIN rc
       |ORDER BY s."check"""".stripMargin
 
+  /** Unpivot (melt) — the inverse of q73: the wide per-year priority
+    * counts back to long (yr, priority, n_orders) form, via Spark's
+    * native `unpivot` (which plans an Expand over the already-aggregated
+    * 7-row frame — the cheap direction, unlike pre-aggregation cube
+    * Expands). Round-tripping through q73's pivot makes the pair
+    * self-checking: the melt of the pivot must equal the plain
+    * (yr, priority) aggregate, which is exactly what the oracle computes
+    * directly. */
+  def orderUnpivot(spark: SparkSession, dir: String): DataFrame = {
+    val wide = orderPivot(spark, dir) // (yr, p_urgent..p_low)
+    wide.unpivot(
+        Array(col("yr")),
+        Array(col("p_urgent"), col("p_high"), col("p_medium"),
+          col("p_notspec"), col("p_low")),
+        "priority", "n_orders")
+      .orderBy(col("yr"), col("priority"))
+  }
+
+  val orderUnpivotSql: String =
+    """WITH base AS (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS yr, o_orderpriority
+      |  FROM orders
+      |), m AS (
+      |  SELECT yr, 'p_urgent' AS priority,
+      |    COUNT(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS n_orders FROM base GROUP BY yr
+      |  UNION ALL SELECT yr, 'p_high',
+      |    COUNT(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) FROM base GROUP BY yr
+      |  UNION ALL SELECT yr, 'p_medium',
+      |    COUNT(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) FROM base GROUP BY yr
+      |  UNION ALL SELECT yr, 'p_notspec',
+      |    COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) FROM base GROUP BY yr
+      |  UNION ALL SELECT yr, 'p_low',
+      |    COUNT(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) FROM base GROUP BY yr
+      |)
+      |SELECT yr, priority, n_orders FROM m ORDER BY yr, priority""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -921,6 +957,7 @@ object Relational {
     QueryDef("q74_rolling_spend", rollingSpend, Some(rollingSpendSql)),
     QueryDef("q81_ranking_family", rankingFamily, Some(rankingFamilySql)),
     QueryDef("q82_hll_rollup", hllRollup, None),
-    QueryDef("q83_quality_audit", qualityAudit, Some(qualityAuditSql))
+    QueryDef("q83_quality_audit", qualityAudit, Some(qualityAuditSql)),
+    QueryDef("q86_unpivot", orderUnpivot, Some(orderUnpivotSql))
   )
 }
