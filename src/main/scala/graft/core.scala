@@ -104,6 +104,22 @@ object Dist {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Lazy lineage-truncating checkpoint that survives executor loss when it
+    * can: RELIABLE checkpoint (files on the cluster FS) when a checkpoint
+    * dir is set — `SparkContext.setCheckpointDir` or `spark.checkpoint.dir`
+    * — and `localCheckpoint` otherwise. The iterative operators (label
+    * propagation q55/q67, k-means q75) need lineage truncation either way
+    * (their plans grow 4^rounds without it), but `localCheckpoint` blocks
+    * live only on executors: at cluster scale one lost executor kills the
+    * job mid-iteration with no recompute path. With a checkpoint dir the
+    * blocks are re-readable from the cluster FS, so the loop survives
+    * executor loss at the cost of one FS write per truncation. local[32]
+    * (tests, driver) sets no dir → keeps the zero-IO local path. */
+  def durableCkpt(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
+
   /** Skew-mitigating equi-join: salt the big (skewed) side with
     * `pmod(saltSource, factor)` and replicate the small side `factor`
     * times, so one hot key's rows spread over `factor` reducers instead of

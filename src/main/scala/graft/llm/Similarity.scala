@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.{QueryDef, Tables}
+import graft.{Dist, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -259,7 +259,7 @@ object Similarity {
     // the corpus scan + hash-aggregate (no plan CSE across union/join
     // branches). Blocks are reclaimed by the ContextCleaner once the
     // returned frame is GC'd.
-    val grps = shingleGroups(spark, dir).localCheckpoint(false)
+    val grps = shingleGroups(spark, dir).transform(Dist.durableCkpt)
     // size(hs) > 0 is load-bearing, not an optimization: token-free docs
     // (empty/whitespace text) share hs = [] and would expand to pairs
     // with jaccard "1.0", but the verify kernel computes 0/0 -> NULL for
@@ -744,7 +744,7 @@ object Similarity {
   def kmeans(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
-      .localCheckpoint(false) // reused by every assign/update pass
+      .transform(Dist.durableCkpt) // reused by every assign/update pass
     def assign(cents: DataFrame): DataFrame =
       e.crossJoin(broadcast(cents))
         .withColumn("dist",
@@ -762,7 +762,7 @@ object Similarity {
         .groupBy(col("cid"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
           x => x.getField("v")).as("qc"))
-        .localCheckpoint(false) // k rows; truncates the per-round lineage
+        .transform(Dist.durableCkpt) // k rows; truncates the per-round lineage
     val c0 = e.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("int").as("cid"), col("q").as("qc"))
     val c1 = update(assign(c0))
@@ -917,15 +917,15 @@ object Similarity {
     // jaccard 1 cliques — so contracting them first is exact), and the
     // expansion back to doc counts happens only in the final aggregate.
     // The 958k expanded doc pairs never exist as edges at all.
-    val grps = shingleGroups(spark, dir).localCheckpoint(false)
+    val grps = shingleGroups(spark, dir).transform(Dist.durableCkpt)
     val edges = repPairsFromGroups(grps).select(col("gid_a"), col("gid_b"))
-      .localCheckpoint(false)
+      .transform(Dist.durableCkpt)
     val sym = edges.select(col("gid_a").as("node"), col("gid_b").as("nbr"))
       .union(edges.select(col("gid_b").as("node"), col("gid_a").as("nbr")))
     // Phase 1: the only O(|E|) aggregate — lbl1(v) = min(v, min nbr(v))
     val lbl1 = sym.groupBy(col("node"))
       .agg(least(col("node"), min(col("nbr"))).as("lbl"))
-      .localCheckpoint(false)
+      .transform(Dist.durableCkpt)
     // Contract: project every edge into label space, keep distinct
     // cross-label edges (within-label edges are already merged)
     val cedges = sym
@@ -933,13 +933,13 @@ object Similarity {
       .join(broadcast(lbl1.select(col("node").as("nbr"), col("lbl").as("lb"))), Seq("nbr"))
       .filter(col("la") =!= col("lb"))
       .select(col("la"), col("lb")).distinct()
-      .localCheckpoint(false)
+      .transform(Dist.durableCkpt)
     val csym = cedges.select(col("la").as("node"), col("lb").as("nbr"))
       .union(cedges.select(col("lb").as("node"), col("la").as("nbr")))
     // Every distinct round-1 label is a supernode, including ones with no
     // cross-label edges (they just keep their own label through the loop)
     var labels = lbl1.select(col("lbl").as("node")).distinct()
-      .withColumn("lbl", col("node")).localCheckpoint(false)
+      .withColumn("lbl", col("node")).transform(Dist.durableCkpt)
     var prevSum = Long.MinValue
     var curSum = labelSum(labels)
     var rounds = 0
@@ -954,7 +954,7 @@ object Similarity {
         .select(col("node"), col("lbl2").as("lbl"))
       val next = labels.select(col("node"), col("lbl")).union(viaNbr).union(jump)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(false)
+        .transform(Dist.durableCkpt)
       prevSum = curSum
       curSum = labelSum(next) // materializes next
       checkpointRdd(labels).foreach(_.unpersist(false)) // free superseded blocks
@@ -1236,7 +1236,7 @@ object Similarity {
     val isIncoming = pmod(col("doc_id"), lit(10)) === 7
     val sigs = docs.select(col("doc_id"), col("text"),
       hashedShingles(col("text")).as("hs"))
-      .localCheckpoint(false)
+      .transform(Dist.durableCkpt)
     val incoming = sigs.filter(isIncoming)
     val corpus = sigs.filter(!isIncoming)
     // Corpus side streams; incoming side broadcasts. Candidates are slim
@@ -1338,7 +1338,18 @@ object Similarity {
     * every stage as a flag column on ONE pass over the corpus. */
   private[llm] def curationFlags(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val wText = Window.partitionBy(col("text"))
+    // Exact-dedup window keyed on a 128-bit hash of the text, NOT the text:
+    // partitioning the exchange on full document payloads shuffles the
+    // corpus keyed by multi-KB strings and makes the window sort compare
+    // them byte-wise — the one shape here that dies first at 100 TB. Two
+    // independent xxhash64 streams (second one salted) give 128 collision
+    // bits: for equal hashes to group DIFFERENT texts, a specific pair must
+    // collide in both streams (~2^-128), negligible against any corpus
+    // size, so min-doc_id-per-text semantics are preserved and the oracle
+    // (PARTITION BY text) stays hash-identical. The sort now compares two
+    // longs per row; the text rides along as data only.
+    val wText = Window.partitionBy(xxhash64(col("text")),
+      xxhash64(lit("graft-dedup-salt"), col("text")))
     val base = docs.select(col("doc_id"), col("text"),
         size(tokens(col("text"))).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("len"),
@@ -1357,7 +1368,7 @@ object Similarity {
     // Both edge directions go through ONE generator (no Union — union
     // branches would re-execute the pair pipeline, the exact regression
     // the plan spec locks out).
-    val grps = shingleGroups(spark, dir).localCheckpoint(false)
+    val grps = shingleGroups(spark, dir).transform(Dist.durableCkpt)
     val nbrMin = repPairsFromGroups(grps)
       .select(explode(array(
           struct(col("gid_a").as("g"), col("gid_b").as("n")),

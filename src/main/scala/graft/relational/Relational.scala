@@ -1,6 +1,6 @@
 package graft.relational
 
-import graft.{QueryDef, Tables}
+import graft.{Dist, QueryDef, Tables}
 import graft.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -847,7 +847,7 @@ object Relational {
         count(when(col("l_discount") < 0 || col("l_discount") > 1, 1)).as("bad_discount"),
         count(when(col("l_shipdate") < lit("1995-01-01").cast("timestamp") ||
           col("l_shipdate") > lit("2001-12-31").cast("timestamp"), 1)).as("bad_shipdate"))
-      .localCheckpoint(false) // 1 row, LAZY: three branches share one
+      .transform(Dist.durableCkpt) // 1 row, LAZY: three branches share one
                               // materialization at first action, and
                               // plan-only callers (Explain, the hygiene
                               // sweep) don't pay the scan eagerly

@@ -1,6 +1,6 @@
 package graft.text
 
-import graft.{QueryDef, Tables}
+import graft.{Dist, QueryDef, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -430,7 +430,7 @@ object TextOps {
     // one core; with the barrier the whole query is sub-second). It also
     // keeps the probe and corpus branches from computing the fingerprints
     // twice (no plan CSE).
-    val fps = winnowFps(spark, dir).localCheckpoint(false)
+    val fps = winnowFps(spark, dir).transform(Dist.durableCkpt)
     val probe = fps.filter(col("doc_id") < 20)
       .select(explode(col("fps")).as("fp")).distinct()
     fps.filter(col("doc_id") >= 20)

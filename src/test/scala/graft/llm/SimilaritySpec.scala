@@ -95,6 +95,31 @@ class SimilaritySpec extends SparkSpec {
       "funnel plan contains a union — per-stage subtree re-execution is back")
   }
 
+  test("q85 exact-dedup window exchanges key on text hashes, never the text payload") {
+    // The is_first window must partition on xxhash64 columns: keying the
+    // exchange on the raw text shuffles the corpus keyed by multi-KB
+    // strings and makes the window sort compare them byte-wise — the
+    // scale-killer this spec locks out. Scan EVERY hash exchange in the
+    // executed plan: none may have a string-typed partition key.
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = Similarity.curatedCorpus(spark, sfDir)
+    val hashParts = allPlanNodes(executedPlanOf(df)).collect {
+      case s: ShuffleExchangeExec
+        if s.outputPartitioning.isInstanceOf[HashPartitioning] =>
+        s.outputPartitioning.asInstanceOf[HashPartitioning]
+    }
+    assert(hashParts.nonEmpty)
+    val stringKeyed = hashParts.filter(_.expressions.exists(
+      _.dataType == org.apache.spark.sql.types.StringType))
+    assert(stringKeyed.isEmpty,
+      s"exchange keyed on a string payload: ${stringKeyed.map(_.expressions.mkString(","))}")
+    // and the dedup window's own exchange is present: two long hash keys
+    assert(hashParts.exists(h => h.expressions.size == 2 &&
+      h.expressions.forall(_.dataType == org.apache.spark.sql.types.LongType)),
+      "expected the 128-bit (two-long) dedup window exchange")
+  }
+
   test("token-free documents never pair (empty shingle set is not jaccard 1)") {
     import spark.implicits._
     // Two empty/whitespace docs share hs = [] — the verify kernel scores
