@@ -139,6 +139,10 @@ case class MisraGriesAgg(
     })
   }
 
+  // Items are length-prefixed raw UTF-8, NOT writeUTF: writeUTF throws
+  // UTFDataFormatException past 65535 encoded bytes, and misra_gries is
+  // registered as a general SQL aggregate over arbitrary STRING — a
+  // whole-document key must survive the shuffle, not kill the job.
   override def serialize(buf: MGBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
@@ -146,7 +150,9 @@ case class MisraGriesAgg(
     val it = buf.counts.entrySet.iterator
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      val b = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -158,7 +164,12 @@ case class MisraGriesAgg(
     val buf = new MGBuffer(k)
     val n = in.readInt()
     var i = 0
-    while (i < n) { buf.add(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      buf.add(new String(b, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     buf
   }
 

@@ -59,6 +59,24 @@ object Layout {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Materialize a bucketed catalog table once per session (the "land the
+    * fact table bucketed" deployment step shared by q56/q87): build and
+    * write only if the table is unknown to this session's catalog. The
+    * in-memory catalog dies with the session but the warehouse directory
+    * does not — a table "unknown" here may still have files on disk from a
+    * previous run, which saveAsTable refuses to overwrite, so the stale
+    * location is cleared before the first write. */
+  def ensureBucketed(spark: SparkSession, table: String, bucketCol: String,
+                     numBuckets: Int)(build: => DataFrame): Unit = {
+    if (!spark.catalog.tableExists(table)) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      writeBucketed(build, table, bucketCol, numBuckets)
+    }
+  }
+
   /** q56: the co-located-join payoff as a REGISTERED query — q03's
     * lineitem⋈orders core on bucketed twins of both tables, so neither
     * the join nor the aggregation shuffles at read time (plan-asserted in
@@ -78,28 +96,12 @@ object Layout {
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val liT = s"graft_li_bucketed_$suffix"
     val oT = s"graft_ord_bucketed_$suffix"
-    // The in-memory catalog dies with the session but the warehouse
-    // directory does not: a table "unknown" to this session may still
-    // have files on disk from a previous run, which saveAsTable refuses
-    // to overwrite. Clear the stale location before the first write.
-    def dropStaleLocation(table: String): Unit = {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-    }
-    if (!spark.catalog.tableExists(liT)) {
-      dropStaleLocation(liT)
-      writeBucketed(Tables.lineitem(spark, dir)
-        .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"),
-        liT, "l_orderkey", numBuckets = 16)
-    }
-    if (!spark.catalog.tableExists(oT)) {
-      dropStaleLocation(oT)
-      writeBucketed(Tables.orders(spark, dir)
-        .select("o_orderkey", "o_orderdate", "o_orderpriority"),
-        oT, "o_orderkey", numBuckets = 16)
-    }
+    ensureBucketed(spark, liT, "l_orderkey", numBuckets = 16)(
+      Tables.lineitem(spark, dir)
+        .select("l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"))
+    ensureBucketed(spark, oT, "o_orderkey", numBuckets = 16)(
+      Tables.orders(spark, dir)
+        .select("o_orderkey", "o_orderdate", "o_orderpriority"))
     val li = spark.table(liT)
       .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
     val o = spark.table(oT)

@@ -1299,6 +1299,86 @@ object Similarity {
        |       ELSE 'kept' END AS status
        |FROM documents d WHERE d.doc_id % 10 = 7 ORDER BY d.doc_id""".stripMargin
 
+  // ------------------------------ q87 bucketed-corpus incremental dedup
+
+  /** q68's recurring-ingest shape with the corpus side LANDED, not
+    * recomputed: the corpus LSH band table and the corpus signature table
+    * are materialized once per (session, dir) as BUCKETED catalog tables
+    * ([[graft.io.Layout.ensureBucketed]] — bands bucketed on `bkey`,
+    * signatures on `doc_id`), and every subsequent ingest batch probes
+    * them directly. This is the actual daily-ingest shape at 100 TB:
+    * yesterday's corpus bands are a table on disk; today's 1 TB batch
+    * broadcasts its band keys past a SCAN, paying neither the corpus
+    * re-hash (q68 recomputes MinHash over the whole corpus per batch) nor
+    * any corpus-side exchange — the candidate payload attach reads the
+    * signature table bucket-aligned on `doc_id`. Spec-asserted: zero
+    * ShuffleExchange anywhere above a corpus-table scan; answers are
+    * bit-identical to q68 (same oracle). */
+  def bucketedIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val sigsT = s"graft_corpus_sigs_$suffix"
+    val bandsT = s"graft_corpus_bands_$suffix"
+    val isIncoming = pmod(col("doc_id"), lit(10)) === 7
+    // One-time landing (the untimed deployment step, like q56/q72): hash
+    // the corpus once, then derive the band table FROM the landed
+    // signatures so MinHash also runs once.
+    graft.io.Layout.ensureBucketed(spark, sigsT, "doc_id", 16)(
+      Tables.documents(spark, dir).filter(!isIncoming)
+        .select(col("doc_id"), col("text"), hashedShingles(col("text")).as("hs")))
+    graft.io.Layout.ensureBucketed(spark, bandsT, "bkey", 16)(
+      bandKeys(spark.table(sigsT).select(col("doc_id"), col("hs")), "doc_id"))
+    val corSigs = spark.table(sigsT)
+    val corBands = spark.table(bandsT)
+    // The recurring path: only the (small) incoming batch is hashed fresh;
+    // it feeds several subtrees, so checkpoint like q68 does.
+    val incoming = Tables.documents(spark, dir).filter(isIncoming)
+      .select(col("doc_id"), col("text"), hashedShingles(col("text")).as("hs"))
+      .transform(Dist.durableCkpt)
+    // Candidates: the corpus band table STREAMS past the broadcast batch
+    // band keys. The verify then broadcasts the (candidate × batch
+    // payload) set back over a corpus-signature STREAM — candidates are
+    // O(batch × bucket multiplicity), the broadcast regime by design; if
+    // a pathological batch outgrew it, the fallback is shuffling the
+    // candidates bucket-aligned into corSigs' layout (still zero corpus
+    // exchange — that is what the doc_id bucketing is for).
+    val cand = corBands.withColumnRenamed("doc_id", "cor_id")
+      .join(broadcast(bandKeys(incoming, "doc_id").withColumnRenamed("doc_id", "inc_id")),
+        Seq("bkey"))
+      .select(col("inc_id"), col("cor_id"))
+    val candWithInc = cand
+      .join(broadcast(incoming.select(col("doc_id").as("inc_id"), col("hs").as("hs_i"))),
+        Seq("inc_id"))
+    val nearRaw = corSigs.select(col("doc_id").as("cor_id"), col("hs").as("hs_c"))
+      .join(broadcast(candWithInc), Seq("cor_id"))
+      .withColumn("sz_i", size(col("hs_i"))).withColumn("sz_c", size(col("hs_c")))
+      .filter(least(col("sz_i"), col("sz_c")) * 10 >= greatest(col("sz_i"), col("sz_c")) * 9)
+      .withColumn("n_shared",
+        graft.functions.ArrayKernels.sortedIntersectCount(col("hs_i"), col("hs_c")))
+      .filter(col("n_shared") / (col("sz_i") + col("sz_c") - col("n_shared")) >= 0.9)
+      .select(col("inc_id").as("doc_id"))
+    // Membership via left_semi against BROADCAST build sides instead of
+    // q68's distinct-then-left-join: semi-join output is distinct by
+    // construction (incoming doc_ids are unique), the hash build dedups
+    // the raw match list, and — the point — no corpus-derived frame ever
+    // enters a shuffle exchange.
+    val nearIds = incoming.select(col("doc_id"))
+      .join(broadcast(nearRaw), Seq("doc_id"), "left_semi")
+    val matchedTexts = corSigs.select(col("text"))
+      .join(broadcast(incoming.select(col("text"))), Seq("text"), "left_semi")
+    val exactIds = incoming.select(col("doc_id"), col("text"))
+      .join(broadcast(matchedTexts), Seq("text"), "left_semi")
+      .select(col("doc_id"))
+    incoming.select(col("doc_id"))
+      .join(broadcast(exactIds.withColumn("is_exact", lit(true))), Seq("doc_id"), "left")
+      .join(broadcast(nearIds.withColumn("is_near", lit(true))), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(coalesce(col("is_exact"), lit(false)), "exact")
+          .when(coalesce(col("is_near"), lit(false)), "near")
+          .otherwise("kept").as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   // --------------------------------------- q50 composite training-data pipeline
 
   /** The flagship composite: the full training-data curation funnel as ONE
@@ -1479,6 +1559,9 @@ object Similarity {
     QueryDef("q55_neardup_clusters", nearDupClusters, Some(nearDupClustersSql)),
     QueryDef("q67_cluster_reps", clusterRepresentatives, Some(clusterRepresentativesSql)),
     QueryDef("q68_incremental_dedup", incrementalDedup, Some(incrementalDedupSql)),
+    // same answer as q68 by construction — the layout changes the plan,
+    // not the result, so the oracle is shared
+    QueryDef("q87_bucketed_incremental_dedup", bucketedIncrementalDedup, Some(incrementalDedupSql)),
     QueryDef("q70_int8_ann_topk", int8AnnTopk, Some(int8AnnTopkSql)),
     QueryDef("q75_kmeans", kmeans, Some(kmeansSql)),
     QueryDef("q85_curated_corpus", curatedCorpus, Some(curatedCorpusSql))

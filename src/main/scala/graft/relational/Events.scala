@@ -227,7 +227,12 @@ object Events {
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         (col("event_type") === "click").as("is_probe"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // Total order even if (user_id, ts) uniqueness is ever violated:
+    // purchases sort BEFORE clicks at equal ts (is_probe asc) so
+    // "at-or-before" includes the same-instant purchase deterministically,
+    // and event_id breaks purchase-purchase ties. Oracle mirrors the keys.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     e.withColumn("asof_value",
         last(when(!col("is_probe"), col("value")), ignoreNulls = true).over(w))
@@ -246,9 +251,11 @@ object Events {
       |), w AS (
       |  SELECT event_id, user_id, ts, is_probe,
       |    last_value(CASE WHEN NOT is_probe THEN value END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS asof_value,
+      |      OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS asof_value,
       |    last_value(CASE WHEN NOT is_probe THEN ts END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS asof_ts
+      |      OVER (PARTITION BY user_id ORDER BY ts, is_probe, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS asof_ts
       |  FROM u
       |)
       |SELECT event_id, user_id, ts, asof_ts, asof_value
@@ -267,7 +274,12 @@ object Events {
       .filter(col("event_type").isin("click", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("value"),
         (col("event_type") === "click").as("is_probe"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    // Mirror of q36's tie handling: clicks sort BEFORE purchases at equal
+    // ts (is_probe desc) so "at-or-after" includes the same-instant
+    // purchase deterministically; event_id totals the order. Without this
+    // the match at an exact ts tie depends on arbitrary sort order.
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_probe").desc, col("event_id"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     e.withColumn("next_value",
         first(when(!col("is_probe"), col("value")), ignoreNulls = true).over(w))
@@ -288,10 +300,10 @@ object Events {
       |), w AS (
       |  SELECT event_id, user_id, ts, is_probe,
       |    first_value(CASE WHEN NOT is_probe THEN value END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY ts
+      |      OVER (PARTITION BY user_id ORDER BY ts, is_probe DESC, event_id
       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_value,
       |    first_value(CASE WHEN NOT is_probe THEN ts END IGNORE NULLS)
-      |      OVER (PARTITION BY user_id ORDER BY ts
+      |      OVER (PARTITION BY user_id ORDER BY ts, is_probe DESC, event_id
       |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
       |  FROM u
       |)

@@ -626,7 +626,14 @@ object Relational {
     val hot = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 490000.0)
       .select(col("o_orderkey"))
-    val bf = hot.stat.bloomFilter("o_orderkey", 10000, 0.01)
+    // Size the filter from the ACTUAL hot-key count (one tiny pre-job over
+    // the pushed-down dim filter), not a constant: an undersized filter
+    // inflates the FP rate until the scan-side prune passes nearly
+    // everything — correctness survives (the semi-join re-verifies) but
+    // the query's entire point, pruning before the exchange, silently
+    // vanishes at larger SFs. 1.2x headroom keeps the FP target honest.
+    val nHot = math.max(1L, (hot.count() * 1.2).toLong)
+    val bf = hot.stat.bloomFilter("o_orderkey", nHot, 0.01)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
       bf.writeTo(bos)
@@ -819,6 +826,42 @@ object Relational {
     perMonth.union(total).orderBy(col("period"))
   }
 
+  /** q82b: the EXACT twin of q82's rollup skeleton, oracle-gated. The HLL
+    * estimates themselves can never hash-match a different engine, but the
+    * query shape they sit in — re-aggregatable per-month distinct counts
+    * plus a total computed WITHOUT rescanning the fact table — can: dedup
+    * (month, custkey) once, then both the per-month counts and the global
+    * distinct re-aggregate from that one deduped frame. This is the
+    * lambda-architecture rollup with sets instead of sketches; at 100 TB
+    * you'd pick q82 (constant-size state), but the skeleton being
+    * hash-verified here is the same one q82 executes. The deduped frame is
+    * checkpointed because both output branches read it (no cross-branch
+    * CSE). */
+  def distinctRollupExact(spark: SparkSession, dir: String): DataFrame = {
+    val mc = Tables.orders(spark, dir)
+      .select(date_trunc("month", col("o_orderdate")).as("mon"), col("o_custkey"))
+      .distinct()
+      .transform(Dist.durableCkpt)
+    val perMonth = mc.groupBy(col("mon"))
+      .agg(count(lit(1)).as("n_customers"))
+      .select(date_format(col("mon"), "yyyy-MM").as("period"), col("n_customers"))
+    val total = mc.select(col("o_custkey")).distinct()
+      .agg(count(lit(1)).as("n_customers"))
+      .select(lit("TOTAL").as("period"), col("n_customers"))
+    perMonth.union(total).orderBy(col("period"))
+  }
+
+  val distinctRollupExactSql: String =
+    """WITH mc AS MATERIALIZED (
+      |  SELECT DISTINCT date_trunc('month', o_orderdate) AS mon, o_custkey FROM orders
+      |)
+      |SELECT strftime(mon, '%Y-%m') AS period, CAST(COUNT(*) AS BIGINT) AS n_customers
+      |FROM mc GROUP BY mon
+      |UNION ALL
+      |SELECT 'TOTAL' AS period, CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      |FROM mc
+      |ORDER BY period""".stripMargin
+
   /** Data-quality audit (the Deequ-style "expectations" primitive): one
     * pass over lineitem computes every row-local constraint as a
     * conditional aggregate — null keys, non-positive quantity/price,
@@ -957,6 +1000,7 @@ object Relational {
     QueryDef("q74_rolling_spend", rollingSpend, Some(rollingSpendSql)),
     QueryDef("q81_ranking_family", rankingFamily, Some(rankingFamilySql)),
     QueryDef("q82_hll_rollup", hllRollup, None),
+    QueryDef("q82b_distinct_rollup_exact", distinctRollupExact, Some(distinctRollupExactSql)),
     QueryDef("q83_quality_audit", qualityAudit, Some(qualityAuditSql)),
     QueryDef("q86_unpivot", orderUnpivot, Some(orderUnpivotSql))
   )

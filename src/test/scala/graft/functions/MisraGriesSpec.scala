@@ -40,6 +40,23 @@ class MisraGriesSpec extends SparkSpec {
     checkGuarantees(k = 16, parts = 13)
   }
 
+  test("items beyond writeUTF's 65535-byte limit survive the shuffle serde") {
+    import spark.implicits._
+    // misra_gries is a general SQL aggregate over arbitrary STRING —
+    // whole-document keys are a legitimate input. writeUTF would throw
+    // UTFDataFormatException at serialize time (i.e. mid-shuffle); the
+    // length-prefixed raw-UTF8 serde must round-trip them instead. Force
+    // the serde with a multi-partition aggregation.
+    val big = "x" * 70000 + "€" // > 65535 bytes and non-ASCII tail
+    val rows = Seq.fill(5)(big) ++ Seq.fill(3)("small")
+    val out = rows.toDF("item").repartition(4)
+      .agg(MisraGries.sketch(col("item"), 4)).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out(big) == 5, "2 distinct items <= k: counts must be exact")
+    assert(out("small") == 3)
+  }
+
   test("buffer model: random stream, small k, bounds hold") {
     val rnd = new scala.util.Random(11)
     // zipf-ish: item i drawn with weight ~ 1/(i+1)

@@ -120,6 +120,38 @@ class SimilaritySpec extends SparkSpec {
       "expected the 128-bit (two-long) dedup window exchange")
   }
 
+  test("q87 bucketed ingest: answers equal q68; corpus rows never enter a shuffle") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeExec}
+    val q68 = Similarity.incrementalDedup(spark, sfDir).collect().toSeq
+    val q87 = Similarity.bucketedIncrementalDedup(spark, sfDir)
+    assert(q87.collect().toSeq == q68, "layout must change the plan, not the answer")
+    // Walk each shuffle's subtree WITHOUT crossing broadcast boundaries
+    // (data leaving via a broadcast is not being shuffled): no corpus
+    // catalog-table scan may feed a shuffle exchange — the recurring
+    // ingest must probe yesterday's landed corpus exchange-free.
+    def shuffledSide(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: BroadcastExchangeLike => Seq(p)
+      case _: BroadcastQueryStageExec => Seq(p)
+      case s: QueryStageExec => p +: shuffledSide(s.plan)
+      case a: AdaptiveSparkPlanExec => p +: shuffledSide(a.executedPlan)
+      case other => p +: other.children.flatMap(shuffledSide)
+    }
+    val plan = executedPlanOf(Similarity.bucketedIncrementalDedup(spark, sfDir))
+    def isCorpusScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(_.toString.contains("graft_corpus_"))
+      case _ => false
+    }
+    assert(allPlanNodes(plan).exists(isCorpusScan), "corpus tables not read at all?")
+    val offenders = allPlanNodes(plan)
+      .collect { case s: ShuffleExchangeExec => s }
+      .filter(s => shuffledSide(s).exists(isCorpusScan))
+    assert(offenders.isEmpty,
+      s"corpus scan feeds a shuffle exchange:\n${offenders.map(_.nodeName).mkString("\n")}")
+  }
+
   test("token-free documents never pair (empty shingle set is not jaccard 1)") {
     import spark.implicits._
     // Two empty/whitespace docs share hs = [] — the verify kernel scores
