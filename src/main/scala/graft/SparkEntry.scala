@@ -17,7 +17,8 @@ object SparkEntry {
       text.CorpusStats.defs ++
       images.Geometry.defs ++
       llm.Similarity.defs ++
-      io.Layout.defs
+      io.Layout.defs ++
+      multimodal.Fixtures.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,260 @@
+package graft.multimodal
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic media-container fixtures + the registered query (q88)
+  * that drives the container parsers through the ORACLE gate.
+  *
+  * The harness tables carry no binary column, so the multimodal tier
+  * (GIF/AVI/MP3/MP4/WAV parsers — `Gif`/`Avi`/`Mp3`/`Mp4`/`Multimodal`)
+  * was spec-only until this file: q88 GENERATES a folder of real
+  * container bytes with hand-chosen properties (every builder below
+  * follows the public container spec — RIFF/WAVE, MPEG frame headers,
+  * GIF89a via the JDK encoder, ISO-BMFF boxes), scans it with Spark's
+  * `binaryFile` source, parses audio/video metadata from the raw bytes,
+  * and hash-compares against a DuckDB VALUES oracle holding the
+  * ground-truth properties the fixtures were BUILT with. A parser
+  * regression (wrong duration math, broken frame walk, lost quarantine)
+  * now breaks the correctness gate, not just a spec.
+  *
+  * The folder is written once per (application, dir) — the same memo
+  * discipline as `io.Layout.partitionedOrdersPath` — and the fixtures are
+  * deliberately tiny: the query measures parser correctness, not I/O.
+  */
+object Fixtures {
+
+  // ------------------------------------------------------- byte builders
+
+  /** PCM 16-bit WAV, little-endian RIFF/WAVE with interleaved frames. */
+  def wavBytes(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+    val dataLen = frames * channels * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + dataLen); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(sampleRate); bb.putInt(sampleRate * channels * 2)
+    bb.putShort((channels * 2).toShort); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(dataLen)
+    var i = 0
+    while (i < frames * channels) { bb.putShort((i % 251).toShort); i += 1 }
+    bb.array()
+  }
+
+  /** MPEG-1 Layer III, 128 kbps 44100 Hz stereo: header 0xFFFB9000,
+    * frame length 1152/8*128000/44100 = 417 bytes, `nFrames` frames. */
+  def mp3Bytes(nFrames: Int): Array[Byte] = {
+    val frame = Array[Byte](0xff.toByte, 0xfb.toByte, 0x90.toByte, 0x00) ++
+      Array.fill[Byte](417 - 4)(0)
+    Array.fill(nFrames)(frame).flatten
+  }
+
+  /** Animated GIF via the JDK encoder: solid-color frames with explicit
+    * per-frame GCE delays (centiseconds). */
+  def gifBytes(w: Int, h: Int, frames: Seq[(Int, Int)]): Array[Byte] = {
+    import javax.imageio.{IIOImage, ImageIO, ImageTypeSpecifier}
+    import javax.imageio.metadata.IIOMetadataNode
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(baos)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for ((rgb, delayCs) <- frames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(new ImageTypeSpecifier(img), param)
+      val fmt = "javax_imageio_gif_image_1.0"
+      val tree = meta.getAsTree(fmt).asInstanceOf[IIOMetadataNode]
+      val gce = {
+        var c = tree.getFirstChild
+        var found: IIOMetadataNode = null
+        while (c != null) {
+          if (c.getNodeName == "GraphicControlExtension")
+            found = c.asInstanceOf[IIOMetadataNode]
+          c = c.getNextSibling
+        }
+        if (found == null) {
+          val n = new IIOMetadataNode("GraphicControlExtension")
+          tree.appendChild(n); n
+        } else found
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", delayCs.toString)
+      meta.setFromTree(fmt, tree)
+      writer.writeToSequence(new IIOImage(img, null, meta), param)
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** Solid-color baseline JPEG via the JDK encoder (AVI frame payload). */
+  def jpegBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    g.setColor(new java.awt.Color(rgb)); g.fillRect(0, 0, w, h); g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpeg", baos)
+    baos.toByteArray
+  }
+
+  /** Minimal MJPEG AVI: RIFF('AVI ' LIST hdrl(avih, LIST strl(strh,
+    * strf)) LIST movi(00dc...)), little-endian, even-padded chunks. */
+  def aviBytes(w: Int, h: Int, scale: Int, rate: Int,
+               frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le32(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      id.getBytes("ISO-8859-1") ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    def list(typ: String, bodies: Array[Byte]*): Array[Byte] =
+      chunk("LIST", typ.getBytes("ISO-8859-1") ++ bodies.flatten)
+    val fps = rate.toDouble / scale
+    val avih = le32(math.round(1e6 / fps)) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.size) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ Array.fill[Byte](16)(0)
+    val strh = "vids".getBytes("ISO-8859-1") ++ "MJPG".getBytes("ISO-8859-1") ++
+      le32(0) ++ le32(0) ++ le32(0) ++ le32(scale) ++ le32(rate) ++ le32(0) ++
+      le32(frames.size) ++ le32(0) ++ le32(0) ++ le32(0) ++ Array.fill[Byte](8)(0)
+    val vidStrl = list("strl", chunk("strh", strh),
+      chunk("strf", Array.fill[Byte](40)(0)))
+    val hdrl = list("hdrl", chunk("avih", avih), vidStrl)
+    val movi = list("movi", frames.map(f => chunk("00dc", f)): _*)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl ++ movi
+    "RIFF".getBytes("ISO-8859-1") ++ le32(body.length) ++ body
+  }
+
+  /** Minimal ISO-BMFF tree: 640×360, movie timescale 600 / duration 6000
+    * ticks (10 s), one video track, stts = 240 samples × 25 ticks → 24 fps. */
+  def mp4Bytes(): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      val bb = java.nio.ByteBuffer.allocate(8 + body.length)
+      bb.putInt(8 + body.length); bb.put(typ.getBytes("ISO-8859-1")); bb.put(body)
+      bb.array()
+    }
+    def be32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def be16(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+    val verflags = be32(0)
+    val mvhd = box("mvhd", verflags, be32(0), be32(0), be32(600), be32(6000),
+      Array.fill[Byte](80)(0))
+    val tkhd = box("tkhd", verflags, be32(0), be32(0), be32(1), be32(0), be32(6000),
+      Array.fill[Byte](16)(0), Array.fill[Byte](36)(0),
+      be16(640), be16(0), be16(360), be16(0))
+    val mdhd = box("mdhd", verflags, be32(0), be32(0), be32(600), be32(6000), be16(0), be16(0))
+    val hdlr = box("hdlr", verflags, be32(0), "vide".getBytes("ISO-8859-1"),
+      Array.fill[Byte](13)(0))
+    val stts = box("stts", verflags, be32(1), be32(240), be32(25))
+    val mdia = box("mdia", mdhd, hdlr, box("minf", box("stbl", stts)))
+    val trak = box("trak", tkhd, mdia)
+    val ftyp = box("ftyp", "isom".getBytes, be32(512), "isomiso2".getBytes)
+    ftyp ++ box("moov", mvhd, trak) ++ box("mdat", Array[Byte](1, 2, 3))
+  }
+
+  // --------------------------------------------------- the fixture corpus
+
+  /** (name, bytes) for every fixture file. Properties here are the SOURCE
+    * of the oracle's VALUES — change one and the oracle must change with
+    * it. */
+  def fixtureFiles(): Seq[(String, Array[Byte])] = Seq(
+    // 8000 Hz mono, 4000 frames → 500 ms
+    "clip_a.wav" -> wavBytes(8000, 1, 4000),
+    // 16000 Hz stereo, 12000 frames → 750 ms
+    "clip_b.wav" -> wavBytes(16000, 2, 12000),
+    // 20 MPEG1-L3 frames × 1152 samples at 44100 Hz → 23040000/44100 = 522 ms
+    "song_c.mp3" -> mp3Bytes(20),
+    // 13×7, two frames of 10 cs → 200 ms, 10 fps
+    "anim_d.gif" -> gifBytes(13, 7, Seq((0xff0000, 10), (0x0000ff, 10))),
+    // 32×24 MJPEG, 6 frames at rate/scale = 4/1 → 4 fps, 1500 ms
+    "vid_e.avi" -> aviBytes(32, 24, scale = 1, rate = 4,
+      frames = (0 until 6).map(i => jpegBytes(32, 24, 0x102030 * (i + 1)))),
+    // 640×360, 24 fps, 10000 ms
+    "movie_f.mp4" -> mp4Bytes(),
+    // no parser recognizes it → quarantine row (all-null metadata)
+    "junk_g.bin" -> "definitely not a media container, kept for quarantine".getBytes)
+
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Write the fixture folder once per (application, dir); returns its
+    * path. Files are KBs and written driver-side — this is test-corpus
+    * landing, not a data path. */
+  def mediaFolder(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, s"graft_media_fixtures_$suffix")
+    val key = spark.sparkContext.applicationId + ":" + p.toString
+    if (built.add(key)) {
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      fixtureFiles().foreach { case (name, bytes) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+        try out.write(bytes) finally out.close()
+      }
+    }
+    p.toString
+  }
+
+  // ------------------------------------------------------------- q88
+
+  /** q88: container metadata from raw bytes, oracle-gated. One binaryFile
+    * scan → both metadata parsers as columns → typed struct fields
+    * flattened. `kind` encodes the routing a real pipeline would do
+    * (audio tier / video tier / quarantine); unparseable payloads stay as
+    * an all-null row rather than vanishing — the quarantine contract.
+    * Scale shape: binaryFile parallelizes per file, the parsers are
+    * header-cost (sample data never touched), and the projected schema is
+    * the slim metadata struct — payload bytes never reach the shuffle. */
+  def mediaMetadata(spark: SparkSession, dir: String): DataFrame = {
+    val folder = mediaFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        Multimodal.audioMetaFromBytes(col("content")).as("a"),
+        Multimodal.videoMetaFromBytes(col("content")).as("v"))
+      .select(col("file"),
+        when(col("a").isNotNull, "audio")
+          .when(col("v").isNotNull, "video")
+          .otherwise("quarantine").as("kind"),
+        col("a.sample_rate").as("sample_rate"), col("a.channels").as("channels"),
+        col("a.duration_ms").as("audio_ms"),
+        col("v.width").as("width"), col("v.height").as("height"),
+        col("v.fps").as("fps"), col("v.duration_ms").as("video_ms"))
+      .orderBy(col("file"))
+  }
+
+  /** Ground truth the fixtures were built with (see [[fixtureFiles]]). */
+  val mediaMetadataSql: String =
+    """SELECT * FROM (VALUES
+      |  ('anim_d.gif',  'video',      CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |     CAST(13 AS INT),  CAST(7 AS INT),    CAST(10.0 AS DOUBLE), CAST(200 AS BIGINT)),
+      |  ('clip_a.wav',  'audio',      CAST(8000 AS INT),  CAST(1 AS INT),  CAST(500 AS BIGINT),
+      |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('clip_b.wav',  'audio',      CAST(16000 AS INT), CAST(2 AS INT),  CAST(750 AS BIGINT),
+      |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('junk_g.bin',  'quarantine', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('movie_f.mp4', 'video',      CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |     CAST(640 AS INT), CAST(360 AS INT),  CAST(24.0 AS DOUBLE), CAST(10000 AS BIGINT)),
+      |  ('song_c.mp3',  'audio',      CAST(44100 AS INT), CAST(2 AS INT),  CAST(522 AS BIGINT),
+      |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('vid_e.avi',   'video',      CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |     CAST(32 AS INT),  CAST(24 AS INT),   CAST(4.0 AS DOUBLE),  CAST(1500 AS BIGINT))
+      |) AS t(file, kind, sample_rate, channels, audio_ms, width, height, fps, video_ms)
+      |ORDER BY file""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q88_media_metadata", mediaMetadata, Some(mediaMetadataSql)))
+}

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import java.nio.file.{Files, Path}
+import java.util.Comparator
+import graft.SparkSpec
+import org.apache.spark.sql.types.StructType
+
+/** End-to-end streaming durability: [[Streaming.ingestDedup]] driven from a
+  * REAL file source into a REAL file sink with a checkpoint location, the
+  * query stopped and restarted mid-stream. This is the production shape
+  * (landing zone → dedup-at-the-door → curated sink) the MemoryStream
+  * specs can't cover:
+  *  - the restarted query must resume from the checkpoint, NOT reprocess
+  *    batch 1 (the file sink's metadata log makes replays visible as
+  *    duplicate rows — exactly-once is asserted on the final output);
+  *  - dedup STATE must survive the restart: a text first seen before the
+  *    stop and repeated after it must still be dropped, which only happens
+  *    if the state store was restored from the checkpoint.
+  */
+class FileStreamRestartSpec extends SparkSpec {
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+
+  test("ingestDedup: file source + checkpoint; restart is exactly-once and keeps state") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-restart")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$m%02d:00")
+      val corpus = Seq("known corpus text").toDF("text")
+      val schema = StructType.fromDDL("doc_id BIGINT, ts TIMESTAMP, text STRING")
+      def startQuery() = Streaming.ingestDedup(
+          spark.readStream.schema(schema).parquet(in), corpus)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      // batch 1: an in-batch duplicate (doc 3) and a corpus hit (doc 4)
+      Seq((1L, ts(0), "alpha"), (2L, ts(1), "beta"),
+          (3L, ts(2), "alpha"), (4L, ts(3), "known corpus text"))
+        .toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop(); q1.awaitTermination()
+
+      // while the query is DOWN: a cross-restart duplicate (doc 5 repeats
+      // batch 1's "beta"), a fresh doc, and another corpus hit land
+      Seq((5L, ts(4), "beta"), (6L, ts(5), "gamma"),
+          (7L, ts(6), "known corpus text"))
+        .toDF("doc_id", "ts", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop(); q2.awaitTermination()
+
+      val got = spark.read.parquet(out).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got == Set((1L, "alpha"), (2L, "beta"), (6L, "gamma")),
+        s"expected exactly-once {1,2,6}, got $got")
+      // exactly-once also means no row appears twice in the files the
+      // sink's metadata log exposes
+      assert(spark.read.parquet(out).count() == 3)
+    } finally deleteRecursively(base)
+  }
+}
