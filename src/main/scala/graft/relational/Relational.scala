@@ -862,6 +862,43 @@ object Relational {
       |FROM mc
       |ORDER BY period""".stripMargin
 
+  /** q89: the skew-mitigation tool under the oracle gate. l_returnflag
+    * has THREE values over the whole fact table — the textbook pathological
+    * join key: an unsalted shuffle join sends ~1/3 of lineitem to each of
+    * three reducer tasks and the stage runs at straggler speed no matter
+    * how many executors exist. [[graft.Dist.saltedJoin]] spreads each hot
+    * key over `factor` reducers (deterministic salt from the row's unique
+    * id — never rand(), which breaks retries and oracles) and replicates
+    * the 3-row dim side per salt. The SHUFFLE_MERGE hint models the
+    * dim-exceeds-broadcast regime (same convention as q69 — with a
+    * broadcast join there'd be no shuffle to skew). DistSpec separately
+    * proves the bounded-max-task property; here the VALUES are gated:
+    * salted ≡ plain join exactly. */
+  def saltedSkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dim = Seq(("A", "acknowledged"), ("N", "new"), ("R", "returned"))
+      .toDF("l_returnflag", "flag_name")
+      .hint("shuffle_merge")
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_extendedprice"),
+        col("l_orderkey"), col("l_linenumber"))
+    graft.Dist.saltedJoin(li, dim, Seq("l_returnflag"),
+        xxhash64(col("l_orderkey"), col("l_linenumber")), factor = 8)
+      .groupBy(col("l_returnflag"), col("flag_name"))
+      .agg(count(lit(1)).as("n_items"),
+        sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val saltedSkewJoinSql: String =
+    """SELECT l_returnflag, flag_name, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN (VALUES ('A', 'acknowledged'), ('N', 'new'), ('R', 'returned'))
+      |  AS d(l_returnflag, flag_name) USING (l_returnflag)
+      |GROUP BY l_returnflag, flag_name
+      |ORDER BY l_returnflag""".stripMargin
+
   /** Data-quality audit (the Deequ-style "expectations" primitive): one
     * pass over lineitem computes every row-local constraint as a
     * conditional aggregate — null keys, non-positive quantity/price,
@@ -1001,6 +1038,7 @@ object Relational {
     QueryDef("q81_ranking_family", rankingFamily, Some(rankingFamilySql)),
     QueryDef("q82_hll_rollup", hllRollup, None),
     QueryDef("q82b_distinct_rollup_exact", distinctRollupExact, Some(distinctRollupExactSql)),
+    QueryDef("q89_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)),
     QueryDef("q83_quality_audit", qualityAudit, Some(qualityAuditSql)),
     QueryDef("q86_unpivot", orderUnpivot, Some(orderUnpivotSql))
   )

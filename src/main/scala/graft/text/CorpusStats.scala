@@ -595,6 +595,84 @@ object CorpusStats {
       |  CAST(MIN(CASE WHEN rk <= 40 THEN n_chars END) AS BIGINT) AS min_kept_chars
       |FROM r GROUP BY source ORDER BY source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q90: deterministic linear quality classifier
+  // ---------------------------------------------------------------------
+
+  /** Model-scoring stage of the curation pipeline as a DECLARATIVE plan: a
+    * fixed-weight linear classifier over engine-portable text features
+    * (punctuation/digit ratios, stopword fraction, capped length and
+    * token-length signals — the same feature family as fastText-style
+    * quality filters). Deliberately TRANSCENDENTAL-FREE: the score is a
+    * fixed left-associated chain of IEEE +/∗/÷ on exactly-representable
+    * operands, so Spark and DuckDB produce bit-identical doubles and the
+    * whole scoring surface sits under the hash gate (a sigmoid would add
+    * exp(), which neither engine guarantees correctly rounded — the
+    * decision boundary is identical on the linear score anyway).
+    *
+    * Scale shape: one corpus scan, all features computed inside
+    * whole-stage codegen, no shuffle until the final order — at 100 TB
+    * this is a map-only pass; swapping the linear model for a real one is
+    * exactly the `mapPartitions`-batched scoring shape
+    * `multimodal.Multimodal.extractFeaturesBatched` demonstrates. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val Stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    val docs = Tables.documents(spark, dir)
+    val toks = tokens(lower(col("text")))
+    val base = docs.select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long").as("n_punct"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
+        aggregate(transform(col("toks"), t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("tok_chars"),
+        size(filter(col("toks"), t => t.isin(Stop: _*))).cast("long").as("n_stop"))
+    // guards: empty/token-free docs score from zeroed ratios, not NaN/NULL
+    val punct = when(col("n_chars") > 0,
+      col("n_punct").cast("double") / col("n_chars")).otherwise(0.0)
+    val digit = when(col("n_chars") > 0,
+      col("n_digit").cast("double") / col("n_chars")).otherwise(0.0)
+    val stopf = when(col("n_tokens") > 0,
+      col("n_stop").cast("double") / col("n_tokens")).otherwise(0.0)
+    val avgLen = when(col("n_tokens") > 0,
+      col("tok_chars").cast("double") / col("n_tokens")).otherwise(0.0)
+    // fixed weights; ONE left-associated chain, mirrored verbatim in SQL
+    val score = lit(-0.63) +
+      lit(2.0) * stopf +
+      lit(-8.0) * punct +
+      lit(-6.0) * digit +
+      lit(1.5) * (least(col("n_tokens").cast("double"), lit(400.0)) / 400.0) +
+      lit(0.5) * (least(avgLen, lit(8.0)) / 8.0)
+    base.select(col("doc_id"), col("n_tokens"), score.as("score"),
+        when(score >= 0, "keep").otherwise("drop").as("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  val qualityClassifierSql: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |    CAST(length(text) AS BIGINT) AS n_chars,
+      |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS BIGINT) AS n_punct,
+      |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+      |    CAST(list_aggregate(list_transform(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''), t -> length(t)), 'sum') AS BIGINT) AS tok_chars,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), t -> t IN ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stop
+      |  FROM documents
+      |), s AS (
+      |  SELECT doc_id, n_tokens,
+      |    -0.63 +
+      |    2.0 * (CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END) +
+      |    -8.0 * (CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END) +
+      |    -6.0 * (CASE WHEN n_chars > 0 THEN CAST(n_digit AS DOUBLE) / n_chars ELSE 0.0 END) +
+      |    1.5 * (LEAST(CAST(n_tokens AS DOUBLE), 400.0) / 400.0) +
+      |    0.5 * (LEAST(CASE WHEN n_tokens > 0 THEN CAST(tok_chars AS DOUBLE) / n_tokens ELSE 0.0 END, 8.0) / 8.0) AS score
+      |  FROM f
+      |)
+      |SELECT doc_id, n_tokens, score,
+      |  CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM s ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -604,6 +682,7 @@ object CorpusStats {
     QueryDef("q63_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("q66_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     QueryDef("q71_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q90_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

@@ -349,4 +349,26 @@ class RelationalSpec extends SparkSpec {
         "o_custkey").count()
     assert(both == manual)
   }
+
+  test("q89 salted join: sort-merge (not broadcast) and values equal the plain join") {
+    // the SHUFFLE_MERGE hint models the dim-exceeds-broadcast regime the
+    // salting exists for — if the planner broadcasts the replicated dim,
+    // the registered query demonstrates nothing
+    val nodes = collectAll(plan(Relational.saltedSkewJoin(spark, sfDir)))
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "expected a sort-merge join on the salted keys")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "dim side must not broadcast in the modeled regime")
+    // values: salted result == plain (unsalted, broadcast-ok) join result
+    import spark.implicits._
+    val dim = Seq(("A", "acknowledged"), ("N", "new"), ("R", "returned"))
+      .toDF("l_returnflag", "flag_name")
+    val plain = graft.Tables.lineitem(spark, sfDir)
+      .join(dim, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("flag_name"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.Exact.sumMoney(col("l_extendedprice")).as("revenue"))
+      .orderBy(col("l_returnflag")).collect().toSeq
+    assert(Relational.saltedSkewJoin(spark, sfDir).collect().toSeq == plain)
+  }
 }

@@ -12,6 +12,50 @@ class CorpusStatsSpec extends SparkSpec {
   private def scalaTokens(s: String): Seq[String] =
     s.split("\\s+").filter(_.nonEmpty).toSeq
 
+  test("q90 classifier: scores match a Scala model bit-for-bit; map-only plan") {
+    val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+    // the exact left-associated chain the query and its oracle share —
+    // any reassociation here or there shows up as a bit mismatch
+    def model(text: String): Double = {
+      val toks = scalaTokens(text.toLowerCase)
+      val nTok = toks.size.toLong
+      val nCh = text.length.toLong
+      // mirror the ASCII-only regex classes ([a-zA-Z0-9\s] / [^0-9]), not
+      // the Unicode-aware Character predicates — non-ASCII letters COUNT
+      // as punctuation under the query's definition
+      def asciiWordOrWs(c: Char) =
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+          (c >= '0' && c <= '9') || c == ' ' || (c >= '\t' && c <= '\r')
+      val punct = if (nCh > 0) text.count(!asciiWordOrWs(_)).toDouble / nCh else 0.0
+      val digit = if (nCh > 0) text.count(c => c >= '0' && c <= '9').toDouble / nCh else 0.0
+      val stopf = if (nTok > 0) toks.count(stop).toDouble / nTok else 0.0
+      val avgLen = if (nTok > 0) toks.map(_.length.toLong).sum.toDouble / nTok else 0.0
+      -0.63 + 2.0 * stopf + -8.0 * punct + -6.0 * digit +
+        1.5 * (math.min(nTok.toDouble, 400.0) / 400.0) +
+        0.5 * (math.min(avgLen, 8.0) / 8.0)
+    }
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = CorpusStats.qualityClassifier(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length == texts.size)
+    rows.foreach { r =>
+      val expect = model(texts(r.getLong(0)))
+      assert(r.getDouble(2) == expect, // bitwise, no tolerance
+        s"doc ${r.getLong(0)}: got ${r.getDouble(2)}, model $expect")
+      assert(r.getString(3) == (if (expect >= 0) "keep" else "drop"))
+    }
+    assert(rows.map(_.getString(3)).toSet == Set("keep", "drop"),
+      "weights should split the corpus, not rubber-stamp it")
+    // map-only: scoring adds no hash exchange; only the output sort ships rows
+    val hashEx = shuffleExchanges(CorpusStats.qualityClassifier(spark, sfDir))
+      .collect {
+        case s: ShuffleExchangeExec if s.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.HashPartitioning] => s
+      }
+    assert(hashEx.isEmpty, "classifier scoring must not shuffle")
+  }
+
   test("redactPii scrubs emails, IPv4s and phones; leaves near-misses alone") {
     import spark.implicits._
     val cases = Seq(
