@@ -673,6 +673,59 @@ object CorpusStats {
       |  CASE WHEN score >= 0 THEN 'keep' ELSE 'drop' END AS label
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q91: edit-distance-1 fuzzy token join (SymSpell deletion banding)
+  // ---------------------------------------------------------------------
+
+  /** Typo-tolerant entity reconciliation: all pairs of customer names
+    * within Levenshtein distance 1 — the fuzzy-matching primitive behind
+    * record linkage, vocab normalization and query-log canonicalization.
+    * (The documents table can't host this: its synthetic vocabulary is 31
+    * tokens with no close pairs — customer names are a dense ed-1 space.)
+    *
+    * The naive formulation is an all-pairs edit-distance cross join —
+    * O(n²), dead at any scale. The scale path is SymSpell-style
+    * DELETION-NEIGHBORHOOD banding [Garbe, 2012, public-domain algorithm]:
+    * key every name by itself plus each single-character deletion
+    * (|s|+1 keys); two distinct strings are within edit distance 1 iff
+    * they share a key (substitution → same deletion position; insert/
+    * delete → the shorter IS a deletion of the longer). The self-join is
+    * then an EQUI-join on the key — linear fan-out, shuffle keyed on
+    * short strings — and a `levenshtein == 1` verify removes banding
+    * false positives (two different deletes colliding). Candidates are
+    * deduped BEFORE the verify here (unlike q41's dedup-after) because
+    * the verify is O(|s|²) per pair, not a merge-walk.
+    *
+    * The key set is capped at c_custkey ≤ 1000 so the oracle's quadratic
+    * twin stays cheap; the banding is what you'd run uncapped at 100 TB.
+    * The frame feeds both join sides, so it is lazily checkpointed. */
+  def fuzzyNameJoin(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.customer(spark, dir)
+      .filter(col("c_custkey") <= 1000)
+      .select(col("c_custkey"), col("c_name"))
+      .transform(graft.Dist.durableCkpt)
+    val keyed = names.select(col("c_custkey"), col("c_name"), explode(array_union(
+        array(col("c_name")),
+        expr("transform(sequence(1, length(c_name)), i -> concat(substr(c_name, 1, i-1), substr(c_name, i+1)))")))
+      .as("key"))
+    keyed.select(col("key"), col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+      .join(keyed.select(col("key"), col("c_custkey").as("key_b"), col("c_name").as("name_b")),
+        Seq("key"))
+      .filter(col("name_a") < col("name_b"))
+      .select(col("key_a"), col("name_a"), col("key_b"), col("name_b")).distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) === 1)
+      .orderBy(col("name_a"), col("name_b"))
+  }
+
+  val fuzzyNameJoinSql: String =
+    """WITH c AS (
+      |  SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1000
+      |)
+      |SELECT a.c_custkey AS key_a, a.c_name AS name_a,
+      |       b.c_custkey AS key_b, b.c_name AS name_b
+      |FROM c a JOIN c b ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
+      |ORDER BY name_a, name_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -683,6 +736,7 @@ object CorpusStats {
     QueryDef("q66_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     QueryDef("q71_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q90_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    QueryDef("q91_fuzzy_name_join", fuzzyNameJoin, Some(fuzzyNameJoinSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

@@ -12,6 +12,41 @@ class CorpusStatsSpec extends SparkSpec {
   private def scalaTokens(s: String): Seq[String] =
     s.split("\\s+").filter(_.nonEmpty).toSeq
 
+  test("q91 fuzzy join: deletion banding equals brute-force ed-1, incl. length-changing edits") {
+    // banding property on strings of DIFFERENT lengths (customer names are
+    // all same-length, so the registered query alone never exercises the
+    // insert/delete case): a deletion-key model must pair s with every
+    // single-char insert, delete and substitution of s
+    def keys(s: String): Set[String] =
+      Set(s) ++ s.indices.map(i => s.take(i) + s.drop(i + 1))
+    def ed1(a: String, b: String): Boolean =
+      a != b && (keys(a) & keys(b)).nonEmpty
+    val base = "spark"
+    // (variant, true edit distance): insert, delete, substitute, equal,
+    // delete, substitute, far
+    val variants = Seq("sparks" -> 1, "park" -> 1, "stark" -> 1,
+      "spark" -> 0, "sprk" -> 1, "spars" -> 1, "batch" -> 5)
+    variants.foreach { case (v, dist) =>
+      // banding may overshoot (false positives die in the levenshtein
+      // verify); it must never undershoot on a true ed-1 pair
+      if (dist == 1) assert(ed1(base, v), s"banding missed true pair ($base, $v)")
+    }
+    // the registered query vs Spark brute force on the real table (sf0.001)
+    val brute = {
+      val c = graft.Tables.customer(spark, sfDir)
+        .filter(col("c_custkey") <= 1000).select(col("c_custkey"), col("c_name"))
+      c.select(col("c_custkey").as("key_a"), col("c_name").as("name_a"))
+        .crossJoin(c.select(col("c_custkey").as("key_b"), col("c_name").as("name_b")))
+        .filter(col("name_a") < col("name_b") &&
+          levenshtein(col("name_a"), col("name_b")) === 1)
+        .orderBy(col("name_a"), col("name_b"))
+        .collect().toSeq
+    }
+    val banded = CorpusStats.fuzzyNameJoin(spark, sfDir).collect().toSeq
+    assert(banded.nonEmpty, "sf0.001 customers must contain ed-1 name pairs")
+    assert(banded == brute, "banded join must equal the brute-force cross join")
+  }
+
   test("q90 classifier: scores match a Scala model bit-for-bit; map-only plan") {
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     // the exact left-associated chain the query and its oracle share —
