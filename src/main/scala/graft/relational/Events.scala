@@ -467,7 +467,64 @@ object Events {
       |FROM err JOIN events e ON e.ts >= s AND e.ts < s + INTERVAL '5 minutes'
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q92: time-series gap filling + carry-forward interpolation — the
+    * "densify the calendar" primitive every dashboard and forecasting
+    * feed needs (a month with no orders must appear as an explicit zero
+    * row, and a carried metric must bridge it). The dense (nation ×
+    * month) grid comes from exploding a per-nation month `sequence`
+    * (a GENERATOR, not a cross join — same 84-element array per nation
+    * row, so the plan stays cartesian-free and the hygiene spec's global
+    * CartesianProduct ban holds); actuals left-join onto the grid;
+    * `last(..., ignoreNulls)` per nation ordered by month carries the
+    * last real revenue across gaps. At 100 TB the grid is |dims| ×
+    * |calendar| — tiny next to the fact aggregate that feeds it, and
+    * both the aggregate and the window share the nation partitioning. */
+  def gapFillRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").cast("int").as("nation"),
+        date_trunc("month", col("o_orderdate")).as("mon"))
+      .agg(sumMoney(col("o_totalprice")).as("revenue"))
+    val months = sequence(
+      lit("1995-01-01").cast("timestamp"),
+      lit("2001-12-01").cast("timestamp"),
+      expr("INTERVAL 1 MONTH"))
+    val grid = Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("int").as("nation"),
+        explode(months).as("mon"))
+    val w = Window.partitionBy(col("nation")).orderBy(col("mon"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(rev, Seq("nation", "mon"), "left")
+      .select(col("nation"), col("mon"),
+        coalesce(col("revenue"), lit(0.0)).as("revenue"),
+        last(col("revenue"), ignoreNulls = true).over(w).as("carried_revenue"),
+        col("revenue").isNull.as("gap"))
+      .orderBy(col("nation"), col("mon"))
+  }
+
+  val gapFillRevenueSql: String =
+    """WITH rev AS (
+      |  SELECT CAST(c_nationkey AS INT) AS nation,
+      |    date_trunc('month', o_orderdate) AS mon,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS DOUBLE) AS revenue
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT CAST(n_nationkey AS INT) AS nation, CAST(m AS TIMESTAMP) AS mon
+      |  FROM nation, generate_series(TIMESTAMP '1995-01-01',
+      |    TIMESTAMP '2001-12-01', INTERVAL 1 MONTH) AS g(m)
+      |)
+      |SELECT g.nation, g.mon,
+      |  COALESCE(r.revenue, 0.0) AS revenue,
+      |  last_value(r.revenue IGNORE NULLS) OVER (
+      |    PARTITION BY g.nation ORDER BY g.mon ROWS UNBOUNDED PRECEDING) AS carried_revenue,
+      |  r.revenue IS NULL AS gap
+      |FROM grid g LEFT JOIN rev r ON g.nation = r.nation AND g.mon = r.mon
+      |ORDER BY g.nation, g.mon""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q92_gap_fill", gapFillRevenue, Some(gapFillRevenueSql)),
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),
     QueryDef("q17_events_sessionize", sessionize, Some(sessionizeSql)),

@@ -52,6 +52,33 @@ object Streaming {
         col("click_id"), col("click_ts"), col("value"))
   }
 
+  /** Stream-stream LEFT OUTER interval join: every click emits — matched
+    * clicks as soon as their purchase arrives, UNMATCHED clicks with null
+    * purchase columns once the watermark proves no match can still come
+    * (watermark past `click_ts + windowMinutes`). This is the
+    * "did-not-convert" feed an inner join structurally cannot produce in
+    * streaming: absence is only knowable when event time has provably
+    * moved past the click's match window, which is exactly what the
+    * watermark + time-range condition encode. State bounds are the inner
+    * join's; the null row emission is deferred, not stored longer. */
+  def attributionJoinOuter(events: DataFrame, windowMinutes: Int = 30): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    clicks.join(purchases,
+        col("user_id") === col("c_user") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"), col("click_ts"),
+        col("purchase_id"), col("purchase_ts"), col("value"))
+  }
+
   /** File-source stream over a directory of event parquet (each new file is
     * a micro-batch — the standard landing-zone pattern). */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {

@@ -68,6 +68,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream join: converting clicks emit on match, others on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, t: String, uid: Long, typ: String, v: Double) = Streaming.EventRow(
+      id, java.sql.Timestamp.valueOf(t), uid, typ, v)
+    val stream = MemoryStream[Streaming.EventRow]
+    val q = Streaming.attributionJoinOuter(stream.toDF())
+      .writeStream.format("memory").queryName("t_outer")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1 converts inside the 30-min window; user 2 never does
+      stream.addData(
+        ev(1, "2026-01-01 10:00:00", 1L, "click", 0.0),
+        ev(2, "2026-01-01 10:10:00", 1L, "purchase", 9.5),
+        ev(3, "2026-01-01 10:00:00", 2L, "click", 0.0))
+      q.processAllAvailable()
+      val afterBatch1 = spark.table("t_outer").collect()
+      // the match can emit immediately; the null row CANNOT yet — nothing
+      // proves user 2's window is over
+      assert(afterBatch1.forall(!_.isNullAt(3)),
+        "null-padded row emitted before the watermark proved no match")
+      // advance event time far past 10:30 + 1h watermark delay — on BOTH
+      // branches: the query's eviction watermark is the GLOBAL minimum
+      // over every withWatermark node, and each branch only sees its own
+      // event type, so a click alone leaves the purchase branch (and the
+      // global watermark) behind
+      stream.addData(ev(4, "2026-01-01 13:00:00", 3L, "click", 0.0),
+        ev(5, "2026-01-01 13:00:00", 99L, "purchase", 1.0))
+      q.processAllAvailable()
+      // one more batch at the advanced watermark: null emission happens
+      // as state expires, one trigger after the watermark moves
+      stream.addData(ev(6, "2026-01-01 13:00:30", 3L, "click", 0.0),
+        ev(7, "2026-01-01 13:00:30", 99L, "purchase", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("t_outer").collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.length == 1 && u1.head.getLong(3) == 2L && u1.head.getDouble(5) == 9.5)
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1, s"expected exactly one row for the non-converting click, got ${u2.length}")
+    assert(u2.head.isNullAt(3) && u2.head.isNullAt(4) && u2.head.isNullAt(5),
+      "non-converting click must emit null purchase columns")
+  }
+
   test("watermark finalizes windows and drops late data (Append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
