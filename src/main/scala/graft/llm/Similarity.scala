@@ -1028,12 +1028,13 @@ object Similarity {
       .orderBy(col("cluster_rep"))
   }
 
-  /** Same fixpoint machinery as [[nearDupClustersSql]] (8 unrolled rounds
-    * + poison row on non-convergence), finished with the argmax instead of
-    * the aggregate. */
-  val clusterRepresentativesSql: String = {
-    val rounds = 8
-    val roundCtes = (1 to rounds).map { i =>
+  /** Shared unrolled-fixpoint CTE chain for the label-propagation oracles
+    * (q55/q67/q93): `rounds` rounds of min-over-neighbors + pointer
+    * jumping over `sym`/`lab0`. Each round references the previous 3×, so
+    * AS MATERIALIZED is load-bearing (DuckDB CTE inlining would grow
+    * 3^rounds subtrees). */
+  private def labelRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
       s"""lab$i AS MATERIALIZED (
          |  SELECT node, MIN(lbl) AS lbl FROM (
          |    SELECT node, lbl FROM lab${i - 1}
@@ -1042,6 +1043,13 @@ object Similarity {
          |  ) GROUP BY node
          |)""".stripMargin
     }.mkString(", ")
+
+  /** Same fixpoint machinery as [[nearDupClustersSql]] (8 unrolled rounds
+    * + poison row on non-convergence), finished with the argmax instead of
+    * the aggregate. */
+  val clusterRepresentativesSql: String = {
+    val rounds = 8
+    val roundCtes = labelRoundCtes(rounds)
     s"""WITH $sigCteSql,
        |bands AS (
        |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
@@ -1093,15 +1101,7 @@ object Similarity {
     // 3^rounds subtrees (observed as fd exhaustion from thousands of
     // parquet re-scans); materialization evaluates each round once
     val rounds = 8
-    val roundCtes = (1 to rounds).map { i =>
-      s"""lab$i AS MATERIALIZED (
-         |  SELECT node, MIN(lbl) AS lbl FROM (
-         |    SELECT node, lbl FROM lab${i - 1}
-         |    UNION ALL SELECT s.node, l.lbl FROM sym s JOIN lab${i - 1} l ON l.node = s.nbr
-         |    UNION ALL SELECT a.node, b.lbl FROM lab${i - 1} a JOIN lab${i - 1} b ON b.node = a.lbl
-         |  ) GROUP BY node
-         |)""".stripMargin
-    }.mkString(", ")
+    val roundCtes = labelRoundCtes(rounds)
     s"""WITH $sigCteSql,
        |bands AS (
        |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
@@ -1129,6 +1129,85 @@ object Similarity {
        |  WHERE EXISTS (SELECT 1 FROM lab$rounds a JOIN lab${rounds - 1} b
        |                ON a.node = b.node WHERE a.lbl <> b.lbl)
        |) ORDER BY cluster_rep""".stripMargin
+  }
+
+  // ------------------------------- q93 leakage-safe train/val/test split
+
+  /** Train/val/test split keyed by NEAR-DUP CLUSTER, not document: q35's
+    * content-hash split already keeps exact duplicates together, but two
+    * near-identical documents hash differently and can straddle
+    * train/eval — the classic eval-contamination leak. Here every doc's
+    * split key is its near-dup component label (the component's min
+    * doc_id, from the same label-propagation machinery as q55/q67);
+    * singleton docs key by their own id. The whole component then lands
+    * in ONE split by construction.
+    *
+    * Shape: the cluster labels live in group space (a few percent of the
+    * corpus); expanding members and BROADCASTING the doc→label table
+    * against the corpus scan keeps the big side shuffle-free, exactly
+    * like q67. The split assignment itself is a stateless hash —
+    * reproducible across runs and machines, no RNG, no extra pass. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val (grps, groupLabels) = clusterGroupLabels(spark, dir)
+    val docLbl = groupLabels
+      .join(broadcast(grps.select(col("gid").as("node"), col("members"))), Seq("node"))
+      .select(col("lbl"), explode(col("members")).as("doc_id"))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val keyed = docs.join(broadcast(docLbl), Seq("doc_id"), "left")
+      .withColumn("skey", coalesce(col("lbl"), col("doc_id")))
+    val bucket = pmod(hash60(col("skey").cast("string")), lit(100))
+    keyed.withColumn("split",
+        when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("skey")).as("n_groups"))
+      .orderBy(col("split"))
+  }
+
+  /** Oracle: doc-space label fixpoint (shared [[labelRoundCtes]] chain +
+    * poison row), then the identical hash-bucket split census. */
+  val leakageSafeSplitSql: String = {
+    val rounds = 8
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
+       |), sym AS MATERIALIZED (
+       |  SELECT id_a AS node, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT node, node AS lbl FROM sym
+       |), ${labelRoundCtes(rounds)}, k AS (
+       |  SELECT d.doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(d.text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens,
+       |    COALESCE(l.lbl, d.doc_id) AS skey
+       |  FROM documents d LEFT JOIN lab$rounds l ON l.node = d.doc_id
+       |), s AS (
+       |  SELECT skey, n_tokens,
+       |    CAST(concat('0x', substr(md5(CAST(skey AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS b
+       |  FROM k
+       |)
+       |SELECT split, n_docs, n_tokens, n_groups FROM (
+       |  SELECT CASE WHEN b < 90 THEN 'train' WHEN b < 95 THEN 'val' ELSE 'test' END AS split,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       |    CAST(COUNT(DISTINCT skey) AS BIGINT) AS n_groups
+       |  FROM s GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'NONCONVERGED', -1, -1, -1
+       |  WHERE EXISTS (SELECT 1 FROM lab$rounds a JOIN lab${rounds - 1} b
+       |                ON a.node = b.node WHERE a.lbl <> b.lbl)
+       |) ORDER BY split""".stripMargin
   }
 
   // -------------------------------- q70 int8 scalar-quantized ANN top-k
@@ -1562,6 +1641,7 @@ object Similarity {
     // same answer as q68 by construction — the layout changes the plan,
     // not the result, so the oracle is shared
     QueryDef("q87_bucketed_incremental_dedup", bucketedIncrementalDedup, Some(incrementalDedupSql)),
+    QueryDef("q93_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitSql)),
     QueryDef("q70_int8_ann_topk", int8AnnTopk, Some(int8AnnTopkSql)),
     QueryDef("q75_kmeans", kmeans, Some(kmeansSql)),
     QueryDef("q85_curated_corpus", curatedCorpus, Some(curatedCorpusSql))

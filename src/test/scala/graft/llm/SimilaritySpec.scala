@@ -152,6 +152,35 @@ class SimilaritySpec extends SparkSpec {
       s"corpus scan feeds a shuffle exchange:\n${offenders.map(_.nodeName).mkString("\n")}")
   }
 
+  test("q93: no verified near-dup pair straddles splits; census is a corpus partition") {
+    // rebuild the per-doc split assignment with the query's own pieces
+    val (grps, groupLabels) = Similarity.clusterGroupLabels(spark, sfDir)
+    val docLbl = groupLabels
+      .join(broadcast(grps.select(col("gid").as("node"), col("members"))), Seq("node"))
+      .select(col("lbl"), explode(col("members")).as("doc_id"))
+    val perDoc = graft.Tables.documents(spark, sfDir).select(col("doc_id"))
+      .join(broadcast(docLbl), Seq("doc_id"), "left")
+      .withColumn("skey", coalesce(col("lbl"), col("doc_id")))
+      .withColumn("b", pmod(Similarity.hash60(col("skey").cast("string")), lit(100)))
+      .withColumn("split", when(col("b") < 90, "train")
+        .when(col("b") < 95, "val").otherwise("test"))
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // THE property: every verified near-dup pair lands in one split
+    val pairs = Similarity.lshVerifiedPairs(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(perDoc(a) == perDoc(b),
+        s"near-dup pair ($a, $b) straddles splits ${perDoc(a)}/${perDoc(b)}")
+    }
+    // and the registered census partitions the corpus exactly
+    val census = Similarity.leakageSafeSplit(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(census.values.sum == perDoc.size)
+    assert(census.keySet.subsetOf(Set("train", "val", "test")))
+  }
+
   test("token-free documents never pair (empty shingle set is not jaccard 1)") {
     import spark.implicits._
     // Two empty/whitespace docs share hs = [] — the verify kernel scores
