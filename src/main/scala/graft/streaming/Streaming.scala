@@ -274,6 +274,67 @@ object Streaming {
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")
 
+  /** Incremental MATERIALIZED-VIEW maintenance via foreachBatch: per-user
+    * lifetime totals kept in a hash-partitioned parquet table, updated by
+    * merging each micro-batch's delta into ONLY the partitions it touches
+    * (dynamic partition overwrite — untouched partition directories are
+    * not rewritten, spec-asserted by file mtimes). This is the
+    * pre-lakehouse upsert pattern every streaming pipeline needs the
+    * moment its output must be a queryable TABLE rather than an append
+    * log; on Delta/Iceberg the merge step becomes MERGE INTO and the
+    * rest is identical.
+    *
+    * Scale: the state table is partitioned by `pmod(user_id, nParts)`;
+    * a batch touching k users rewrites ≤ min(k, nParts) partitions. The
+    * delta aggregate is decimal-exact ([[graft.Exact.sumMoney]]-style
+    * operands), so incremental maintenance equals a full batch recompute
+    * bit-for-bit — the spec's invariant. The tiny affected-partition
+    * list is collected driver-side (bounded by nParts). */
+  def maintainUserTotals(events: DataFrame, statePath: String,
+                         checkpoint: String, nParts: Int = 8)
+  : org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.DataFrame
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast("decimal(14,4)")).as("total_dec"))
+          .withColumn("pid", pmod(col("user_id"), lit(nParts)).cast("int"))
+        val affected = delta.select("pid").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        if (affected.nonEmpty) {
+          val fs = new org.apache.hadoop.fs.Path(statePath)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val existing =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              spark.read.parquet(statePath)
+                .filter(col("pid").isin(affected: _*))
+            else spark.emptyDataFrame
+              .select(lit(0L).as("user_id"), lit(0L).as("n_events"),
+                lit(null).cast("decimal(14,4)").as("total_dec"),
+                lit(0).as("pid")).limit(0)
+          // EAGER checkpoint before the write: the merged plan READS the
+          // same path the write overwrites — materializing it first (to
+          // block storage, off the path) is what makes read-merge-
+          // overwrite safe on plain parquet
+          existing.unionByName(delta)
+            .groupBy(col("user_id"), col("pid"))
+            .agg(sum(col("n_events")).as("n_events"),
+              sum(col("total_dec")).cast("decimal(14,4)").as("total_dec"))
+            .localCheckpoint(true)
+            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+            // per-writer option, NOT the session conf: dynamic overwrite
+            // must scope to this table, not leak into every other write
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("pid").parquet(statePath)
+        }
+      }
+      .start()
+  }
+
   /** Drive a streaming DataFrame to a named in-memory table and block until
     * the input is drained — used by tests and local inspection. */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {

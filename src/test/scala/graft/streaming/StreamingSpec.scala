@@ -112,6 +112,51 @@ class StreamingSpec extends SparkSpec {
       "non-converting click must emit null purchase columns")
   }
 
+  test("foreachBatch materialized view: incremental merge equals batch recompute; untouched partitions not rewritten") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-mv")
+    val statePath = s"$base/state"; val ckpt = s"$base/ckpt"
+    def ev(id: Long, uid: Long, v: Double) = Streaming.EventRow(
+      id, java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), uid, "purchase", v)
+    try {
+      val stream = MemoryStream[Streaming.EventRow]
+      val q = Streaming.maintainUserTotals(stream.toDF(), statePath, ckpt, nParts = 4)
+      try {
+        // batch 1: users 1 (pid 1), 2 (pid 2), 5 (pid 1)
+        stream.addData(ev(1, 1L, 10.5), ev(2, 2L, 1.25), ev(3, 5L, 3.0))
+        q.processAllAvailable()
+        // snapshot file states of pid=2's directory — batch 2 won't touch it
+        def pidFiles(p: Int): Map[String, Long] = {
+          val d = new java.io.File(s"$statePath/pid=$p")
+          if (!d.exists()) Map.empty
+          else d.listFiles().filter(_.isFile).map(f => f.getName -> f.lastModified).toMap
+        }
+        val pid2Before = pidFiles(2)
+        assert(pid2Before.nonEmpty, "pid=2 must exist after batch 1")
+        Thread.sleep(1100) // mtime granularity
+        // batch 2: users 1 and 9 — pids 1 only; pid 2 untouched
+        stream.addData(ev(4, 1L, 0.25), ev(5, 9L, 7.0))
+        q.processAllAvailable()
+        assert(pidFiles(2) == pid2Before,
+          "partition untouched by the batch was rewritten")
+      } finally q.stop()
+      // invariant: incremental maintenance == full batch recompute, exactly
+      val got = spark.read.parquet(statePath)
+        .select(col("user_id"), col("n_events"),
+          col("total_dec").cast("double").as("total"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = Set((1L, 2L, 10.75), (2L, 1L, 1.25), (5L, 1L, 3.0), (9L, 1L, 7.0))
+      assert(got == expect, s"got $got")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(base.toFile)
+    }
+  }
+
   test("watermark finalizes windows and drops late data (Append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
