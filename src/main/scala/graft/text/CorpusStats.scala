@@ -726,6 +726,68 @@ object CorpusStats {
       |FROM c a JOIN c b ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) = 1
       |ORDER BY name_a, name_b""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q94: duplicated-span detection (substring-level dedup)
+  // ---------------------------------------------------------------------
+
+  /** Span width (tokens) for duplicate-span detection. */
+  val SpanW = 12
+
+  /** Cross-document duplicated token spans: every run of [[SpanW]]
+    * consecutive tokens (stride 1) is fingerprinted, and spans occurring
+    * in ≥ 2 distinct documents are reported with their occurrence census.
+    * This is SUBSTRING-level dedup — the signal document-level dedup
+    * (q20) and near-dup (q41) both miss: boilerplate headers, license
+    * blocks and quoted passages duplicated inside otherwise-distinct
+    * documents [Lee et al., "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — their suffix-array substring
+    * dedup; this is the hashed fixed-width formulation that distributes].
+    *
+    * 100 TB shape: one narrow pass per doc (tokenize → per-row transform
+    * over a token `sequence` → explode), then a TWO-level hash
+    * aggregation — (span, doc) partials combine map-side so the exchange
+    * carries one row per distinct span per doc, each a 16-byte digest +
+    * counts, never the text. No distinct-expand, no self-join, no window
+    * over raw tokens. Output is only the duplicated tail (HAVING ≥ 2
+    * docs). At 100 TB this is the standard scalable alternative to a
+    * distributed suffix array: shuffle volume ≈ one digest per
+    * corpus token. */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(col("toks"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .filter(n >= SpanW)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), n - (SpanW - 1)), k =>
+          md5(array_join(slice(col("toks"), k, lit(SpanW)), " ")))).as("span_md5"))
+      .groupBy(col("span_md5"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("span_md5"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n")).cast("long").as("n_occ"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("span_md5"))
+  }
+
+  val spanDedupSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id,
+       |    unnest([md5(array_to_string(toks[k : k+${SpanW - 1}], ' '))
+       |            for k in range(1, len(toks) - ${SpanW - 2})]) AS span_md5
+       |  FROM t WHERE len(toks) >= $SpanW
+       |), pd AS (
+       |  SELECT span_md5, doc_id, COUNT(*) AS n FROM s GROUP BY 1, 2
+       |)
+       |SELECT span_md5, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_occ,
+       |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+       |FROM pd GROUP BY span_md5 HAVING COUNT(*) >= 2
+       |ORDER BY span_md5""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -737,6 +799,7 @@ object CorpusStats {
     QueryDef("q71_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("q90_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q91_fuzzy_name_join", fuzzyNameJoin, Some(fuzzyNameJoinSql)),
+    QueryDef("q94_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

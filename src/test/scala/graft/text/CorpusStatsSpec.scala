@@ -47,6 +47,36 @@ class CorpusStatsSpec extends SparkSpec {
     assert(banded == brute, "banded join must equal the brute-force cross join")
   }
 
+  test("q94 span dedup matches a Scala sliding-window model; no distinct-expand") {
+    val W = CorpusStats.SpanW
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> scalaTokens(r.getString(1)))
+    val occ = docs.toSeq.flatMap { case (id, toks) =>
+      if (toks.length >= W) toks.sliding(W).map(s => (s.mkString(" "), id))
+      else Iterator.empty
+    }
+    val model = occ.groupBy(_._1).collect {
+      case (s, xs) if xs.map(_._2).distinct.size >= 2 =>
+        val ds = xs.map(_._2)
+        (md5hex(s), ds.distinct.size.toLong, ds.size.toLong, ds.min, ds.max)
+    }.toSet
+    val q = CorpusStats.spanDedup(spark, sfDir)
+    val got = q.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.nonEmpty, "sf0.001 corpus must contain cross-document duplicated spans")
+    assert(got.toSet == model, "span census must match the sliding-window model")
+    // ordering is part of the contract (the oracle ORDER BY)
+    assert(got.map(_._1).toSeq == got.map(_._1).toSeq.sorted)
+    // two-level agg, not count(distinct): no Expand node anywhere
+    val expand = allPlanNodes(executedPlanOf(q)).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec])
+    assert(expand.isEmpty, "distinct-doc counting must be the two-level agg, not expand")
+  }
+
   test("q90 classifier: scores match a Scala model bit-for-bit; map-only plan") {
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     // the exact left-associated chain the query and its oracle share —
