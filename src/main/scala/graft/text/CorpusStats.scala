@@ -788,6 +788,60 @@ object CorpusStats {
        |FROM pd GROUP BY span_md5 HAVING COUNT(*) >= 2
        |ORDER BY span_md5""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q95: inverted index (posting lists with bounded truncation)
+  // ---------------------------------------------------------------------
+
+  /** Posting-list cap: only the first K doc_ids materialize per term. */
+  val PostK = 20
+
+  /** Inverted index over the corpus: per term, its document frequency,
+    * total occurrence count, and the posting list truncated to the first
+    * [[PostK]] doc_ids — the retrieval-side primitive behind BM25/keyword
+    * search over a training corpus.
+    *
+    * 100 TB shape: the exchange carries one row per DISTINCT (term, doc)
+    * — the (term, doc) hash agg combines raw occurrences map-side — and
+    * the posting list is capped BEFORE any collect: a per-term
+    * `row_number` window marks the first K doc_ids, and `collect_list`
+    * only ever sees rows the window admitted (collect_list skips the
+    * NULLs the cap produces), so per-term driver/executor state is O(K)
+    * no matter how frequent the term. df/n_occ stay exact over ALL
+    * postings. The window and the final term agg share one exchange
+    * (partitioning exprs ⊆ grouping exprs); an UNCAPPED collect_list
+    * would be the classic "collect the whole posting list into one
+    * aggregation buffer" OOM at web scale. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val wTerm = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(wTerm))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        sum(col("n")).cast("long").as("n_occ"),
+        // CSV-joined, not ARRAY: the driver's hash-compare sorts rows by
+        // every output column and array cells don't sort/hash
+        array_join(sort_array(collect_list(when(col("rn") <= PostK, col("doc_id")))), ",")
+          .as("postings"))
+      .orderBy(col("term"))
+  }
+
+  val invertedIndexSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+       |  FROM documents
+       |), td AS (
+       |  SELECT term, doc_id, COUNT(*) AS n FROM s GROUP BY 1, 2
+       |), r AS (
+       |  SELECT *, row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn FROM td
+       |)
+       |SELECT term, COUNT(*) AS df, CAST(SUM(n) AS BIGINT) AS n_occ,
+       |  array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= $PostK), ',') AS postings
+       |FROM r GROUP BY term ORDER BY term""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -800,6 +854,7 @@ object CorpusStats {
     QueryDef("q90_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q91_fuzzy_name_join", fuzzyNameJoin, Some(fuzzyNameJoinSql)),
     QueryDef("q94_span_dedup", spanDedup, Some(spanDedupSql)),
+    QueryDef("q95_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

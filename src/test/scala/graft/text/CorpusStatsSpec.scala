@@ -77,6 +77,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(expand.isEmpty, "distinct-doc counting must be the two-level agg, not expand")
   }
 
+  test("q95 inverted index matches a Scala model; posting lists capped at PostK") {
+    val K = CorpusStats.PostK
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> scalaTokens(r.getString(1)))
+    val occ = docs.toSeq.flatMap { case (id, toks) => toks.map(_ -> id) }
+    val model = occ.groupBy(_._1).map { case (term, xs) =>
+      val ds = xs.map(_._2).sorted
+      val distinct = ds.distinct
+      (term, distinct.size.toLong, ds.size.toLong, distinct.take(K).mkString(","))
+    }.toSeq.sortBy(_._1)
+    val q = CorpusStats.invertedIndex(spark, sfDir)
+    val got = q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(got.toSeq == model, "inverted index must match the Scala model")
+    assert(got.forall(_._4.count(_ == ',') < K), "postings must be capped at PostK")
+    // df counts ALL docs even when the posting list is truncated
+    assert(got.exists(r => r._2 > r._4.count(_ == ',') + 1),
+      "some term must have df beyond the cap (cap must actually engage)")
+    // the per-term window and the final term agg share one exchange:
+    // exactly 2 hash exchanges — (term, doc_id) agg and term — plus the
+    // output range sort
+    val ex = shuffleExchanges(q).map(_.outputPartitioning.toString)
+    assert(ex.count(_.contains("hashpartitioning")) == 2,
+      s"window and term agg must share one exchange, got $ex")
+  }
+
   test("q90 classifier: scores match a Scala model bit-for-bit; map-only plan") {
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     // the exact left-associated chain the query and its oracle share —
