@@ -1010,6 +1010,47 @@ object Relational {
       |)
       |SELECT yr, priority, n_orders FROM m ORDER BY yr, priority""".stripMargin
 
+  /** q96: market-basket co-occurrence — the top part pairs bought
+    * together in one order, the association-mining primitive (frequent
+    * itemsets, "customers also bought").
+    *
+    * The naive shape is a fact-fact SELF-JOIN on l_orderkey — the fact
+    * table shuffles TWICE and the join doubles its in-flight size. Here
+    * the basket is assembled once (one hash agg on orderkey; collect_set
+    * state is bounded by basket size, ≤ 13 items in this schema — the
+    * giant-basket regime would switch to the self-join + salting) and
+    * pairs are generated per basket with a nested array `transform` over
+    * the sorted basket — a generator, so the quadratic blowup is bounded
+    * per basket and never crosses an exchange. The pair census then
+    * map-side-combines. Output is the top-25 pairs under a total order
+    * (count desc, pair) so the limit is deterministic. */
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val baskets = li
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = baskets.select(explode(expr(
+      // all ordered pairs (parts[i], parts[j]) with i < j; parts is
+      // sorted, so part_a < part_b by construction
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+        |    struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
+    pairs.select(col("p.part_a"), col("p.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(25)
+  }
+
+  val copurchasePairsSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+      |  COUNT(*) AS n_orders
+      |FROM i a JOIN i b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1040,6 +1081,7 @@ object Relational {
     QueryDef("q82b_distinct_rollup_exact", distinctRollupExact, Some(distinctRollupExactSql)),
     QueryDef("q89_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)),
     QueryDef("q83_quality_audit", qualityAudit, Some(qualityAuditSql)),
-    QueryDef("q86_unpivot", orderUnpivot, Some(orderUnpivotSql))
+    QueryDef("q86_unpivot", orderUnpivot, Some(orderUnpivotSql)),
+    QueryDef("q96_copurchase_pairs", copurchasePairs, Some(copurchasePairsSql))
   )
 }

@@ -537,6 +537,77 @@ object TextOps {
       |SELECT class_size, COUNT(*) AS n_classes, MIN(first_doc) AS sample_doc
       |FROM cls GROUP BY class_size ORDER BY class_size""".stripMargin
 
+  /** q97: SCD Type-2 dimension build — q76's snapshot diff turned into
+    * versioned HISTORY rows: one row per (doc, version) with
+    * valid_from/valid_to snapshot labels and an is_current flag. The
+    * warehouse primitive behind "what did this record look like when":
+    * changed docs close their v1 row and open a v2, removed docs close
+    * v1, added docs open at the new snapshot, unchanged docs stay open.
+    *
+    * Same scale shape as q76 — ONE full-outer join carrying (id, digest)
+    * only, the text never flows through the join — plus a per-row
+    * GENERATOR (explode of a conditional row array) emitting 1–2 version
+    * rows per doc. No UNION of per-status branches: DataFrame union
+    * re-executes the shared join subtree once per branch (round-3
+    * gotcha), a generator emits all versions in one pass. */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val a = docs.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("h_a"), lit(true).as("in_a"))
+    val b = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+      .select(col("doc_id"),
+        md5(when(pmod(col("doc_id"), lit(17)) === 0, reverse(col("text")))
+          .otherwise(col("text"))).as("h_b"), lit(true).as("in_b"))
+    val rowT = "array<struct<version:int,content_md5:string,valid_from:string,valid_to:string,is_current:boolean>>"
+    def v(version: Int, h: Column, from: String, to: Column, cur: Boolean) =
+      struct(lit(version).as("version"), h.as("content_md5"),
+        lit(from).as("valid_from"), to.as("valid_to"),
+        lit(cur).as("is_current"))
+    val versions =
+      when(col("in_a").isNull, // added in B
+        array(v(1, col("h_b"), "B", lit(null).cast("string"), cur = true)))
+        .when(col("in_b").isNull, // removed after A
+          array(v(1, col("h_a"), "A", lit("A"), cur = false)))
+        .when(col("h_a") <=> col("h_b"), // unchanged: one open row
+          array(v(1, col("h_a"), "A", lit(null).cast("string"), cur = true)))
+        .otherwise( // changed: close v1, open v2
+          array(v(1, col("h_a"), "A", lit("A"), cur = false),
+            v(2, col("h_b"), "B", lit(null).cast("string"), cur = true)))
+          .cast(rowT)
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), explode(versions).as("r"))
+      .select(col("doc_id"), col("r.version"), col("r.content_md5"),
+        col("r.valid_from"), col("r.valid_to"), col("r.is_current"))
+      .orderBy(col("doc_id"), col("version"))
+  }
+
+  val scd2HistorySql: String =
+    """WITH a AS (
+      |  SELECT doc_id, md5(text) AS h_a FROM documents WHERE doc_id % 11 <> 0
+      |), b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 17 = 0 THEN reverse(text) ELSE text END) AS h_b
+      |  FROM documents WHERE doc_id % 13 <> 0
+      |), j AS MATERIALIZED (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id, h_a, h_b,
+      |    a.doc_id IS NOT NULL AS in_a, b.doc_id IS NOT NULL AS in_b
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+      |), v AS (
+      |  -- v1 row for every doc present in A
+      |  SELECT doc_id, 1 AS version, h_a AS content_md5, 'A' AS valid_from,
+      |    CASE WHEN NOT in_b OR NOT (h_a IS NOT DISTINCT FROM h_b) THEN 'A' END AS valid_to,
+      |    in_b AND (h_a IS NOT DISTINCT FROM h_b) AS is_current
+      |  FROM j WHERE in_a
+      |  UNION ALL
+      |  -- v1 row for docs added in B
+      |  SELECT doc_id, 1, h_b, 'B', NULL, true FROM j WHERE NOT in_a
+      |  UNION ALL
+      |  -- v2 row for changed docs
+      |  SELECT doc_id, 2, h_b, 'B', NULL, true
+      |  FROM j WHERE in_a AND in_b AND NOT (h_a IS NOT DISTINCT FROM h_b)
+      |)
+      |SELECT * FROM v ORDER BY doc_id, version""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
     QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
@@ -551,6 +622,7 @@ object TextOps {
     QueryDef("q54_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql)),
     QueryDef("q57_decontaminate", decontaminate, Some(decontaminateSql)),
     QueryDef("q76_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("q97_scd2_history", scd2History, Some(scd2HistorySql)),
     QueryDef("q77_normalized_census", normalizedFingerprintCensus,
       Some(normalizedFingerprintCensusSql))
   )

@@ -38,6 +38,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q96 co-purchase pairs: basket generator equals the self-join, one lineitem scan") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val brute = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part_a"), col("b.l_partkey").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(25).collect().toSeq
+    val q = Relational.copurchasePairs(spark, sfDir)
+    val got = q.collect().toSeq
+    assert(got.nonEmpty && got == brute,
+      "basket pair generation must equal the self-join formulation")
+    // the whole point: ONE lineitem scan, no fact-fact join node
+    val nodes = collectAll(plan(q))
+    val scans = nodes.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1, s"expected a single lineitem scan, got ${scans.size}")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]),
+      "pair generation must not plan a self-join")
+  }
+
   test("q65 binned range join: no nested-loop join, agrees with the naive range predicate") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val df = Events.rangeJoinBinned(spark, sfDir)

@@ -126,6 +126,35 @@ class TextOpsSpec extends SparkSpec {
     assert(got.values.sum == (a ++ b).size.toLong)
   }
 
+  test("q97 SCD2 history: invariants vs the q76 set model; generator, not union") {
+    val ids = graft.Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val a = ids.filter(_ % 11 != 0)
+    val b = ids.filter(_ % 13 != 0)
+    val changed = (a & b).count(_ % 17 == 0)
+    val q = TextOps.scd2History(spark, sfDir)
+    val rows = q.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getString(2), r.getString(3),
+      if (r.isNullAt(4)) null else r.getString(4), r.getBoolean(5)))
+    // one history row per (A-doc version) + one per added + one per change
+    assert(rows.length == a.size + (b -- a).size + changed)
+    // exactly one CURRENT row per doc present in B, none for removed docs
+    val current = rows.filter(_._6)
+    assert(current.length == b.size)
+    assert(current.map(_._1).toSet == b)
+    // open rows are exactly the current ones (valid_to null <=> is_current)
+    assert(rows.forall(r => (r._5 == null) == r._6))
+    // changed docs have v1 closed at A and v2 open at B
+    val v2 = rows.filter(_._2 == 2)
+    assert(v2.length == changed && v2.forall(r => r._4 == "B" && r._6))
+    // plan: one full-outer join, NO union of per-status branches
+    val nodes = allPlanNodes(executedPlanOf(q))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.UnionExec]),
+      "version rows must come from one generator, not unioned branches")
+    assert(nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) <= 1)
+  }
+
   test("harness queries return deterministic non-empty results at sf0.001") {
     for (q <- TextOps.defs) {
       val df = q.build(spark, sfDir)
