@@ -1622,6 +1622,138 @@ object Similarity {
        |  WHERE quality_ok AND is_first AND near_ok
        |) ORDER BY stage""".stripMargin
 
+  // ------------------------------------------ q98 embedding Gram matrix
+
+  /** Embedding dimension of the harness `embeddings` table. */
+  val EmbDim = 64
+
+  /** q98: the corpus Gram matrix (Xᵀ·X) over int-quantized embeddings —
+    * the one-pass second-moment statistic behind covariance/whitening/PCA
+    * of an embedding space, computed by the custom mergeable
+    * [[graft.functions.GramMatrix]] aggregate: per-partition state is ONE
+    * d² long buffer (map-side merged), so the exchange carries
+    * d²·partitions longs instead of the d²·rows the declarative
+    * unnest-self-join formulation (the oracle) shuffles. Quantization is
+    * q70's bit-deterministic int8 scheme widened to long, so every cell
+    * is exact integer math and the oracle gates all d² cells. Output:
+    * (i, j, s) in row-major order. */
+  def gramMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("qv",
+        when(col("mx") === 0.0, transform(col("embedding"), _ => lit(0L)))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / col("mx") * 127.0).cast("long"))))
+    e.agg(graft.functions.GramMatrix.gramLong(col("qv"), EmbDim).as("g"))
+      .select(posexplode(col("g")).as(Seq("pos", "s")))
+      .select((col("pos") / EmbDim).cast("int").as("i"),
+        pmod(col("pos"), lit(EmbDim)).cast("int").as("j"), col("s"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val gramMatrixSql: String =
+    s"""WITH m AS (
+       |  SELECT vec_id, embedding,
+       |    list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx
+       |  FROM embeddings
+       |), q8 AS (
+       |  SELECT vec_id,
+       |    CASE WHEN mx = 0.0 THEN [CAST(0 AS BIGINT) for x in embedding]
+       |         ELSE [CAST(floor(CAST(x AS DOUBLE) / mx * 127.0) AS BIGINT) for x in embedding]
+       |    END AS q
+       |  FROM m
+       |), u AS (
+       |  SELECT vec_id, unnest(generate_series(1, $EmbDim)) AS i, unnest(q) AS v FROM q8
+       |)
+       |SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.i - 1 AS INT) AS j,
+       |  CAST(SUM(a.v * b.v) AS BIGINT) AS s
+       |FROM u a JOIN u b USING (vec_id)
+       |GROUP BY 1, 2 ORDER BY i, j""".stripMargin
+
+  // ------------------------------------------ q99 reciprocal-rank fusion
+
+  /** RRF top-K cutoff per ranked list and final fused top-N. */
+  val RrfK = 20
+  val RrfTopN = 10
+
+  /** q99: hybrid-retrieval fusion — two keyword rankings per probe doc
+    * (raw term-overlap count, and length-normalized Jaccard in scaled
+    * integer space) fused by reciprocal-rank: each list contributes
+    * `1e6 div (60 + rank)` for its top-[[RrfK]], fused top-[[RrfTopN]]
+    * reported. RRF is THE standard way production search fuses dense and
+    * sparse retrievers [Cormack et al., SIGIR'09]; every score here is
+    * integer arithmetic (scaled-integer Jaccard, integer division for
+    * the RRF contribution), so both engines walk identical values and
+    * the oracle gates the fusion end-to-end.
+    *
+    * Shape: the probe set (doc_id < 5) broadcasts past one corpus scan;
+    * BOTH scorers compute on the same pair frame in one pass, and all
+    * three windows (rank A, rank B, fused rank) partition by probe_id,
+    * so one exchange serves the whole ranking stage. At 100 TB the
+    * rankings would come from the inverted index (q95) and the ANN tier
+    * (q46/q49/q70) — the fusion stage itself is unchanged. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(graft.text.TextOps.tokens(lower(col("text")))).as("toks"))
+    val probes = broadcast(base.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("probe_id"), col("toks").as("ptoks")))
+    val pairs = base.filter(col("doc_id") >= 5).crossJoin(probes)
+      .withColumn("ov", size(array_intersect(col("ptoks"), col("toks"))).cast("long"))
+      .withColumn("uni",
+        (size(col("ptoks")) + size(col("toks"))).cast("long") - col("ov"))
+      .withColumn("jac_scaled", expr("(1000000 * ov) div uni"))
+    val wA = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ov").desc, col("doc_id"))
+    val wB = Window.partitionBy(col("probe_id"))
+      .orderBy(col("jac_scaled").desc, col("doc_id"))
+    val wF = Window.partitionBy(col("probe_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    pairs
+      .withColumn("rank_a", row_number().over(wA))
+      .withColumn("rank_b", row_number().over(wB))
+      .filter(col("rank_a") <= RrfK || col("rank_b") <= RrfK)
+      .withColumn("rrf",
+        when(col("rank_a") <= RrfK, expr("1000000 div (60 + rank_a)")).otherwise(0L) +
+          when(col("rank_b") <= RrfK, expr("1000000 div (60 + rank_b)")).otherwise(0L))
+      .withColumn("fused_rank", row_number().over(wF))
+      .filter(col("fused_rank") <= RrfTopN)
+      .select(col("probe_id"), col("doc_id"), col("rank_a"), col("rank_b"),
+        col("rrf"), col("fused_rank"))
+      .orderBy(col("probe_id"), col("fused_rank"))
+  }
+
+  val rrfFusionSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+       |  FROM documents
+       |), pairs AS (
+       |  SELECT p.doc_id AS probe_id, c.doc_id AS doc_id,
+       |    CAST(len(list_intersect(p.toks, c.toks)) AS BIGINT) AS ov,
+       |    CAST(len(p.toks) + len(c.toks) - len(list_intersect(p.toks, c.toks)) AS BIGINT) AS uni
+       |  FROM d p JOIN d c ON p.doc_id < 5 AND c.doc_id >= 5
+       |), ranked AS (
+       |  SELECT probe_id, doc_id, ov, (1000000 * ov) // uni AS jac_scaled,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ov DESC, doc_id) AS rank_a,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY (1000000 * ov) // uni DESC, doc_id) AS rank_b
+       |  FROM pairs
+       |), scored AS (
+       |  SELECT probe_id, doc_id, rank_a, rank_b,
+       |    (CASE WHEN rank_a <= $RrfK THEN 1000000 // (60 + rank_a) ELSE 0 END) +
+       |    (CASE WHEN rank_b <= $RrfK THEN 1000000 // (60 + rank_b) ELSE 0 END) AS rrf
+       |  FROM ranked WHERE rank_a <= $RrfK OR rank_b <= $RrfK
+       |), fused AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY rrf DESC, doc_id) AS fused_rank
+       |  FROM scored
+       |)
+       |SELECT probe_id, doc_id, CAST(rank_a AS INT) AS rank_a,
+       |  CAST(rank_b AS INT) AS rank_b, CAST(rrf AS BIGINT) AS rrf,
+       |  CAST(fused_rank AS INT) AS fused_rank
+       |FROM fused WHERE fused_rank <= $RrfTopN
+       |ORDER BY probe_id, fused_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_signatures", minhashSignatures, Some(minhashSignaturesSql)),
     QueryDef("q41_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
@@ -1644,6 +1776,8 @@ object Similarity {
     QueryDef("q93_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitSql)),
     QueryDef("q70_int8_ann_topk", int8AnnTopk, Some(int8AnnTopkSql)),
     QueryDef("q75_kmeans", kmeans, Some(kmeansSql)),
-    QueryDef("q85_curated_corpus", curatedCorpus, Some(curatedCorpusSql))
+    QueryDef("q85_curated_corpus", curatedCorpus, Some(curatedCorpusSql)),
+    QueryDef("q98_gram_matrix", gramMatrix, Some(gramMatrixSql)),
+    QueryDef("q99_rrf_fusion", rrfFusion, Some(rrfFusionSql))
   )
 }

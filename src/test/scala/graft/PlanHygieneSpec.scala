@@ -14,8 +14,8 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *    queries, fails on a CartesianProduct — so if a broadcast hint is
   *    ever dropped and the planner falls back to a shuffled cross
   *    product, the sweep still catches it.
-  *  - BROADCAST nested-loop allowed additionally for q44/q49/q70 (tiny
-  *    probe/centroid side broadcast against the streamed corpus),
+  *  - BROADCAST nested-loop allowed additionally for q44/q49/q70/q99
+  *    (tiny probe/centroid side broadcast against the streamed corpus),
   *    q66/q83 (a broadcast ONE-ROW aggregate attached to bounded rows —
   *    the scalar-subquery shape) and q75 (k = 8 broadcast centroids per
   *    k-means assignment pass — the MLlib dataflow). The broadcast
@@ -30,7 +30,8 @@ class PlanHygieneSpec extends SparkSpec {
   private val cartesianBaselines = Set("q42_ngram_jaccard_topk", "q48_cosine_neardup")
   private val broadcastLoopAllowed = cartesianBaselines ++ Set(
     "q44_cosine_topk", "q49_ann_ivf_topk", "q70_int8_ann_topk",
-    "q66_tfidf_terms", "q75_kmeans", "q83_quality_audit")
+    "q66_tfidf_terms", "q75_kmeans", "q83_quality_audit",
+    "q99_rrf_fusion")
 
   test("no registered query plans an unbounded cross product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

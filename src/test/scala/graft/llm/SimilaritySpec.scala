@@ -396,6 +396,48 @@ class SimilaritySpec extends SparkSpec {
     assert(modelPairs.nonEmpty, "fixture must contain planted duplicates")
   }
 
+  test("q99 RRF fusion matches a Scala model; one hash exchange serves all three windows") {
+    val K = Similarity.RrfK
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty).distinct.toSet)
+    val probes = docs.filter(_._1 < 5)
+    val corpus = docs.filter(_._1 >= 5)
+    val model = probes.flatMap { case (pid, pt) =>
+      val scored = corpus.map { case (cid, ct) =>
+        val ov = (pt & ct).size.toLong
+        val uni = (pt | ct).size.toLong
+        (cid, ov, 1000000L * ov / uni)
+      }
+      val rankA = scored.sortBy { case (cid, ov, _) => (-ov, cid) }
+        .zipWithIndex.map { case ((cid, _, _), i) => cid -> (i + 1) }.toMap
+      val rankB = scored.sortBy { case (cid, _, j) => (-j, cid) }
+        .zipWithIndex.map { case ((cid, _, _), i) => cid -> (i + 1) }.toMap
+      corpus.map(_._1)
+        .filter(cid => rankA(cid) <= K || rankB(cid) <= K)
+        .map { cid =>
+          val rrf = (if (rankA(cid) <= K) 1000000L / (60 + rankA(cid)) else 0L) +
+            (if (rankB(cid) <= K) 1000000L / (60 + rankB(cid)) else 0L)
+          (cid, rankA(cid), rankB(cid), rrf)
+        }
+        .sortBy { case (cid, _, _, rrf) => (-rrf, cid) }
+        .take(Similarity.RrfTopN).zipWithIndex
+        .map { case ((cid, ra, rb, rrf), i) => (pid, cid, ra, rb, rrf, i + 1) }
+    }.toSeq
+    val q = Similarity.rrfFusion(spark, sfDir)
+    val got = q.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3), r.getLong(4), r.getInt(5))).toSeq
+    assert(got.nonEmpty && got == model, "fusion must match the Scala RRF model")
+    // the two source rankings must genuinely differ somewhere, or the
+    // fusion degenerates to a single ranking and proves nothing
+    assert(got.exists(r => r._3 != r._4), "rank_a and rank_b must diverge")
+    // all three windows partition by probe_id: exactly one hash exchange
+    val hashEx = shuffleExchanges(q)
+      .map(_.outputPartitioning.toString).filter(_.contains("hashpartitioning"))
+    assert(hashEx.size == 1, s"three windows must share one exchange, got $hashEx")
+  }
+
   test("q85 curated corpus is exactly q50's stage-4 census") {
     val kept = Similarity.curatedCorpus(spark, sfDir).collect()
     val stage4 = Similarity.pipelineStats(spark, sfDir).collect()
