@@ -523,6 +523,171 @@ object Events {
       |FROM grid g LEFT JOIN rev r ON g.nation = r.nation AND g.mon = r.mon
       |ORDER BY g.nation, g.mon""".stripMargin
 
+  // --------------------------------------------- q100 transition matrix
+
+  /** q100: Markov transition counts over per-user event sequences — for
+    * every ordered pair of consecutive events by the same user, how often
+    * does type A lead to type B, and across how many users. The behavior-
+    * modeling primitive (next-action prediction features, anomaly
+    * detection on impossible transitions).
+    *
+    * Shape: one user-partitioned `lead` window (ordered by the suite's
+    * total (ts, event_id) order), then a TWO-level hash aggregation —
+    * (from, to, user) partials combine map-side, so the second exchange
+    * carries one row per user per transition pair (≤ 25·users), and the
+    * distinct-user count needs no expand. The sequence never joins
+    * events to events. */
+  def transitionMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"), col("user_id"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(sum(col("pn")).cast("long").as("n"), count(lit(1)).as("n_users"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val transitionMatrixSql: String =
+    """WITH nx AS (
+      |  SELECT user_id, event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      |  FROM events
+      |), pu AS (
+      |  SELECT from_type, to_type, user_id, COUNT(*) AS n
+      |  FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2, 3
+      |)
+      |SELECT from_type, to_type, CAST(SUM(n) AS BIGINT) AS n, COUNT(*) AS n_users
+      |FROM pu GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // --------------------------------------------- q101 concurrency sweep
+
+  /** q101: concurrent-session curve by sweep line — for every hour
+    * boundary, how many 30-minute-gap sessions (q17's definition) are
+    * active (started at-or-before, not yet ended). The capacity-planning
+    * question ("how many live sessions must the serving tier hold?").
+    *
+    * The naive formulation is an interval join — sessions × hour grid on
+    * `start <= h AND end >= h` — a range join that explodes at scale.
+    * The sweep-line shape here never joins intervals to the grid row-set:
+    * each session becomes a +1 delta at the first boundary after its
+    * start and a −1 at the first boundary after its end; deltas AGGREGATE
+    * to the hour grain first (map-side combined, so the exchange carries
+    * ≤ two rows per hour), and the running sum walks the CALENDAR-BOUNDED
+    * hourly frame (8,760 rows/year no matter the data volume — same
+    * "window over the aggregated frame, never raw rows" rule as q37).
+    * The grid comes from an exploded `sequence` over the one-row bounds
+    * aggregate, not a cross join. */
+  def concurrencySweep(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = e
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(min(col("ts")).as("sess_start"), max(col("ts")).as("sess_end"))
+    // first hour boundary AFTER the instant: active(h) = starts ≤ h minus
+    // ends < h, so a session ending exactly ON the boundary still counts
+    val d = sess.select(
+      (date_trunc("hour", col("sess_start") - expr("INTERVAL 1 MICROSECOND"))
+        + expr("INTERVAL 1 HOUR")).as("bs"),
+      (date_trunc("hour", col("sess_end")) + expr("INTERVAL 1 HOUR")).as("be"))
+    val starts = d.groupBy(col("bs").as("h")).agg(count(lit(1)).as("n_started"))
+    val ends = d.groupBy(col("be").as("h")).agg(count(lit(1)).as("n_ended"))
+    val bounds = d.agg(least(min(col("bs")), min(col("be"))).as("lo"),
+      greatest(max(col("bs")), max(col("be"))).as("hi"))
+    val grid = bounds.select(explode(
+      expr("sequence(lo, hi, INTERVAL 1 HOUR)")).as("h"))
+    grid.join(starts, Seq("h"), "left").join(ends, Seq("h"), "left")
+      .select(col("h"),
+        coalesce(col("n_started"), lit(0L)).as("n_started"),
+        coalesce(col("n_ended"), lit(0L)).as("n_ended"))
+      .withColumn("active",
+        sum(col("n_started") - col("n_ended"))
+          .over(Window.orderBy(col("h"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+      .orderBy(col("h"))
+  }
+
+  val concurrencySweepSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id, ts,
+      |    CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM o
+      |), sess AS (
+      |  SELECT user_id, sess_id, MIN(ts) AS sess_start, MAX(ts) AS sess_end
+      |  FROM s GROUP BY 1, 2
+      |), d AS MATERIALIZED (
+      |  SELECT date_trunc('hour', sess_start - INTERVAL 1 MICROSECOND) + INTERVAL 1 HOUR AS bs,
+      |         date_trunc('hour', sess_end) + INTERVAL 1 HOUR AS be
+      |  FROM sess
+      |), starts AS (SELECT bs AS h, COUNT(*) AS n_started FROM d GROUP BY 1),
+      |ends AS (SELECT be AS h, COUNT(*) AS n_ended FROM d GROUP BY 1),
+      |bounds AS (SELECT least(MIN(bs), MIN(be)) AS lo, greatest(MAX(bs), MAX(be)) AS hi FROM d),
+      |grid AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM bounds)
+      |SELECT g.h, COALESCE(st.n_started, 0) AS n_started, COALESCE(en.n_ended, 0) AS n_ended,
+      |  CAST(SUM(COALESCE(st.n_started, 0) - COALESCE(en.n_ended, 0))
+      |    OVER (ORDER BY g.h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS active
+      |FROM grid g LEFT JOIN starts st ON g.h = st.h LEFT JOIN ends en ON g.h = en.h
+      |ORDER BY g.h""".stripMargin
+
+  // --------------------------------------------- q102 JSON property stats
+
+  /** q102: schema-on-read over the semi-structured `props` JSON column —
+    * parse with an EXPLICIT schema (`from_json`, no inference pass, so
+    * the read schema is data-independent, same rule as io.Formats) and
+    * aggregate the extracted field per event type. The "events carry a
+    * JSON payload bag" shape every real pipeline has.
+    *
+    * Two-level hash aggregation: (type, k) partials combine map-side and
+    * the distinct-k count falls out of the second level with no
+    * distinct-expand; min/max/sum decompose over the partials
+    * (sum_k = Σ k·count). NULL k (absent key or malformed JSON) stays a
+    * first-class group: counted in `n`, excluded from min/max/sum/n_k —
+    * identical null semantics in both engines. */
+  def propsJsonStats(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"), col("k"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).cast("long").as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k") * col("pn")).cast("long").as("sum_k"),
+        count(when(col("k").isNotNull, 1)).as("n_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val propsJsonStatsSql: String =
+    """WITH x AS (
+      |  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events
+      |), g AS (
+      |  SELECT event_type, k, COUNT(*) AS pn FROM x GROUP BY 1, 2
+      |)
+      |SELECT event_type, CAST(SUM(pn) AS BIGINT) AS n,
+      |  MIN(k) AS min_k, MAX(k) AS max_k,
+      |  CAST(SUM(k * pn) AS BIGINT) AS sum_k,
+      |  COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS n_k
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q92_gap_fill", gapFillRevenue, Some(gapFillRevenueSql)),
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
@@ -535,6 +700,9 @@ object Events {
     QueryDef("q84_asof_forward", asofForward, Some(asofForwardSql)),
     QueryDef("q64_attribution_join", attributionJoin, Some(attributionJoinSql)),
     QueryDef("q79_linear_attribution", linearAttribution, Some(linearAttributionSql)),
-    QueryDef("q65_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql))
+    QueryDef("q65_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql)),
+    QueryDef("q100_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
+    QueryDef("q101_concurrency_sweep", concurrencySweep, Some(concurrencySweepSql)),
+    QueryDef("q102_props_json_stats", propsJsonStats, Some(propsJsonStatsSql))
   )
 }

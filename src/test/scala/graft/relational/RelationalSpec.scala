@@ -62,6 +62,59 @@ class RelationalSpec extends SparkSpec {
       "pair generation must not plan a self-join")
   }
 
+  test("q100 transition matrix matches a per-user sequential Scala model") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 + 0L,
+        r.getLong(2), r.getString(3)))
+    val model = ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).filter(_.length == 2)
+        .map(w => ((w(0), w(1)), uid)).toSeq
+    }.groupBy(_._1).map { case ((a, b), xs) =>
+      (a, b, xs.size.toLong, xs.map(_._2).distinct.size.toLong)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    val got = Events.transitionMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == model, "transition counts must match the model")
+  }
+
+  test("q101 concurrency sweep: conserved, non-negative, equals interval counting at boundaries") {
+    val q = Events.concurrencySweep(spark, sfDir)
+    val rows = q.collect().map(r =>
+      (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // every session that starts also ends inside the grid
+    assert(rows.map(_._2).sum == rows.map(_._3).sum, "starts must equal ends")
+    assert(rows.forall(_._4 >= 0), "active count can never go negative")
+    assert(rows.last._4 == 0, "curve must return to zero at the end")
+    assert(rows.exists(_._4 > 0), "some boundary must see an active session")
+    // brute force: active(h) = sessions with start <= h && end >= h
+    val sess = Events.sessionize(spark, sfDir)
+      .select(col("sess_start"), col("sess_end")).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getTimestamp(1).getTime))
+    for ((h, _, _, active) <- rows.take(50)) {
+      val brute = sess.count { case (s, e) => s <= h && e >= h }
+      assert(brute.toLong == active, s"boundary $h: brute $brute vs sweep $active")
+    }
+  }
+
+  test("q102 props JSON stats match a regex-extraction Scala model") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("props")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val kRe = """"k"\s*:\s*(-?\d+)""".r
+    val model = ev.groupBy(_._1).map { case (t, xs) =>
+      val ks = xs.map(x => kRe.findFirstMatchIn(x._2).map(_.group(1).toLong))
+      val defined = ks.flatten
+      (t, xs.size.toLong, defined.min, defined.max, defined.sum,
+        defined.distinct.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Events.propsJsonStats(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == model, "JSON field stats must match the model")
+  }
+
   test("q65 binned range join: no nested-loop join, agrees with the naive range predicate") {
     import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
     val df = Events.rangeJoinBinned(spark, sfDir)
