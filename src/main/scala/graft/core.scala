@@ -80,6 +80,33 @@ object Dist {
       .drop("__pid", "__local_rn", "__offset")
   }
 
+  /** Global weighted running sum ordered by a unique `key` — the weighted
+    * sibling of [[globalRowNumber]], same shape, same reason: a
+    * `Window.orderBy(key)` cumsum moves every row to one task. Range
+    * partition on the key, per-partition local cumsum, then add each
+    * partition's total-weight predecessor sum via the tiny broadcast
+    * offsets join (the offsets aggregate does not reference the local
+    * window column, so Catalyst prunes the window on that branch and the
+    * range exchange is reused, not recomputed). Result column: `cum`
+    * (inclusive of the current row's weight). */
+  def globalCumSum(df: DataFrame, key: Column, weight: Column,
+      numParts: Int = 32): DataFrame = {
+    val parted = df.withColumn("__w", weight.cast("long"))
+      .repartitionByRange(numParts, key)
+      .withColumn("__pid", spark_partition_id())
+    val local = parted.withColumn("__local_cum",
+      sum(col("__w")).over(Window.partitionBy(col("__pid")).orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val offsets = local.groupBy(col("__pid")).agg(sum(col("__w")).as("__tot"))
+      .withColumn("__offset",
+        coalesce(sum(col("__tot")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum", col("__offset") + col("__local_cum"))
+      .drop("__pid", "__local_cum", "__offset", "__w")
+  }
+
   /** Unlock multi-core compute above an UNSPLITTABLE scan: repartition to
     * the session's default parallelism IFF the frame currently plans fewer
     * partitions (on splittable many-row-group inputs this is a no-op by

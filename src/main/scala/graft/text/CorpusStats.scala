@@ -842,6 +842,53 @@ object CorpusStats {
        |  array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= $PostK), ',') AS postings
        |FROM r GROUP BY term ORDER BY term""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q103: systematic PPS sampling (probability proportional to size)
+  // ---------------------------------------------------------------------
+
+  /** One sample point per this many corpus tokens. */
+  val PpsStride = 1000L
+
+  /** Systematic probability-proportional-to-size sampling: lay the corpus
+    * out as one token interval per doc (in doc_id order), drop a sample
+    * point every [[PpsStride]] tokens, keep the docs whose interval
+    * contains ≥ 1 point. Long documents are proportionally more likely to
+    * be hit — the classic PPS design for survey sampling and
+    * token-budgeted corpus subsampling — and the whole scheme is
+    * DETERMINISTIC integer arithmetic (no RNG, no transcendentals), so
+    * the oracle gates it exactly. `n_hits` telescopes: its sum is exactly
+    * `total_tokens div stride` (the spec locks this).
+    *
+    * 100 TB shape: the global running sum uses [[graft.Dist.globalCumSum]]
+    * — range partition + local window + broadcast offsets — never the
+    * single-partition `Window.orderBy` cumsum. Selection is then a
+    * per-row integer predicate. */
+  def ppsSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.Dist.globalCumSum(docs, col("doc_id"), col("n_tokens"))
+      .withColumn("n_hits",
+        expr(s"cum div $PpsStride - (cum - n_tokens) div $PpsStride"))
+      .filter(col("n_hits") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("cum"), col("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  val ppsSampleSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM d
+       |)
+       |SELECT doc_id, n_tokens, cum,
+       |  CAST(cum // $PpsStride - (cum - n_tokens) // $PpsStride AS BIGINT) AS n_hits
+       |FROM c WHERE cum // $PpsStride > (cum - n_tokens) // $PpsStride
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -855,6 +902,7 @@ object CorpusStats {
     QueryDef("q91_fuzzy_name_join", fuzzyNameJoin, Some(fuzzyNameJoinSql)),
     QueryDef("q94_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("q95_inverted_index", invertedIndex, Some(invertedIndexSql)),
+    QueryDef("q103_pps_sample", ppsSample, Some(ppsSampleSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

@@ -30,6 +30,29 @@ class DistSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("globalCumSum matches the single-partition window cumsum; window stays partitioned") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      .repartition(7) // scramble the layout first
+    val q = Dist.globalCumSum(docs, col("doc_id"), col("w"), numParts = 5)
+    val got = q.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val ref = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("w"))
+      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(got == ref)
+    // the data-bearing windows must all be partitioned (only the
+    // numParts-row offsets window may be global)
+    val wins = allPlanNodes(executedPlanOf(q)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    val globalWins = wins.filter(_.partitionSpec.isEmpty)
+    assert(wins.nonEmpty && globalWins.size <= 1,
+      "per-row cumsum must never run in a single-partition window")
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")

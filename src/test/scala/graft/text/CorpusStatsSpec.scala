@@ -104,6 +104,30 @@ class CorpusStatsSpec extends SparkSpec {
       s"window and term agg must share one exchange, got $ex")
   }
 
+  test("q103 PPS sample: matches a Scala model, hit counts telescope to total div stride") {
+    val S = CorpusStats.PpsStride
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> scalaTokens(r.getString(1)).length.toLong)
+      .sortBy(_._1)
+    var cum = 0L
+    val model = docs.flatMap { case (id, w) =>
+      val before = cum; cum += w
+      val hits = cum / S - before / S
+      if (hits > 0) Some((id, w, cum, hits)) else None
+    }.toSeq
+    val got = CorpusStats.ppsSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == model, "sample must match the sequential model")
+    // telescoping: total sample points = floor(total_tokens / stride)
+    val total = docs.map(_._2).sum
+    assert(got.map(_._4).sum == total / S,
+      "hit counts must telescope to total_tokens div stride")
+    // PPS property: every doc with >= stride tokens is necessarily sampled
+    val big = docs.filter(_._2 >= S).map(_._1).toSet
+    assert(big.subsetOf(got.map(_._1).toSet))
+  }
+
   test("q90 classifier: scores match a Scala model bit-for-bit; map-only plan") {
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     // the exact left-associated chain the query and its oracle share —
