@@ -1051,6 +1051,68 @@ object Relational {
       |GROUP BY 1, 2
       |ORDER BY n_orders DESC, part_a, part_b LIMIT 25""".stripMargin
 
+  /** q105: automated column profiling — per-column row/non-null/distinct
+    * counts and min/max, the Deequ-style "describe this table" primitive
+    * that feeds schema drift detection and constraint suggestion (q83's
+    * audit checks a KNOWN contract; the profile DISCOVERS one).
+    *
+    * ONE lineitem scan computes every statistic (conditional aggregates
+    * in a single Aggregate, q83's pattern), then `stack` pivots the
+    * one-row result to a row per column. min/max surface as strings so
+    * heterogeneous column types fit one schema — the profiled columns
+    * are chosen so both engines render identical text (ints, fixed-point
+    * doubles, flags, timestamps; free-form doubles would hit exponent-
+    * format divergence). The multi-column exact distinct plans one
+    * Expand (rows × #distinct-columns before the partial agg) — the
+    * honest exact-profile cost; at 100 TB swap approx_count_distinct
+    * (q14) and the scan stays one pass with no Expand. */
+  def columnProfile(spark: SparkSession, dir: String): DataFrame = {
+    // fanOut measured 4.63s -> 2.43s min-of-3 (sf0.1, 2026-08-13): the
+    // multi-distinct Expand multiplies the single-task scan's rows x5
+    // BEFORE the partial agg, so this is the per-row-compute >> row-bytes
+    // regime fanOut exists for (cf. Dist.fanOut guidance)
+    val li = graft.Dist.fanOut(
+      Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate")))
+    def prof(c: String) = Seq(
+      count(col(c)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c"))
+    val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(prof)
+    val s = li.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.map(c =>
+      s"'$c', nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    s.selectExpr("n_rows",
+        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_val, max_val)")
+      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
+        col("n_distinct"), col("min_val"), col("max_val"))
+      .orderBy(col("col_name"))
+  }
+
+  val columnProfileSql: String =
+    """WITH s AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    COUNT(l_orderkey) AS nn_orderkey, COUNT(DISTINCT l_orderkey) AS nd_orderkey,
+      |    CAST(MIN(l_orderkey) AS VARCHAR) AS min_orderkey, CAST(MAX(l_orderkey) AS VARCHAR) AS max_orderkey,
+      |    COUNT(l_quantity) AS nn_quantity, COUNT(DISTINCT l_quantity) AS nd_quantity,
+      |    CAST(MIN(l_quantity) AS VARCHAR) AS min_quantity, CAST(MAX(l_quantity) AS VARCHAR) AS max_quantity,
+      |    COUNT(l_returnflag) AS nn_returnflag, COUNT(DISTINCT l_returnflag) AS nd_returnflag,
+      |    CAST(MIN(l_returnflag) AS VARCHAR) AS min_returnflag, CAST(MAX(l_returnflag) AS VARCHAR) AS max_returnflag,
+      |    COUNT(l_shipdate) AS nn_shipdate, COUNT(DISTINCT l_shipdate) AS nd_shipdate,
+      |    CAST(MIN(l_shipdate) AS VARCHAR) AS min_shipdate, CAST(MAX(l_shipdate) AS VARCHAR) AS max_shipdate
+      |  FROM lineitem
+      |)
+      |SELECT * FROM (
+      |  SELECT 'l_orderkey' AS col_name, n_rows, nn_orderkey AS n_nonnull,
+      |    nd_orderkey AS n_distinct, min_orderkey AS min_val, max_orderkey AS max_val FROM s
+      |  UNION ALL SELECT 'l_quantity', n_rows, nn_quantity, nd_quantity, min_quantity, max_quantity FROM s
+      |  UNION ALL SELECT 'l_returnflag', n_rows, nn_returnflag, nd_returnflag, min_returnflag, max_returnflag FROM s
+      |  UNION ALL SELECT 'l_shipdate', n_rows, nn_shipdate, nd_shipdate, min_shipdate, max_shipdate FROM s
+      |)
+      |ORDER BY col_name""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1082,6 +1144,7 @@ object Relational {
     QueryDef("q89_salted_skew_join", saltedSkewJoin, Some(saltedSkewJoinSql)),
     QueryDef("q83_quality_audit", qualityAudit, Some(qualityAuditSql)),
     QueryDef("q86_unpivot", orderUnpivot, Some(orderUnpivotSql)),
-    QueryDef("q96_copurchase_pairs", copurchasePairs, Some(copurchasePairsSql))
+    QueryDef("q96_copurchase_pairs", copurchasePairs, Some(copurchasePairsSql)),
+    QueryDef("q105_column_profile", columnProfile, Some(columnProfileSql))
   )
 }

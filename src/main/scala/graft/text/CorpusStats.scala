@@ -889,6 +889,75 @@ object CorpusStats {
        |FROM c WHERE cum // $PpsStride > (cum - n_tokens) // $PpsStride
        |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q104: PMI collocation mining (integer-scaled)
+  // ---------------------------------------------------------------------
+
+  /** Minimum co-occurrence count for a pair to be scored. */
+  val PmiMinPairs = 5
+
+  /** Pointwise-mutual-information collocation mining at the document
+    * level: which token pairs co-occur in the same document far more than
+    * their individual frequencies predict. The PMI ORDERING needs no
+    * logarithm — log is monotone, so ranking by the scaled integer ratio
+    * `1e6·n_ab·N div (n_a·n_b)` ranks identically to log-PMI while
+    * staying exact integer arithmetic both engines agree on (same policy
+    * as q66's linear idf and q90's transcendental-free classifier).
+    *
+    * Shape: per-doc distinct-token baskets (q96's generator — the
+    * quadratic pair step bounded per basket, never crossing an exchange;
+    * at web scale you'd cap baskets to the top-k informative terms
+    * first), pair and unigram counts each one map-combined hash agg, the
+    * 31-term unigram table BROADCAST back onto the pairs, and the corpus
+    * size attached as a broadcast one-row aggregate — never a driver-side
+    * count. The basket frame feeds three subtrees, so it is lazily
+    * checkpointed (no plan CSE across branches). */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), sort_array(array_distinct(tokens(lower(col("text"))))).as("toks"))
+      .transform(graft.Dist.durableCkpt)
+    val uni = d.select(explode(col("toks")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("n"))
+    val nDocs = d.agg(count(lit(1)).as("nd"))
+    val pairs = d.select(explode(expr(
+      """flatten(transform(toks, (x, i) ->
+        |  transform(slice(toks, i + 2, size(toks) - i - 1), y ->
+        |    struct(x AS t_a, y AS t_b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.t_a").as("t_a"), col("p.t_b").as("t_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= PmiMinPairs)
+    pairs
+      .join(broadcast(uni.select(col("t").as("t_a"), col("n").as("n_a"))), Seq("t_a"))
+      .join(broadcast(uni.select(col("t").as("t_b"), col("n").as("n_b"))), Seq("t_b"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi_scaled", expr("(1000000 * n_ab * nd) div (n_a * n_b)"))
+      .select(col("t_a"), col("t_b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("pmi_scaled"))
+      .orderBy(col("pmi_scaled").desc, col("t_a"), col("t_b"))
+      .limit(30)
+  }
+
+  val pmiPairsSql: String =
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS toks
+       |  FROM documents
+       |), td AS (
+       |  SELECT doc_id, unnest(toks) AS t FROM d
+       |), uni AS (
+       |  SELECT t, COUNT(*) AS n FROM td GROUP BY 1
+       |), nd AS (SELECT COUNT(*) AS nd FROM d),
+       |pairs AS (
+       |  SELECT a.t AS t_a, b.t AS t_b, COUNT(*) AS n_ab
+       |  FROM td a JOIN td b ON a.doc_id = b.doc_id AND a.t < b.t
+       |  GROUP BY 1, 2
+       |)
+       |SELECT t_a, t_b, n_ab, ua.n AS n_a, ub.n AS n_b,
+       |  (1000000 * n_ab * nd.nd) // (ua.n * ub.n) AS pmi_scaled
+       |FROM pairs JOIN uni ua ON ua.t = t_a JOIN uni ub ON ub.t = t_b CROSS JOIN nd
+       |WHERE n_ab >= $PmiMinPairs
+       |ORDER BY pmi_scaled DESC, t_a, t_b LIMIT 30""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -903,6 +972,7 @@ object CorpusStats {
     QueryDef("q94_span_dedup", spanDedup, Some(spanDedupSql)),
     QueryDef("q95_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q103_pps_sample", ppsSample, Some(ppsSampleSql)),
+    QueryDef("q104_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

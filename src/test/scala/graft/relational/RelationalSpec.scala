@@ -62,6 +62,37 @@ class RelationalSpec extends SparkSpec {
       "pair generation must not plan a self-join")
   }
 
+  test("q105 column profile matches a Scala model from one lineitem scan") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate"))
+      .collect()
+    val n = li.length.toLong
+    def profile[T](name: String, vals: Seq[T], render: T => String)(
+        implicit ord: Ordering[T]) = {
+      val nonNull = vals.filter(_ != null)
+      (name, n, nonNull.size.toLong, nonNull.distinct.size.toLong,
+        render(nonNull.min), render(nonNull.max))
+    }
+    // min/max by NATURAL type order, rendered like Spark's cast-to-string
+    val model = Seq(
+      profile[Long]("l_orderkey", li.map(_.getLong(0)).toSeq, _.toString),
+      profile[Double]("l_quantity", li.map(_.getDouble(1)).toSeq, _.toString),
+      profile[String]("l_returnflag", li.map(_.getString(2)).toSeq, identity),
+      profile("l_shipdate", li.map(_.getAs[java.time.LocalDateTime](3)).toSeq,
+        (v: java.time.LocalDateTime) => v.format(
+          java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")))(
+        Ordering.by((t: java.time.LocalDateTime) =>
+          t.toEpochSecond(java.time.ZoneOffset.UTC)))
+    ).sortBy(_._1)
+    val q = Relational.columnProfile(spark, sfDir)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getString(4), r.getString(5))).toSeq
+    assert(got == model, s"profile must match the Scala model:\n$got\nvs\n$model")
+    val scans = collectAll(plan(q)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.size == 1, "profile must come from a single scan")
+  }
+
   test("q100 transition matrix matches a per-user sequential Scala model") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))

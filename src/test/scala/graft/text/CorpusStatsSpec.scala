@@ -128,6 +128,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(big.subsetOf(got.map(_._1).toSet))
   }
 
+  test("q104 PMI pairs match a Scala model; unigram tables broadcast") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> scalaTokens(r.getString(1)).distinct.toSet)
+    val nd = docs.length.toLong
+    val uni = docs.flatMap(_._2).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    val pairCounts = docs.toSeq.flatMap { case (_, ts) =>
+      val sorted = ts.toSeq.sorted
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield (sorted(i), sorted(j))
+    }.groupBy(identity).map { case (p, xs) => p -> xs.size.toLong }
+    val model = pairCounts.toSeq.collect {
+      case ((a, b), nab) if nab >= CorpusStats.PmiMinPairs =>
+        (a, b, nab, uni(a), uni(b), 1000000L * nab * nd / (uni(a) * uni(b)))
+    }.sortBy { case (a, b, _, _, _, pmi) => (-pmi, a, b) }.take(30)
+    val got = CorpusStats.pmiPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == model, "PMI ranking must match the model")
+    // the unigram attach must be broadcast joins, not shuffles
+    val bhj = allPlanNodes(executedPlanOf(CorpusStats.pmiPairs(spark, sfDir)))
+      .count(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bhj >= 2, s"expected broadcast unigram joins, got $bhj")
+  }
+
   test("q90 classifier: scores match a Scala model bit-for-bit; map-only plan") {
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     // the exact left-associated chain the query and its oracle share —
