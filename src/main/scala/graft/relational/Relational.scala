@@ -1113,6 +1113,56 @@ object Relational {
       |)
       |ORDER BY col_name""".stripMargin
 
+  /** q106: exact WEIGHTED median — the revenue-weighted median quantity
+    * per return flag: the smallest quantity q such that line items with
+    * quantity ≤ q carry at least half the group's revenue. Unweighted
+    * percentiles (q37) answer "the middle row"; the weighted median
+    * answers "the middle dollar" — the robust-statistics primitive
+    * behind fair-share thresholds and skew diagnosis.
+    *
+    * Same scale discipline as q37: aggregate FIRST to the per-(flag,
+    * qty) histogram (one map-combined exchange carrying at most
+    * |distinct qty| rows per flag), run the cumulative-weight windows
+    * over the tiny histogram only, then one conditional aggregate picks
+    * the crossing point. Weights are exact integer cents (q79's
+    * rounding idiom, proven cross-engine), so `2·cum ≥ total` is integer
+    * arithmetic with no float threshold to disagree on. */
+  def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val hist = li
+      .select(col("l_returnflag"), dec(col("l_quantity")).as("qty"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"), col("qty"))
+      .agg(sum(col("cents")).as("w"))
+    val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
+    val wAll = Window.partitionBy(col("l_returnflag"))
+    hist
+      .withColumn("cum", sum(col("w")).over(wCum))
+      .withColumn("total", sum(col("w")).over(wAll))
+      .groupBy(col("l_returnflag"))
+      .agg(min(when(col("cum") * 2 >= col("total"), col("qty")))
+          .cast("double").as("median_qty"),
+        max(col("total")).as("total_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val weightedMedianSql: String =
+    """WITH hist AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(14,4)) AS qty,
+      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2
+      |), c AS (
+      |  SELECT l_returnflag, qty, w,
+      |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY qty
+      |                 ROWS UNBOUNDED PRECEDING) AS cum,
+      |    SUM(w) OVER (PARTITION BY l_returnflag) AS total
+      |  FROM hist
+      |)
+      |SELECT l_returnflag,
+      |  CAST(MIN(CASE WHEN cum * 2 >= total THEN qty END) AS DOUBLE) AS median_qty,
+      |  CAST(MAX(total) AS BIGINT) AS total_cents
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1145,6 +1195,7 @@ object Relational {
     QueryDef("q83_quality_audit", qualityAudit, Some(qualityAuditSql)),
     QueryDef("q86_unpivot", orderUnpivot, Some(orderUnpivotSql)),
     QueryDef("q96_copurchase_pairs", copurchasePairs, Some(copurchasePairsSql)),
-    QueryDef("q105_column_profile", columnProfile, Some(columnProfileSql))
+    QueryDef("q105_column_profile", columnProfile, Some(columnProfileSql)),
+    QueryDef("q106_weighted_median", weightedMedian, Some(weightedMedianSql))
   )
 }

@@ -93,6 +93,38 @@ class RelationalSpec extends SparkSpec {
     assert(scans.size == 1, "profile must come from a single scan")
   }
 
+  test("q106 weighted median: crossing-point property holds against a Scala model") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), BigDecimal(r.getDouble(1)),
+        math.round(r.getDouble(2) * 100)))
+    val model = li.groupBy(_._1).map { case (flag, xs) =>
+      val total = xs.map(_._3).sum
+      val byQty = xs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      val median = byQty.collectFirst {
+        case (q, w) if { cum += w; cum * 2 >= total } => q
+      }.get
+      (flag, median.toDouble, total)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.weightedMedian(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == model, s"weighted median mismatch:\n$got\nvs\n$model")
+    // defining property: qty <= median carries >= half the revenue, and
+    // the previous distinct qty does not
+    for ((flag, m, total) <- got) {
+      val grp = li.filter(_._1 == flag)
+      val below = grp.filter(_._2.toDouble <= m).map(_._3).sum
+      assert(below * 2 >= total, s"$flag: median fails the crossing property")
+      val prev = grp.map(_._2.toDouble).filter(_ < m)
+      if (prev.nonEmpty) {
+        val belowPrev = grp.filter(_._2.toDouble <= prev.max).map(_._3).sum
+        assert(belowPrev * 2 < total, s"$flag: median is not minimal")
+      }
+    }
+  }
+
   test("q100 transition matrix matches a per-user sequential Scala model") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
