@@ -688,6 +688,94 @@ object Events {
       |  COUNT(CASE WHEN k IS NOT NULL THEN 1 END) AS n_k
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------- q107 debounce census
+
+  /** Debounce window in microseconds (5 minutes). */
+  val DebounceUs: Long = 5L * 60 * 1000000
+
+  /** q107: per-type debounce census — an event is SUPPRESSED if the same
+    * user emitted the same event type within the previous 5 minutes (the
+    * retry-storm / double-click suppression rule every ingest edge
+    * applies). One (user, type)-partitioned lag window — the dedup
+    * decision never joins events to events — then a conditional census
+    * per type. Kept + suppressed = total by construction (spec-locked). */
+  def debounceCensus(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("gap_us").isNull || col("gap_us") > DebounceUs, 1)).as("n_kept"),
+        count(when(col("gap_us") <= DebounceUs, 1)).as("n_suppressed"))
+      .orderBy(col("event_type"))
+  }
+
+  val debounceCensusSql: String =
+    s"""WITH o AS (
+       |  SELECT event_type, user_id,
+       |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+       |      PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap_us
+       |  FROM events
+       |)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(CASE WHEN gap_us IS NULL OR gap_us > $DebounceUs THEN 1 END) AS n_kept,
+       |  COUNT(CASE WHEN gap_us <= $DebounceUs THEN 1 END) AS n_suppressed
+       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // --------------------------------------------- q108 conversion latency
+
+  /** q108: click→purchase conversion-latency histogram — for every
+    * click, the time until the user's next purchase (at-or-after, q84's
+    * forward-looking window minimum), bucketed to operations-friendly
+    * bins plus an explicit `no_purchase` bucket. The funnel-latency
+    * distribution q18's counts can't see.
+    *
+    * Shape: ONE user-partitioned window pass computes every click's next
+    * purchase (no click-to-purchase join), then the bucket census is a
+    * tiny hash agg. Exact integer microseconds end-to-end, so bucket
+    * boundaries cannot float-drift between engines. */
+  def conversionLatency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .withColumn("next_purchase_us",
+        min(when(col("event_type") === "purchase", unix_micros(col("ts")))).over(w))
+      .filter(col("event_type") === "click")
+      .withColumn("lat", col("next_purchase_us") - unix_micros(col("ts")))
+      .withColumn("bucket",
+        when(col("lat").isNull, "no_purchase")
+          .when(col("lat") <= 60000000L, "le_1m")
+          .when(col("lat") <= 600000000L, "le_10m")
+          .when(col("lat") <= 3600000000L, "le_1h")
+          .otherwise("gt_1h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_clicks"),
+        min(col("lat")).as("min_us"), max(col("lat")).as("max_us"))
+      .orderBy(col("bucket"))
+  }
+
+  val conversionLatencySql: String =
+    """WITH e AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_us
+      |  FROM events
+      |), c AS (
+      |  SELECT CASE WHEN next_purchase_us IS NULL THEN 'no_purchase'
+      |              WHEN next_purchase_us - epoch_us(ts) <= 60000000 THEN 'le_1m'
+      |              WHEN next_purchase_us - epoch_us(ts) <= 600000000 THEN 'le_10m'
+      |              WHEN next_purchase_us - epoch_us(ts) <= 3600000000 THEN 'le_1h'
+      |              ELSE 'gt_1h' END AS bucket,
+      |         next_purchase_us - epoch_us(ts) AS lat
+      |  FROM e WHERE event_type = 'click'
+      |)
+      |SELECT bucket, COUNT(*) AS n_clicks,
+      |  CAST(MIN(lat) AS BIGINT) AS min_us, CAST(MAX(lat) AS BIGINT) AS max_us
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q92_gap_fill", gapFillRevenue, Some(gapFillRevenueSql)),
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
@@ -703,6 +791,8 @@ object Events {
     QueryDef("q65_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql)),
     QueryDef("q100_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q101_concurrency_sweep", concurrencySweep, Some(concurrencySweepSql)),
-    QueryDef("q102_props_json_stats", propsJsonStats, Some(propsJsonStatsSql))
+    QueryDef("q102_props_json_stats", propsJsonStats, Some(propsJsonStatsSql)),
+    QueryDef("q107_debounce_census", debounceCensus, Some(debounceCensusSql)),
+    QueryDef("q108_conversion_latency", conversionLatency, Some(conversionLatencySql))
   )
 }

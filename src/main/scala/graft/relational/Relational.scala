@@ -1163,6 +1163,61 @@ object Relational {
       |  CAST(MAX(total) AS BIGINT) AS total_cents
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q110: triangle counting on the co-purchase graph — the clustering-
+    * coefficient numerator, THE benchmark primitive of distributed graph
+    * analytics (community density, recommendation confidence). Edges are
+    * q96's co-purchase pairs restricted to support ≥ 2 orders, oriented
+    * low→high part id; a triangle is counted once as e(a,b) ⋈ e(b,c) ⋈
+    * e(a,c).
+    *
+    * Shape: the edge list is built by q96's per-basket generator (no
+    * fact self-join), lazily checkpointed because it feeds all three
+    * join legs (no plan CSE across join branches). The two equi-joins
+    * shuffle only (int, int) edge pairs. Id orientation suffices at this
+    * density; the skew-robust variant at web scale orients by DEGREE so
+    * high-degree hubs never fan out quadratically — same plan, one extra
+    * degree join. Output is the one-row graph census (nodes, edges,
+    * triangles). */
+  def triangleCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val baskets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val edges = baskets.select(explode(expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+        |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+      .select(col("a"), col("b"))
+      .transform(graft.Dist.durableCkpt)
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val census = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(edges.select(explode(array(col("a"), col("b"))).as("v"))
+        .agg(countDistinct(col("v")).as("n_nodes")))
+    census.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"))
+  }
+
+  val triangleCountSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS MATERIALIZED (
+      |  SELECT a.l_partkey AS a, b.l_partkey AS b
+      |  FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2
+      |)
+      |SELECT
+      |  (SELECT COUNT(DISTINCT v) FROM (
+      |     SELECT a AS v FROM e UNION ALL SELECT b FROM e)) AS n_nodes,
+      |  (SELECT COUNT(*) FROM e) AS n_edges,
+      |  (SELECT COUNT(*) FROM e e1
+      |     JOIN e e2 ON e1.b = e2.a
+      |     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1196,6 +1251,7 @@ object Relational {
     QueryDef("q86_unpivot", orderUnpivot, Some(orderUnpivotSql)),
     QueryDef("q96_copurchase_pairs", copurchasePairs, Some(copurchasePairsSql)),
     QueryDef("q105_column_profile", columnProfile, Some(columnProfileSql)),
-    QueryDef("q106_weighted_median", weightedMedian, Some(weightedMedianSql))
+    QueryDef("q106_weighted_median", weightedMedian, Some(weightedMedianSql)),
+    QueryDef("q110_triangle_count", triangleCount, Some(triangleCountSql))
   )
 }

@@ -958,6 +958,53 @@ object CorpusStats {
        |WHERE n_ab >= $PmiMinPairs
        |ORDER BY pmi_scaled DESC, t_a, t_b LIMIT 30""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q109: data-mixture plan (uniform-target, availability-capped)
+  // ---------------------------------------------------------------------
+
+  /** q109: the data-MIXING planning step — given per-source token
+    * inventories, compute the deterministic sampling rate (basis points)
+    * that moves the corpus toward a UNIFORM source mix, capped at 100%
+    * by availability (a source below the uniform share is taken whole —
+    * the single-pass approximation of water-filling; over-represented
+    * sources are downsampled toward `total div n_sources` tokens). The
+    * planner that sits in front of q60's stratified sampler: q60
+    * EXECUTES given rates, this derives them from the corpus itself.
+    * All integer arithmetic (basis points, floor division), so the plan
+    * hash-gates exactly.
+    *
+    * Shape: one map-combined source aggregation (sources are few by
+    * construction), the corpus totals attached as a broadcast one-row
+    * aggregate — never a driver-side collect. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+    val t = s.agg(sum(col("n_tokens")).cast("long").as("total"),
+      count(lit(1)).as("n_sources"))
+    s.crossJoin(broadcast(t))
+      .withColumn("share_bp", expr("(10000 * n_tokens) div total"))
+      .withColumn("rate_bp",
+        least(lit(10000L), expr("(10000 * (total div n_sources)) div n_tokens")))
+      .withColumn("planned_tokens", expr("(n_tokens * rate_bp) div 10000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("share_bp"), col("rate_bp"), col("planned_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val mixturePlanSql: String =
+    """WITH s AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n_sources FROM s)
+      |SELECT source, n_docs, n_tokens,
+      |  (10000 * n_tokens) // total AS share_bp,
+      |  least(10000, (10000 * (total // n_sources)) // n_tokens) AS rate_bp,
+      |  (n_tokens * least(10000, (10000 * (total // n_sources)) // n_tokens)) // 10000 AS planned_tokens
+      |FROM s CROSS JOIN t ORDER BY source NULLS FIRST""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -973,6 +1020,7 @@ object CorpusStats {
     QueryDef("q95_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q103_pps_sample", ppsSample, Some(ppsSampleSql)),
     QueryDef("q104_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
+    QueryDef("q109_mixture_plan", mixturePlan, Some(mixturePlanSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

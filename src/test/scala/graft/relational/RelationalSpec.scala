@@ -125,6 +125,95 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q107 debounce: kept + suppressed = total; matches a sequential model") {
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        toUs(r.getTimestamp(2)), r.getLong(3)))
+    val model = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case ((_, t), es) =>
+      val sorted = es.sortBy(e => (e._3, e._4)).map(_._3)
+      sorted.zipWithIndex.map { case (us, i) =>
+        (t, i == 0 || us - sorted(i - 1) > Events.DebounceUs)
+      }
+    }.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.size.toLong, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Events.debounceCensus(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == model, s"debounce census mismatch:\n$got\nvs\n$model")
+    assert(got.forall(r => r._3 + r._4 == r._2), "kept + suppressed must equal total")
+    // sf0.001 is too sparse for a same-user-same-type 5-minute repeat;
+    // prove the rule actually FIRES at sf0.01 (19 suppressions)
+    val fired = Events.debounceCensus(spark, "/root/testdata/sf0.01")
+      .agg(sum(col("n_suppressed"))).collect()(0).getLong(0)
+    assert(fired > 0, "the suppression rule must fire at sf0.01")
+  }
+
+  test("q108 conversion latency: buckets partition the clicks; latencies non-negative") {
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        toUs(r.getTimestamp(2)), r.getLong(3)))
+    val model = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._4))
+      sorted.zipWithIndex.collect { case ((_, "click", us, _), i) =>
+        val next = sorted.drop(i).collectFirst {
+          case (_, "purchase", pus, _) => pus }
+        next.map(_ - us)
+      }
+    }
+    def bucket(l: Option[Long]): String = l match {
+      case None => "no_purchase"
+      case Some(x) if x <= 60000000L => "le_1m"
+      case Some(x) if x <= 600000000L => "le_10m"
+      case Some(x) if x <= 3600000000L => "le_1h"
+      case _ => "gt_1h"
+    }
+    val expected = model.groupBy(bucket).map { case (b, xs) =>
+      val defined = xs.flatten
+      (b, xs.size.toLong,
+        if (defined.isEmpty) null else defined.min,
+        if (defined.isEmpty) null else defined.max)
+    }.toSeq.sortBy(_._1)
+    val got = Events.conversionLatency(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == expected, s"latency histogram mismatch:\n$got\nvs\n$expected")
+    assert(got.map(_._2).sum == model.size.toLong, "buckets must partition all clicks")
+  }
+
+  test("q110 triangles match a brute-force Scala count over the same edge set") {
+    val q = Relational.triangleCount(spark, sfDir)
+    val Array(row) = q.collect()
+    val (nodes, edgesN, tris) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    // rebuild the edge set independently (support >= 2 co-purchase pairs)
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val parts = xs.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    // filter+keySet, NOT Map.collect{... => e}: collect on a Map whose
+    // results are tuples rebuilds a MAP, silently deduplicating edges by
+    // their first element
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    assert(edgesN == edges.size.toLong, "edge census must match")
+    assert(nodes == edges.flatMap(e => Seq(e._1, e._2)).size.toLong, "node census")
+    // count with an adjacency MAP and .count — a for-comprehension whose
+    // inner generator is a Set collapses the yielded 1s per step
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val brute = edges.toSeq.map { case (a, b) =>
+      adj.getOrElse(b, Set.empty[Long]).count(c => edges.contains((a, c)))
+    }.sum
+    assert(tris == brute.toLong, s"triangles: $tris vs brute $brute")
+  }
+
   test("q100 transition matrix matches a per-user sequential Scala model") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))

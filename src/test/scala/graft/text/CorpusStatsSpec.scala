@@ -153,6 +153,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(bhj >= 2, s"expected broadcast unigram joins, got $bhj")
   }
 
+  test("q109 mixture plan matches a Scala model; rates cap at availability") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> scalaTokens(r.getString(1)).length.toLong)
+    val bySrc = docs.groupBy(_._1).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    val total = bySrc.map(_._3).sum
+    val nSources = bySrc.size.toLong
+    val model = bySrc.map { case (s, nd, nt) =>
+      val rate = math.min(10000L, (10000L * (total / nSources)) / nt)
+      (s, nd, nt, (10000L * nt) / total, rate, (nt * rate) / 10000L)
+    }
+    val got = CorpusStats.mixturePlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == model, s"mixture plan mismatch:\n$got\nvs\n$model")
+    // invariants: never plan more than exists; under-represented sources
+    // are taken whole; downsampled sources land at <= the uniform share
+    for ((_, _, nt, _, rate, planned) <- got) {
+      assert(planned <= nt)
+      if (nt <= total / nSources) assert(rate == 10000L)
+      else assert(planned <= total / nSources)
+    }
+  }
+
   test("q90 classifier: scores match a Scala model bit-for-bit; map-only plan") {
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     // the exact left-associated chain the query and its oracle share —
