@@ -776,6 +776,67 @@ object Events {
       |  CAST(MIN(lat) AS BIGINT) AS min_us, CAST(MAX(lat) AS BIGINT) AS max_us
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------- q111 anomaly detection
+
+  /** q111: per-type daily-volume anomaly census — which days spike above
+    * the type's mean by 2σ/3σ, plus the peak day. The monitoring rule
+    * every ingest pipeline runs; z-scores normally mean floats and sqrt,
+    * but the test `|n − μ| > k·σ AND n > μ` is equivalent to
+    * `(d·n − s)² > k²·(d·s2 − s²) AND n·d > s` over the integer
+    * day-count sums (s = Σn, s2 = Σn²) — PURE integer arithmetic, no
+    * sqrt, no division, so both engines agree exactly. (Long headroom:
+    * d·s2 overflows past ~10⁹ events/day/type; at that volume promote
+    * the sums to DECIMAL(38).)
+    *
+    * Shape: daily hash agg (map-combined), then every statistic —
+    * count/sum/sum-of-squares windows AND the peak-day rank — shares ONE
+    * event_type exchange over the tiny daily frame; final census is a
+    * 5-row aggregate. */
+  def anomalyDays(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wT = Window.partitionBy(col("event_type"))
+    val wRank = Window.partitionBy(col("event_type")).orderBy(col("n").desc, col("day"))
+    daily
+      .withColumn("d", count(lit(1)).over(wT))
+      .withColumn("s", sum(col("n")).over(wT))
+      .withColumn("s2", sum(col("n") * col("n")).over(wT))
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("dev2", (col("d") * col("n") - col("s")) * (col("d") * col("n") - col("s")))
+      .withColumn("dvar", col("d") * col("s2") - col("s") * col("s"))
+      .groupBy(col("event_type"))
+      .agg(max(col("d")).as("n_days"),
+        max(col("s")).as("total"),
+        max(when(col("rn") === 1, col("day"))).as("peak_day"),
+        max(when(col("rn") === 1, col("n"))).as("peak_n"),
+        count(when(col("dev2") > lit(4) * col("dvar") &&
+          col("n") * col("d") > col("s"), 1)).as("n_spike_2sigma"),
+        count(when(col("dev2") > lit(9) * col("dvar") &&
+          col("n") * col("d") > col("s"), 1)).as("n_spike_3sigma"))
+      .orderBy(col("event_type"))
+  }
+
+  val anomalyDaysSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, date_trunc('day', ts) AS day, COUNT(*) AS n
+      |  FROM events GROUP BY 1, 2
+      |), w AS (
+      |  SELECT event_type, day, n,
+      |    COUNT(*) OVER (PARTITION BY event_type) AS d,
+      |    SUM(n) OVER (PARTITION BY event_type) AS s,
+      |    SUM(n*n) OVER (PARTITION BY event_type) AS s2,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY n DESC, day) AS rn
+      |  FROM daily
+      |)
+      |SELECT event_type, CAST(MAX(d) AS BIGINT) AS n_days,
+      |  CAST(MAX(s) AS BIGINT) AS total,
+      |  MAX(CASE WHEN rn = 1 THEN day END) AS peak_day,
+      |  CAST(MAX(CASE WHEN rn = 1 THEN n END) AS BIGINT) AS peak_n,
+      |  CAST(COUNT(CASE WHEN (d*n - s)*(d*n - s) > 4*(d*s2 - s*s) AND n*d > s THEN 1 END) AS BIGINT) AS n_spike_2sigma,
+      |  CAST(COUNT(CASE WHEN (d*n - s)*(d*n - s) > 9*(d*s2 - s*s) AND n*d > s THEN 1 END) AS BIGINT) AS n_spike_3sigma
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q92_gap_fill", gapFillRevenue, Some(gapFillRevenueSql)),
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
@@ -793,6 +854,7 @@ object Events {
     QueryDef("q101_concurrency_sweep", concurrencySweep, Some(concurrencySweepSql)),
     QueryDef("q102_props_json_stats", propsJsonStats, Some(propsJsonStatsSql)),
     QueryDef("q107_debounce_census", debounceCensus, Some(debounceCensusSql)),
-    QueryDef("q108_conversion_latency", conversionLatency, Some(conversionLatencySql))
+    QueryDef("q108_conversion_latency", conversionLatency, Some(conversionLatencySql)),
+    QueryDef("q111_anomaly_days", anomalyDays, Some(anomalyDaysSql))
   )
 }

@@ -1218,6 +1218,52 @@ object Relational {
       |     JOIN e e2 ON e1.b = e2.a
       |     JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) AS n_triangles""".stripMargin
 
+  /** q112: market share — each nation's share of its region's yearly
+    * supplier revenue (TPC-H Q8's question re-asked with exact
+    * arithmetic). The deep-join-tree showcase: lineitem ⋈ orders is the
+    * one genuine fact-fact shuffle; supplier, nation and region are
+    * dimension broadcasts, and the ASIA filter prunes through the join
+    * chain to the region scan before anything shuffles. Revenue is q79's
+    * integer-cents idiom with the discount folded in BEFORE rounding
+    * (`round(price·(1−disc)·100)`), and shares are basis points by floor
+    * division over a window total — the whole result hash-gates with no
+    * decimal-division cross-engine drift. The share window runs over the
+    * aggregated (region, nation, yr) frame, never raw rows. */
+  def marketShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val rev = li
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("yr"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
+        .cast("long")).cast("long").as("cents"))
+    rev.withColumn("share_bp", expr("(10000 * cents) div " +
+        "sum(cents) over (partition by region, yr)"))
+      .select(col("region"), col("nation"), col("yr"), col("cents"), col("share_bp"))
+      .orderBy(col("yr"), col("nation"))
+  }
+
+  val marketShareSql: String =
+    """WITH rev AS (
+      |  SELECT r.r_name AS region, n.n_name AS nation,
+      |    EXTRACT(year FROM o.o_orderdate) AS yr,
+      |    CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |  JOIN region r ON n.n_regionkey = r.r_regionkey
+      |  WHERE r.r_name = 'ASIA'
+      |  GROUP BY 1, 2, 3
+      |)
+      |SELECT region, nation, CAST(yr AS BIGINT) AS yr, cents,
+      |  (10000 * cents) // SUM(cents) OVER (PARTITION BY region, yr) AS share_bp
+      |FROM rev ORDER BY yr, nation""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1252,6 +1298,7 @@ object Relational {
     QueryDef("q96_copurchase_pairs", copurchasePairs, Some(copurchasePairsSql)),
     QueryDef("q105_column_profile", columnProfile, Some(columnProfileSql)),
     QueryDef("q106_weighted_median", weightedMedian, Some(weightedMedianSql)),
-    QueryDef("q110_triangle_count", triangleCount, Some(triangleCountSql))
+    QueryDef("q110_triangle_count", triangleCount, Some(triangleCountSql)),
+    QueryDef("q112_market_share", marketShare, Some(marketShareSql))
   )
 }

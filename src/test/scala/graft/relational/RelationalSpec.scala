@@ -214,6 +214,83 @@ class RelationalSpec extends SparkSpec {
     assert(tris == brute.toLong, s"triangles: $tris vs brute $brute")
   }
 
+  test("q111 anomaly census matches an integer Scala model; 2-sigma fires at sf0.01") {
+    val dir = "/root/testdata/sf0.01"
+    val ev = graft.Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val model = ev.groupBy(_._1).map { case (t, xs) =>
+      val daily = xs.groupBy(_._2).view.mapValues(_.size.toLong).toSeq
+      val d = daily.size.toLong
+      val s = daily.map(_._2).sum
+      val s2 = daily.map(n => n._2 * n._2).sum
+      val (peakDay, peakN) = daily.minBy { case (day, n) => (-n, day) }
+      def spikes(k: Long) = daily.count { case (_, n) =>
+        val dev = d * n - s
+        dev * dev > k * (d * s2 - s * s) && n * d > s
+      }.toLong
+      (t, d, s, peakDay, peakN, spikes(4), spikes(9))
+    }.toSeq.sortBy(_._1)
+    val got = Events.anomalyDays(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime, r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got.nonEmpty && got == model, s"anomaly census mismatch:\n$got\nvs\n$model")
+    assert(got.map(_._6).sum > 0, "2-sigma spikes must fire at sf0.01")
+  }
+
+  test("q112 market share: shares telescope per (region, yr); one fact-fact shuffle join") {
+    val q = Relational.marketShare(spark, sfDir)
+    val rows = q.collect().map(r => (r.getString(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty && rows.forall(_._1 == "ASIA"))
+    // floor-division shares: sum within n of 10000, never above
+    for (((_, yr), grp) <- rows.groupBy(r => (r._1, r._3))) {
+      val s = grp.map(_._5).sum
+      assert(s <= 10000 && s > 10000 - grp.length,
+        s"$yr: share sum $s out of the floor-division envelope")
+    }
+    // independent Scala join over the collected base tables
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .collect().map(r => (asL(r, 0), asL(r, 1), r.getDouble(2), r.getDouble(3)))
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), year(col("o_orderdate")).cast("long"))
+      .collect().map(r => asL(r, 0) -> asL(r, 1)).toMap
+    val supNation = graft.Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), col("s_nationkey"))
+      .collect().map(r => asL(r, 0) -> asL(r, 1)).toMap
+    val nations = graft.Tables.nation(spark, sfDir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .collect().map(r => (asL(r, 0), (r.getString(1), asL(r, 2)))).toMap
+    val asiaRegion = graft.Tables.region(spark, sfDir)
+      .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
+      .collect().map(asL(_, 0)).toSet
+    val cents = li.toSeq.flatMap { case (ok, sk, price, disc) =>
+      val (nName, rk) = nations(supNation(sk))
+      if (asiaRegion(rk)) Some(((nName, orders(ok)), math.round(price * (1 - disc) * 100)))
+      else None
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val gotCents = rows.map(r => ((r._2, r._3), r._4)).toMap
+    assert(gotCents == cents, "revenue cents must match the Scala join")
+    // plan: four equi-joins, dims broadcast, nothing nested-loop. (At
+    // sf0.001 AQE broadcasts the orders side too — at scale the
+    // lineitem ⋈ orders leg becomes the one shuffle join; the hinted
+    // dimension broadcasts are what this locks.)
+    val nodes = collectAll(plan(q))
+    val smj = nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec])
+    val shj = nodes.count(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+    val bhj = nodes.count(_.isInstanceOf[BroadcastHashJoinExec])
+    assert(smj + shj + bhj == 4, s"expected 4 equi-joins, got smj=$smj shj=$shj bhj=$bhj")
+    assert(bhj >= 3, s"dimension joins must broadcast, got $bhj")
+    assert(!nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "no nested-loop join anywhere in the chain")
+  }
+
   test("q100 transition matrix matches a per-user sequential Scala model") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
