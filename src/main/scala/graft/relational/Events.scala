@@ -837,6 +837,43 @@ object Events {
       |  CAST(COUNT(CASE WHEN (d*n - s)*(d*n - s) > 9*(d*s2 - s*s) AND n*d > s THEN 1 END) AS BIGINT) AS n_spike_3sigma
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------- q113 retention cohorts
+
+  /** q113: weekly retention cohorts — users grouped by their first-
+    * activity week; for each (cohort, week-offset), how many distinct
+    * cohort members were active. THE product-analytics staple (the
+    * "retention triangle").
+    *
+    * Shape: activity is collapsed to distinct (user, week) FIRST (the
+    * map-combined dedup carries one row per user-week, not per event),
+    * the cohort is a per-user min over that frame, and the final
+    * distinct-user count per (cohort, offset) needs no expand because
+    * (user, week) is already unique. Week arithmetic stays on
+    * week-truncated dates, so the offset is an exact integer
+    * `days div 7` in both engines. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val uw = Tables.events(spark, dir)
+      .groupBy(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .agg(count(lit(1)).as("n_events"))
+    val wU = Window.partitionBy(col("user_id"))
+    uw.withColumn("cohort", min(col("wk")).over(wU))
+      .withColumn("offset_wk", expr("datediff(wk, cohort) div 7").cast("long"))
+      .groupBy(col("cohort"), col("offset_wk"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("cohort"), col("offset_wk"))
+  }
+
+  val retentionCohortsSql: String =
+    """WITH uw AS (
+      |  SELECT user_id, date_trunc('week', ts) AS wk FROM events GROUP BY 1, 2
+      |), first AS (
+      |  SELECT user_id, MIN(wk) AS cohort FROM uw GROUP BY 1
+      |)
+      |SELECT f.cohort, CAST(date_diff('week', f.cohort, uw.wk) AS BIGINT) AS offset_wk,
+      |  COUNT(*) AS n_users
+      |FROM uw JOIN first f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q92_gap_fill", gapFillRevenue, Some(gapFillRevenueSql)),
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
@@ -855,6 +892,7 @@ object Events {
     QueryDef("q102_props_json_stats", propsJsonStats, Some(propsJsonStatsSql)),
     QueryDef("q107_debounce_census", debounceCensus, Some(debounceCensusSql)),
     QueryDef("q108_conversion_latency", conversionLatency, Some(conversionLatencySql)),
-    QueryDef("q111_anomaly_days", anomalyDays, Some(anomalyDaysSql))
+    QueryDef("q111_anomaly_days", anomalyDays, Some(anomalyDaysSql)),
+    QueryDef("q113_retention_cohorts", retentionCohorts, Some(retentionCohortsSql))
   )
 }

@@ -1264,6 +1264,86 @@ object Relational {
       |  (10000 * cents) // SUM(cents) OVER (PARTITION BY region, yr) AS share_bp
       |FROM rev ORDER BY yr, nation""".stripMargin
 
+  /** q114: two unrolled rounds of PageRank on the symmetric co-purchase
+    * graph, entirely in scaled-integer space — influence/importance
+    * ranking, the iterative-graph sibling of q55's label propagation.
+    * Damped update: `score' = 0.15·10⁶ + 85·Σ(score_src div out_deg)
+    * div 100`; every contribution is a single integer floor division, so
+    * both engines walk the identical trajectory and the top-20 ranking
+    * hash-gates (same unrolled-rounds policy as q55's oracle — a fixed
+    * iteration count, not a convergence loop).
+    *
+    * Shape: edges from q110's basket generator, SYMMETRIZED by one
+    * `explode(array(struct(a,b), struct(b,a)))` generator (not a
+    * UNION — union re-executes the edge subtree per branch); the edge
+    * frame and degree table are lazily checkpointed because every round
+    * references both. Per round: one edge-keyed broadcast-or-shuffle
+    * join to attach source scores/degrees, one map-combined sum per
+    * destination. At 100 TB rounds would iterate under
+    * [[graft.Dist.durableCkpt]] exactly like q55's loop. */
+  def pagerankTwoRounds(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val baskets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val pairs = baskets.select(explode(expr(
+      """flatten(transform(parts, (x, i) ->
+        |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+        |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val edges = pairs
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .transform(graft.Dist.durableCkpt)
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("out_d"))
+      .transform(graft.Dist.durableCkpt)
+    def round(scores: DataFrame): DataFrame = {
+      val contrib = edges
+        .join(scores.withColumnRenamed("v", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("v"), expr("score div out_d").as("c"))
+        .groupBy(col("v")).agg(sum(col("c")).as("cs"))
+      deg.select(col("src").as("v"))
+        .join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          expr("150000 + (85 * coalesce(cs, CAST(0 AS BIGINT))) div 100")
+            .cast("long").as("score"))
+    }
+    val r0 = deg.select(col("src").as("v"), lit(1000000L).as("score"))
+    val r2 = round(round(r0).transform(graft.Dist.durableCkpt))
+    r2.orderBy(col("score").desc, col("v")).limit(20)
+  }
+
+  val pagerankTwoRoundsSql: String =
+    """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e0 AS (SELECT a.l_partkey a, b.l_partkey b FROM i a JOIN i b
+      |       ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |       GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |e AS MATERIALIZED (SELECT a AS src, b AS dst FROM e0
+      |                   UNION ALL SELECT b, a FROM e0),
+      |deg AS MATERIALIZED (SELECT src AS v, COUNT(*) AS out_d FROM e GROUP BY 1),
+      |r0 AS (SELECT v, 1000000 AS score FROM deg),
+      |r1 AS MATERIALIZED (
+      |  SELECT d.v, 150000 + (85 * COALESCE(SUM(r0.score // src.out_d), 0)) // 100 AS score
+      |  FROM deg d
+      |  LEFT JOIN e ON e.dst = d.v
+      |  LEFT JOIN r0 ON r0.v = e.src
+      |  LEFT JOIN deg src ON src.v = e.src
+      |  GROUP BY d.v
+      |), r2 AS (
+      |  SELECT d.v, 150000 + (85 * COALESCE(SUM(r1.score // src.out_d), 0)) // 100 AS score
+      |  FROM deg d
+      |  LEFT JOIN e ON e.dst = d.v
+      |  LEFT JOIN r1 ON r1.v = e.src
+      |  LEFT JOIN deg src ON src.v = e.src
+      |  GROUP BY d.v
+      |)
+      |SELECT v, CAST(score AS BIGINT) AS score FROM r2
+      |ORDER BY score DESC, v LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1299,6 +1379,7 @@ object Relational {
     QueryDef("q105_column_profile", columnProfile, Some(columnProfileSql)),
     QueryDef("q106_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("q110_triangle_count", triangleCount, Some(triangleCountSql)),
-    QueryDef("q112_market_share", marketShare, Some(marketShareSql))
+    QueryDef("q112_market_share", marketShare, Some(marketShareSql)),
+    QueryDef("q114_pagerank", pagerankTwoRounds, Some(pagerankTwoRoundsSql))
   )
 }

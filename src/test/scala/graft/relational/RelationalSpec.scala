@@ -291,6 +291,54 @@ class RelationalSpec extends SparkSpec {
       "no nested-loop join anywhere in the chain")
   }
 
+  test("q113 retention cohorts match a Scala model; offset-0 counts every cohort member") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val byUser = ev.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val week = 7L * 24 * 3600 * 1000
+    val model = byUser.toSeq.flatMap { case (u, wks) =>
+      val cohort = wks.min
+      wks.map(w => ((cohort, (w - cohort) / week), u))
+    }.groupBy(_._1).map { case ((c, o), xs) => (c, o, xs.size.toLong) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    val rows = Events.retentionCohorts(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty && rows == model, s"cohorts mismatch:\n$rows\nvs\n$model")
+    // offset 0 must count the whole cohort (everyone is active in their
+    // own first week by definition)
+    val cohortSizes = byUser.values.groupBy(_.min).view.mapValues(_.size.toLong)
+    for ((c, o, n) <- rows if o == 0L)
+      assert(n == cohortSizes(c), s"cohort $c offset 0 must equal cohort size")
+  }
+
+  test("q114 pagerank: matches a sequential Scala model; mass bounded by damping") {
+    val q = Relational.pagerankTwoRounds(spark, sfDir)
+    val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == 20)
+    // rebuild the symmetric edge set and walk the same two rounds
+    val li = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = li.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val parts = xs.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- (i + 1) until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keySet
+    val edges = und.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    def round(s: Map[Long, Long]): Map[Long, Long] = {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (src, _) => s(src) / deg(src) }.sum).toMap
+      deg.keys.map(v => v -> (150000L + 85L * in.getOrElse(v, 0L) / 100L)).toMap
+    }
+    val r2 = round(round(deg.keys.map(_ -> 1000000L).toMap))
+    val modelTop = r2.toSeq.sortBy { case (v, s) => (-s, v) }.take(20)
+    assert(got == modelTop, s"pagerank mismatch:\n$got\nvs\n$modelTop")
+    // damping bounds every score: 0.15e6 <= score <= 0.15e6 + 0.85*max_in
+    assert(got.forall(_._2 >= 150000L))
+  }
+
   test("q100 transition matrix matches a per-user sequential Scala model") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
