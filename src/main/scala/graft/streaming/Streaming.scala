@@ -248,6 +248,20 @@ object Streaming {
         col("total_value").as("hist_value")),
       Seq("user_id"), "left")
 
+  /** Data-quality OBSERVABILITY on a stream without a second scan:
+    * `Dataset.observe` attaches named aggregate metrics (row count,
+    * empty-text count, byte volume) that ride the normal micro-batch
+    * execution — no extra pass, no extra state — and surface per batch
+    * in `StreamingQueryProgress.observedMetrics("ingest_quality")`. The
+    * production pattern for ingest monitoring: alerting reads the
+    * progress feed, the pipeline itself is untouched. Works identically
+    * on batch frames (metrics via QueryExecutionListener). */
+  def observeIngestQuality(docs: DataFrame): DataFrame =
+    docs.observe("ingest_quality",
+      count(lit(1)).as("n_rows"),
+      count(when(col("text").isNull || length(col("text")) === 0, 1)).as("n_empty"),
+      coalesce(sum(length(col("text"))).cast("long"), lit(0L)).as("n_chars"))
+
   /** Streaming exact dedup: first event per event_id wins, duplicates
     * arriving within the watermark horizon are dropped. State holds one
     * entry per key inside the horizon and is evicted as the watermark

@@ -249,6 +249,33 @@ class StreamingSpec extends SparkSpec {
     assert(kept == Set(2L, 6L), s"got $kept")
   }
 
+  test("observe: per-batch ingest-quality metrics ride the stream without a second scan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(min * 60000L)
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val observed = Streaming.observeIngestQuality(
+      stream.toDF().toDF("doc_id", "ts", "text"))
+    val q = observed.writeStream.format("memory")
+      .queryName("t_observe").outputMode("append").start()
+    try {
+      stream.addData((1L, ts(1), "alpha"), (2L, ts(2), ""), (3L, ts(3), "beta gam"))
+      q.processAllAvailable()
+      stream.addData((4L, ts(4), "x"))
+      q.processAllAvailable()
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("ingest_quality")))
+        .map(r => (r.getAs[Long]("n_rows"), r.getAs[Long]("n_empty"),
+          r.getAs[Long]("n_chars")))
+        .filter(_._1 > 0) // empty trailing batches carry no data
+      assert(metrics.map(_._1).sum == 4, s"all rows observed: $metrics")
+      assert(metrics.map(_._2).sum == 1, "the planted empty text is counted")
+      assert(metrics.map(_._3).sum == ("alpha" + "" + "beta gam" + "x").length)
+      // the metrics are a free rider: the sink still received every row
+      assert(spark.table("t_observe").count() == 4)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState running totals match a batch groupBy") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
