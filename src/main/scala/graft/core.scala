@@ -66,11 +66,20 @@ object Dist {
     * The range exchange samples the child to pick boundaries — same cost
     * model as a global orderBy, but the window itself stays parallel. */
   def globalRowNumber(df: DataFrame, key: Column, numParts: Int = 32): DataFrame = {
+    // The partitioned frame MUST be checkpointed: the data branch and the
+    // offsets branch both contain the range exchange, and if the planner
+    // re-executes it instead of reusing the stage, RangePartitioner
+    // re-SAMPLES boundaries with a fresh RDD-id-derived seed — the two
+    // branches then disagree on which keys live in which __pid and the
+    // offsets join corrupts the numbering (observed as overlapping
+    // buckets in q115 before the fix). One materialized RDD makes the
+    // pid→range mapping consistent by construction.
     val parted = df.repartitionByRange(numParts, key)
       .withColumn("__pid", spark_partition_id())
+      .transform(durableCkpt)
     val local = parted.withColumn("__local_rn",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(key)))
-    val offsets = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+    val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__offset",
         coalesce(sum(col("__cnt")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
@@ -85,19 +94,21 @@ object Dist {
     * `Window.orderBy(key)` cumsum moves every row to one task. Range
     * partition on the key, per-partition local cumsum, then add each
     * partition's total-weight predecessor sum via the tiny broadcast
-    * offsets join (the offsets aggregate does not reference the local
-    * window column, so Catalyst prunes the window on that branch and the
-    * range exchange is reused, not recomputed). Result column: `cum`
-    * (inclusive of the current row's weight). */
+    * offsets join. The partitioned frame is checkpointed for the same
+    * reason as [[globalRowNumber]] — both branches must read ONE
+    * materialized range partitioning, or a re-sampled exchange corrupts
+    * the offsets. Result column: `cum` (inclusive of the current row's
+    * weight). */
   def globalCumSum(df: DataFrame, key: Column, weight: Column,
       numParts: Int = 32): DataFrame = {
     val parted = df.withColumn("__w", weight.cast("long"))
       .repartitionByRange(numParts, key)
       .withColumn("__pid", spark_partition_id())
+      .transform(durableCkpt)
     val local = parted.withColumn("__local_cum",
       sum(col("__w")).over(Window.partitionBy(col("__pid")).orderBy(key)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val offsets = local.groupBy(col("__pid")).agg(sum(col("__w")).as("__tot"))
+    val offsets = parted.groupBy(col("__pid")).agg(sum(col("__w")).as("__tot"))
       .withColumn("__offset",
         coalesce(sum(col("__tot")).over(
           Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))

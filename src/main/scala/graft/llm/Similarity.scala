@@ -1210,6 +1210,94 @@ object Similarity {
        |) ORDER BY split""".stripMargin
   }
 
+  // ------------------------------------ q116 c-TF-IDF terms per cluster
+
+  /** q116: what is each near-dup cluster ABOUT — top-3 salient terms per
+    * cluster by class-based TF-IDF (BERTopic's c-TF-IDF, linearized):
+    * `score = 1e6 · tf_c(t) · n_classes div total_tf(t)`. Log-free for
+    * the same reason as q66/q104 — log is monotone, the integer ratio
+    * ranks identically and hash-gates. Composes the two big subsystems:
+    * the label-propagation clusters (q55/q67's group-space machinery)
+    * supply the classes, the token tier supplies the statistics.
+    *
+    * Shape: the doc→label table broadcasts against the corpus scan
+    * (q67's pattern — the corpus is only tokenized for in-cluster docs),
+    * then one (class, term) hash agg; the per-term total is a window
+    * over that aggregated frame and the class count rides in as a
+    * broadcast one-row aggregate. */
+  def clusterTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val (grps, groupLabels) = clusterGroupLabels(spark, dir)
+    val docLabels = groupLabels
+      .join(broadcast(grps.select(col("gid").as("node"), col("members"))), Seq("node"))
+      .select(col("lbl"), explode(col("members")).as("doc_id"))
+    val tf = Tables.documents(spark, dir)
+      .join(broadcast(docLabels), Seq("doc_id"))
+      .select(col("lbl"), explode(graft.text.TextOps.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("lbl"), col("term")).agg(count(lit(1)).as("tf"))
+    val nClasses = docLabels.select(col("lbl")).distinct()
+      .agg(count(lit(1)).as("n_classes"))
+    val wTerm = Window.partitionBy(col("term"))
+    val wRank = Window.partitionBy(col("lbl"))
+      .orderBy(col("score").desc, col("term"))
+    tf.withColumn("term_tf", sum(col("tf")).over(wTerm))
+      .crossJoin(broadcast(nClasses))
+      .withColumn("score", expr("(1000000 * tf * n_classes) div term_tf"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= 3)
+      .select(col("lbl").as("cluster_rep"), col("term"), col("tf"),
+        col("score"), col("rank"))
+      .orderBy(col("cluster_rep"), col("rank"))
+  }
+
+  /** Same fixpoint chain as q55/q67/q93, finished with the c-TF-IDF
+    * ranking; poison row turns non-convergence into a hash mismatch. */
+  val clusterTopTermsSql: String = {
+    val rounds = 8
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
+       |), sym AS MATERIALIZED (
+       |  SELECT id_a AS node, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT node, node AS lbl FROM sym
+       |), ${labelRoundCtes(rounds)}, tfx AS (
+       |  SELECT l.lbl, t.term, COUNT(*) AS tf
+       |  FROM lab$rounds l JOIN (
+       |    SELECT doc_id,
+       |      unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS term
+       |    FROM documents) t ON t.doc_id = l.node
+       |  GROUP BY 1, 2
+       |), nc AS (SELECT COUNT(DISTINCT lbl) AS n_classes FROM lab$rounds),
+       |sc AS (
+       |  SELECT lbl, term, tf,
+       |    (1000000 * tf * nc.n_classes) // SUM(tf) OVER (PARTITION BY term) AS score
+       |  FROM tfx CROSS JOIN nc
+       |), rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lbl ORDER BY score DESC, term) AS rank
+       |  FROM sc
+       |)
+       |SELECT cluster_rep, term, tf, score, rank FROM (
+       |  SELECT lbl AS cluster_rep, term, CAST(tf AS BIGINT) AS tf,
+       |    CAST(score AS BIGINT) AS score, CAST(rank AS INT) AS rank
+       |  FROM rk WHERE rank <= 3
+       |  UNION ALL
+       |  SELECT -1, 'NONCONVERGED', -1, -1, -1
+       |  WHERE EXISTS (SELECT 1 FROM lab$rounds a JOIN lab${rounds - 1} b
+       |                ON a.node = b.node WHERE a.lbl <> b.lbl)
+       |) ORDER BY cluster_rep, rank""".stripMargin
+  }
+
   // -------------------------------- q70 int8 scalar-quantized ANN top-k
 
   /** Scalar (symmetric per-vector) int8 quantization + integer-dot top-k —
@@ -1778,6 +1866,7 @@ object Similarity {
     QueryDef("q75_kmeans", kmeans, Some(kmeansSql)),
     QueryDef("q85_curated_corpus", curatedCorpus, Some(curatedCorpusSql)),
     QueryDef("q98_gram_matrix", gramMatrix, Some(gramMatrixSql)),
-    QueryDef("q99_rrf_fusion", rrfFusion, Some(rrfFusionSql))
+    QueryDef("q99_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
+    QueryDef("q116_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql))
   )
 }

@@ -1344,6 +1344,60 @@ object Relational {
       |SELECT v, CAST(score AS BIGINT) AS score FROM r2
       |ORDER BY score DESC, v LIMIT 20""".stripMargin
 
+  /** Equi-depth bucket count for q115. */
+  val HistB = 8
+
+  /** q115: equi-DEPTH histogram construction over extended price — the
+    * optimizer-statistics primitive (each bucket holds ~1/B of the rows;
+    * boundaries, row and distinct-value counts per bucket). q37 EXTRACTS
+    * percentiles; this BUILDS the full histogram a cost model consumes.
+    *
+    * Bucket assignment is pure integer arithmetic over the cumulative
+    * count: a distinct value at inclusive cumulative rank c lands in
+    * bucket `((c−1)·B div n) + 1` — monotone, ties (equal values) stay
+    * in one bucket, no float rank boundaries to disagree on. The
+    * map-combined aggregation collapses to the DISTINCT-value histogram
+    * first (q37's rule), but unlike q37's 50-value quantity domain the
+    * price domain is ~rows-sized, so the running count uses
+    * [[graft.Dist.globalCumSum]] (range partition + local window +
+    * broadcast offsets) — a single-partition cumsum window over millions
+    * of distinct prices is exactly the straggler that utility exists to
+    * avoid — and the grand total rides in as a broadcast one-row
+    * aggregate. */
+  def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val hist = li
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
+      // feeds the cumsum AND the grand total — checkpoint so the scan
+      // and aggregation run once (no plan CSE across branches)
+      .transform(graft.Dist.durableCkpt)
+    val total = hist.agg(sum(col("cnt")).cast("long").as("n"))
+    graft.Dist.globalCumSum(hist, col("cents"), col("cnt"))
+      .crossJoin(broadcast(total))
+      .withColumn("bucket", expr(s"((cum - 1) * $HistB) div n + 1"))
+      .groupBy(col("bucket"))
+      .agg(min(col("cents")).as("lo_cents"), max(col("cents")).as("hi_cents"),
+        sum(col("cnt")).cast("long").as("n_rows"),
+        count(lit(1)).as("n_distinct"))
+      .orderBy(col("bucket"))
+  }
+
+  val equidepthHistogramSql: String =
+    s"""WITH hist AS (
+       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, COUNT(*) AS cnt
+       |  FROM lineitem GROUP BY 1
+       |), c AS (
+       |  SELECT cents, cnt,
+       |    SUM(cnt) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+       |    SUM(cnt) OVER () AS n
+       |  FROM hist
+       |)
+       |SELECT ((cum - 1) * $HistB) // n + 1 AS bucket,
+       |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
+       |  CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct
+       |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1380,6 +1434,7 @@ object Relational {
     QueryDef("q106_weighted_median", weightedMedian, Some(weightedMedianSql)),
     QueryDef("q110_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("q112_market_share", marketShare, Some(marketShareSql)),
-    QueryDef("q114_pagerank", pagerankTwoRounds, Some(pagerankTwoRoundsSql))
+    QueryDef("q114_pagerank", pagerankTwoRounds, Some(pagerankTwoRoundsSql)),
+    QueryDef("q115_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql))
   )
 }

@@ -250,6 +250,42 @@ class SimilaritySpec extends SparkSpec {
     assert(got == model, s"representatives disagree with union-find+argmax model")
   }
 
+  test("q116 cluster top terms match a union-find + Scala c-TF-IDF model") {
+    val pairs = Similarity.lshVerifiedPairs(spark, sfDir)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    for ((a, b) <- pairs) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val labels = parent.keys.map(d => d -> find(d)).toMap
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.lower(org.apache.spark.sql.functions.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val tf = labels.toSeq.flatMap { case (doc, lbl) =>
+      texts(doc).split("\\s+").filter(_.nonEmpty).map(t => (lbl, t))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nClasses = labels.values.toSet.size.toLong
+    val termTf = tf.toSeq.groupBy(_._1._2).view
+      .mapValues(_.map(_._2).sum).toMap
+    val model = tf.toSeq.map { case ((lbl, t), n) =>
+      (lbl, t, n, 1000000L * n * nClasses / termTf(t))
+    }.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      xs.sortBy { case (_, t, _, s) => (-s, t) }.take(3).zipWithIndex
+        .map { case ((lbl, t, n, s), i) => (lbl, t, n, s, i + 1) }
+    }.sortBy(r => (r._1, r._5))
+    val got = Similarity.clusterTopTerms(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSeq
+    assert(got.nonEmpty && got == model,
+      s"cluster top terms disagree with the model:\n$got\nvs\n$model")
+  }
+
   test("q68 incremental dedup agrees with the full pair graph restricted to cross pairs") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect().map(r => (r.getLong(0), r.getString(1)))

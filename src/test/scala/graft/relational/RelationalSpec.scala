@@ -339,6 +339,35 @@ class RelationalSpec extends SparkSpec {
     assert(got.forall(_._2 >= 150000L))
   }
 
+  test("q115 equi-depth histogram matches a Scala model; buckets partition the rows") {
+    val cents = graft.Tables.lineitem(spark, sfDir)
+      .select(col("l_extendedprice")).collect()
+      .map(r => math.round(r.getDouble(0) * 100))
+    val B = Relational.HistB
+    val hist = cents.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val n = cents.length.toLong
+    var cum = 0L
+    val model = hist.map { case (c, cnt) =>
+      cum += cnt
+      (((cum - 1) * B) / n + 1, c, cnt)
+    }.groupBy(_._1).map { case (b, xs) =>
+      (b, xs.map(_._2).min, xs.map(_._2).max, xs.map(_._3).sum, xs.size.toLong)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.equidepthHistogram(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model, s"histogram mismatch:\n$got\nvs\n$model")
+    // structural invariants: buckets 1..B, disjoint ascending ranges,
+    // row counts partition the table
+    assert(got.map(_._1) == (1L to B).toSeq)
+    assert(got.map(_._4).sum == n)
+    got.sliding(2).foreach {
+      case Seq(a, b) => assert(a._3 < b._2, "bucket ranges must not overlap")
+      case _ =>
+    }
+  }
+
   test("q100 transition matrix matches a per-user sequential Scala model") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
