@@ -1024,23 +1024,29 @@ object Relational {
     * per basket and never crosses an exchange. The pair census then
     * map-side-combines. Output is the top-25 pairs under a total order
     * (count desc, pair) so the limit is deterministic. */
-  def copurchasePairs(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val baskets = li
+  /** Shared basket pair generator for q96/q110/q114: per-order baskets →
+    * all ordered part pairs (a < b by the sorted basket) with their
+    * co-occurrence count. One hash agg + one bounded per-basket
+    * generator — never a fact-fact self-join. */
+  private def copurchaseCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-    val pairs = baskets.select(explode(expr(
-      // all ordered pairs (parts[i], parts[j]) with i < j; parts is
-      // sorted, so part_a < part_b by construction
-      """flatten(transform(parts, (x, i) ->
-        |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-        |    struct(x AS part_a, y AS part_b))))""".stripMargin)).as("p"))
-    pairs.select(col("p.part_a"), col("p.part_b"))
-      .groupBy(col("part_a"), col("part_b"))
-      .agg(count(lit(1)).as("n_orders"))
+      .select(explode(expr(
+        // all ordered pairs (parts[i], parts[j]) with i < j; parts is
+        // sorted, so a < b by construction
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+
+  def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    copurchaseCounts(spark, dir)
+      .select(col("a").as("part_a"), col("b").as("part_b"),
+        col("n").as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
       .limit(25)
-  }
 
   val copurchasePairsSql: String =
     """WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -1179,15 +1185,7 @@ object Relational {
     * degree join. Output is the one-row graph census (nodes, edges,
     * triangles). */
   def triangleCount(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val baskets = li.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-    val edges = baskets.select(explode(expr(
-      """flatten(transform(parts, (x, i) ->
-        |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-        |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("n"))
+    val edges = copurchaseCounts(spark, dir)
       .filter(col("n") >= 2)
       .select(col("a"), col("b"))
       .transform(graft.Dist.durableCkpt)
@@ -1282,16 +1280,7 @@ object Relational {
     * destination. At 100 TB rounds would iterate under
     * [[graft.Dist.durableCkpt]] exactly like q55's loop. */
   def pagerankTwoRounds(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
-    val baskets = li.groupBy(col("l_orderkey"))
-      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-    val pairs = baskets.select(explode(expr(
-      """flatten(transform(parts, (x, i) ->
-        |  transform(slice(parts, i + 2, size(parts) - i - 1), y ->
-        |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
+    val pairs = copurchaseCounts(spark, dir).filter(col("n") >= 2)
     val edges = pairs
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
