@@ -1387,6 +1387,50 @@ object Relational {
        |  CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct
        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin
 
+  /** q117: customer-spend decile report (the Lorenz curve in basis
+    * points) — rank customers by lifetime spend, cut into ten
+    * equal-count deciles, report each decile's share of total revenue.
+    * The concentration/inequality diagnostic behind "top decile drives
+    * X% of revenue".
+    *
+    * Shape: spend aggregates per customer first (map-combined), the
+    * global rank comes from [[graft.Dist.globalRowNumber]] on the unique
+    * (cents, custkey) struct key — never a single-partition window over
+    * the rows-sized customer frame — and the (count, total) pair rides
+    * in as a broadcast one-row aggregate. Integer cents + basis-point
+    * floor division keep the whole report float-free. */
+  def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      .transform(graft.Dist.durableCkpt) // feeds the rank AND the totals
+    val totals = spend.agg(count(lit(1)).as("n"),
+      sum(col("cents")).cast("long").as("total"))
+    graft.Dist.globalRowNumber(spend, struct(col("cents"), col("o_custkey")))
+      .crossJoin(broadcast(totals))
+      .withColumn("decile", expr("((rn - 1) * 10) div n + 1"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("cents")).cast("long").as("cents"),
+        expr("(10000 * CAST(sum(cents) AS BIGINT)) div max(total)").as("share_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val spendDecilesSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1
+      |), rn AS (
+      |  SELECT o_custkey, cents,
+      |    ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn,
+      |    COUNT(*) OVER () AS n, SUM(cents) OVER () AS total
+      |  FROM spend
+      |)
+      |SELECT ((rn - 1) * 10) // n + 1 AS decile,
+      |  COUNT(*) AS n_customers, CAST(SUM(cents) AS BIGINT) AS cents,
+      |  (10000 * CAST(SUM(cents) AS BIGINT)) // CAST(MAX(total) AS BIGINT) AS share_bp
+      |FROM rn GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1424,6 +1468,7 @@ object Relational {
     QueryDef("q110_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("q112_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q114_pagerank", pagerankTwoRounds, Some(pagerankTwoRoundsSql)),
-    QueryDef("q115_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql))
+    QueryDef("q115_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
+    QueryDef("q117_spend_deciles", spendDeciles, Some(spendDecilesSql))
   )
 }

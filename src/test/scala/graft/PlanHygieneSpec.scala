@@ -32,7 +32,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q44_cosine_topk", "q49_ann_ivf_topk", "q70_int8_ann_topk",
     "q66_tfidf_terms", "q75_kmeans", "q83_quality_audit",
     "q99_rrf_fusion", "q104_pmi_pairs", "q109_mixture_plan",
-    "q110_triangle_count", "q115_equidepth_histogram", "q116_cluster_top_terms")
+    "q110_triangle_count", "q115_equidepth_histogram", "q116_cluster_top_terms",
+    "q117_spend_deciles")
 
   test("no registered query plans an unbounded cross product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -368,6 +368,30 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q117 spend deciles match a Scala model; shares telescope and Lorenz-ascend") {
+    val spend = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getAs[Number](0).longValue, math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val n = spend.size.toLong
+    val total = spend.map(_._2).sum
+    val model = spend.sortBy { case (k, c) => (c, k) }.zipWithIndex
+      .map { case ((_, c), i) => ((i.toLong * 10) / n + 1, c) }
+      .groupBy(_._1).map { case (d, xs) =>
+        (d, xs.size.toLong, xs.map(_._2).sum, 10000L * xs.map(_._2).sum / total)
+      }.toSeq.sortBy(_._1)
+    val got = Relational.spendDeciles(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model, s"deciles mismatch:\n$got\nvs\n$model")
+    assert(got.map(_._1) == (1L to 10L).toSeq)
+    assert(got.map(_._3).sum == total, "decile cents must telescope to the total")
+    // Lorenz property: per-decile spend is non-decreasing (ranked ascending)
+    got.map(_._3).sliding(2).foreach {
+      case Seq(a, b) => assert(a <= b, "decile totals must ascend")
+      case _ =>
+    }
+  }
+
   test("q100 transition matrix matches a per-user sequential Scala model") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
