@@ -53,6 +53,32 @@ class DistSpec extends SparkSpec {
       "per-row cumsum must never run in a single-partition window")
   }
 
+  test("globalCumSum/globalRowNumber are deterministic across reruns and partition counts") {
+    // regression lock for the range-exchange re-sampling bug: the data
+    // and offsets branches share one checkpointed partitioning, so the
+    // result must be identical run-to-run and for ANY numParts — before
+    // the fix, a non-reused exchange re-sampled partitioner boundaries
+    // and corrupted the offsets (overlapping q115 buckets at sf0.01)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), (pmod(xxhash64(col("text")), lit(997)) + 1).as("w"))
+      .repartition(13)
+    def runCum(parts: Int): Seq[(Long, Long)] =
+      Dist.globalCumSum(docs, col("doc_id"), col("w"), numParts = parts)
+        .select(col("doc_id"), col("cum"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = runCum(5)
+    assert(runCum(5) == ref, "rerun must be identical")
+    assert(runCum(3) == ref && runCum(17) == ref,
+      "cum must not depend on the partition count")
+    // monotone by construction — any offsets corruption breaks this
+    assert(ref.map(_._2) == ref.map(_._2).sorted)
+    val rn = Dist.globalRowNumber(docs, col("doc_id"), numParts = 7)
+      .select(col("doc_id"), col("rn")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(1)).toSeq
+    assert(rn == (1L to ref.size).toSeq, "row numbers must be dense 1..N")
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
