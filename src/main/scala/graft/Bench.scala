@@ -56,7 +56,7 @@ object Bench {
       .filter { case (name, _) => only.forall(name.contains) }
       .map { case (name, fn) =>
       var failed = false
-      val best = (1 to reps).map { _ =>
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // failures are LOGGED and poison the query's result with a -1
         // sentinel — a query that throws quickly must never surface as a
@@ -66,19 +66,29 @@ object Bench {
           System.err.println(s"[bench] FAILED $name: $e")
         }
         (System.nanoTime() - t0) / 1e9
-      }.min
-      val dt = if (failed) -1.0 else best
+      }
+      val dt = if (failed) -1.0 else times.min
       // drop cached/broadcast state between queries so late queries aren't
       // taxed by 50 predecessors' accumulated executor memory
       spark.catalog.clearCache()
-      name -> dt
+      (name, dt, times)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    // ALL rep times, not just the min: a per-query min cannot distinguish
+    // a host-load spike from a real regression after the fact (round 4's
+    // q43-q48 block was unadjudicable for exactly this reason) — the full
+    // rep vector makes every number in `queries` auditable post-hoc
+    val repsJson = results.map { case (k, _, ts) =>
+      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // failures carry a -1 sentinel; summing them would silently SHRINK
     // the headline total — exclude them (the per-query map still shows -1)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // "total" is repeated at the END of the line: the driver's log capture
+    // truncates the head of long lines, which made the r3/r4 totals
+    // unrecoverable from the record
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","total":$total}""")
     spark.stop()
   }
 }

@@ -21,6 +21,11 @@ object Verify {
     // Dev-only subset filter (comma-separated names); the driver sets no
     // env, so its runs always dump the full surface.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // Record Dist range-partition boundary digests per query (dumped as
+    // dist_digest.json below) — a hash mismatch on a Dist-based query is
+    // then diagnosable against the exact boundaries this run sampled.
+    sys.props("graft.dist.digest") = "true"
+    val digestLines = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -29,6 +34,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      val dg = Dist.drainDigests()
+      if (dg.nonEmpty) digestLines(name) = dg
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -45,6 +52,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val digestJson = digestLines
+      .map { case (k, vs) => s"${q(k)}: ${vs.map(q).mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/dist_digest.json"), digestJson)
     spark.stop()
   }
 }

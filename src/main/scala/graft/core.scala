@@ -54,6 +54,37 @@ object Tables {
 object Dist {
   import org.apache.spark.sql.expressions.Window
 
+  /** Post-hoc diagnosability for the range-partitioned utilities: when
+    * enabled (`SPARK_GRAFT_DIST_DIGEST=1` or `-Dgraft.dist.digest=true`),
+    * every [[globalRowNumber]]/[[globalCumSum]] call records one line —
+    * `tag pid:rows:minKey:maxKey|…` over the MATERIALIZED range
+    * partitioning — into a bounded in-memory log that Verify drains per
+    * query and dumps as `dist_digest.json`. A driver-side hash mismatch
+    * on a Dist-based query is then diagnosable against the exact
+    * partitioner boundaries that run sampled, instead of being
+    * unreproducible after the fact. Off by default: recording costs one
+    * extra numParts-row action per call (the checkpoint makes it cheap,
+    * but bench runs must not pay it). */
+  private val digests = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def digestOn: Boolean =
+    sys.env.get("SPARK_GRAFT_DIST_DIGEST").contains("1") ||
+      sys.props.get("graft.dist.digest").contains("true")
+  def drainDigests(): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var s = digests.poll()
+    while (s != null) { b += s; s = digests.poll() }
+    b.result()
+  }
+  private def recordDigest(tag: String, parted: DataFrame, key: Column): Unit =
+    if (digestOn) {
+      val rows = parted.groupBy(col("__pid"))
+        .agg(count(lit(1)).as("n"), min(key.cast("string")).as("lo"),
+          max(key.cast("string")).as("hi"))
+        .orderBy(col("__pid")).collect()
+      digests.add(rows.map(r => s"${r.get(0)}:${r.get(1)}:${r.get(2)}:${r.get(3)}")
+        .mkString(s"$tag ", "|", ""))
+    }
+
   /** Global 1-based row number ordered by a unique `key`, WITHOUT the
     * single-partition window (`Window.orderBy(key)` moves every row to one
     * task — Spark's own WindowExec warning; fatal at 100 TB).
@@ -77,6 +108,7 @@ object Dist {
     val parted = df.repartitionByRange(numParts, key)
       .withColumn("__pid", spark_partition_id())
       .transform(durableCkpt)
+    recordDigest("rowNumber", parted, key)
     val local = parted.withColumn("__local_rn",
       row_number().over(Window.partitionBy(col("__pid")).orderBy(key)))
     val offsets = parted.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
@@ -105,6 +137,7 @@ object Dist {
       .repartitionByRange(numParts, key)
       .withColumn("__pid", spark_partition_id())
       .transform(durableCkpt)
+    recordDigest("cumSum", parted, key)
     val local = parted.withColumn("__local_cum",
       sum(col("__w")).over(Window.partitionBy(col("__pid")).orderBy(key)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -216,4 +249,20 @@ object Exact {
     * DECIMAL(18,s)) AS DOUBLE). */
   def narrow(sum: Column, s: Int): Column =
     sum.cast(DecimalType(18, s)).cast("double")
+
+  /** Integer cents of a 2-decimal money double, with NO engine rounding
+    * semantics in play: the DECIMAL(14,4) cast is exact for 2-dec doubles
+    * and ×100 keeps the value integral, so the BIGINT cast moves nothing.
+    * Replaces the `round(x·100)` DOUBLE idiom, whose half-way behaviour
+    * is an engine property rather than decimal arithmetic. SQL twin:
+    * `CAST(CAST(x AS DECIMAL(14,4)) * 100 AS BIGINT)`. */
+  def cents(c: Column): Column = (dec(c) * 100).cast("long")
+
+  /** Integer cents of price·(1−disc). The exact product has ≤4 decimals,
+    * so ×100 leaves ≤2 and the final `round(…, 0)` is a DECIMAL tie-break
+    * both engines resolve half-away-from-zero — never a binary-double
+    * rounding. SQL twin: `CAST(round(CAST(p AS DECIMAL(14,4)) * (1 -
+    * CAST(d AS DECIMAL(6,4))) * 100, 0) AS BIGINT)`. */
+  def discCents(price: Column, disc: Column): Column =
+    round(discPrice(price, disc) * 100, 0).cast("long")
 }

@@ -353,7 +353,7 @@ object Events {
     * (q64's interval-join matches). Division done in floats leaks cents
     * (n shares that don't re-sum to the price) and is summation-order-
     * dependent; here the purchase is converted to integer CENTS
-    * (`round(value·100)` — exact for 2-decimal money), each click gets
+    * ([[graft.Exact.cents]] — exact decimal arithmetic), each click gets
     * `cents div n`, and the remainder goes to the EARLIEST click
     * (tie: lowest click_id) — the deterministic financial-prorating rule.
     * Conservation (Σ attributed = Σ matched purchase cents) is exact and
@@ -366,7 +366,7 @@ object Events {
     * aggregate. */
   def linearAttribution(spark: SparkSession, dir: String): DataFrame = {
     val matched = attributionJoin(spark, dir)
-      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("cents", cents(col("value")))
     val wP = Window.partitionBy(col("purchase_id"))
     val wRank = Window.partitionBy(col("purchase_id"))
       .orderBy(col("click_ts"), col("click_id"))
@@ -401,7 +401,7 @@ object Events {
       |  FROM events WHERE event_type = 'purchase'
       |), m AS (
       |  SELECT p.user_id, purchase_id, click_id, click_ts,
-      |    CAST(round(value * 100) AS BIGINT) AS cents
+      |    CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT) AS cents
       |  FROM p JOIN c ON p.user_id = c.user_id
       |    AND purchase_ts >= click_ts
       |    AND purchase_ts <= click_ts + INTERVAL '30 minutes'

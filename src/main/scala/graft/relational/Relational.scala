@@ -1130,14 +1130,14 @@ object Relational {
     * qty) histogram (one map-combined exchange carrying at most
     * |distinct qty| rows per flag), run the cumulative-weight windows
     * over the tiny histogram only, then one conditional aggregate picks
-    * the crossing point. Weights are exact integer cents (q79's
-    * rounding idiom, proven cross-engine), so `2·cum ≥ total` is integer
+    * the crossing point. Weights are exact integer cents
+    * ([[graft.Exact.cents]], all-decimal), so `2·cum ≥ total` is integer
     * arithmetic with no float threshold to disagree on. */
   def weightedMedian(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val hist = li
       .select(col("l_returnflag"), dec(col("l_quantity")).as("qty"),
-        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        cents(col("l_extendedprice")).as("cents"))
       .groupBy(col("l_returnflag"), col("qty"))
       .agg(sum(col("cents")).as("w"))
     val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("qty"))
@@ -1155,7 +1155,7 @@ object Relational {
   val weightedMedianSql: String =
     """WITH hist AS (
       |  SELECT l_returnflag, CAST(l_quantity AS DECIMAL(14,4)) AS qty,
-      |    CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS w
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * 100 AS BIGINT)) AS BIGINT) AS w
       |  FROM lineitem GROUP BY 1, 2
       |), c AS (
       |  SELECT l_returnflag, qty, w,
@@ -1221,9 +1221,10 @@ object Relational {
     * arithmetic). The deep-join-tree showcase: lineitem ⋈ orders is the
     * one genuine fact-fact shuffle; supplier, nation and region are
     * dimension broadcasts, and the ASIA filter prunes through the join
-    * chain to the region scan before anything shuffles. Revenue is q79's
-    * integer-cents idiom with the discount folded in BEFORE rounding
-    * (`round(price·(1−disc)·100)`), and shares are basis points by floor
+    * chain to the region scan before anything shuffles. Revenue is the
+    * integer-cents idiom with the discount folded in exactly
+    * ([[graft.Exact.discCents]] — all-decimal, no engine double
+    * rounding), and shares are basis points by floor
     * division over a window total — the whole result hash-gates with no
     * decimal-division cross-engine drift. The share window runs over the
     * aggregated (region, nation, yr) frame, never raw rows. */
@@ -1237,8 +1238,8 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("yr"))
-      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100)
-        .cast("long")).cast("long").as("cents"))
+      .agg(sum(discCents(col("l_extendedprice"), col("l_discount")))
+        .cast("long").as("cents"))
     rev.withColumn("share_bp", expr("(10000 * cents) div " +
         "sum(cents) over (partition by region, yr)"))
       .select(col("region"), col("nation"), col("yr"), col("cents"), col("share_bp"))
@@ -1249,7 +1250,7 @@ object Relational {
     """WITH rev AS (
       |  SELECT r.r_name AS region, n.n_name AS nation,
       |    EXTRACT(year FROM o.o_orderdate) AS yr,
-      |    CAST(SUM(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100) AS BIGINT)) AS BIGINT) AS cents
+      |    CAST(SUM(CAST(round(CAST(l.l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l.l_discount AS DECIMAL(6,4))) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1356,7 +1357,7 @@ object Relational {
   def equidepthHistogram(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val hist = li
-      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .select(cents(col("l_extendedprice")).as("cents"))
       .groupBy(col("cents")).agg(count(lit(1)).as("cnt"))
       // feeds the cumsum AND the grand total — checkpoint so the scan
       // and aggregation run once (no plan CSE across branches)
@@ -1374,7 +1375,7 @@ object Relational {
 
   val equidepthHistogramSql: String =
     s"""WITH hist AS (
-       |  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, COUNT(*) AS cnt
+       |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * 100 AS BIGINT) AS cents, COUNT(*) AS cnt
        |  FROM lineitem GROUP BY 1
        |), c AS (
        |  SELECT cents, cnt,
@@ -1402,7 +1403,7 @@ object Relational {
   def spendDeciles(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(sum(round(col("o_totalprice") * 100).cast("long")).cast("long").as("cents"))
+      .agg(sum(cents(col("o_totalprice"))).cast("long").as("cents"))
       .transform(graft.Dist.durableCkpt) // feeds the rank AND the totals
     val totals = spend.agg(count(lit(1)).as("n"),
       sum(col("cents")).cast("long").as("total"))
@@ -1418,7 +1419,7 @@ object Relational {
 
   val spendDecilesSql: String =
     """WITH spend AS (
-      |  SELECT o_custkey, CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      |  SELECT o_custkey, CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(14,4)) * 100 AS BIGINT)) AS BIGINT) AS cents
       |  FROM orders GROUP BY 1
       |), rn AS (
       |  SELECT o_custkey, cents,
