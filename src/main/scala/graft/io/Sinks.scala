@@ -136,6 +136,37 @@ object Sinks {
     * the written files and the returned manifest come from the same
     * materialization (at 100 TB, trade the cache for a recompute — the
     * plan is deterministic either way). */
+  /** q119's file sink: materialize a TRAINING-ORDER frame (doc_id,
+    * shard_id, pos — `text.CorpusStats.trainingOrder`'s output joined
+    * back to the doc text) as one file per shard, docs concatenated in
+    * `pos` order with the "\n\n" record separator. Returns the manifest
+    * (one row per written shard). Each shard holds ≤ ShufDocsPerShard
+    * docs by construction, so the per-group collect_list is bounded; the
+    * one-pass groupBy is the distributed shape (each shard assembles in
+    * exactly one task, shards spread across the cluster). All-blank
+    * shards are dropped under writeTextPerRow's non-blank guard, same
+    * accounting rule as [[writePackedShards]]. */
+  def writeTrainingShards(ordered: DataFrame, outDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val shards = ordered
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("first_doc"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("text")))),
+            s => s.getField("text")),
+          "\n\n").as("shard_text"))
+      .withColumn("shard_file",
+        concat(lit("train_shard"), col("shard_id"), lit(".txt")))
+      .filter(length(regexp_replace(col("shard_text"), "[\\x00-\\x20]", "")) > 0)
+      .localCheckpoint(true)
+    writeTextPerRow(
+      shards.select(col("shard_file"), col("shard_text")),
+      outDir, fileCol = "shard_file", textCol = "shard_text")
+    shards.select(col("shard_id"), col("shard_file"), col("n_docs"), col("first_doc"))
+      .orderBy(col("shard_id"))
+  }
+
   def writePackedShards(docs: DataFrame, outDir: String,
                         tokensPerShard: Long): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -1005,6 +1005,74 @@ object CorpusStats {
       |  (n_tokens * least(10000, (10000 * (total // n_sources)) // n_tokens)) // 10000 AS planned_tokens
       |FROM s CROSS JOIN t ORDER BY source NULLS FIRST""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q119: deterministic training-order shuffle + sharding
+  // ---------------------------------------------------------------------
+
+  /** Shard capacity for the training order (docs per shard). */
+  val ShufDocsPerShard = 64L
+
+  /** q119: the LAST pipeline step before a trainer consumes the corpus —
+    * a globally-shuffled, sharded reading order that is byte-reproducible
+    * across runs, engines and machines. Three deterministic stages:
+    *
+    *  1. MIX: join q109's mixture plan and keep each doc iff
+    *     `hash("ord:" ++ text) mod 10⁴ < rate_bp(source)` — the same
+    *     content-hash downsampling idiom as q60, under a distinct salt
+    *     so the decision is uncorrelated with the q60/q35 buckets;
+    *  2. SHUFFLE: order by `hash60("shuf:" ++ doc_id)` — pseudo-random
+    *     but a pure function of the doc id, so the training order never
+    *     depends on partitioning, retries or RNG state (the property
+    *     that makes a crashed 100 TB run resumable mid-epoch);
+    *  3. SHARD: global position via [[graft.Dist.globalRowNumber]]
+    *     (range partition + broadcast offsets — never a single-partition
+    *     window), then `shard_id = pos div N`, `pos` within shard.
+    *
+    * The (okey, doc_id) struct key makes the order total even under a
+    * 60-bit hash collision. `io.Sinks.writeTrainingShards` materializes
+    * the actual shard files from this frame (byte-exact spec). */
+  def trainingOrder(spark: SparkSession, dir: String): DataFrame = {
+    val rates = mixturePlan(spark, dir).select(col("source"), col("rate_bp"))
+    val keyed = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(pmod(graft.llm.Similarity.hash60(concat(lit("ord:"), col("text"))),
+        lit(10000)) < col("rate_bp"))
+      .withColumn("okey",
+        graft.llm.Similarity.hash60(concat(lit("shuf:"), col("doc_id").cast("string"))))
+      .select(col("doc_id"), col("source"), col("okey"))
+    graft.Dist.globalRowNumber(keyed, struct(col("okey"), col("doc_id")))
+      .withColumn("shard_id", expr(s"(rn - 1) div $ShufDocsPerShard"))
+      .withColumn("pos", expr(s"(rn - 1) % $ShufDocsPerShard"))
+      .select(col("doc_id"), col("source"), col("okey"), col("shard_id"), col("pos"))
+      .orderBy(col("doc_id"))
+  }
+
+  val trainingOrderSql: String =
+    s"""WITH s AS (
+       |  SELECT source,
+       |    CAST(SUM(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens
+       |  FROM documents GROUP BY 1
+       |), t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total, COUNT(*) AS n_sources FROM s),
+       |r AS (
+       |  SELECT source,
+       |    least(10000, (10000 * (total // n_sources)) // n_tokens) AS rate_bp
+       |  FROM s CROSS JOIN t
+       |), k AS (
+       |  SELECT d.doc_id, d.source,
+       |    CAST(concat('0x', substr(md5('shuf:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS okey
+       |  FROM documents d JOIN r USING (source)
+       |  WHERE CAST(concat('0x', substr(md5('ord:' || d.text), 1, 15)) AS BIGINT) % 10000 < r.rate_bp
+       |), o AS (
+       |  SELECT doc_id, source, okey,
+       |    ROW_NUMBER() OVER (ORDER BY okey, doc_id) AS rn
+       |  FROM k
+       |)
+       |SELECT doc_id, source, okey,
+       |  (rn - 1) // $ShufDocsPerShard AS shard_id,
+       |  (rn - 1) % $ShufDocsPerShard AS pos
+       |FROM o ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1021,6 +1089,7 @@ object CorpusStats {
     QueryDef("q103_pps_sample", ppsSample, Some(ppsSampleSql)),
     QueryDef("q104_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q109_mixture_plan", mixturePlan, Some(mixturePlanSql)),
+    QueryDef("q119_training_order", trainingOrder, Some(trainingOrderSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

@@ -109,6 +109,50 @@ class SinksSpec extends SparkSpec {
     assert(manifest.map(_._5).sum == totalTokens)
   }
 
+  test("q119 training shards: byte-exact files in the deterministic global order") {
+    import org.apache.spark.sql.functions.col
+    val out = java.nio.file.Files.createTempDirectory("graft-train-shards").toString
+    val order = graft.text.CorpusStats.trainingOrder(spark, sfDir)
+    val rows = order.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+
+    // Global order model: positions must be exactly the dense sequence
+    // 0..n-1 when walked in (okey, doc_id) order.
+    val byKey = rows.sortBy(r => (r._2, r._1))
+    byKey.zipWithIndex.foreach { case ((doc, _, shard, pos), i) =>
+      assert(shard == i / graft.text.CorpusStats.ShufDocsPerShard &&
+        pos == i % graft.text.CorpusStats.ShufDocsPerShard,
+        s"doc $doc at global index $i has ($shard,$pos)")
+    }
+    // Deterministic: a fresh plan yields the identical frame.
+    val again = graft.text.CorpusStats.trainingOrder(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq == rows.toSeq, "training order is not reproducible")
+
+    // Byte-exact shard files.
+    val texts = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val ordered = order.join(texts, Seq("doc_id"))
+      .select(col("doc_id"), col("shard_id"), col("pos"), col("text"))
+    val manifest = Sinks.writeTrainingShards(ordered, out).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val textBy = texts.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val model = rows.groupBy(_._3).map { case (shard, ds) =>
+      shard -> ds.sortBy(_._4).map(d => textBy(d._1)).mkString("\n\n")
+    }
+    val visible = model.filter(_._2.exists(_ > ' '))
+    assert(manifest.length == visible.size)
+    manifest.foreach { case (shard, file, nDocs, firstDoc) =>
+      val p = java.nio.file.Paths.get(out, file)
+      assert(java.nio.file.Files.exists(p), s"missing shard file $file")
+      val got = new String(java.nio.file.Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      assert(got == model(shard), s"shard $file differs from model")
+      assert(nDocs == rows.count(_._3 == shard))
+      assert(firstDoc == rows.filter(_._3 == shard).map(_._1).min)
+    }
+  }
+
   test("merged single file concatenates all rows") {
     import spark.implicits._
     val d = tmpDir("graft-sink-merge")
