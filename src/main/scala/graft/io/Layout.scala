@@ -59,22 +59,57 @@ object Layout {
       .format("parquet").saveAsTable(table)
   }
 
+  /** Per-(session, table) landing lock: `compute` holds the map bin for
+    * the whole validate/build, so a concurrent second caller BLOCKS until
+    * the first finishes instead of racing the delete+write (a racer used
+    * to observe a half-written table location). */
+  private val landing =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), AnyRef]()
+
+  /** Content fingerprint of the frame a bucketed table was landed from:
+    * row count + min/max of the bucket column. One aggregate-only pass
+    * over the projected source — no shuffle, no write — which is what
+    * re-validation on reuse costs. */
+  private def fingerprint(df: DataFrame, bucketCol: String): String = {
+    val r = df.agg(count(lit(1)), min(col(bucketCol)).cast("string"),
+      max(col(bucketCol)).cast("string")).head()
+    s"${r.get(0)}:${r.get(1)}:${r.get(2)}"
+  }
+
   /** Materialize a bucketed catalog table once per session (the "land the
-    * fact table bucketed" deployment step shared by q56/q87): build and
-    * write only if the table is unknown to this session's catalog. The
-    * in-memory catalog dies with the session but the warehouse directory
-    * does not — a table "unknown" here may still have files on disk from a
+    * fact table bucketed" deployment step shared by q56/q87), guarded
+    * against STALENESS: the source's content fingerprint is recorded as a
+    * table property at land time and re-validated on every reuse, so a
+    * source that changes under the same path (the harness regenerating
+    * parquet between rounds; a daily-ingest refresh at 100 TB) triggers a
+    * re-land instead of silently serving the old rows. The in-memory
+    * catalog dies with the session but the warehouse directory does not —
+    * a table "unknown" to the catalog may still have files on disk from a
     * previous run, which saveAsTable refuses to overwrite, so the stale
     * location is cleared before the first write. */
   def ensureBucketed(spark: SparkSession, table: String, bucketCol: String,
                      numBuckets: Int)(build: => DataFrame): Unit = {
-    if (!spark.catalog.tableExists(table)) {
-      val wh = spark.conf.get("spark.sql.warehouse.dir")
-      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(p)) fs.delete(p, true)
-      writeBucketed(build, table, bucketCol, numBuckets)
-    }
+    landing.compute((spark, table), { (_, _) =>
+      val df = build
+      val fp = fingerprint(df, bucketCol)
+      val stored =
+        if (!spark.catalog.tableExists(table)) None
+        else spark.sql(s"SHOW TBLPROPERTIES $table")
+          .filter(col("key") === "graft.fingerprint")
+          .collect().headOption.map(_.getString(1))
+      if (!stored.contains(fp)) {
+        if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
+        val wh = spark.conf.get("spark.sql.warehouse.dir")
+        val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+        writeBucketed(df, table, bucketCol, numBuckets)
+        spark.sql(
+          s"ALTER TABLE $table SET TBLPROPERTIES ('graft.fingerprint' = '$fp')")
+      }
+      null
+    })
+    ()
   }
 
   /** q56: the co-located-join payoff as a REGISTERED query — q03's
@@ -155,23 +190,27 @@ object Layout {
     * parquet at the same path between rounds (the exact trap the bucketed
     * tables hit with leftover warehouse directories); one Overwrite per
     * application is the q56 invalidation rule, path-flavored. */
-  private val builtPartitioned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val builtPartitioned =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Materialize (once per application+dir) the year-partitioned orders
     * twin; returns its path. The one-time write is the "land your fact
-    * table partitioned" deployment step, not part of the measured query. */
+    * table partitioned" deployment step, not part of the measured query.
+    * `computeIfAbsent` (not a set-add) so a concurrent second caller
+    * blocks until the write completes instead of reading a half-written
+    * layout. */
   def partitionedOrdersPath(spark: SparkSession, dir: String): String = {
     val suffix = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, s"graft_orders_bydate_$suffix")
     val key = spark.sparkContext.applicationId + ":" + p.toString
-    if (builtPartitioned.add(key)) {
+    builtPartitioned.computeIfAbsent(key, { _ =>
       writePartitioned(
         Tables.orders(spark, dir).withColumn("o_year", year(col("o_orderdate"))),
         p.toString, Seq("o_year"), SaveMode.Overwrite)
-    }
-    p.toString
+      p.toString
+    })
   }
 
   val partitionPrunedRevenueSql: String =

@@ -185,18 +185,23 @@ object Fixtures {
     // no parser recognizes it → quarantine row (all-null metadata)
     "junk_g.bin" -> "definitely not a media container, kept for quarantine".getBytes)
 
-  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write the fixture folder once per (application, dir); returns its
     * path. Files are KBs and written driver-side — this is test-corpus
-    * landing, not a data path. */
+    * landing, not a data path. `computeIfAbsent` (not a set-add) so a
+    * concurrent second caller BLOCKS until the files are fully written —
+    * with the old check-then-build memo it returned immediately and a
+    * parallel q88 could scan a partially-deleted or half-written
+    * corpus. */
   def mediaFolder(spark: SparkSession, dir: String): String = {
     val suffix = java.lang.Long.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, s"graft_media_fixtures_$suffix")
     val key = spark.sparkContext.applicationId + ":" + p.toString
-    if (built.add(key)) {
+    built.computeIfAbsent(key, { _ =>
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(p)) fs.delete(p, true)
       fs.mkdirs(p)
@@ -204,8 +209,8 @@ object Fixtures {
         val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
         try out.write(bytes) finally out.close()
       }
-    }
-    p.toString
+      p.toString
+    })
   }
 
   // ------------------------------------------------------------- q88

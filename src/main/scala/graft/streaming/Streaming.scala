@@ -310,7 +310,7 @@ object Streaming {
     import org.apache.spark.sql.DataFrame
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val delta = batch
           .groupBy(col("user_id"))
@@ -320,30 +320,43 @@ object Streaming {
         val affected = delta.select("pid").distinct()
           .collect().map(_.getInt(0)).toSeq
         if (affected.nonEmpty) {
-          val fs = new org.apache.hadoop.fs.Path(statePath)
-            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val root = new org.apache.hadoop.fs.Path(statePath)
+          val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
           val existing =
-            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+            if (fs.exists(root))
               spark.read.parquet(statePath)
                 .filter(col("pid").isin(affected: _*))
             else spark.emptyDataFrame
               .select(lit(0L).as("user_id"), lit(0L).as("n_events"),
                 lit(null).cast("decimal(14,4)").as("total_dec"),
                 lit(0).as("pid")).limit(0)
-          // EAGER checkpoint before the write: the merged plan READS the
-          // same path the write overwrites — materializing it first (to
-          // block storage, off the path) is what makes read-merge-
-          // overwrite safe on plain parquet
+          // STAGING write, then partition-directory swap: the merged plan
+          // reads the live state files, so it must never write over them
+          // — not even "after" an eager localCheckpoint, whose blocks
+          // live on executors only: losing one mid-write would recompute
+          // from lineage against a partially-overwritten path. Writing
+          // the merge to a separate staging path makes the read side
+          // immutable for the whole job (a failed/retried task recomputes
+          // against intact live files); only once the data is durably on
+          // the FS do the affected partition dirs swap in via renames.
+          val staging = new org.apache.hadoop.fs.Path(
+            statePath + s".staging-$batchId")
+          if (fs.exists(staging)) fs.delete(staging, true)
           existing.unionByName(delta)
             .groupBy(col("user_id"), col("pid"))
             .agg(sum(col("n_events")).as("n_events"),
               sum(col("total_dec")).cast("decimal(14,4)").as("total_dec"))
-            .localCheckpoint(true)
             .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            // per-writer option, NOT the session conf: dynamic overwrite
-            // must scope to this table, not leak into every other write
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("pid").parquet(statePath)
+            .partitionBy("pid").parquet(staging.toString)
+          fs.mkdirs(root)
+          affected.foreach { pid =>
+            val src = new org.apache.hadoop.fs.Path(staging, s"pid=$pid")
+            val dst = new org.apache.hadoop.fs.Path(root, s"pid=$pid")
+            if (fs.exists(dst)) fs.delete(dst, true)
+            fs.rename(src, dst)
+          }
+          fs.delete(staging, true)
+          ()
         }
       }
       .start()

@@ -520,13 +520,26 @@ object CorpusStats {
     * at every harness SF (oracle-verified), and the spec keeps the
     * sketch-only error bounds covered for the regime where it wouldn't.
     * Estimates from pass 1 are never emitted: `est` is the exact count,
-    * which is what makes the DuckDB oracle hash-checkable. */
+    * which is what makes the DuckDB oracle hash-checkable.
+    *
+    * The exactness precondition is GUARDED in-query, not assumed: the
+    * same pass-1 aggregate also counts the stream (one extra counter),
+    * and every emitted row must clear `est·(k+1) > N` — the MG guarantee
+    * that no un-nominated token can outrank it. A future corpus/SF where
+    * the 20th hitter dips below N/65 then fails loudly (assert_true in a
+    * filter, which column pruning cannot drop) instead of silently
+    * emitting a wrong "exact" top-20 only the external oracle would
+    * catch. */
   def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(explode(tokens(lower(col("text")))).as("tok"))
-    val cand = toks
-      .agg(graft.functions.MisraGries.sketch(col("tok"), 64).as("hh"))
-      .select(explode(col("hh")).as("c"))
+    // one row; feeds the candidate explode AND the guard → checkpoint so
+    // the sketch pass runs once (no plan CSE across branches)
+    val sk = toks
+      .agg(graft.functions.MisraGries.sketch(col("tok"), 64).as("hh"),
+        count(lit(1)).as("n_total"))
+      .transform(graft.Dist.durableCkpt)
+    val cand = sk.select(explode(col("hh")).as("c"))
       .select(col("c").getField("item").as("tok"))
     val exact = toks.join(broadcast(cand), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
@@ -538,6 +551,14 @@ object CorpusStats {
       .select(posexplode(col("top")))
       .select((col("pos") + 1).cast("long").as("rank"),
         col("col.item").as("item"), (-col("col.negc")).as("est"))
+      .crossJoin(broadcast(sk.select(col("n_total"))))
+      .filter(coalesce(
+        assert_true(col("est") * 65 > col("n_total"),
+          concat(lit("q71 exactness invariant violated: emitted count "),
+            col("est").cast("string"),
+            lit(" does not clear N/(k+1) with N="), col("n_total").cast("string"))),
+        lit(true)))
+      .select(col("rank"), col("item"), col("est"))
   }
 
   val heavyHittersSql: String =

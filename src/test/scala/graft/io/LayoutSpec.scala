@@ -105,6 +105,35 @@ class LayoutSpec extends SparkSpec {
     assert(got == raw)
   }
 
+  test("ensureBucketed re-lands when the source content changes, reuses when unchanged") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft-stale-src").toString
+    val table = "graft_stale_guard_spec"
+    def land(): Unit =
+      Layout.ensureBucketed(spark, table, "k", numBuckets = 2)(
+        spark.read.parquet(src).select(col("k"), col("v")))
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    land()
+    assert(spark.table(table).count() == 3)
+    // Marker property: survives a reuse (no rebuild), vanishes on re-land
+    // (the rebuild drops and re-creates the table).
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('spec.marker' = '1')")
+    def hasMarker: Boolean = spark.sql(s"SHOW TBLPROPERTIES $table")
+      .filter(col("key") === "spec.marker").count() == 1
+
+    land() // unchanged source → reuse, no rebuild
+    assert(hasMarker, "unchanged source must not trigger a rebuild")
+
+    Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    land() // mutated source → fingerprint mismatch → re-land
+    assert(!hasMarker, "mutated source must trigger a rebuild")
+    assert(spark.table(table).count() == 4,
+      "re-landed table must serve the new source rows")
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("ErrorIfExists refuses a second write (reference K6 precondition)") {
     val out = Files.createTempDirectory("graft-layout2").resolve("docs").toString
     val docs = graft.Tables.documents(spark, sfDir).limit(10)

@@ -222,6 +222,25 @@ class CorpusStatsSpec extends SparkSpec {
     assert(hashEx.isEmpty, "classifier scoring must not shuffle")
   }
 
+  test("q71 guard: a corpus whose 20th hitter misses N/(k+1) fails loudly, not silently") {
+    import spark.implicits._
+    // 70 distinct tokens, each once: N = 70, every count = 1, and
+    // 1 * 65 > 70 is false → the exactness precondition is violated.
+    val dir = java.nio.file.Files.createTempDirectory("graft-q71-guard").toString
+    Seq((1L, (0 until 70).map(i => s"tok$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      CorpusStats.heavyHitters(spark, dir).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("q71 exactness invariant violated")),
+      s"expected the q71 guard, got: $e")
+    // and the real corpus still clears the guard
+    assert(CorpusStats.heavyHitters(spark, sfDir).collect().length == 20)
+  }
+
   test("redactPii scrubs emails, IPv4s and phones; leaves near-misses alone") {
     import spark.implicits._
     val cases = Seq(
