@@ -15,6 +15,7 @@ object SparkEntry {
       relational.Events.defs ++
       text.TextOps.defs ++
       text.CorpusStats.defs ++
+      text.FileWorkflowStats.defs ++
       images.Geometry.defs ++
       llm.Similarity.defs ++
       io.Layout.defs ++

@@ -26,11 +26,15 @@ object Verify {
     // then diagnosable against the exact boundaries this run sampled.
     sys.props("graft.dist.digest") = "true"
     val digestLines = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    val rowDigests = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        rowDigests(name) = rowDigest(spark, s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -56,6 +60,48 @@ object Verify {
       .map { case (k, vs) => s"${q(k)}: ${vs.map(q).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/dist_digest.json"), digestJson)
+    val rowJson = rowDigests
+      .map { case (k, v) => s"${q(k)}: $v" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/row_digest.json"), rowJson)
     spark.stop()
+  }
+
+  /** The red-row DIFF CHANNEL (VERDICT r5 #4): a driver hash mismatch used
+    * to be unlocalizable — Spark output vs driver-DuckDB vs driver-hash
+    * all looked the same from the record (q115 was red two rounds with a
+    * value-exact local check). This digests the parquet the driver will
+    * read (post-roundtrip, not the in-memory frame): columns sorted by
+    * name, every value rendered to string (null = `\N`), rows sorted,
+    * sha256 over the newline-joined block — and for outputs ≤ 100 rows
+    * the canonical rows themselves, so an 8-row result like q115's is
+    * fully visible in the artifact and a red row becomes a one-look
+    * diagnosis. Row cap 2M: every registered output is far below it; the
+    * guard only exists so a future unbounded query cannot OOM the
+    * driver JVM. Returns a JSON object literal (keys pre-escaped). */
+  private def rowDigest(spark: SparkSession, path: String): String = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    val df = spark.read.parquet(path)
+    val cols = df.columns.sorted
+    val n = df.count()
+    if (n > 2000000L) return s"""{"rows": $n, "sha256": "TOO_LARGE"}"""
+    val rendered = df.select(concat_ws("\t",
+        cols.toSeq.map(c => coalesce(col(c).cast("string"), lit("\\N"))): _*).as("r"))
+      .collect().map(_.getString(0)).sorted
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    val sha = md.digest(rendered.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def esc(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val sample =
+      if (n <= 100) s""", "cols": ${cols.map(esc).mkString("[", ",", "]")}, "rows_sorted": ${rendered.map(esc).mkString("[", ",", "]")}"""
+      else ""
+    s"""{"rows": $n, "sha256": "$sha"$sample}"""
   }
 }

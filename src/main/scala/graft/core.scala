@@ -32,17 +32,30 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
 
-  /** The harness writes `events.ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 cannot read natively. With
-    * spark.sql.legacy.parquet.nanosAsLong=true (set in Verify/Bench/tests)
-    * it arrives as LONG nanoseconds; truncate to microseconds exactly as
-    * DuckDB does when it reads the same file, so oracles stay value-equal.
+  /** The harness has shipped `events.ts` under several physical parquet
+    * encodings across regenerations, so the loader normalizes every one of
+    * them to a session-TZ TIMESTAMP (all downstream call sites use
+    * `unix_micros(ts)` and event-time windows, which require it):
+    *
+    *  - TIMESTAMP(NANOS): Spark 4 cannot read it natively; with
+    *    spark.sql.legacy.parquet.nanosAsLong=true (set in
+    *    Verify/Bench/tests) it arrives as LONG nanoseconds — truncate to
+    *    microseconds exactly as DuckDB does reading the same file.
+    *  - timestamp[us] WITHOUT timezone: Spark 4 reads TIMESTAMP_NTZ, on
+    *    which `unix_micros`/watermarks fail analysis. Cast to
+    *    TimestampType: the sessions that reach oracles force UTC, so the
+    *    wall-clock micros are bit-identical to DuckDB's read of the file.
+    *  - timestamp[us] WITH timezone (TIMESTAMP_LTZ): already the target
+    *    type — pass through.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
+      case LongType =>
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }
@@ -258,11 +271,17 @@ object Exact {
     * `CAST(CAST(x AS DECIMAL(14,4)) * 100 AS BIGINT)`. */
   def cents(c: Column): Column = (dec(c) * 100).cast("long")
 
-  /** Integer cents of price·(1−disc). The exact product has ≤4 decimals,
-    * so ×100 leaves ≤2 and the final `round(…, 0)` is a DECIMAL tie-break
-    * both engines resolve half-away-from-zero — never a binary-double
-    * rounding. SQL twin: `CAST(round(CAST(p AS DECIMAL(14,4)) * (1 -
-    * CAST(d AS DECIMAL(6,4))) * 100, 0) AS BIGINT)`. */
-  def discCents(price: Column, disc: Column): Column =
-    round(discPrice(price, disc) * 100, 0).cast("long")
+  /** Discounted revenue in integer MICRO-dollars: cents(price) ×
+    * (10000 − disc_bp). price has ≤2 decimals and disc ≤4, so both
+    * factors are exactly integral and the product carries NO rounding of
+    * any kind — unlike the retired `round(discPrice·100, 0)` cents idiom,
+    * whose half-cent ties were resolved differently by Spark
+    * (HALF_UP), DuckDB, and a double-based model (q112 was red two
+    * driver rounds on exactly those ties). Sums of this unit can exceed
+    * int64 at 100 TB scale, so aggregate it as DECIMAL(38,0)
+    * (see q112). SQL twin: `CAST(CAST(p AS DECIMAL(14,4)) * 100 AS
+    * BIGINT) * (10000 - CAST(CAST(d AS DECIMAL(6,4)) * 10000 AS
+    * BIGINT))`. */
+  def discMicros(price: Column, disc: Column): Column =
+    cents(price) * (lit(10000L) - (rate(disc) * 10000).cast("long"))
 }

@@ -746,13 +746,24 @@ object Similarity {
     * — q75 reports the trajectory summary, q118 consumes the assignment
     * as its semantic-dedup partitioner — with the same serialized-memo
     * shape as [[clusterGroupLabels]]. */
+  /** Session-memo key for landed frames. The checkpoint-dir state is part
+    * of the key: a frame landed WITHOUT a checkpoint dir holds
+    * `localCheckpoint` blocks (executor-memory only), and serving it
+    * after a dir is configured would silently downgrade the promised
+    * FS-durable path (the cluster analog: state landed under one
+    * durability regime serving another). Keying on
+    * `getCheckpointDir` makes the memo rebuild — under the new regime —
+    * the first time the configuration changes. */
+  private def memoKey(spark: SparkSession, dir: String): (SparkSession, String, Option[String]) =
+    (spark, dir, spark.sparkContext.getCheckpointDir)
+
   private val kmeansMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
 
   /** Final Lloyd-iteration state: (`a2` = (vec_id, cid) assignment,
     * `c2` = (cid, qc) centroids), both reading checkpointed frames. */
   private[llm] def kmeansAssignment(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    kmeansMemo.computeIfAbsent((spark, dir), { _ =>
+    kmeansMemo.computeIfAbsent(memoKey(spark, dir), { _ =>
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .transform(Dist.durableCkpt) // reused by every assign/update pass
@@ -1023,10 +1034,10 @@ object Similarity {
     * .ensureBucketed]] with its content fingerprint) rather than a
     * session memo. */
   private val cglMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
 
   private[llm] def clusterGroupLabels(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    cglMemo.computeIfAbsent((spark, dir), { _ =>
+    cglMemo.computeIfAbsent(memoKey(spark, dir), { _ =>
       val (grps, labels) = buildClusterGroupLabels(spark, dir)
       (grps, labels.transform(Dist.durableCkpt))
     })

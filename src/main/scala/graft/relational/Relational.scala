@@ -5,6 +5,7 @@ import graft.Exact._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 /** Relational query surface (SURVEY.md §2.12): joins, hash aggregation,
   * windows, set ops, top-k over the harness TPC-H-ish tables.
@@ -1221,13 +1222,17 @@ object Relational {
     * arithmetic). The deep-join-tree showcase: lineitem ⋈ orders is the
     * one genuine fact-fact shuffle; supplier, nation and region are
     * dimension broadcasts, and the ASIA filter prunes through the join
-    * chain to the region scan before anything shuffles. Revenue is the
-    * integer-cents idiom with the discount folded in exactly
-    * ([[graft.Exact.discCents]] — all-decimal, no engine double
-    * rounding), and shares are basis points by floor
-    * division over a window total — the whole result hash-gates with no
-    * decimal-division cross-engine drift. The share window runs over the
-    * aggregated (region, nation, yr) frame, never raw rows. */
+    * chain to the region scan before anything shuffles. Revenue is
+    * integer micro-dollars ([[graft.Exact.discMicros]] — both factors
+    * exactly integral, so there is NO rounding step anywhere for engines
+    * to tie-break differently; the previous cents idiom ended in
+    * `round(…, 0)` on values that land on exact half-cents and was
+    * driver-red two rounds running on those ties), summed as
+    * DECIMAL(38,0) so the aggregate cannot overflow int64 at cluster
+    * scale. Shares are basis points by floor division over a window
+    * total — the whole result hash-gates with no decimal-division
+    * cross-engine drift. The share window runs over the aggregated
+    * (region, nation, yr) frame, never raw rows. */
   def marketShare(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val rev = li
@@ -1238,11 +1243,15 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region"), col("n_name").as("nation"),
         year(col("o_orderdate")).cast("long").as("yr"))
-      .agg(sum(discCents(col("l_extendedprice"), col("l_discount")))
-        .cast("long").as("cents"))
-    rev.withColumn("share_bp", expr("(10000 * cents) div " +
-        "sum(cents) over (partition by region, yr)"))
-      .select(col("region"), col("nation"), col("yr"), col("cents"), col("share_bp"))
+      // Sum in DECIMAL(38,0) (int64 can overflow at cluster scale), then
+      // surface BIGINT — exact at verify scale; a 100 TB deployment would
+      // keep the decimal column instead.
+      .agg(sum(discMicros(col("l_extendedprice"), col("l_discount"))
+          .cast(DecimalType(38, 0))).cast("long").as("rev_micro"))
+    rev.withColumn("share_bp", expr("(10000 * rev_micro) div " +
+        "sum(rev_micro) over (partition by region, yr)"))
+      .select(col("region"), col("nation"), col("yr"), col("rev_micro"),
+        col("share_bp"))
       .orderBy(col("yr"), col("nation"))
   }
 
@@ -1250,7 +1259,7 @@ object Relational {
     """WITH rev AS (
       |  SELECT r.r_name AS region, n.n_name AS nation,
       |    EXTRACT(year FROM o.o_orderdate) AS yr,
-      |    CAST(SUM(CAST(round(CAST(l.l_extendedprice AS DECIMAL(14,4)) * (1 - CAST(l.l_discount AS DECIMAL(6,4))) * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      |    CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(14,4)) * 100 AS BIGINT) * (10000 - CAST(CAST(l.l_discount AS DECIMAL(6,4)) * 10000 AS BIGINT))) AS BIGINT) AS rev_micro
       |  FROM lineitem l
       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -1259,8 +1268,8 @@ object Relational {
       |  WHERE r.r_name = 'ASIA'
       |  GROUP BY 1, 2, 3
       |)
-      |SELECT region, nation, CAST(yr AS BIGINT) AS yr, cents,
-      |  (10000 * cents) // SUM(cents) OVER (PARTITION BY region, yr) AS share_bp
+      |SELECT region, nation, CAST(yr AS BIGINT) AS yr, rev_micro,
+      |  CAST((10000 * rev_micro) // SUM(rev_micro) OVER (PARTITION BY region, yr) AS BIGINT) AS share_bp
       |FROM rev ORDER BY yr, nation""".stripMargin
 
   /** q114: two unrolled rounds of PageRank on the symmetric co-purchase

@@ -16,8 +16,9 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
   *    product, the sweep still catches it.
   *  - BROADCAST nested-loop allowed additionally for q44/q49/q70/q99
   *    (tiny probe/centroid side broadcast against the streamed corpus),
-  *    q66/q83/q104/q109/q110 (a broadcast ONE-ROW aggregate attached to
-  *    bounded rows — the scalar-subquery shape) and q75 (k = 8 broadcast centroids per
+  *    q66/q71/q83/q104/q109/q110 (a broadcast ONE-ROW aggregate attached
+  *    to bounded rows — the scalar-subquery shape; q71's is the N-total
+  *    exactness guard) and q75 (k = 8 broadcast centroids per
   *    k-means assignment pass — the MLlib dataflow). The broadcast
   *    itself bounds these: the build side must fit in the driver/
   *    executor broadcast limit or the job fails loudly.
@@ -30,7 +31,7 @@ class PlanHygieneSpec extends SparkSpec {
   private val cartesianBaselines = Set("q42_ngram_jaccard_topk", "q48_cosine_neardup")
   private val broadcastLoopAllowed = cartesianBaselines ++ Set(
     "q44_cosine_topk", "q49_ann_ivf_topk", "q70_int8_ann_topk",
-    "q66_tfidf_terms", "q75_kmeans", "q83_quality_audit",
+    "q66_tfidf_terms", "q71_heavy_hitters", "q75_kmeans", "q83_quality_audit",
     "q99_rrf_fusion", "q104_pmi_pairs", "q109_mixture_plan",
     "q110_triangle_count", "q115_equidepth_histogram", "q116_cluster_top_terms",
     "q117_spend_deciles")

@@ -267,13 +267,18 @@ class RelationalSpec extends SparkSpec {
     val asiaRegion = graft.Tables.region(spark, sfDir)
       .filter(col("r_name") === "ASIA").select(col("r_regionkey"))
       .collect().map(asL(_, 0)).toSet
-    val cents = li.toSeq.flatMap { case (ok, sk, price, disc) =>
+    // Micro-dollar model: price·100 and disc·10000 are exactly integral
+    // (≤2 / ≤4 decimal inputs), so math.round only strips double noise —
+    // there is no half-way tie anywhere, matching Exact.discMicros.
+    val micros = li.toSeq.flatMap { case (ok, sk, price, disc) =>
       val (nName, rk) = nations(supNation(sk))
-      if (asiaRegion(rk)) Some(((nName, orders(ok)), math.round(price * (1 - disc) * 100)))
+      if (asiaRegion(rk))
+        Some(((nName, orders(ok)),
+          math.round(price * 100) * (10000L - math.round(disc * 10000))))
       else None
     }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
-    val gotCents = rows.map(r => ((r._2, r._3), r._4)).toMap
-    assert(gotCents == cents, "revenue cents must match the Scala join")
+    val gotMicros = rows.map(r => ((r._2, r._3), r._4)).toMap
+    assert(gotMicros == micros, "revenue micro-dollars must match the Scala join")
     // plan: four equi-joins, dims broadcast, nothing nested-loop. (At
     // sf0.001 AQE broadcasts the orders side too — at scale the
     // lineitem ⋈ orders leg becomes the one shuffle join; the hinted
