@@ -45,12 +45,16 @@ object ImageCodec {
     try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
     catch { case _: Exception => None }
 
-  /** (width, height) from the image header only — no pixel decode. */
+  /** (width, height) from the image header only — no pixel decode.
+    * Formats without an ImageIO reader in this JVM (WebP, HEIC/AVIF)
+    * fall back to [[HeaderDims]]' byte-level parsers, so the dims-only
+    * projection (reference F5) still covers them even though their pixel
+    * decode does not exist offline. */
   def dimsOf(bytes: Array[Byte]): Option[(Int, Int)] = {
     val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(in)
-      if (!readers.hasNext) None
+      if (!readers.hasNext) HeaderDims.dims(bytes)
       else {
         val r = readers.next()
         try { r.setInput(in); Some((r.getWidth(0), r.getHeight(0))) }

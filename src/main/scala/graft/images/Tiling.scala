@@ -29,10 +29,17 @@ object Tiling {
       quality: Int = 85,
       caption: String = "")
 
-  /** Extensions javax.imageio decodes in this offline JVM. The reference
-    * also lists HEIC/CR2/NEF/ARW/DNG (`modules/tiling.py:87`) — no JVM
-    * decoder available; see ImageCodec scaladoc. */
-  val SupportedGlob = "*.{png,jpg,jpeg,gif,bmp,tiff,tif,wbmp,PNG,JPG,JPEG}"
+  /** Scan-accepted extensions: the union of what javax.imageio decodes
+    * in this offline JVM and the reference's scan list
+    * (`modules/tiling.py:87`: png/jpg/jpeg/heic/cr2/nef/arw/dng, matched
+    * case-insensitively there). HEIC and WebP get header-only dims via
+    * [[HeaderDims]] (the F5 projection); their PIXEL decode — like RAW's
+    * — needs decoders absent offline, so those rows quarantine at the
+    * decode step exactly as the reference does without
+    * pillow-heif/imageio (`batch_processor.py:12-22`). */
+  val SupportedGlob =
+    "*.{png,jpg,jpeg,gif,bmp,tiff,tif,wbmp,webp,heic,heif,cr2,nef,arw,dng," +
+      "PNG,JPG,JPEG,WEBP,HEIC,CR2,NEF,ARW,DNG}"
 
   /** S1: image-folder scan — listing-time extension pruning, lazy bytes. */
   def scanImages(spark: SparkSession, dir: String): DataFrame =

@@ -163,6 +163,38 @@ object Fixtures {
     ftyp ++ box("moov", mvhd, trak) ++ box("mdat", Array[Byte](1, 2, 3))
   }
 
+  /** Lossless-WebP (VP8L) header with the given canvas dims. Header-only
+    * body (no pixel stream): the offline-supported tier for WebP is
+    * exactly header parsing ([[graft.images.HeaderDims.webpDims]]), which
+    * is all q88's metadata routing needs. */
+  def webpBytes(w: Int, h: Int): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val packed = (w - 1).toLong | ((h - 1).toLong << 14)
+    val payload = Array(0x2f.toByte) ++ le32(packed) ++ Array[Byte](0, 0, 0)
+    "RIFF".getBytes("ISO-8859-1") ++ le32(4 + 8 + payload.length) ++
+      "WEBP".getBytes("ISO-8859-1") ++ "VP8L".getBytes("ISO-8859-1") ++
+      le32(payload.length) ++ payload
+  }
+
+  /** HEIC skeleton: ftyp + meta/iprp/ipco with one `ispe` per item
+    * (thumbnail, primary, …). Header parsers report the max-area entry —
+    * the primary image. */
+  def heicBytes(ispes: Seq[(Int, Int)]): Array[Byte] = {
+    def be32(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def box(t: String, body: Array[Byte]): Array[Byte] =
+      be32(8 + body.length) ++ t.getBytes("ISO-8859-1") ++ body
+    val ispeBoxes = ispes.map { case (w, h) =>
+      box("ispe", be32(0) ++ be32(w) ++ be32(h))
+    }.foldLeft(Array.empty[Byte])(_ ++ _)
+    box("ftyp", "heic".getBytes("ISO-8859-1") ++ be32(0) ++
+        "mif1heic".getBytes("ISO-8859-1")) ++
+      box("meta", be32(0) ++ box("iprp", box("ipco", ispeBoxes))) ++
+      box("mdat", Array[Byte](1, 2, 3))
+  }
+
   // --------------------------------------------------- the fixture corpus
 
   /** (name, bytes) for every fixture file. Properties here are the SOURCE
@@ -182,6 +214,10 @@ object Fixtures {
       frames = (0 until 6).map(i => jpegBytes(32, 24, 0x102030 * (i + 1)))),
     // 640×360, 24 fps, 10000 ms
     "movie_f.mp4" -> mp4Bytes(),
+    // 100×50 lossless WebP — image tier via header dims (no JVM decoder)
+    "photo_h.webp" -> webpBytes(100, 50),
+    // HEIC with a 160×120 thumbnail ispe + 4032×3024 primary → primary wins
+    "photo_i.heic" -> heicBytes(Seq((160, 120), (4032, 3024))),
     // no parser recognizes it → quarantine row (all-null metadata)
     "junk_g.bin" -> "definitely not a media container, kept for quarantine".getBytes)
 
@@ -225,17 +261,25 @@ object Fixtures {
     * the slim metadata struct — payload bytes never reach the shuffle. */
   def mediaMetadata(spark: SparkSession, dir: String): DataFrame = {
     val folder = mediaFolder(spark, dir)
+    // Routing precedence: audio → video → image → quarantine. Video
+    // before image matters: an animated GIF parses under BOTH (frame
+    // metadata vs still dims) and belongs to the video tier. The image
+    // tier covers formats with header-only dims and no offline pixel
+    // decoder (WebP/HEIC — reference scan accepts them, tiling.py:87).
     spark.read.format("binaryFile").load(folder)
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         Multimodal.audioMetaFromBytes(col("content")).as("a"),
-        Multimodal.videoMetaFromBytes(col("content")).as("v"))
+        Multimodal.videoMetaFromBytes(col("content")).as("v"),
+        graft.images.ImageCodec.imageDims(col("content")).as("i"))
       .select(col("file"),
         when(col("a").isNotNull, "audio")
           .when(col("v").isNotNull, "video")
+          .when(col("i").isNotNull, "image")
           .otherwise("quarantine").as("kind"),
         col("a.sample_rate").as("sample_rate"), col("a.channels").as("channels"),
         col("a.duration_ms").as("audio_ms"),
-        col("v.width").as("width"), col("v.height").as("height"),
+        coalesce(col("v.width"), col("i._1")).as("width"),
+        coalesce(col("v.height"), col("i._2")).as("height"),
         col("v.fps").as("fps"), col("v.duration_ms").as("video_ms"))
       .orderBy(col("file"))
   }
@@ -253,6 +297,10 @@ object Fixtures {
       |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('movie_f.mp4', 'video',      CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
       |     CAST(640 AS INT), CAST(360 AS INT),  CAST(24.0 AS DOUBLE), CAST(10000 AS BIGINT)),
+      |  ('photo_h.webp', 'image',     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |     CAST(100 AS INT), CAST(50 AS INT),   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('photo_i.heic', 'image',     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |     CAST(4032 AS INT), CAST(3024 AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('song_c.mp3',  'audio',      CAST(44100 AS INT), CAST(2 AS INT),  CAST(522 AS BIGINT),
       |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('vid_e.avi',   'video',      CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),

@@ -22,10 +22,12 @@ import org.apache.spark.sql.functions._
   * reading the produced files, and re-running a file workflow over a
   * non-empty output dir is an error by contract (reference K6).
   *
-  * Frame-combining note: the one-row stats frames are combined with an
-  * equi-join on a literal key (plans a BroadcastHashJoin), NOT a
-  * crossJoin — keeps PlanHygieneSpec's BroadcastNestedLoopJoin ban
-  * binding for these queries. */
+  * Frame-combining note: the one-row stats frames attach via
+  * `crossJoin(broadcast(...))` — the whitelisted scalar-subquery shape
+  * (a broadcast ONE-ROW aggregate, bounded by construction; an equi-join
+  * on a literal key does not survive Catalyst, which constant-folds the
+  * condition to `true` and plans the same nested-loop anyway). q120/q121
+  * carry PlanHygieneSpec whitelist entries like q66/q71. */
 object FileWorkflowStats {
 
   private def cleanText: org.apache.spark.sql.Column =
@@ -97,11 +99,10 @@ object FileWorkflowStats {
     })
   }
 
-  /** One-row frames joined on a literal key — BroadcastHashJoin, not a
-    * cross product. */
+  /** Attach a one-row aggregate to a one-row frame (scalar-subquery
+    * shape; both sides bounded). */
   private def joinOne(a: DataFrame, b: DataFrame): DataFrame =
-    a.withColumn("__k", lit(1))
-      .join(broadcast(b.withColumn("__k", lit(1))), Seq("__k")).drop("__k")
+    a.crossJoin(broadcast(b))
 
   /** q120: merged_output.txt byte-exactness — file count from the input
     * listing, byte length and md5 of the merged file's exact bytes. */
