@@ -21,8 +21,48 @@ final case class QueryDef(
   * the API is the same.
   */
 object Tables {
+
+  /** Money/rate/quantity columns the engine computes on as DOUBLE, and
+    * date columns it reads as TIMESTAMP_NTZ. The harness regenerated its
+    * parquet once with a changed physical encoding (events.ts,
+    * round 5→6) and will plausibly do it again; these two column families
+    * are where a re-encode (DECIMAL-typed money, DATE-typed dates) would
+    * otherwise break every downstream query at analysis or silently
+    * change aggregate types. */
+  private val moneyCols = Set(
+    "c_acctbal", "s_acctbal", "p_retailprice", "o_totalprice",
+    "l_quantity", "l_extendedprice", "l_discount", "l_tax", "value")
+  private val dateCols = Set("o_orderdate", "l_shipdate")
+
+  /** Normalize DRIFTED physical column types back to the canonical
+    * schema the engine (and every oracle) was built against. A no-op on
+    * today's files — each cast fires only when the observed type
+    * differs — so current behavior is bit-identical; on a re-encoded
+    * file, money lands back at DOUBLE (exact for the ≤2-decimal values
+    * present) and dates at TIMESTAMP_NTZ (exact: the harness dates are
+    * all midnight-valued, verified at sf0.01). DuckDB oracles read the
+    * same drifted file directly and agree value-for-value — decimal
+    * money enters the same DECIMAL(14,4) exact-arithmetic casts, and
+    * DATE comparisons against TIMESTAMP literals are well-defined
+    * there. The ts column of `events` has its own multi-encoding
+    * branch in [[events]]. */
+  private def canonicalize(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, TimestampNTZType}
+    val needs = df.schema.fields.exists(f =>
+      (moneyCols(f.name) && f.dataType != DoubleType) ||
+        (dateCols(f.name) && f.dataType != TimestampNTZType))
+    if (!needs) df
+    else df.select(df.schema.fields.map { f =>
+      if (moneyCols(f.name) && f.dataType != DoubleType)
+        col(f.name).cast(DoubleType).as(f.name)
+      else if (dateCols(f.name) && f.dataType != TimestampNTZType)
+        col(f.name).cast(TimestampNTZType).as(f.name)
+      else col(f.name)
+    }.toSeq: _*)
+  }
+
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    canonicalize(spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
