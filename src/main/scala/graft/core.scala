@@ -88,8 +88,15 @@ object Tables {
     *  - timestamp[us] WITH timezone (TIMESTAMP_LTZ): already the target
     *    type — pass through.
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(table(s, d, "events"))
+
+  /** The ts-encoding branch, shared with the STREAMING reader
+    * ([[graft.streaming.Streaming.readEventStream]]): a file-source
+    * stream must declare the RAW physical schema (declaring the
+    * normalized one against NTZ files is a reader type mismatch) and
+    * apply this transform on the streaming frame instead. */
+  private[graft] def normalizeEventTs(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType =>

@@ -1392,7 +1392,7 @@ object Relational {
        |    SUM(cnt) OVER () AS n
        |  FROM hist
        |)
-       |SELECT ((cum - 1) * $HistB) // n + 1 AS bucket,
+       |SELECT CAST(((cum - 1) * $HistB) // n + 1 AS BIGINT) AS bucket,
        |  MIN(cents) AS lo_cents, MAX(cents) AS hi_cents,
        |  CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_distinct
        |FROM c GROUP BY 1 ORDER BY bucket""".stripMargin

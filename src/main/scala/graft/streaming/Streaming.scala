@@ -80,10 +80,16 @@ object Streaming {
   }
 
   /** File-source stream over a directory of event parquet (each new file is
-    * a micro-batch — the standard landing-zone pattern). */
+    * a micro-batch — the standard landing-zone pattern). The declared
+    * schema is the RAW footer schema of the files present — declaring the
+    * normalized one against an NTZ-encoded landing zone is a parquet
+    * reader type mismatch — and the ts-encoding normalization
+    * ([[graft.Tables.normalizeEventTs]], same branch the batch loader
+    * uses) is applied on the streaming frame, so event-time semantics
+    * survive a re-encoded feed exactly like batch did in round 6. */
   def readEventStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = graft.Tables.events(spark, dir).schema
-    spark.readStream.schema(schema).parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    graft.Tables.normalizeEventTs(spark.readStream.schema(schema).parquet(dir))
   }
 
   /** Tumbling 10-minute counts per event type with a 1-hour watermark.

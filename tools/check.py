@@ -27,6 +27,15 @@ def cmp(name, spark_df, duck_df):
         return f"SCHEMA cols {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS {len(a)} vs {len(b)}"
+    # dtype-KIND parity: the driver's hash is dtype-sensitive, so a DuckDB
+    # HUGEINT surfacing as float64 against Spark's int64 is a driver red
+    # even when every value compares equal (q115 was red two rounds on
+    # exactly this while this script showed green — 1 == 1.0). CAST such
+    # oracle columns to BIGINT.
+    for c in a.columns:
+        ak, bk = a[c].dtype.kind, b[c].dtype.kind
+        if ak != bk and not (a[c].isna().all() and b[c].isna().all()):
+            return f"DTYPE col {c}: spark {a[c].dtype} vs oracle {b[c].dtype}"
     for c in a.columns:
         av, bv = a[c], b[c]
         try:
