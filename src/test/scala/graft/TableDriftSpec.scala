@@ -61,4 +61,25 @@ class TableDriftSpec extends SparkSpec {
       assert(got == ref, s"$name: drifted-encoding result differs")
     }
   }
+
+  test("similarity queries survive a float→double embedding re-encode") {
+    // every embedding kernel quantizes via an element-wise cast-to-double
+    // (llm/Similarity.quantize), so array<double> embeddings must be
+    // absorbed without an analysis error or value change
+    val base = java.nio.file.Files.createTempDirectory("graft-drift-emb").toString
+    new java.io.File(sfDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.getName != "embeddings.parquet")
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(base, f.getName)))
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
+    for (name <- Seq("q44_cosine_topk", "q70_int8_ann_topk")) {
+      val q = SparkEntry.queries.getOrElse(name,
+        fail(s"$name not registered — fix the spec's query list"))
+      val ref = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val got = q(spark, base).collect().map(_.toString).sorted.toSeq
+      assert(ref.nonEmpty && got == ref, s"$name: double-embedding result differs")
+    }
+  }
 }
