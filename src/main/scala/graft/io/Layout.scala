@@ -239,7 +239,61 @@ object Layout {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** q123: SCHEMA-EVOLUTION scan — a real landing zone accumulates files
+    * written under successive schema generations (early files lack the
+    * columns added later), and a 100 TB pipeline must read the union
+    * without rewriting history. Fixture (landed once per application+dir,
+    * same policy as q72): documents with `doc_id % 5 == 0` are written as
+    * GEN-1 files carrying only (doc_id, text, n_chars); the rest as GEN-2
+    * with the full schema. The query reads the folder with
+    * `mergeSchema=true` — Spark unions the footer schemas and null-fills
+    * the missing columns — and reports a per-source census where gen-1
+    * rows surface as `__legacy__` via coalesce. The DuckDB oracle derives
+    * the identical answer from the ORIGINAL table (the gen split is a
+    * pure function of doc_id), so the hash gate checks the evolved read
+    * end-to-end: null-filling, column alignment, and the aggregate. */
+  def schemaEvolvedCensus(spark: SparkSession, dir: String): DataFrame = {
+    val out = evolvedDocsPath(spark, dir)
+    // recursiveFileLookup: the generation subdirs are not key=value
+    // partition dirs, so the default listing would not descend into them
+    spark.read.option("mergeSchema", "true")
+      .option("recursiveFileLookup", "true").parquet(out)
+      .groupBy(coalesce(col("source"), lit("__legacy__")).as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        count(col("lang")).as("n_with_lang"))
+      .orderBy(col("source"))
+  }
+
+  private def evolvedDocsPath(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, s"graft_docs_evolved_$suffix")
+    val key = spark.sparkContext.applicationId + ":" + p.toString
+    builtPartitioned.computeIfAbsent(key, { _ =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docs = Tables.documents(spark, dir)
+      val legacy = col("doc_id") % 5 === 0
+      docs.filter(legacy).select("doc_id", "text", "n_chars")
+        .write.parquet(p.toString + "/gen1")
+      docs.filter(!legacy)
+        .write.parquet(p.toString + "/gen2")
+      p.toString
+    })
+  }
+
+  val schemaEvolvedCensusSql: String =
+    """SELECT CASE WHEN doc_id % 5 = 0 THEN '__legacy__' ELSE source END AS source,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  CAST(COUNT(CASE WHEN doc_id % 5 = 0 THEN NULL ELSE lang END) AS BIGINT) AS n_with_lang
+      |FROM documents
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q56_bucketed_join", bucketedOrderRevenue, Some(bucketedOrderRevenueSql)),
-    QueryDef("q72_partition_pruned", partitionPrunedRevenue, Some(partitionPrunedRevenueSql)))
+    QueryDef("q72_partition_pruned", partitionPrunedRevenue, Some(partitionPrunedRevenueSql)),
+    QueryDef("q123_schema_evolution", schemaEvolvedCensus, Some(schemaEvolvedCensusSql)))
 }

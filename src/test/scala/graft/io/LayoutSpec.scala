@@ -142,4 +142,22 @@ class LayoutSpec extends SparkSpec {
       Layout.writePartitioned(docs, out, Seq("lang"))
     }
   }
+
+  test("q123 reads across two real schema generations, not a single-schema dir") {
+    val rows = Layout.schemaEvolvedCensus(spark, sfDir).collect()
+    val legacy = rows.filter(_.getString(0) == "__legacy__")
+    assert(legacy.length == 1, "gen-1 rows must surface as __legacy__")
+    // gen-1 files carry no lang column at all → count(lang) is exactly 0
+    assert(legacy.head.getLong(3) == 0L, "legacy rows cannot have lang values")
+    assert(rows.length > 1, "gen-2 sources must survive the merged read")
+    // the fixture really has a narrower gen-1 schema on disk — the merge
+    // is doing work, the query is not just reading one uniform schema
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val gen1 = new java.io.File(new java.net.URI(wh).getPath)
+      .listFiles().filter(_.getName.startsWith("graft_docs_evolved_"))
+      .head.toPath.resolve("gen1").toString
+    val s1 = spark.read.parquet(gen1).schema
+    assert(!s1.fieldNames.contains("source") && !s1.fieldNames.contains("lang"),
+      s"gen-1 schema should be narrow, got ${s1.fieldNames.mkString(",")}")
+  }
 }
