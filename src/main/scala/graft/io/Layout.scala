@@ -38,6 +38,42 @@ object Layout {
   def readPartitioned(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Small-file COMPACTION: rewrite a landing directory's many small
+    * parquet files as ⌈totalBytes / targetBytes⌉ files of ~targetBytes
+    * each. At 100 TB the failure mode this prevents is operational, not
+    * computational: a streaming sink or per-batch ingest writes one file
+    * per micro-batch per partition, and a year later the directory holds
+    * millions of KB-files — every scan pays listing + open overhead per
+    * file, and the NameNode/object-store metadata becomes the bottleneck.
+    * Compaction is the standard nightly job (Delta/Iceberg call it
+    * OPTIMIZE / rewrite_data_files); this is the plain-parquet form.
+    *
+    * File count from SOURCE METADATA (sum of FileStatus lengths — no data
+    * pass); the rewrite is one round-robin repartition so output files
+    * are uniformly sized regardless of input skew. Parquet encoding can
+    * change the on-disk bytes vs the source (dictionary/RLE work better
+    * on bigger row groups — the point of compacting), so targetBytes
+    * calibrates against SOURCE bytes, the observable quantity. Returns
+    * the output file count. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              targetBytes: Long = 128L << 20): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val in = new org.apache.hadoop.fs.Path(inDir)
+    val fs = in.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(in, true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val n = st.getPath.getName
+      if (!n.startsWith("_") && !n.startsWith(".")) total += st.getLen
+    }
+    val nFiles = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    spark.read.option("recursiveFileLookup", "true").parquet(inDir)
+      .repartition(nFiles)
+      .write.mode(SaveMode.ErrorIfExists).parquet(outDir)
+    nFiles
+  }
+
   /** Write `df` as a BUCKETED catalog table: rows are hash-partitioned
     * into `numBuckets` files per partition by `bucketCol`, and the bucket
     * spec is recorded in the catalog. A join or aggregation keyed on the

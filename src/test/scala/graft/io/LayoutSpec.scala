@@ -143,6 +143,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("compact: many small files become few sized files, rows byte-identical") {
+    val in = Files.createTempDirectory("graft-compact-in").toString
+    val out = Files.createTempDirectory("graft-compact").resolve("out").toString
+    // 40 tiny files — the streaming-sink landing-zone shape
+    graft.Tables.documents(spark, sfDir).repartition(40).write.mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(inFiles >= 30, s"fixture should be fragmented, got $inFiles files")
+    val totalBytes = new java.io.File(in).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).map(_.length()).sum
+    val n = Layout.compact(spark, in, out, targetBytes = totalBytes / 4 + 1)
+    assert(n == 4, s"expected 4 target files, got $n")
+    val outFiles = new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(outFiles == 4, s"compacted dir should hold 4 files, got $outFiles")
+    // content equality, not just counts
+    val a = spark.read.parquet(in).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.parquet(out).collect().map(_.toString).sorted.toSeq
+    assert(a == b, "compaction must preserve every row")
+    // K6 precondition holds for the compacted output too
+    intercept[Exception] { Layout.compact(spark, in, out) }
+  }
+
   test("q123 reads across two real schema generations, not a single-schema dir") {
     val rows = Layout.schemaEvolvedCensus(spark, sfDir).collect()
     val legacy = rows.filter(_.getString(0) == "__legacy__")
