@@ -1094,6 +1094,102 @@ object CorpusStats {
        |  (rn - 1) % $ShufDocsPerShard AS pos
        |FROM o ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q124: exact-count stratified sample (largest-remainder allocation)
+  // ---------------------------------------------------------------------
+
+  /** q124: EXACT-COUNT stratified sampling — the eval-set constructor.
+    * q60 samples at per-stratum RATES (content-hash bucket < rate_bp), so
+    * realized counts are binomial; an evaluation set instead needs a
+    * FIXED total size with exact per-stratum quotas. Three all-integer
+    * stages, each a pure function of the data (no RNG, engine-exact):
+    *
+    *  1. ALLOCATE: total S = N div 10, Hare quota by largest remainder —
+    *     `base_l = (n_l·S) div N`, the `S − Σbase` leftover seats go to
+    *     the strata with the largest `(n_l·S) mod N`, ties broken by
+    *     lang. Integer cross-multiplication, no division of doubles.
+    *  2. SELECT: within each stratum take the `alloc_l` smallest
+    *     `hash60("strat:" ++ doc_id)` keys (doc_id tie-break) — the
+    *     deterministic analog of uniform-without-replacement, same idiom
+    *     as q119's shuffle key under a distinct salt.
+    *  3. AUDIT: per-stratum (n_docs, alloc, n_sampled, id_sum) where
+    *     id_sum = Σ doc_id over the SELECTED rows — the output
+    *     hash-gates the exact membership of the sample, not just its
+    *     size.
+    *
+    * Scale shape: the per-stratum rank is a window partitioned by lang
+    * over a slim (doc_id, lang, skey) projection — one hash exchange.
+    * A dominant stratum makes that window's partition large; the scale
+    * escape is the same as q80's cap (a pre-filter on skey below a
+    * per-stratum threshold found via a first aggregate pass) — not
+    * needed at harness SF where the biggest stratum fits a task. The
+    * allocation windows run over the ~|strata|-row aggregated frame,
+    * never raw rows. */
+  def exactStratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.llm.Similarity.hash60(
+          concat(lit("strat:"), col("doc_id").cast("string"))).as("skey"))
+    val strata = d.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum(col("n_docs")).as("n_total"))
+    val alloc = strata.crossJoin(broadcast(tot))
+      .withColumn("s_total", expr("n_total div 10"))
+      .withColumn("base", expr("(n_docs * s_total) div n_total"))
+      .withColumn("rem", expr("(n_docs * s_total) % n_total"))
+      .withColumn("leftover",
+        col("s_total") - sum(col("base")).over(Window.partitionBy()))
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("alloc",
+        col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+      .select(col("lang"), col("n_docs"), col("alloc"))
+    val sampled = d
+      .withColumn("srk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("skey"), col("doc_id"))))
+      .join(broadcast(alloc.select(col("lang"), col("alloc"))), Seq("lang"))
+      .filter(col("srk") <= col("alloc"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("id_sum"))
+    alloc.join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("alloc"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        coalesce(col("id_sum"), lit(0L)).cast("long").as("id_sum"))
+      .orderBy(col("lang"))
+  }
+
+  val exactStratifiedSampleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS skey
+      |  FROM documents
+      |), s AS (
+      |  SELECT lang, COUNT(*) AS n_docs FROM d GROUP BY 1
+      |), t AS (
+      |  SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total FROM s
+      |), a0 AS (
+      |  SELECT lang, n_docs, n_total // 10 AS s_total,
+      |    (n_docs * (n_total // 10)) // n_total AS base,
+      |    (n_docs * (n_total // 10)) % n_total AS rem
+      |  FROM s CROSS JOIN t
+      |), a AS (
+      |  SELECT lang, n_docs,
+      |    base + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, lang)
+      |      <= s_total - SUM(base) OVER () THEN 1 ELSE 0 END AS alloc
+      |  FROM a0
+      |), sel AS (
+      |  SELECT lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS srk
+      |  FROM d
+      |), fs AS (
+      |  SELECT sel.lang, COUNT(*) AS n_sampled, SUM(doc_id) AS id_sum
+      |  FROM sel JOIN a USING (lang) WHERE srk <= alloc GROUP BY 1
+      |)
+      |SELECT a.lang, CAST(a.n_docs AS BIGINT) AS n_docs,
+      |  CAST(a.alloc AS BIGINT) AS alloc,
+      |  CAST(COALESCE(fs.n_sampled, 0) AS BIGINT) AS n_sampled,
+      |  CAST(COALESCE(fs.id_sum, 0) AS BIGINT) AS id_sum
+      |FROM a LEFT JOIN fs USING (lang) ORDER BY a.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1111,6 +1207,8 @@ object CorpusStats {
     QueryDef("q104_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q109_mixture_plan", mixturePlan, Some(mixturePlanSql)),
     QueryDef("q119_training_order", trainingOrder, Some(trainingOrderSql)),
+    QueryDef("q124_exact_stratified_sample", exactStratifiedSample,
+      Some(exactStratifiedSampleSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

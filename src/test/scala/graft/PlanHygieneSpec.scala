@@ -34,7 +34,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q66_tfidf_terms", "q71_heavy_hitters", "q75_kmeans", "q83_quality_audit",
     "q99_rrf_fusion", "q104_pmi_pairs", "q109_mixture_plan",
     "q110_triangle_count", "q115_equidepth_histogram", "q116_cluster_top_terms",
-    "q117_spend_deciles", "q120_file_merge_oracle", "q121_file_dedup_oracle")
+    "q117_spend_deciles", "q120_file_merge_oracle", "q121_file_dedup_oracle",
+    "q124_exact_stratified_sample")
 
   test("no registered query plans an unbounded cross product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -434,4 +434,26 @@ class CorpusStatsSpec extends SparkSpec {
       assert(r.getLong(3) == 1L, s"n_phones doc ${r.getLong(0)}")
     }
   }
+
+  test("q124: Hare allocation telescopes to S, quotas within ±1 of proportional, every quota filled") {
+    val rows = CorpusStats.exactStratifiedSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._2).sum
+    val s = n / 10
+    // largest-remainder invariants: Σalloc == S exactly, and each alloc is
+    // floor or ceil of the exact proportional share n_l·S/N
+    assert(rows.map(_._3).sum == s, s"allocation must telescope to S=$s")
+    rows.foreach { case (lang, nl, alloc, nSampled, _) =>
+      val base = (nl * s) / n
+      assert(alloc == base || alloc == base + 1,
+        s"$lang: alloc $alloc outside [floor, ceil] of proportional ${nl * s}/$n")
+      assert(nSampled == alloc, s"$lang: selection must fill the quota exactly")
+    }
+    // determinism: repeated run yields identical audit rows (pure function
+    // of the data — no RNG, no partitioning dependence)
+    val again = CorpusStats.exactStratifiedSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
