@@ -328,8 +328,76 @@ object Layout {
       |FROM documents
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q125: DATASET MANIFEST — the reproducibility primitive a pipeline
+    * publishes with every snapshot: per table, a row count and an
+    * ORDER-INDEPENDENT content fingerprint (`bit_xor` of a 60-bit row
+    * hash), so two snapshots compare as equal/different in one scan each
+    * with no sort, no collect, and no dependence on partitioning. XOR is
+    * the right fold at scale: commutative/associative (map-side partial
+    * combine), fixed-width (no hugeint/overflow divergence between
+    * engines — the q115 lesson), and any single changed row flips the
+    * fingerprint.
+    *
+    * Row identity covers the stable engine-exact columns: ids, strings,
+    * integer cents for money, integer micros for event time. Float
+    * payloads (embedding vectors) are excluded from the IDENTITY string —
+    * their decimal rendering is engine-dependent — and are value-gated by
+    * the similarity queries instead. Five independent single-table
+    * aggregates unioned (no shared subtree, so the union re-execution
+    * trap does not apply). */
+  def datasetManifest(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity.hash60
+    def row(name: String, df: DataFrame, key: org.apache.spark.sql.Column) =
+      df.select(hash60(key).as("fp"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("fingerprint"))
+        .select(lit(name).as("tbl"), col("n_rows"),
+          col("fingerprint").cast("long").as("fingerprint"))
+    val sep = ""
+    row("documents", Tables.documents(spark, dir),
+        concat_ws(sep, col("doc_id"), col("lang"), col("source"), col("text")))
+      .union(row("embeddings", Tables.embeddings(spark, dir),
+        concat_ws(sep, col("vec_id"), col("label"))))
+      .union(row("events", Tables.events(spark, dir),
+        concat_ws(sep, col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")))))
+      .union(row("lineitem", Tables.lineitem(spark, dir),
+        concat_ws(sep, col("l_orderkey"), col("l_linenumber"),
+          graft.Exact.cents(col("l_extendedprice")))))
+      .union(row("orders", Tables.orders(spark, dir),
+        concat_ws(sep, col("o_orderkey"), col("o_orderpriority"),
+          graft.Exact.cents(col("o_totalprice")))))
+      .orderBy(col("tbl"))
+  }
+
+  val datasetManifestSql: String = {
+    def fp(key: String) =
+      s"CAST(bit_xor(CAST(concat('0x', substr(md5($key), 1, 15)) AS BIGINT)) AS BIGINT)"
+    val sep = "chr(31)"
+    s"""SELECT 'documents' AS tbl, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  ${fp(s"concat_ws($sep, doc_id, lang, source, text)")} AS fingerprint
+       |FROM documents
+       |UNION ALL
+       |SELECT 'embeddings', CAST(COUNT(*) AS BIGINT),
+       |  ${fp(s"concat_ws($sep, vec_id, label)")}
+       |FROM embeddings
+       |UNION ALL
+       |SELECT 'events', CAST(COUNT(*) AS BIGINT),
+       |  ${fp(s"concat_ws($sep, event_id, user_id, event_type, epoch_us(ts))")}
+       |FROM events
+       |UNION ALL
+       |SELECT 'lineitem', CAST(COUNT(*) AS BIGINT),
+       |  ${fp(s"concat_ws($sep, l_orderkey, l_linenumber, CAST(CAST(l_extendedprice AS DECIMAL(14,4)) * 100 AS BIGINT))")}
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+       |  ${fp(s"concat_ws($sep, o_orderkey, o_orderpriority, CAST(CAST(o_totalprice AS DECIMAL(14,4)) * 100 AS BIGINT))")}
+       |FROM orders
+       |ORDER BY tbl""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q56_bucketed_join", bucketedOrderRevenue, Some(bucketedOrderRevenueSql)),
     QueryDef("q72_partition_pruned", partitionPrunedRevenue, Some(partitionPrunedRevenueSql)),
-    QueryDef("q123_schema_evolution", schemaEvolvedCensus, Some(schemaEvolvedCensusSql)))
+    QueryDef("q123_schema_evolution", schemaEvolvedCensus, Some(schemaEvolvedCensusSql)),
+    QueryDef("q125_dataset_manifest", datasetManifest, Some(datasetManifestSql)))
 }

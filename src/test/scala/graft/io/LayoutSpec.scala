@@ -166,6 +166,31 @@ class LayoutSpec extends SparkSpec {
     intercept[Exception] { Layout.compact(spark, in, out) }
   }
 
+  test("q125 manifest: partitioning-independent; one changed row flips exactly one fingerprint") {
+    val base = Files.createTempDirectory("graft-manifest").toString
+    // copy all tables; documents gets ONE text mutated, and a different
+    // file layout (repartitioned) to prove order/partitioning independence
+    new java.io.File(sfDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.getName != "documents.parquet")
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(base, f.getName)))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val minId = docs.agg(min(col("doc_id"))).head().getLong(0)
+    docs.withColumn("text",
+        when(col("doc_id") === minId, concat(col("text"), lit("!"))).otherwise(col("text")))
+      .repartition(7) // different file count AND row order than the source
+      .write.parquet(s"$base/documents.parquet")
+    val a = Layout.datasetManifest(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = Layout.datasetManifest(spark, base).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a.keySet == Set("documents", "embeddings", "events", "lineitem", "orders"))
+    assert(a("documents")._1 == b("documents")._1, "row count unchanged")
+    assert(a("documents")._2 != b("documents")._2, "mutated text must flip the fingerprint")
+    for (t <- a.keySet - "documents")
+      assert(a(t) == b(t), s"$t: fingerprint must be layout-independent")
+  }
+
   test("q123 reads across two real schema generations, not a single-schema dir") {
     val rows = Layout.schemaEvolvedCensus(spark, sfDir).collect()
     val legacy = rows.filter(_.getString(0) == "__legacy__")
