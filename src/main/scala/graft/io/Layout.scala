@@ -395,9 +395,37 @@ object Layout {
        |ORDER BY tbl""".stripMargin
   }
 
+  /** q126: the Z-ORDER curve under the hash gate. The layout payoff
+    * (row-group pruning on a 2D box predicate) is measured in ZOrderSpec
+    * against real written files; this query locks the curve MATH — the
+    * per-bit interleave both the clustering write and the oracle derive
+    * from — as a 16-bucket census of z-values over
+    * (l_partkey mod 256, l_suppkey mod 256). Spark column and DuckDB SQL
+    * are generated from the same loop ([[graft.functions.ZOrder]]), so
+    * they cannot drift. One scan, one hash aggregate. */
+  def zorderCurve(spark: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("l_partkey"), lit(256L))
+    val y = pmod(col("l_suppkey"), lit(256L))
+    Tables.lineitem(spark, dir)
+      .select(graft.functions.ZOrder.zValue(x, y, 8).as("z"))
+      .groupBy(expr("z div 4096").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+      .orderBy(col("bucket"))
+  }
+
+  val zorderCurveSql: String = {
+    val z = graft.functions.ZOrder.zValueSql("l_partkey % 256", "l_suppkey % 256", 8)
+    s"""WITH d AS (SELECT $z AS z FROM lineitem)
+       |SELECT z // 4096 AS bucket, COUNT(*) AS n_rows,
+       |  MIN(z) AS z_min, MAX(z) AS z_max
+       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q56_bucketed_join", bucketedOrderRevenue, Some(bucketedOrderRevenueSql)),
     QueryDef("q72_partition_pruned", partitionPrunedRevenue, Some(partitionPrunedRevenueSql)),
     QueryDef("q123_schema_evolution", schemaEvolvedCensus, Some(schemaEvolvedCensusSql)),
-    QueryDef("q125_dataset_manifest", datasetManifest, Some(datasetManifestSql)))
+    QueryDef("q125_dataset_manifest", datasetManifest, Some(datasetManifestSql)),
+    QueryDef("q126_zorder_curve", zorderCurve, Some(zorderCurveSql)))
 }
