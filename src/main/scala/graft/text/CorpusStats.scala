@@ -1190,6 +1190,66 @@ object CorpusStats {
       |  CAST(COALESCE(fs.id_sum, 0) AS BIGINT) AS id_sum
       |FROM a LEFT JOIN fs USING (lang) ORDER BY a.lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q127: takedown / right-to-erasure propagation
+  // ---------------------------------------------------------------------
+
+  /** q127: TAKEDOWN propagation — the governance sibling of q57's
+    * decontamination: an externally-supplied deletion list (DMCA /
+    * right-to-erasure requests) must be removed from the corpus and the
+    * resulting snapshot re-certified. The fixture deletion list is a
+    * deterministic ~1.5% of doc ids (`hash60("del:"++doc_id) mod 1000 <
+    * 15` — a pure function, so the oracle derives the same list), but
+    * the QUERY treats it as what it is in production: a separate small
+    * frame, BROADCAST and left-anti-joined against the corpus — one
+    * corpus scan, zero corpus-side shuffle, the only join build side is
+    * the request list. Output: per-source audit (n_docs, n_deleted,
+    * n_kept) plus `kept_fp`, the q125-style order-independent `bit_xor`
+    * fingerprint of the SURVIVING doc ids — the number you publish with
+    * the post-takedown snapshot so downstream consumers can verify they
+    * hold exactly the purged corpus. Oracle uses NOT EXISTS (not NOT IN,
+    * whose three-valued logic zeroes the check if any key is NULL). */
+  def takedownPropagation(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity.hash60
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val requests = docs
+      .filter(pmod(hash60(concat(lit("del:"), col("doc_id").cast("string"))),
+        lit(1000)) < 15)
+      .select(col("doc_id"))
+    val kept = docs.join(broadcast(requests), Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("bit_xor(" +
+          "cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint))")
+          .as("kept_fp"))
+    docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_deleted"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_fp"), lit(0L)).cast("long").as("kept_fp"))
+      .orderBy(col("source"))
+  }
+
+  val takedownPropagationSql: String =
+    """WITH req AS (
+      |  SELECT doc_id FROM documents
+      |  WHERE CAST(concat('0x', substr(md5('del:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000 < 15
+      |), kept AS (
+      |  SELECT d.source, COUNT(*) AS n_kept,
+      |    bit_xor(CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)) AS kept_fp
+      |  FROM documents d
+      |  WHERE NOT EXISTS (SELECT 1 FROM req r WHERE r.doc_id = d.doc_id)
+      |  GROUP BY 1
+      |), tot AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+      |)
+      |SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs,
+      |  CAST(t.n_docs - COALESCE(k.n_kept, 0) AS BIGINT) AS n_deleted,
+      |  CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(k.kept_fp, 0) AS BIGINT) AS kept_fp
+      |FROM tot t LEFT JOIN kept k USING (source) ORDER BY t.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1209,6 +1269,8 @@ object CorpusStats {
     QueryDef("q119_training_order", trainingOrder, Some(trainingOrderSql)),
     QueryDef("q124_exact_stratified_sample", exactStratifiedSample,
       Some(exactStratifiedSampleSql)),
+    QueryDef("q127_takedown_propagation", takedownPropagation,
+      Some(takedownPropagationSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
   )
 }

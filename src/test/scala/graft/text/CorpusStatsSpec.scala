@@ -456,4 +456,25 @@ class CorpusStatsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("q127 takedown: counts telescope, requests really delete, survivors re-fingerprint") {
+    val rows = CorpusStats.takedownPropagation(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, del, kept, _) =>
+      assert(del + kept == n, s"$src: deleted + kept must equal total")
+      assert(del >= 0 && kept >= 0)
+    }
+    assert(rows.map(_._3).sum > 0, "the fixture deletion list must be non-empty")
+    // survivors-only fingerprint differs from the all-docs fingerprint for
+    // any source that lost a doc (XOR of a non-empty removed set ≠ 0)
+    import org.apache.spark.sql.functions._
+    val fullFp = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(expr("bit_xor(cast(conv(substring(md5(cast(doc_id as string)), 1, 15), 16, 10) as bigint))").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.filter(_._3 > 0).foreach { case (src, _, _, _, keptFp) =>
+      assert(keptFp != fullFp(src), s"$src: fingerprint must change after deletion")
+    }
+  }
 }
