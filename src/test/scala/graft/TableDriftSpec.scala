@@ -62,6 +62,27 @@ class TableDriftSpec extends SparkSpec {
     }
   }
 
+  test("document queries survive an int32 doc_id re-encode") {
+    // doc_id is consumed via string-casts (hash salts), joins and sums —
+    // all width-agnostic; lock that with the sampler (hash selection +
+    // id_sum audit) and the takedown sweep (anti-join + XOR fingerprint)
+    val base = java.nio.file.Files.createTempDirectory("graft-drift-doc").toString
+    new java.io.File(sfDir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.getName != "documents.parquet")
+      .foreach(f => java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(base, f.getName)))
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("doc_id", col("doc_id").cast("int"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$base/documents.parquet")
+    for (name <- Seq("q124_exact_stratified_sample", "q127_takedown_propagation")) {
+      val q = SparkEntry.queries.getOrElse(name,
+        fail(s"$name not registered — fix the spec's query list"))
+      val ref = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      val got = q(spark, base).collect().map(_.toString).sorted.toSeq
+      assert(ref.nonEmpty && got == ref, s"$name: int32-doc_id result differs")
+    }
+  }
+
   test("similarity queries survive a float→double embedding re-encode") {
     // every embedding kernel quantizes via an element-wise cast-to-double
     // (llm/Similarity.quantize), so array<double> embeddings must be
