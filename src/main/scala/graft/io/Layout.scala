@@ -422,10 +422,107 @@ object Layout {
        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** q128: CDC MERGE apply — the upsert batch every incremental corpus
+    * refresh ends with: a change feed of inserts/updates/deletes applied
+    * to the base snapshot in ONE pass. The fixture change batch is a
+    * deterministic pure function of the base (`hash60("cdc-x:"++doc_id)`
+    * buckets → ~3% deletes, ~6% updates, ~2% inserts), so the oracle
+    * derives the identical batch; in production the batch arrives as its
+    * own small frame and the shape below is unchanged.
+    *
+    * 100 TB shape: a change batch is orders of magnitude smaller than
+    * the base, so the TOUCHED-KEY set (deletes ∪ updates) is BROADCAST
+    * and the base is scanned exactly once through a left-anti join —
+    * zero base-side shuffle; the final snapshot is untouched ∪ updated ∪
+    * inserted, a union of narrow frames. (When the batch outgrows a
+    * broadcast, the same plan degrades gracefully to a sort-merge
+    * anti-join on the q56 bucketed layout — key choice is identical.)
+    * Output: per-source audit (base/deleted/updated/inserted/final
+    * counts) plus `final_fp`, the q125-style order-independent `bit_xor`
+    * fingerprint over (doc_id, lang, n_chars) of the POST-merge snapshot
+    * — so the hash gate certifies merge MEMBERSHIP and row CONTENT, not
+    * just counts. */
+  def cdcMergeApply(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity.hash60
+    def bucket(prefix: String) =
+      pmod(hash60(concat(lit(prefix), col("doc_id").cast("string"))), lit(100L))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    val dels = base.filter(bucket("cdc-d:") < 3)
+      .select(col("doc_id"), col("source"))
+    val upds = base.filter(bucket("cdc-d:") >= 3 && bucket("cdc-u:") < 6)
+      .select(col("doc_id"), lit("xx").as("lang"), col("source"),
+        (col("n_chars") + 100L).as("n_chars"))
+    val ins = base.filter(bucket("cdc-i:") < 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("source"), (col("n_chars") + 1L).as("n_chars"))
+    val touched = dels.select(col("doc_id")).union(upds.select(col("doc_id")))
+    val untouched = base.join(broadcast(touched), Seq("doc_id"), "left_anti")
+    val finalSnap = untouched.unionByName(upds).unionByName(ins)
+    val us = ""
+    val finAgg = finalSnap
+      .select(col("source"),
+        hash60(concat_ws(us, col("doc_id"), col("lang"), col("n_chars")))
+          .as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_final"), expr("bit_xor(fp)").as("final_fp"))
+    def census(df: DataFrame, name: String) =
+      df.groupBy(col("source")).agg(count(lit(1)).as(name))
+    census(base, "n_base")
+      .join(census(dels, "n_deleted"), Seq("source"), "left")
+      .join(census(upds, "n_updated"), Seq("source"), "left")
+      .join(census(ins, "n_inserted"), Seq("source"), "left")
+      .join(finAgg, Seq("source"), "left")
+      .select(col("source"), col("n_base"),
+        coalesce(col("n_deleted"), lit(0L)).as("n_deleted"),
+        coalesce(col("n_updated"), lit(0L)).as("n_updated"),
+        coalesce(col("n_inserted"), lit(0L)).as("n_inserted"),
+        coalesce(col("n_final"), lit(0L)).as("n_final"),
+        coalesce(col("final_fp"), lit(0L)).cast("long").as("final_fp"))
+      .orderBy(col("source"))
+  }
+
+  val cdcMergeApplySql: String = {
+    def h60(key: String) =
+      s"CAST(concat('0x', substr(md5($key), 1, 15)) AS BIGINT)"
+    def bucket(prefix: String) =
+      s"${h60(s"'$prefix' || CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+       |del AS (SELECT doc_id, source FROM base WHERE ${bucket("cdc-d:")} < 3),
+       |upd AS (SELECT doc_id, 'xx' AS lang, source, n_chars + 100 AS n_chars
+       |        FROM base WHERE ${bucket("cdc-d:")} >= 3 AND ${bucket("cdc-u:")} < 6),
+       |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars + 1 AS n_chars
+       |        FROM base WHERE ${bucket("cdc-i:")} < 2),
+       |fin AS (
+       |  SELECT b.doc_id, b.lang, b.source, b.n_chars FROM base b
+       |  WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.doc_id = b.doc_id)
+       |    AND NOT EXISTS (SELECT 1 FROM upd x WHERE x.doc_id = b.doc_id)
+       |  UNION ALL SELECT doc_id, lang, source, n_chars FROM upd
+       |  UNION ALL SELECT doc_id, lang, source, n_chars FROM ins
+       |), finagg AS (
+       |  SELECT source, COUNT(*) AS n_final,
+       |    bit_xor(${h60("concat_ws(chr(31), doc_id, lang, n_chars)")}) AS final_fp
+       |  FROM fin GROUP BY 1
+       |)
+       |SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_base,
+       |  CAST(COALESCE(MAX(d.n), 0) AS BIGINT) AS n_deleted,
+       |  CAST(COALESCE(MAX(u.n), 0) AS BIGINT) AS n_updated,
+       |  CAST(COALESCE(MAX(i.n), 0) AS BIGINT) AS n_inserted,
+       |  CAST(COALESCE(MAX(f.n_final), 0) AS BIGINT) AS n_final,
+       |  CAST(COALESCE(MAX(f.final_fp), 0) AS BIGINT) AS final_fp
+       |FROM base b
+       |LEFT JOIN (SELECT source, COUNT(*) AS n FROM del GROUP BY 1) d ON d.source = b.source
+       |LEFT JOIN (SELECT source, COUNT(*) AS n FROM upd GROUP BY 1) u ON u.source = b.source
+       |LEFT JOIN (SELECT source, COUNT(*) AS n FROM ins GROUP BY 1) i ON i.source = b.source
+       |LEFT JOIN finagg f ON f.source = b.source
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q56_bucketed_join", bucketedOrderRevenue, Some(bucketedOrderRevenueSql)),
     QueryDef("q72_partition_pruned", partitionPrunedRevenue, Some(partitionPrunedRevenueSql)),
     QueryDef("q123_schema_evolution", schemaEvolvedCensus, Some(schemaEvolvedCensusSql)),
     QueryDef("q125_dataset_manifest", datasetManifest, Some(datasetManifestSql)),
-    QueryDef("q126_zorder_curve", zorderCurve, Some(zorderCurveSql)))
+    QueryDef("q126_zorder_curve", zorderCurve, Some(zorderCurveSql)),
+    QueryDef("q128_cdc_merge_apply", cdcMergeApply, Some(cdcMergeApplySql)))
 }

@@ -208,4 +208,48 @@ class LayoutSpec extends SparkSpec {
     assert(!s1.fieldNames.contains("source") && !s1.fieldNames.contains("lang"),
       s"gen-1 schema should be narrow, got ${s1.fieldNames.mkString(",")}")
   }
+
+  test("q128 CDC merge: counts telescope, fp is content-sensitive, base side broadcast-anti") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    val rows = Layout.cdcMergeApply(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // merge arithmetic: updates keep the count; deletes/inserts move it
+    for (r <- rows) {
+      val (base, del, upd, ins, fin) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(fin == base - del + ins, s"${r.getString(0)}: $fin != $base - $del + $ins")
+      assert(upd <= base - del, s"${r.getString(0)}: more updates than survivors")
+    }
+    // the fixture batch exercises every change class at this SF
+    assert(rows.map(_.getLong(2)).sum > 0, "no deletes in fixture batch")
+    assert(rows.map(_.getLong(3)).sum > 0, "no updates in fixture batch")
+    assert(rows.map(_.getLong(4)).sum > 0, "no inserts in fixture batch")
+    // fp gate is CONTENT-sensitive, not just count-sensitive: recompute
+    // the same fingerprint over the UNMERGED base — it must differ for
+    // any source the batch touched
+    import graft.llm.Similarity.hash60
+    val us = "\u001f"
+    val baseFp = graft.Tables.documents(spark, sfDir)
+      .select(col("source"),
+        hash60(concat_ws(us, col("doc_id"), col("lang"), col("n_chars"))).as("fp"))
+      .groupBy("source").agg(expr("bit_xor(fp)").as("fp"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = rows.filter(r => r.getLong(2) + r.getLong(3) + r.getLong(4) > 0)
+    assert(touched.nonEmpty)
+    for (r <- touched)
+      assert(r.getLong(6) != baseFp(r.getString(0)),
+        s"${r.getString(0)}: merged fp equals base fp despite changes")
+    // plan shape: the touched-key set broadcasts; the base is never
+    // shuffled through a sort-merge anti join
+    val plan = executedPlanOf(Layout.cdcMergeApply(spark, sfDir))
+    val nodes = allPlanNodes(plan)
+    assert(nodes.exists {
+      case b: BroadcastHashJoinExec => b.joinType.sql == "LEFT ANTI"
+      case _ => false
+    }, "expected a broadcast left-anti join for the touched keys")
+    assert(!nodes.exists {
+      case s: SortMergeJoinExec => s.joinType.sql == "LEFT ANTI"
+      case _ => false
+    }, "base side must not shuffle for the anti join")
+  }
 }
