@@ -1995,6 +1995,153 @@ object Similarity {
        |FROM fused WHERE fused_rank <= $RrfTopN
        |ORDER BY probe_id, fused_rank""".stripMargin
 
+  // --------------------------------- q129 MMR diverse exemplar selection
+
+  /** MMR geometry, all integer: λ = 0.7 split as 7·rel − 3·maxsim with
+    * relevance pre-stretched ×100 so both terms land in comparable
+    * ranges (|rel| ≤ 64·127 → ≤ 5.7e6 weighted; |sim| ≤ 1e6 → ≤ 3e6
+    * weighted). cos² is carried in millionths: 10⁶·dot² ≤ 10⁶·2⁴⁰ ≈
+    * 1.1e18 < 2⁶³, the largest intermediate anywhere. */
+  val MmrK = 6
+  val MmrLamNum = 7L
+  val MmrLamCmp = 3L
+  val MmrSimScale = 1000000L
+  val MmrRelScale = 100L
+
+  /** q129: MMR (maximal-marginal-relevance) exemplar selection — the
+    * EVAL-SET diversifier: q124 draws a stratified sample, but a probe
+    * set for similarity-heavy evaluation wants exemplars that are
+    * relevant AND mutually dissimilar. Greedy MMR (Carbonell &
+    * Goldstein '98): repeatedly pick argmax of
+    * λ·relevance − (1−λ)·max_sim(candidate, selected).
+    *
+    * Everything is integer so the trajectory hash-gates: vectors are
+    * q118's int8 quantization, relevance is the int8 dot with the
+    * all-ones probe direction (a stand-in for a retrieval score), and
+    * similarity is signed fixed-point cos² — sign(dot)·(10⁶·dot² div
+    * (‖a‖²·‖b‖²)), a monotone proxy for cosine with no sqrt and no
+    * floats, exactly divisible identically in both engines (numerator
+    * and denominator are non-negative at the div).
+    *
+    * Scale shape: greedy MMR is inherently K sequential rounds; each
+    * round here is ONE distributed pass (per-row codegen dot kernels
+    * against the ≤K-row broadcast selected set, then a TakeOrdered
+    * argmax — no shuffle, no join). The candidate frame is checkpointed
+    * once and re-read per round. K and the selected-set state are
+    * bounded and tiny (K·64 bytes) — the standard driver-held iterative
+    * state, same regime as the Lloyd rounds. In production the
+    * candidate pool is the ANN shortlist (q49/q70), not the full
+    * corpus. Oracle unrolls the identical K rounds. */
+  def mmrSelection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ArrayKernels.dotByte
+    val ones = typedlit(Seq.fill(64)(1.toByte))
+    val cand = Tables.embeddings(spark, dir)
+      .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+      .withColumn("q8",
+        when(col("mx") === 0.0, transform(col("embedding"), _ => lit(0).cast("byte")))
+          .otherwise(transform(col("embedding"),
+            x => floor(x.cast("double") / col("mx") * 127.0).cast("byte"))))
+      .select(col("vec_id"), col("q8"),
+        dotByte(col("q8"), col("q8")).cast("long").as("nsq"),
+        dotByte(col("q8"), ones).cast("long").as("rel"))
+      .transform(Dist.durableCkpt)
+
+    case class Sel(rnk: Int, vecId: Long, q8: Seq[Byte], nsq: Long,
+                   rel: Long, maxsim: Long, mmr: Long)
+    var selected = Vector.empty[Sel]
+    while (selected.size < MmrK) {
+      val base =
+        if (selected.isEmpty) cand.withColumn("maxsim", lit(0L))
+        else {
+          val withDots = selected.zipWithIndex.foldLeft(
+            cand.filter(!col("vec_id").isin(selected.map(_.vecId): _*))) {
+            case (df, (s, i)) =>
+              df.withColumn(s"dot_$i",
+                dotByte(col("q8"), typedlit(s.q8)).cast("long"))
+          }
+          val sims = selected.zipWithIndex.map { case (s, i) =>
+            expr(
+              s"""CASE WHEN nsq * ${s.nsq}L = 0 THEN 0L
+                 |WHEN dot_$i < 0 THEN -(($MmrSimScale * dot_$i * dot_$i) div (nsq * ${s.nsq}L))
+                 |ELSE ($MmrSimScale * dot_$i * dot_$i) div (nsq * ${s.nsq}L) END""".stripMargin)
+          }
+          withDots.withColumn("maxsim", sims.reduce((a, b) => greatest(a, b)))
+        }
+      val picked = base
+        .withColumn("mmr",
+          lit(MmrLamNum * MmrRelScale) * col("rel") - lit(MmrLamCmp) * col("maxsim"))
+        .orderBy(col("mmr").desc, col("vec_id").asc).limit(1)
+        .select(col("vec_id"), col("q8"), col("nsq"), col("rel"),
+          col("maxsim"), col("mmr"))
+        .head()
+      selected :+= Sel(selected.size + 1, picked.getLong(0),
+        picked.getSeq[Byte](1), picked.getLong(2), picked.getLong(3),
+        picked.getLong(4), picked.getLong(5))
+    }
+    import spark.implicits._
+    selected.map(s => (s.rnk, s.vecId, s.rel, s.maxsim, s.mmr))
+      .toDF("rnk", "vec_id", "rel", "maxsim", "mmr")
+      .orderBy(col("rnk"))
+  }
+
+  val mmrSelectionSql: String = {
+    val w = MmrLamNum * MmrRelScale
+    def dotExpr(a: String, b: String) =
+      s"CAST(list_sum([$a.q8[i] * $b.q8[i] for i in range(1, 65)]) AS BIGINT)"
+    def round(j: Int): String =
+      s"""d$j AS (
+         |  SELECT c.vec_id, c.q8, c.nsq, c.rel, s.nsq AS snsq,
+         |    ${dotExpr("c", "s")} AS dot
+         |  FROM cand c, sel${j - 1} s
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${j - 1} x WHERE x.vec_id = c.vec_id)
+         |), p$j AS (
+         |  SELECT vec_id, q8, nsq, rel,
+         |    MAX(CASE WHEN nsq * snsq = 0 THEN 0
+         |             WHEN dot < 0 THEN -(($MmrSimScale * dot * dot) // (nsq * snsq))
+         |             ELSE ($MmrSimScale * dot * dot) // (nsq * snsq) END) AS maxsim
+         |  FROM d$j GROUP BY vec_id, q8, nsq, rel
+         |), s$j AS MATERIALIZED (
+         |  SELECT vec_id, q8, nsq, rel, maxsim,
+         |    $w * rel - $MmrLamCmp * maxsim AS mmr, $j AS rnk
+         |  FROM p$j
+         |  ORDER BY $w * rel - $MmrLamCmp * maxsim DESC, vec_id LIMIT 1
+         |), sel$j AS MATERIALIZED (
+         |  SELECT vec_id, q8, nsq FROM sel${j - 1}
+         |  UNION ALL SELECT vec_id, q8, nsq FROM s$j
+         |)"""
+    val rounds = (2 to MmrK).map(round).mkString(",\n")
+    val unions = (1 to MmrK)
+      .map(j => s"SELECT rnk, vec_id, rel, maxsim, mmr FROM s$j")
+      .mkString("\n  UNION ALL ")
+    s"""WITH cand AS MATERIALIZED (
+       |  SELECT vec_id, q8,
+       |    CAST(list_sum([x * x for x in q8]) AS BIGINT) AS nsq,
+       |    CAST(list_sum(q8) AS BIGINT) AS rel
+       |  FROM (
+       |    SELECT vec_id,
+       |      CASE WHEN mx = 0.0 THEN [CAST(0 AS BIGINT) for x in embedding]
+       |           ELSE [CAST(floor(CAST(x AS DOUBLE) / mx * 127.0) AS BIGINT) for x in embedding]
+       |      END AS q8
+       |    FROM (SELECT vec_id,
+       |            list_max([abs(CAST(x AS DOUBLE)) for x in embedding]) AS mx,
+       |            embedding
+       |          FROM embeddings)
+       |  )
+       |), s1 AS MATERIALIZED (
+       |  SELECT vec_id, q8, nsq, rel, CAST(0 AS BIGINT) AS maxsim,
+       |    $w * rel AS mmr, 1 AS rnk
+       |  FROM cand ORDER BY $w * rel DESC, vec_id LIMIT 1
+       |), sel1 AS MATERIALIZED (
+       |  SELECT vec_id, q8, nsq FROM s1
+       |),
+       |$rounds
+       |SELECT CAST(rnk AS INT) AS rnk, vec_id, CAST(rel AS BIGINT) AS rel,
+       |  CAST(maxsim AS BIGINT) AS maxsim, CAST(mmr AS BIGINT) AS mmr
+       |FROM (
+       |  $unions
+       |) ORDER BY rnk""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_signatures", minhashSignatures, Some(minhashSignaturesSql)),
     QueryDef("q41_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
@@ -2021,6 +2168,7 @@ object Similarity {
     QueryDef("q85_curated_corpus", curatedCorpus, Some(curatedCorpusSql)),
     QueryDef("q98_gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("q99_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
-    QueryDef("q116_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql))
+    QueryDef("q116_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql)),
+    QueryDef("q129_mmr_selection", mmrSelection, Some(mmrSelectionSql))
   )
 }

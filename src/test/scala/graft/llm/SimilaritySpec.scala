@@ -495,4 +495,53 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(_.getInt(1))
     assert(ranks.forall(_ <= 3))
   }
+
+  test("q129 MMR: trajectory matches an independent greedy Scala model; selection is diverse") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.mmrSelection(spark, sfDir).collect()
+    assert(rows.length == Similarity.MmrK)
+    assert(rows.map(_.getLong(1)).distinct.length == Similarity.MmrK, "duplicate exemplar")
+
+    // independent model: re-derive int8 vectors and run greedy MMR in Scala
+    val vecs = graft.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        val mx = e.map(x => math.abs(x.toDouble)).max
+        val q8 = if (mx == 0.0) e.map(_ => 0L)
+                 else e.map(x => math.floor(x.toDouble / mx * 127.0).toLong)
+        (r.getLong(0), q8.toArray)
+      }.sortBy(_._1)
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.indices.map(i => a(i) * b(i)).sum
+    val nsq = vecs.map { case (id, q) => id -> dot(q, q) }.toMap
+    val rel = vecs.map { case (id, q) => id -> q.sum }.toMap
+    val byId = vecs.toMap
+    def sim(a: Long, b: Long): Long = {
+      val d = dot(byId(a), byId(b)); val den = nsq(a) * nsq(b)
+      if (den == 0) 0L
+      else if (d < 0) -((Similarity.MmrSimScale * d * d) / den)
+      else (Similarity.MmrSimScale * d * d) / den
+    }
+    var sel = Vector.empty[Long]
+    val expect = (1 to Similarity.MmrK).map { _ =>
+      val pick = vecs.iterator.map(_._1).filterNot(sel.contains).map { id =>
+        val ms = if (sel.isEmpty) 0L else sel.map(s => sim(id, s)).max
+        val mmr = Similarity.MmrLamNum * Similarity.MmrRelScale * rel(id) -
+          Similarity.MmrLamCmp * ms
+        (id, ms, mmr)
+      }.reduceLeft((a, b) => if (b._3 > a._3 || (b._3 == a._3 && b._1 < a._1)) b else a)
+      sel :+= pick._1
+      pick
+    }
+    for ((r, e) <- rows.zip(expect)) {
+      assert(r.getLong(1) == e._1, s"rank ${r.getInt(0)}: picked ${r.getLong(1)}, model ${e._1}")
+      assert(r.getLong(3) == e._2, s"rank ${r.getInt(0)}: maxsim mismatch")
+      assert(r.getLong(4) == e._3, s"rank ${r.getInt(0)}: mmr mismatch")
+    }
+    // diversity does real work: the MMR set must differ from naive top-K-by-relevance
+    val topK = vecs.map(_._1).sortBy(id => (-rel(id), id)).take(Similarity.MmrK).toSet
+    assert(rows.map(_.getLong(1)).toSet != topK,
+      "MMR selection degenerated to plain top-K relevance — penalty term inert")
+  }
 }
