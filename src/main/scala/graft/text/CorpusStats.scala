@@ -1250,6 +1250,84 @@ object CorpusStats {
       |  CAST(COALESCE(k.kept_fp, 0) AS BIGINT) AS kept_fp
       |FROM tot t LEFT JOIN kept k USING (source) ORDER BY t.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q130: size-balanced shard planning (serpentine placement)
+  // ---------------------------------------------------------------------
+
+  /** Shard count for [[shardBalance]]; small so the oracle's 8 rows stay
+    * human-auditable. */
+  val BalanceShards = 8
+
+  /** q130: SIZE-BALANCED shard planning — the complement of q119's
+    * order-random sharding: q119 fixes WITHIN-shard order for a known
+    * shard count; this query decides WHICH unit goes to which shard so
+    * no worker drags the epoch. Units are (source, lang) strata with
+    * their total char mass; placement is SERPENTINE (boustrophedon):
+    * strata ranked by size descending are dealt 0..N-1, then N-1..0, and
+    * so on — each full pass adds one stratum per shard from an
+    * interleaved size band, so shard loads track each other without the
+    * sequential state a true LPT greedy needs. Serpentine is what
+    * training-data writers actually use for static file planning: it is
+    * a PURE FUNCTION of the rank — embarrassingly parallel, reproducible
+    * and SQL-expressible — while LPT's bin-choice depends on all prior
+    * placements (a driver-side loop at planning scale, not a scan).
+    *
+    * Scale shape: strata stats are ONE hash aggregate over the corpus;
+    * ranking and placement run over the AGGREGATED frame (hundreds of
+    * rows — the window never sees raw data). `asg_fp` is the q125-style
+    * bit_xor fingerprint over (source, lang, shard), so the hash gate
+    * certifies the full ASSIGNMENT, not just the per-shard totals. */
+  def shardBalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.llm.Similarity.hash60
+    val n = BalanceShards
+    val strata = Tables.documents(spark, dir)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_chars")).cast("long").as("chars"))
+    val ranked = strata.withColumn("rnk",
+      row_number().over(
+        Window.orderBy(col("chars").desc, col("source"), col("lang"))) - 1)
+    val placed = ranked
+      .withColumn("pass", expr(s"rnk div $n"))
+      .withColumn("pos", pmod(col("rnk"), lit(n)))
+      .withColumn("shard",
+        when(pmod(col("pass"), lit(2)) === 0, col("pos"))
+          .otherwise(lit(n - 1) - col("pos")).cast("int"))
+    placed
+      .select(col("shard"), col("chars"),
+        hash60(concat_ws("\u001f", col("source"), col("lang"),
+          col("shard"))).as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_strata"),
+        sum(col("chars")).cast("long").as("total_chars"),
+        max(col("chars")).cast("long").as("max_stratum_chars"),
+        expr("bit_xor(fp)").cast("long").as("asg_fp"))
+      .orderBy(col("shard"))
+  }
+
+  val shardBalanceSql: String = {
+    val n = BalanceShards
+    s"""WITH strata AS (
+       |  SELECT source, lang, CAST(SUM(n_chars) AS BIGINT) AS chars
+       |  FROM documents GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT source, lang, chars,
+       |    ROW_NUMBER() OVER (ORDER BY chars DESC, source, lang) - 1 AS rnk
+       |  FROM strata
+       |), placed AS (
+       |  SELECT source, lang, chars,
+       |    CASE WHEN (rnk // $n) % 2 = 0 THEN rnk % $n
+       |         ELSE ${n - 1} - (rnk % $n) END AS shard
+       |  FROM ranked
+       |)
+       |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_strata,
+       |  CAST(SUM(chars) AS BIGINT) AS total_chars,
+       |  CAST(MAX(chars) AS BIGINT) AS max_stratum_chars,
+       |  CAST(bit_xor(CAST(concat('0x', substr(md5(
+       |    concat_ws(chr(31), source, lang, shard)), 1, 15)) AS BIGINT)) AS BIGINT) AS asg_fp
+       |FROM placed GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1271,6 +1349,7 @@ object CorpusStats {
       Some(exactStratifiedSampleSql)),
     QueryDef("q127_takedown_propagation", takedownPropagation,
       Some(takedownPropagationSql)),
-    QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql))
+    QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql)),
+    QueryDef("q130_shard_balance", shardBalance, Some(shardBalanceSql))
   )
 }

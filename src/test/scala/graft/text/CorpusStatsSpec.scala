@@ -477,4 +477,38 @@ class CorpusStatsSpec extends SparkSpec {
       assert(keptFp != fullFp(src), s"$src: fingerprint must change after deletion")
     }
   }
+
+  test("q130 shard balance: serpentine model match, every stratum placed once, loads bounded") {
+    import org.apache.spark.sql.functions._
+    val n = CorpusStats.BalanceShards
+    val rows = CorpusStats.shardBalance(spark, sfDir).collect()
+    assert(rows.length == n)
+    assert(rows.map(_.getInt(0)).toSeq == (0 until n))
+
+    // independent model: strata sizes from a plain aggregate, serpentine in Scala
+    val strata = graft.Tables.documents(spark, sfDir)
+      .groupBy(col("source"), col("lang"))
+      .agg(sum(col("n_chars")).cast("long").as("chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy { case (src, lang, c) => (-c, src, lang) }
+    val model = strata.zipWithIndex.map { case ((src, lang, c), rnk) =>
+      val pass = rnk / n; val pos = rnk % n
+      val shard = if (pass % 2 == 0) pos else n - 1 - pos
+      (shard, src, lang, c)
+    }
+    assert(model.map(m => (m._2, m._3)).distinct.length == strata.length,
+      "a stratum placed twice")
+    val loads = model.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    for (r <- rows)
+      assert(r.getLong(2) == loads(r.getInt(0)),
+        s"shard ${r.getInt(0)}: total ${r.getLong(2)} != model ${loads(r.getInt(0))}")
+    assert(rows.map(_.getLong(1)).sum == strata.length)
+
+    // serpentine keeps loads within one max-stratum of each other here —
+    // an empirical lock on THIS distribution, guarding placement drift
+    val largest = strata.head._3
+    assert(loads.values.max - loads.values.min <= largest,
+      s"spread ${loads.values.max - loads.values.min} exceeds largest stratum $largest")
+  }
 }
