@@ -195,6 +195,47 @@ object Fixtures {
       box("mdat", Array[Byte](1, 2, 3))
   }
 
+  /** FLAC "fLaC" magic + a last-flag STREAMINFO block (34 bytes) — the
+    * header tier [[Flac.parse]] reads; no frames needed. */
+  def flacBytes(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    val si = new Array[Byte](34)
+    // min/max blocksize = 4096, frame sizes 0 (unknown)
+    si(0) = 0x10; si(1) = 0x00; si(2) = 0x10; si(3) = 0x00
+    si(10) = ((sampleRate >> 12) & 0xff).toByte
+    si(11) = ((sampleRate >> 4) & 0xff).toByte
+    si(12) = (((sampleRate & 0xf) << 4) | ((channels - 1) << 1) |
+      ((16 - 1) >> 4)).toByte          // bps-1 high bit
+    si(13) = ((((16 - 1) & 0xf) << 4) | ((totalSamples >> 32) & 0xf)).toInt.toByte
+    si(14) = ((totalSamples >> 24) & 0xff).toByte
+    si(15) = ((totalSamples >> 16) & 0xff).toByte
+    si(16) = ((totalSamples >> 8) & 0xff).toByte
+    si(17) = (totalSamples & 0xff).toByte
+    "fLaC".getBytes("ISO-8859-1") ++
+      Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+  }
+
+  /** Two-page Ogg/Vorbis skeleton: BOS page carrying the identification
+    * header, then an EOS page whose granule position encodes the total
+    * PCM samples — the two fields [[Ogg.parse]] reads. CRCs zeroed (the
+    * parser routes metadata; it is not a strict decoder). */
+  def oggBytes(sampleRate: Int, channels: Int, totalSamples: Long): Array[Byte] = {
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le64(v: Long): Array[Byte] =
+      (0 until 8).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    def page(headerType: Int, granule: Long, seq: Int,
+             payload: Array[Byte]): Array[Byte] =
+      "OggS".getBytes("ISO-8859-1") ++ Array(0.toByte, headerType.toByte) ++
+        le64(granule) ++ le32(1) ++ le32(seq) ++ le32(0) ++
+        Array(1.toByte, payload.length.toByte) ++ payload
+    val idHeader = Array(1.toByte) ++ "vorbis".getBytes("ISO-8859-1") ++
+      le32(0) ++ Array(channels.toByte) ++ le32(sampleRate) ++
+      le32(0) ++ le32(0) ++ le32(0) ++ Array(0xb8.toByte, 1.toByte)
+    page(0x02, 0L, 0, idHeader) ++
+      page(0x04, totalSamples, 1, Array[Byte](0))
+  }
+
   // --------------------------------------------------- the fixture corpus
 
   /** (name, bytes) for every fixture file. Properties here are the SOURCE
@@ -218,6 +259,10 @@ object Fixtures {
     "photo_h.webp" -> webpBytes(100, 50),
     // HEIC with a 160×120 thumbnail ispe + 4032×3024 primary → primary wins
     "photo_i.heic" -> heicBytes(Seq((160, 120), (4032, 3024))),
+    // 22050 Hz stereo FLAC, 11025 samples → 500 ms (STREAMINFO only)
+    "tune_j.flac" -> flacBytes(22050, 2, 11025),
+    // 48000 Hz mono Ogg/Vorbis, granule 24000 → 500 ms
+    "voice_k.ogg" -> oggBytes(48000, 1, 24000),
     // no parser recognizes it → quarantine row (all-null metadata)
     "junk_g.bin" -> "definitely not a media container, kept for quarantine".getBytes)
 
@@ -302,6 +347,10 @@ object Fixtures {
       |  ('photo_i.heic', 'image',     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
       |     CAST(4032 AS INT), CAST(3024 AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('song_c.mp3',  'audio',      CAST(44100 AS INT), CAST(2 AS INT),  CAST(522 AS BIGINT),
+      |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('tune_j.flac', 'audio',      CAST(22050 AS INT), CAST(2 AS INT),  CAST(500 AS BIGINT),
+      |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('voice_k.ogg', 'audio',      CAST(48000 AS INT), CAST(1 AS INT),  CAST(500 AS BIGINT),
       |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('vid_e.avi',   'video',      CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
       |     CAST(32 AS INT),  CAST(24 AS INT),   CAST(4.0 AS DOUBLE),  CAST(1500 AS BIGINT))

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * The reference handles only images (real decode via graft.images
   * .ImageCodec / javax.imageio). What is REAL here without any codec
   * library: WAV/AIFF/AU sample decode (javax.sound.sampled), WAV/AIFF/AU
-  * + MP3 audio METADATA ([[audioMetaFromBytes]]), MP4/QuickTime + AVI +
+  * + MP3 + FLAC + Ogg/Vorbis audio METADATA ([[audioMetaFromBytes]]), MP4/QuickTime + AVI +
   * GIF video METADATA ([[videoMetaFromBytes]]) parsed from raw bytes,
   * and FRAME DECODE for animated GIF and AVI/MJPEG clips
   * ([[decodeVideoFrames]] — JDK GIF/JPEG codecs over pure-byte container
@@ -60,7 +60,8 @@ object Multimodal {
             else Some(Mp3.AudioMeta(f.getSampleRate.toInt, f.getChannels,
               (aff.getFrameLength * 1000.0 / f.getFrameRate).toLong))
           } catch { case _: Exception => None }
-        viaJdk.orElse(Mp3.parse(payload)).orNull
+        viaJdk.orElse(Mp3.parse(payload)).orElse(Flac.parse(payload))
+          .orElse(Ogg.parse(payload)).orNull
       }
     }
 

@@ -484,4 +484,40 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(row.getDouble(2) - rmsMax) < 1e-12)
     assert(math.abs(row.getDouble(3) - exprRow.getDouble(1)) < 1e-12)
   }
+
+  test("Flac.parse: STREAMINFO rate/channels/total-samples, exact duration") {
+    val m = Flac.parse(Fixtures.flacBytes(44100, 2, 44100L * 3)).get
+    assert(m == Mp3.AudioMeta(44100, 2, 3000))
+    val hi = Flac.parse(Fixtures.flacBytes(96000, 8, 48000)).get
+    assert(hi == Mp3.AudioMeta(96000, 8, 500))
+    // unknown total samples (0) is quarantined, not a zero-duration row
+    assert(Flac.parse(Fixtures.flacBytes(44100, 2, 0)).isEmpty)
+    assert(Flac.parse("fLaX not flac".getBytes).isEmpty)
+    assert(Flac.parse(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("Ogg.parse: id-header rate/channels, duration from final granule") {
+    val m = Ogg.parse(Fixtures.oggBytes(48000, 1, 24000)).get
+    assert(m == Mp3.AudioMeta(48000, 1, 500))
+    val st = Ogg.parse(Fixtures.oggBytes(44100, 2, 44100L * 7)).get
+    assert(st == Mp3.AudioMeta(44100, 2, 7000))
+    assert(Ogg.parse("OggX".getBytes ++ Array.fill[Byte](60)(0)).isEmpty)
+    assert(Ogg.parse(Array[Byte]()).isEmpty)
+  }
+
+  test("Flac/Ogg parsers are total: random and mutated bytes never throw") {
+    val rnd = new scala.util.Random(1234)
+    for (_ <- 0 until 300) {
+      val len = rnd.nextInt(200)
+      val junk = Array.fill[Byte](len)(rnd.nextInt().toByte)
+      Flac.parse(junk); Ogg.parse(junk)
+    }
+    for (fix <- Seq(Fixtures.flacBytes(22050, 2, 11025),
+                    Fixtures.oggBytes(48000, 1, 24000));
+         cut <- Seq(1, 5, 17, fix.length - 1)) {
+      Flac.parse(fix.take(cut)); Ogg.parse(fix.take(cut))
+      val mut = fix.clone(); mut(cut % mut.length) = (mut(cut % mut.length) ^ 0x5a).toByte
+      Flac.parse(mut); Ogg.parse(mut)
+    }
+  }
 }
