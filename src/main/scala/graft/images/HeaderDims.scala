@@ -94,4 +94,77 @@ object HeaderDims {
     if (found.isEmpty) None
     else Some(found.maxBy { case (w, h) => w.toLong * h })
   }
+
+  /** TIFF-based RAW (CR2/NEF/ARW/DNG — the reference accepts these at
+    * scan, `modules/tiling.py:87`, and converts RAW via imageio,
+    * `modules/other_tasks.py:45-51`): header-only dims from the IFD
+    * tree. IFD0 of a RAW file is typically the embedded THUMBNAIL, so
+    * every chained IFD and SubIFD (tag 0x014A) is walked and the
+    * max-area (ImageWidth, ImageLength) pair wins — [[heifDims]]'
+    * primary-image policy. Fires ONLY on definite RAW signatures (CR2's
+    * "CR" marker, a DNGVersion tag, or a NIKON/SONY Make tag), so plain
+    * TIFF keeps going to the JDK's ImageIO reader; full RAW pixel
+    * decode (demosaic) stays declared-out-of-scope like HEIC/WebP
+    * decode. Pixel-free, total: malformed input → None. */
+  def rawDims(b: Array[Byte]): Option[(Int, Int)] =
+    try {
+      if (b.length < 8) return None
+      val le = tag(b, 0, "II") && u8(b, 2) == 42 && u8(b, 3) == 0
+      val be = tag(b, 0, "MM") && u8(b, 2) == 0 && u8(b, 3) == 42
+      if (!le && !be) return None
+      def u16(i: Int): Int =
+        if (le) le16(b, i) else (u8(b, i) << 8) | u8(b, i + 1)
+      def u32(i: Int): Long = if (le) le32(b, i) else be32(b, i)
+
+      val isCr2 = b.length >= 10 && tag(b, 8, "CR")
+      var isRawTagged = false // DNGVersion or a known RAW vendor Make
+      var best = Option.empty[(Int, Int)]
+      var visited = 0
+      def walkIfd(offL: Long): Unit = {
+        val off = offL.toInt
+        if (offL <= 0 || offL > Int.MaxValue || off + 2 > b.length) return
+        if (visited > 32) return
+        visited += 1
+        val n = u16(off)
+        var w = -1L; var h = -1L
+        val subs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var i = 0
+        while (i < n && off + 2 + 12 * (i + 1) <= b.length) {
+          val e = off + 2 + 12 * i
+          val t = u16(e); val typ = u16(e + 2); val cnt = u32(e + 4)
+          val inline: Long =
+            if (typ == 3) u16(e + 8) else if (typ == 4) u32(e + 8) else -1L
+          if (t == 256) w = inline
+          else if (t == 257) h = inline
+          else if (t == 0xc612) isRawTagged = true // DNGVersion
+          else if (t == 271 && typ == 2) {        // Make, ASCII
+            val p = (if (cnt <= 4) e + 8 else u32(e + 8)).toInt
+            if (p >= 0 && p + 5 <= b.length) {
+              val make = new String(b, p, math.min(cnt.toInt, 16).max(0),
+                "ISO-8859-1").takeWhile(_ != 0)
+              if (make.startsWith("NIKON") || make.startsWith("SONY"))
+                isRawTagged = true
+            }
+          } else if (t == 0x014a && (typ == 4 || typ == 13)) { // SubIFD(s)
+            if (cnt == 1) subs += u32(e + 8)
+            else {
+              val p = u32(e + 8).toInt
+              var k = 0
+              while (k < cnt && p >= 0 && p + 4 * (k + 1) <= b.length) {
+                subs += u32(p + 4 * k); k += 1
+              }
+            }
+          }
+          i += 1
+        }
+        if (w > 0 && h > 0 &&
+          best.forall { case (bw, bh) => w * h > bw.toLong * bh })
+          best = Some((w.toInt, h.toInt))
+        subs.foreach(walkIfd)
+        val nextPtr = off + 2 + 12 * n
+        if (nextPtr + 4 <= b.length) walkIfd(u32(nextPtr))
+      }
+      walkIfd(u32(4))
+      if (isCr2 || isRawTagged) best else None
+    } catch { case _: Exception => None }
 }

@@ -51,6 +51,12 @@ object ImageCodec {
     * projection (reference F5) still covers them even though their pixel
     * decode does not exist offline. */
   def dimsOf(bytes: Array[Byte]): Option[(Int, Int)] = {
+    // RAW first: the JDK TIFF reader claims CR2/NEF/ARW/DNG bytes but
+    // reports IFD0 — the embedded thumbnail, not the primary image
+    HeaderDims.rawDims(bytes) match {
+      case some @ Some(_) => return some
+      case None =>
+    }
     val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
     try {
       val readers = ImageIO.getImageReaders(in)

@@ -236,6 +236,39 @@ object Fixtures {
       page(0x04, totalSamples, 1, Array[Byte](0))
   }
 
+  /** TIFF-family RAW skeleton: little-endian TIFF with chained IFDs, one
+    * (ImageWidth, ImageLength) SHORT pair each — IFD0 plays the thumbnail
+    * role, a later IFD the primary (larger) frame. `cr2` stamps Canon's
+    * "CR" marker at offset 8; `dng` adds a DNGVersion tag to IFD0. The
+    * fields [[graft.images.HeaderDims.rawDims]] reads, nothing more. */
+  def rawTiffBytes(dims: Seq[(Int, Int)], flavor: String): Array[Byte] = {
+    def le16(v: Int): Array[Byte] = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def entry(tagId: Int, typ: Int, cnt: Long, value: Long): Array[Byte] =
+      le16(tagId) ++ le16(typ) ++ le32(cnt) ++
+        (if (typ == 3) le16(value.toInt) ++ le16(0) else le32(value))
+    val header = "II".getBytes("ISO-8859-1") ++ le16(42) ++ le32(12) ++
+      (if (flavor == "cr2") "CR".getBytes("ISO-8859-1") ++ le16(2)
+       else Array.fill[Byte](4)(0))
+    // each IFD: count(2) + entries(12 each) + nextPtr(4)
+    def ifdLen(extra: Int) = 2 + 12 * (2 + extra) + 4
+    val offsets = dims.indices.scanLeft(12) { (acc, i) =>
+      acc + ifdLen(if (i == 0 && flavor == "dng") 1 else 0)
+    }
+    val ifds = dims.zipWithIndex.map { case ((w, h), i) =>
+      val extra =
+        if (i == 0 && flavor == "dng")
+          Seq(entry(0xc612, 1, 4, 0x00000401L)) // DNGVersion 1.4.0.0
+        else Seq.empty
+      val es = Seq(entry(256, 3, 1, w), entry(257, 3, 1, h)) ++ extra
+      val next = if (i == dims.length - 1) 0L else offsets(i + 1).toLong
+      le16(es.length) ++ es.flatten.toArray ++ le32(next)
+    }
+    header ++ ifds.flatten.toArray
+  }
+
   // --------------------------------------------------- the fixture corpus
 
   /** (name, bytes) for every fixture file. Properties here are the SOURCE
@@ -263,6 +296,10 @@ object Fixtures {
     "tune_j.flac" -> flacBytes(22050, 2, 11025),
     // 48000 Hz mono Ogg/Vorbis, granule 24000 → 500 ms
     "voice_k.ogg" -> oggBytes(48000, 1, 24000),
+    // CR2 RAW: IFD0 thumbnail 160×120, primary IFD 5760×3840 wins
+    "photo_l.cr2" -> rawTiffBytes(Seq((160, 120), (5760, 3840)), "cr2"),
+    // DNG RAW: DNGVersion-tagged IFD0 thumbnail, 6000×4000 primary
+    "photo_m.dng" -> rawTiffBytes(Seq((256, 171), (6000, 4000)), "dng"),
     // no parser recognizes it → quarantine row (all-null metadata)
     "junk_g.bin" -> "definitely not a media container, kept for quarantine".getBytes)
 
@@ -346,6 +383,10 @@ object Fixtures {
       |     CAST(100 AS INT), CAST(50 AS INT),   CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('photo_i.heic', 'image',     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
       |     CAST(4032 AS INT), CAST(3024 AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('photo_l.cr2', 'image',     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |     CAST(5760 AS INT), CAST(3840 AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('photo_m.dng', 'image',     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
+      |     CAST(6000 AS INT), CAST(4000 AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('song_c.mp3',  'audio',      CAST(44100 AS INT), CAST(2 AS INT),  CAST(522 AS BIGINT),
       |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('tune_j.flac', 'audio',      CAST(22050 AS INT), CAST(2 AS INT),  CAST(500 AS BIGINT),

@@ -79,4 +79,33 @@ class HeaderDimsSpec extends AnyFunSuite {
     javax.imageio.ImageIO.write(img, "png", out)
     assert(ImageCodec.dimsOf(out.toByteArray) === Some((5, 9)))
   }
+
+  test("rawDims: CR2 primary wins over IFD0 thumbnail; plain TIFF declines") {
+    import graft.multimodal.Fixtures.rawTiffBytes
+    assert(HeaderDims.rawDims(rawTiffBytes(Seq((160, 120), (5760, 3840)), "cr2"))
+      === Some((5760, 3840)))
+    assert(HeaderDims.rawDims(rawTiffBytes(Seq((256, 171), (6000, 4000)), "dng"))
+      === Some((6000, 4000)))
+    // single-IFD CR2 still parses
+    assert(HeaderDims.rawDims(rawTiffBytes(Seq((100, 80)), "cr2")) === Some((100, 80)))
+    // plain TIFF (no RAW signature) must fall through to ImageIO, not claim
+    assert(HeaderDims.rawDims(rawTiffBytes(Seq((160, 120), (5760, 3840)), "tiff")).isEmpty)
+    assert(ImageCodec.dimsOf(rawTiffBytes(Seq((160, 120), (5760, 3840)), "cr2"))
+      === Some((5760, 3840)))
+  }
+
+  test("rawDims is total: junk, truncation and bit-flips never throw") {
+    import graft.multimodal.Fixtures.rawTiffBytes
+    val rnd = new scala.util.Random(99)
+    for (_ <- 0 until 300) {
+      val junk = Array.fill[Byte](rnd.nextInt(120))(rnd.nextInt().toByte)
+      HeaderDims.rawDims(junk)
+    }
+    val fix = rawTiffBytes(Seq((160, 120), (5760, 3840)), "cr2")
+    for (cut <- 1 until fix.length) HeaderDims.rawDims(fix.take(cut))
+    for (i <- fix.indices) {
+      val mut = fix.clone(); mut(i) = (mut(i) ^ 0xff).toByte
+      HeaderDims.rawDims(mut)
+    }
+  }
 }
