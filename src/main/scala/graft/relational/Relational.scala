@@ -1441,6 +1441,55 @@ object Relational {
       |  (10000 * CAST(SUM(cents) AS BIGINT)) // CAST(MAX(total) AS BIGINT) AS share_bp
       |FROM rn GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------------- q131 skew audit
+
+  /** q131: JOIN-KEY SKEW AUDIT — the diagnostic that DECIDES when q89's
+    * salting (or AQE's skew split) is worth paying: per candidate
+    * shuffle key, how hot is the hottest key relative to a uniform
+    * spread? `hot_share_bp` is the hottest key's share of rows in basis
+    * points; `rec_salt` = ⌈max_cnt / avg_cnt⌉ = how many average-key
+    * volumes the hot key spans — exactly the salt factor that levels it
+    * (q89 uses factor 8 for a 50% hot key; this computes that number
+    * instead of guessing). At 100 TB this audit runs on yesterday's
+    * stats before today's join is planned.
+    *
+    * Shape: per relation, ONE two-level hash aggregate (per-key counts
+    * with map-side partials, then a scalar roll-up) — no windows, no
+    * sort, no join; three independent single-table branches unioned
+    * (no shared subtree, so no re-execution trap). Integer division
+    * only, so the gate is exact. */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame = {
+    def audit(rel: String, df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("n_keys"),
+          sum(col("cnt")).cast("long").as("total_rows"),
+          max(col("cnt")).cast("long").as("max_cnt"))
+        .select(lit(rel).as("relation"), lit(key).as("key"),
+          col("n_keys"), col("total_rows"), col("max_cnt"),
+          expr("10000 * max_cnt div total_rows").as("hot_share_bp"),
+          expr("(max_cnt * n_keys + total_rows - 1) div total_rows")
+            .as("rec_salt"))
+    audit("events", Tables.events(spark, dir), "user_id")
+      .unionByName(audit("lineitem", Tables.lineitem(spark, dir), "l_partkey"))
+      .unionByName(audit("orders", Tables.orders(spark, dir), "o_custkey"))
+      .orderBy(col("relation"))
+  }
+
+  val skewAuditSql: String = {
+    def one(rel: String, tbl: String, key: String) =
+      s"""SELECT '$rel' AS relation, '$key' AS key,
+         |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+         |  CAST(SUM(cnt) AS BIGINT) AS total_rows,
+         |  CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+         |  CAST(10000 * MAX(cnt) // SUM(cnt) AS BIGINT) AS hot_share_bp,
+         |  CAST((MAX(cnt) * COUNT(*) + SUM(cnt) - 1) // SUM(cnt) AS BIGINT) AS rec_salt
+         |FROM (SELECT $key, COUNT(*) AS cnt FROM $tbl GROUP BY 1)""".stripMargin
+    Seq(one("events", "events", "user_id"),
+      one("lineitem", "lineitem", "l_partkey"),
+      one("orders", "orders", "o_custkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1479,6 +1528,7 @@ object Relational {
     QueryDef("q112_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q114_pagerank", pagerankTwoRounds, Some(pagerankTwoRoundsSql)),
     QueryDef("q115_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
-    QueryDef("q117_spend_deciles", spendDeciles, Some(spendDecilesSql))
+    QueryDef("q117_spend_deciles", spendDeciles, Some(spendDecilesSql)),
+    QueryDef("q131_skew_audit", skewAudit, Some(skewAuditSql))
   )
 }

@@ -783,4 +783,30 @@ class RelationalSpec extends SparkSpec {
       .orderBy(col("l_returnflag")).collect().toSeq
     assert(Relational.saltedSkewJoin(spark, sfDir).collect().toSeq == plain)
   }
+
+  test("q131 skew audit: stats match a Scala count model, salt factor levels the hot key") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.skewAudit(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("events", "lineitem", "orders"))
+    val byRel = rows.map(r => r.getString(0) -> r).toMap
+    // independent model for one relation
+    val counts = graft.Tables.orders(spark, sfDir)
+      .groupBy("o_custkey").count().collect().map(_.getLong(1))
+    val r = byRel("orders")
+    assert(r.getLong(2) == counts.length)
+    assert(r.getLong(3) == counts.sum)
+    assert(r.getLong(4) == counts.max)
+    assert(r.getLong(5) == 10000L * counts.max / counts.sum)
+    val salt = (counts.max * counts.length + counts.sum - 1) / counts.sum
+    assert(r.getLong(6) == salt)
+    // the recommendation means something: splitting the hottest key into
+    // rec_salt shards brings its share to at most ~avg (within ceil slack)
+    for (row <- rows) {
+      val (nKeys, total, maxCnt, rec) =
+        (row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(6))
+      assert(rec >= 1)
+      assert(maxCnt.toDouble / rec <= total.toDouble / nKeys + 1.0,
+        s"${row.getString(0)}: salt $rec leaves ${maxCnt / rec} above avg ${total / nKeys}")
+    }
+  }
 }
