@@ -608,6 +608,73 @@ object TextOps {
       |)
       |SELECT * FROM v ORDER BY doc_id, version""".stripMargin
 
+  // ------------------------------------------------- q132 source overlap
+
+  /** q132: CROSS-SOURCE content overlap census — the dedup PLANNING
+    * query: before running the q68/q87 incremental cascade you want to
+    * know WHICH source pairs actually share content (two mirrors of one
+    * crawl? a re-scrape?) and which are disjoint, so pairwise dedup runs
+    * where it pays instead of corpus-wide every time. Overlap unit =
+    * shared winnow fingerprints (q54/q57's scheme: any shared normalized
+    * substring of length ≥ 11 chars implies a shared fingerprint), so
+    * the census sees copied PASSAGES, not just byte-identical documents
+    * (this corpus has none of the latter across sources). Jaccard over
+    * each source's DISTINCT fingerprint set, in integer basis points
+    * (`div`) — exact on both engines.
+    *
+    * Shape: the per-doc fingerprint arrays (checkpointed once — shared
+    * with q54/q57's build) explode into a (source, fp) DISTINCT collapse
+    * — a hash aggregate that shrinks the corpus to per-source distinct
+    * fingerprints (doc→source attaches by a slim co-keyed doc_id join
+    * before the collapse); then an fp-keyed equi self-join of the
+    * collapsed frame (bucket width ≤ #sources per fingerprint — never a
+    * row-level blowup), pair counts, and a broadcast of the tiny
+    * per-source totals for the jaccard denominator. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val srcOf = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val fps = winnowFps(spark, dir).transform(Dist.durableCkpt)
+      .select(col("doc_id"), explode(col("fps")).as("fp"))
+      .join(srcOf, Seq("doc_id"))
+      .select(col("source"), col("fp"))
+      .distinct()
+      .transform(Dist.durableCkpt)
+    val perSrc = fps.groupBy(col("source")).agg(count(lit(1)).as("n_fp"))
+    val a = fps.select(col("source").as("source_a"), col("fp"))
+    val b = fps.select(col("source").as("source_b"), col("fp"))
+    a.join(b, Seq("fp"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .join(broadcast(perSrc.select(col("source").as("source_a"),
+        col("n_fp").as("n_fp_a"))), Seq("source_a"))
+      .join(broadcast(perSrc.select(col("source").as("source_b"),
+        col("n_fp").as("n_fp_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared_fp"),
+        col("n_fp_a"), col("n_fp_b"),
+        expr("10000 * n_shared_fp div (n_fp_a + n_fp_b - n_shared_fp)")
+          .as("jaccard_bp"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val sourceOverlapSql: String =
+    s"""WITH $winnowCteSql,
+      |fps AS MATERIALIZED (
+      |  SELECT DISTINCT d.source, u.fp
+      |  FROM w JOIN documents d USING (doc_id), unnest(w.fps) AS u(fp)
+      |), per AS MATERIALIZED (
+      |  SELECT source, COUNT(*) AS n_fp FROM fps GROUP BY 1
+      |), p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared_fp,
+      |  CAST(pa.n_fp AS BIGINT) AS n_fp_a, CAST(pb.n_fp AS BIGINT) AS n_fp_b,
+      |  CAST(10000 * n_shared // (pa.n_fp + pb.n_fp - n_shared) AS BIGINT) AS jaccard_bp
+      |FROM p JOIN per pa ON pa.source = p.source_a
+      |JOIN per pb ON pb.source = p.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
     QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
@@ -624,6 +691,7 @@ object TextOps {
     QueryDef("q76_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("q97_scd2_history", scd2History, Some(scd2HistorySql)),
     QueryDef("q77_normalized_census", normalizedFingerprintCensus,
-      Some(normalizedFingerprintCensusSql))
+      Some(normalizedFingerprintCensusSql)),
+    QueryDef("q132_source_overlap", sourceOverlap, Some(sourceOverlapSql))
   )
 }

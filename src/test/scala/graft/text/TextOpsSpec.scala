@@ -163,4 +163,35 @@ class TextOpsSpec extends SparkSpec {
       assert(df.head() == q.build(spark, sfDir).head(), s"${q.name} nondeterministic")
     }
   }
+
+  test("q132 source overlap: pair stats match a collected set model, jaccard exact") {
+    import org.apache.spark.sql.functions._
+    val rows = TextOps.sourceOverlap(spark, sfDir).collect()
+    assert(rows.nonEmpty, "winnow fingerprints must overlap across sources")
+    // model: per-source fp sets from the same kernel, assembled independently
+    val perDoc = graft.Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        lower(regexp_replace(col("text"), "\\s+", " ")).as("norm"))
+      .select(col("source"),
+        graft.functions.SketchKernels
+          .winnowFps(col("norm"), TextOps.WinnowK, TextOps.WinnowW,
+            graft.llm.Similarity.P).as("fps"))
+      .collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSet)
+    val bySrc = perDoc.groupBy(_._1).view
+      .mapValues(_.map(_._2).foldLeft(Set.empty[Long])(_ ++ _)).toMap
+    val expected = (for {
+      a <- bySrc.keys; b <- bySrc.keys if a < b
+      shared = (bySrc(a) & bySrc(b)).size if shared > 0
+    } yield (a, b) -> shared).toMap
+    assert(rows.length == expected.size)
+    for (r <- rows) {
+      val (sa, sb) = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == expected((sa, sb)), s"$sa/$sb shared mismatch")
+      assert(r.getLong(3) == bySrc(sa).size && r.getLong(4) == bySrc(sb).size)
+      val uni = r.getLong(3) + r.getLong(4) - r.getLong(2)
+      assert(r.getLong(5) == 10000L * r.getLong(2) / uni)
+    }
+  }
 }
