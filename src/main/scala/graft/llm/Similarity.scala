@@ -1995,6 +1995,76 @@ object Similarity {
        |FROM fused WHERE fused_rank <= $RrfTopN
        |ORDER BY probe_id, fused_rank""".stripMargin
 
+  // ------------------------------------ q133 ANN index maintenance
+
+  /** q133: INCREMENTAL ANN-INDEX MAINTENANCE — the operation that keeps
+    * q49/q70's IVF index alive on a GROWING corpus: re-clustering 100 TB
+    * nightly is a non-starter, so production assigns each new ingest
+    * batch to the FROZEN centroids and monitors per-cell growth; only
+    * when a cell outgrows its neighbors does a rebuild trigger. The
+    * fixture batch is a deterministic drifted cohort (every 5th vector,
+    * dims REVERSED — a distribution shift the frozen index did not see),
+    * so the oracle derives the identical batch; production swaps in the
+    * day's ingest.
+    *
+    * Shape: the frozen k-row centroid frame broadcasts (the q75
+    * whitelist shape); the batch is scanned once through the same
+    * integer argmin assignment as Lloyd (min over k struct comparisons,
+    * no floats, exact cross-engine); growth is a per-cid count join on
+    * k rows. Nothing re-reads the base corpus except the memoized
+    * assignment counts. `status` flags cells whose growth exceeds 25%
+    * of their base population — the rebuild trigger. */
+  val MaintGrowthBp = 2500L
+
+  def indexMaintenance(spark: SparkSession, dir: String): DataFrame = {
+    val (a2, c2) = kmeansAssignment(spark, dir)
+    val batch = Tables.embeddings(spark, dir)
+      .filter(pmod(col("vec_id"), lit(5)) === 3)
+      .select((col("vec_id") + 100000L).as("vec_id"),
+        reverse(quantize(col("embedding"))).as("q"))
+    val assigned = batch.crossJoin(broadcast(c2))
+      .withColumn("dist",
+        dotQ(col("q"), col("q")) - lit(2L) * dotQ(col("q"), col("qc")) +
+          dotQ(col("qc"), col("qc")))
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("vec_id"), col("m").getField("cid").as("cid"))
+    val baseCnt = a2.groupBy(col("cid")).agg(count(lit(1)).as("n_base"))
+    val newCnt = assigned.groupBy(col("cid")).agg(count(lit(1)).as("n_new"))
+    baseCnt.join(newCnt, Seq("cid"), "left")
+      .select(col("cid"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("growth_bp", expr("10000 * n_new div n_base"))
+      .withColumn("status",
+        when(col("growth_bp") > MaintGrowthBp, "rebuild").otherwise("ok"))
+      .orderBy(col("cid"))
+  }
+
+  val indexMaintenanceSql: String = {
+    def distSql(v: String, c: String): String =
+      s"""CAST(list_sum([$v.q[i] * $v.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      - 2 * CAST(list_sum([$v.q[i] * $c.qc[i] for i in range(1, 65)]) AS BIGINT)
+         |      + CAST(list_sum([$c.qc[i] * $c.qc[i] for i in range(1, 65)]) AS BIGINT)""".stripMargin
+    s"""WITH $kmeansCteSql,
+       |batch AS MATERIALIZED (
+       |  SELECT vec_id + 100000 AS vec_id, list_reverse(q) AS q
+       |  FROM q WHERE vec_id % 5 = 3
+       |), an AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT v.vec_id, c.cid, ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${distSql("v", "c")}, c.cid) AS r
+       |    FROM batch v CROSS JOIN c2 c) WHERE r = 1
+       |), bc AS (SELECT cid, COUNT(*) AS n_base FROM a2 GROUP BY 1),
+       |nc AS (SELECT cid, COUNT(*) AS n_new FROM an GROUP BY 1)
+       |SELECT bc.cid, CAST(bc.n_base AS BIGINT) AS n_base,
+       |  CAST(COALESCE(nc.n_new, 0) AS BIGINT) AS n_new,
+       |  CAST(10000 * COALESCE(nc.n_new, 0) // bc.n_base AS BIGINT) AS growth_bp,
+       |  CASE WHEN 10000 * COALESCE(nc.n_new, 0) // bc.n_base > $MaintGrowthBp
+       |       THEN 'rebuild' ELSE 'ok' END AS status
+       |FROM bc LEFT JOIN nc ON bc.cid = nc.cid
+       |ORDER BY bc.cid""".stripMargin
+  }
+
   // --------------------------------- q129 MMR diverse exemplar selection
 
   /** MMR geometry, all integer: λ = 0.7 split as 7·rel − 3·maxsim with
@@ -2169,6 +2239,7 @@ object Similarity {
     QueryDef("q98_gram_matrix", gramMatrix, Some(gramMatrixSql)),
     QueryDef("q99_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q116_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql)),
-    QueryDef("q129_mmr_selection", mmrSelection, Some(mmrSelectionSql))
+    QueryDef("q129_mmr_selection", mmrSelection, Some(mmrSelectionSql)),
+    QueryDef("q133_index_maintenance", indexMaintenance, Some(indexMaintenanceSql))
   )
 }

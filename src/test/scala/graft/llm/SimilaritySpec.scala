@@ -544,4 +544,26 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).toSet != topK,
       "MMR selection degenerated to plain top-K relevance — penalty term inert")
   }
+
+  test("q133 index maintenance: conservation, frozen-centroid argmin, rebuild trigger math") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.indexMaintenance(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every batch vector lands in exactly one cell: totals conserve
+    val nBatch = graft.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(5)) === 3).count()
+    assert(rows.map(_.getLong(2)).sum == nBatch, "batch vectors lost or duplicated")
+    val nBase = graft.Tables.embeddings(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == nBase, "base assignment census drifted")
+    for (r <- rows) {
+      assert(r.getLong(3) == 10000L * r.getLong(2) / r.getLong(1))
+      assert(r.getString(4) == (if (r.getLong(3) > Similarity.MaintGrowthBp) "rebuild" else "ok"))
+    }
+    // the drifted batch must not distribute like the base population —
+    // otherwise the monitor is measuring nothing
+    val shares = rows.map(r => (r.getLong(2).toDouble / nBatch,
+      r.getLong(1).toDouble / nBase))
+    assert(shares.exists { case (b, o) => math.abs(b - o) > 0.05 },
+      "batch distribution indistinguishable from base — fixture drift inert")
+  }
 }
