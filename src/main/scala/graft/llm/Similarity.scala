@@ -2065,6 +2065,97 @@ object Similarity {
        |ORDER BY bc.cid""".stripMargin
   }
 
+  // ------------------------------------ q134 embedding outlier audit
+
+  /** q134: EMBEDDING OUTLIER AUDIT — the data-cleaning complement of
+    * q118: semantic dedup removes vectors that are too CLOSE; this
+    * flags vectors too FAR from every cluster — mislabeled docs,
+    * garbage embeddings, encoder failures — the rows a curation pass
+    * reviews before training. The audited set is the base corpus plus a
+    * deterministic CORRUPTED cohort (every 25th vector scaled ×−3 — an
+    * encoder-failure stand-in the oracle re-derives; in production the
+    * day's ingest arrives here unlabeled and the audit is what finds
+    * the bad rows). Outlier test: squared distance to the vector's own
+    * (frozen) centroid exceeds 3× the cluster mean, compared by integer
+    * cross-multiplication (`dist·n > 3·Σdist` — no division, no
+    * floats; dist ≤ 64·(4·2²⁰)² ≈ 2⁵⁰, so dist·n stays in int64
+    * through million-row clusters; beyond that, pre-divide the mean
+    * once).
+    *
+    * Shape: one slim (cid, vec_id, dist) frame — memoized base
+    * assignment ∪ the cohort's frozen-centroid argmin (broadcast k-row
+    * centroids, the q133 shape) — checkpointed once, then TWO k-row
+    * hash aggregates over it (cluster stats, then the outlier count
+    * against the broadcast stats). No window, no self-join. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val (a2, c2) = kmeansAssignment(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    def distCol = dotQ(col("q"), col("q")) -
+      lit(2L) * dotQ(col("q"), col("qc")) + dotQ(col("qc"), col("qc"))
+    val base = a2.join(e, Seq("vec_id"))
+      .join(broadcast(c2), Seq("cid"))
+      .select(col("cid"), col("vec_id"), distCol.as("dist"))
+    val corrupted = e.filter(pmod(col("vec_id"), lit(25)) === 7)
+      .select((col("vec_id") + 200000L).as("vec_id"),
+        transform(col("q"), x => x * lit(-3L)).as("q"))
+      .crossJoin(broadcast(c2))
+      .withColumn("dist", distCol)
+      .groupBy(col("vec_id"))
+      .agg(min(struct(col("dist"), col("cid"))).as("m"))
+      .select(col("m").getField("cid").as("cid"), col("vec_id"),
+        col("m").getField("dist").as("dist"))
+    val d = base.unionByName(corrupted).transform(Dist.durableCkpt)
+    val stats = d.groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dist")).cast("long").as("sum_dist"),
+        max(col("dist")).cast("long").as("max_dist"))
+    val outliers = d.join(broadcast(stats), Seq("cid"))
+      .filter(col("dist") * col("n_vecs") > lit(3L) * col("sum_dist"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n_outliers"))
+    stats.join(outliers, Seq("cid"), "left")
+      .select(col("cid"), col("n_vecs"), col("sum_dist"), col("max_dist"),
+        coalesce(col("n_outliers"), lit(0L)).as("n_outliers"))
+      .orderBy(col("cid"))
+  }
+
+  val embeddingOutliersSql: String = {
+    def distSql(v: String, c: String): String =
+      s"""CAST(list_sum([$v.q[i] * $v.q[i] for i in range(1, 65)]) AS BIGINT)
+         |      - 2 * CAST(list_sum([$v.q[i] * $c.qc[i] for i in range(1, 65)]) AS BIGINT)
+         |      + CAST(list_sum([$c.qc[i] * $c.qc[i] for i in range(1, 65)]) AS BIGINT)""".stripMargin
+    s"""WITH $kmeansCteSql,
+       |corrupt AS MATERIALIZED (
+       |  SELECT vec_id + 200000 AS vec_id, [x * -3 for x in q] AS q
+       |  FROM q WHERE vec_id % 25 = 7
+       |), ca AS (
+       |  SELECT cid, vec_id, dist FROM (
+       |    SELECT v.vec_id, c.cid, ${distSql("v", "c")} AS dist,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${distSql("v", "c")}, c.cid) AS r
+       |    FROM corrupt v CROSS JOIN c2 c) WHERE r = 1
+       |), dd AS MATERIALIZED (
+       |  SELECT a2.cid, a2.vec_id, ${distSql("v", "c")} AS dist
+       |  FROM a2 JOIN q v USING (vec_id) JOIN c2 c ON c.cid = a2.cid
+       |  UNION ALL SELECT cid, vec_id, dist FROM ca
+       |), st AS MATERIALIZED (
+       |  SELECT cid, COUNT(*) AS n_vecs, SUM(dist) AS sum_dist,
+       |    MAX(dist) AS max_dist
+       |  FROM dd GROUP BY 1
+       |), o AS (
+       |  SELECT dd.cid, COUNT(*) AS n_outliers
+       |  FROM dd JOIN st USING (cid)
+       |  WHERE dd.dist * st.n_vecs > 3 * st.sum_dist
+       |  GROUP BY 1
+       |)
+       |SELECT st.cid, CAST(st.n_vecs AS BIGINT) AS n_vecs,
+       |  CAST(st.sum_dist AS BIGINT) AS sum_dist,
+       |  CAST(st.max_dist AS BIGINT) AS max_dist,
+       |  CAST(COALESCE(o.n_outliers, 0) AS BIGINT) AS n_outliers
+       |FROM st LEFT JOIN o ON o.cid = st.cid
+       |ORDER BY st.cid""".stripMargin
+  }
+
   // --------------------------------- q129 MMR diverse exemplar selection
 
   /** MMR geometry, all integer: λ = 0.7 split as 7·rel − 3·maxsim with
@@ -2240,6 +2331,7 @@ object Similarity {
     QueryDef("q99_rrf_fusion", rrfFusion, Some(rrfFusionSql)),
     QueryDef("q116_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql)),
     QueryDef("q129_mmr_selection", mmrSelection, Some(mmrSelectionSql)),
-    QueryDef("q133_index_maintenance", indexMaintenance, Some(indexMaintenanceSql))
+    QueryDef("q133_index_maintenance", indexMaintenance, Some(indexMaintenanceSql)),
+    QueryDef("q134_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql))
   )
 }

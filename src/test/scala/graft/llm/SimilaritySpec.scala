@@ -566,4 +566,26 @@ class SimilaritySpec extends SparkSpec {
     assert(shares.exists { case (b, o) => math.abs(b - o) > 0.05 },
       "batch distribution indistinguishable from base — fixture drift inert")
   }
+
+  test("q134 embedding outliers: census conserves, exactly the corrupted cohort is flagged") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.embeddingOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nBase = graft.Tables.embeddings(spark, sfDir).count()
+    val nCorrupt = graft.Tables.embeddings(spark, sfDir)
+      .filter(pmod(col("vec_id"), lit(25)) === 7).count()
+    assert(rows.map(_.getLong(1)).sum == nBase + nCorrupt, "audit census lost vectors")
+    for (r <- rows) {
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= r.getLong(1))
+      // threshold math: a cluster whose max clears 3x the mean must flag
+      if (r.getLong(3) * r.getLong(1) > 3L * r.getLong(2))
+        assert(r.getLong(4) >= 1, s"cid ${r.getInt(0)}: max beyond 3x mean but zero outliers")
+      else
+        assert(r.getLong(4) == 0, s"cid ${r.getInt(0)}: outliers reported below the threshold")
+    }
+    // precision AND recall on this corpus: the flagged set is exactly the
+    // injected corruption - no clean vector trips the threshold
+    assert(rows.map(_.getLong(4)).sum == nCorrupt,
+      s"flagged ${rows.map(_.getLong(4)).sum} != corrupted cohort $nCorrupt")
+  }
 }
