@@ -74,7 +74,8 @@ class TableDriftSpec extends SparkSpec {
     spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("doc_id", col("doc_id").cast("int"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/documents.parquet")
-    for (name <- Seq("q124_exact_stratified_sample", "q127_takedown_propagation")) {
+    for (name <- Seq("q124_exact_stratified_sample", "q127_takedown_propagation",
+        "q128_cdc_merge_apply")) {
       val q = SparkEntry.queries.getOrElse(name,
         fail(s"$name not registered — fix the spec's query list"))
       val ref = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
@@ -95,7 +96,8 @@ class TableDriftSpec extends SparkSpec {
     spark.read.parquet(s"$sfDir/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
-    for (name <- Seq("q44_cosine_topk", "q70_int8_ann_topk")) {
+    for (name <- Seq("q44_cosine_topk", "q70_int8_ann_topk",
+        "q129_mmr_selection", "q134_embedding_outliers")) {
       val q = SparkEntry.queries.getOrElse(name,
         fail(s"$name not registered — fix the spec's query list"))
       val ref = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
