@@ -1490,6 +1490,62 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY relation")
   }
 
+  // --------------------------------------------------- q135 k-anonymity
+
+  /** q135: K-ANONYMITY audit — the third leg of the governance tier
+    * (q61 redacts direct PII, q127 propagates erasure; this measures
+    * RE-IDENTIFICATION risk): under a candidate quasi-identifier set,
+    * every equivalence class smaller than k is a linkage risk. The
+    * audit walks a three-level generalization ladder (segment → +nation
+    * → +$1000 balance bucket) and reports, per level, the class census
+    * and the rows at risk — the artifact that picks the finest
+    * releasable granularity.
+    *
+    * Shape: per level ONE two-phase hash aggregate (class sizes, then a
+    * scalar roll-up with conditional sums) — the q131 pattern; three
+    * independent branches unioned, no windows, no joins. The balance
+    * bucket shifts cents positive before the integer division so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree. */
+  val AnonK = 5L
+
+  def kAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    def level(name: String, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+      cust.groupBy(cols: _*).agg(count(lit(1)).as("sz"))
+        .agg(count(lit(1)).as("n_classes"),
+          min(col("sz")).cast("long").as("min_class"),
+          sum(when(col("sz") < AnonK, 1L).otherwise(0L)).cast("long")
+            .as("classes_lt_k"),
+          sum(when(col("sz") < AnonK, col("sz")).otherwise(0L)).cast("long")
+            .as("rows_at_risk"))
+        .select(lit(name).as("level"), col("n_classes"), col("min_class"),
+          col("classes_lt_k"), col("rows_at_risk"),
+          (col("classes_lt_k") === 0L).as("satisfies_k"))
+    val balBucket =
+      expr(s"(cast(cast(c_acctbal as decimal(14,4)) * 100 as bigint) + 10000000) div 100000")
+    level("1_segment", Seq(col("c_mktsegment")))
+      .unionByName(level("2_seg_nation",
+        Seq(col("c_mktsegment"), col("c_nationkey"))))
+      .unionByName(level("3_seg_nation_bal",
+        Seq(col("c_mktsegment"), col("c_nationkey"), balBucket.as("bb"))))
+      .orderBy(col("level"))
+  }
+
+  val kAnonymitySql: String = {
+    def one(name: String, groupCols: String) =
+      s"""SELECT '$name' AS level, CAST(COUNT(*) AS BIGINT) AS n_classes,
+         |  CAST(MIN(sz) AS BIGINT) AS min_class,
+         |  CAST(SUM(CASE WHEN sz < $AnonK THEN 1 ELSE 0 END) AS BIGINT) AS classes_lt_k,
+         |  CAST(SUM(CASE WHEN sz < $AnonK THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+         |  SUM(CASE WHEN sz < $AnonK THEN 1 ELSE 0 END) = 0 AS satisfies_k
+         |FROM (SELECT COUNT(*) AS sz FROM customer GROUP BY $groupCols)""".stripMargin
+    val bb = "(CAST(CAST(c_acctbal AS DECIMAL(14,4)) * 100 AS BIGINT) + 10000000) // 100000"
+    Seq(one("1_segment", "c_mktsegment"),
+      one("2_seg_nation", "c_mktsegment, c_nationkey"),
+      one("3_seg_nation_bal", s"c_mktsegment, c_nationkey, $bb"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY level")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
@@ -1529,6 +1585,7 @@ object Relational {
     QueryDef("q114_pagerank", pagerankTwoRounds, Some(pagerankTwoRoundsSql)),
     QueryDef("q115_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q117_spend_deciles", spendDeciles, Some(spendDecilesSql)),
-    QueryDef("q131_skew_audit", skewAudit, Some(skewAuditSql))
+    QueryDef("q131_skew_audit", skewAudit, Some(skewAuditSql)),
+    QueryDef("q135_k_anonymity", kAnonymity, Some(kAnonymitySql))
   )
 }

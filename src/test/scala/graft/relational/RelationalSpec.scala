@@ -809,4 +809,30 @@ class RelationalSpec extends SparkSpec {
         s"${row.getString(0)}: salt $rec leaves ${maxCnt / rec} above avg ${total / nKeys}")
     }
   }
+
+  test("q135 k-anonymity: class census matches a Scala model, ladder risk is monotone") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.kAnonymity(spark, sfDir).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("1_segment", "2_seg_nation", "3_seg_nation_bal"))
+    // model level 2 from collected rows
+    val classes = graft.Tables.customer(spark, sfDir)
+      .groupBy(col("c_mktsegment"), col("c_nationkey")).count()
+      .collect().map(_.getLong(2))
+    val r2 = rows(1)
+    assert(r2.getLong(1) == classes.length)
+    assert(r2.getLong(2) == classes.min)
+    assert(r2.getLong(3) == classes.count(_ < Relational.AnonK))
+    assert(r2.getLong(4) == classes.filter(_ < Relational.AnonK).sum)
+    assert(r2.getBoolean(5) == classes.forall(_ >= Relational.AnonK))
+    // refining the quasi-identifier can only split classes: class count
+    // rises and rows at risk never fall down the ladder
+    assert(rows(0).getLong(1) <= rows(1).getLong(1))
+    assert(rows(1).getLong(1) <= rows(2).getLong(1))
+    assert(rows(0).getLong(4) <= rows(1).getLong(4))
+    assert(rows(1).getLong(4) <= rows(2).getLong(4))
+    // min class size is antitone in granularity
+    assert(rows(0).getLong(2) >= rows(1).getLong(2))
+    assert(rows(1).getLong(2) >= rows(2).getLong(2))
+  }
 }
