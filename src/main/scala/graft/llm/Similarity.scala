@@ -2065,6 +2065,88 @@ object Similarity {
        |ORDER BY bc.cid""".stripMargin
   }
 
+  // ------------------------------- q136 license propagation (dedup families)
+
+  /** q136: LICENSE PROPAGATION through near-duplicate families — the
+    * governance consequence of q55's clusters that catalogs miss: if a
+    * permissively-licensed document is a near-duplicate of a restricted
+    * one, the family shares provenance and the RESTRICTIVE license
+    * governs every member ("most restrictive wins"). The fixture
+    * license map is a deterministic pure function of the source
+    * (`hash60("lic:"++source) mod 3` → 0 permissive / 1 attribution /
+    * 2 restricted), so the oracle derives it; production joins its real
+    * license table the same way. Output is the 3×3 own→effective
+    * transition census — the off-diagonal mass is exactly the
+    * contamination a license-filtered training run must re-drop.
+    *
+    * Shape: the memoized cluster labels (built once per session, shared
+    * with q55/q67/q93/q116) attach by broadcast; cluster license is one
+    * k-row aggregate (max rank per family); singletons keep their own
+    * license via the null-label left join. No new corpus scans beyond
+    * the one that attaches sources. */
+  def licensePropagation(spark: SparkSession, dir: String): DataFrame = {
+    val (grps, groupLabels) = clusterGroupLabels(spark, dir)
+    val docLabels = groupLabels
+      .join(broadcast(grps.select(col("gid").as("node"), col("members"))), Seq("node"))
+      .select(col("lbl"), explode(col("members")).as("doc_id"))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(hash60(concat(lit("lic:"), col("source"))), lit(3L)).as("own"))
+    val withLbl = docs.join(broadcast(docLabels), Seq("doc_id"), "left")
+    val clusterLic = withLbl.filter(col("lbl").isNotNull)
+      .groupBy(col("lbl")).agg(max(col("own")).as("cluster_lic"))
+    withLbl.join(broadcast(clusterLic), Seq("lbl"), "left")
+      .select(col("own").as("own_license"),
+        coalesce(col("cluster_lic"), col("own")).as("final_license"))
+      .groupBy(col("own_license"), col("final_license"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("own_license"), col("final_license"))
+  }
+
+  /** Same fixpoint chain as q55/q67/q93/q116; poison row on
+    * non-convergence. */
+  val licensePropagationSql: String = {
+    val rounds = 8
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), pairs AS (
+       |  SELECT id_a, id_b FROM cand
+       |  JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |  WHERE CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE)
+       |      / (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.9
+       |), sym AS MATERIALIZED (
+       |  SELECT id_a AS node, id_b AS nbr FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), lab0 AS MATERIALIZED (
+       |  SELECT DISTINCT node, node AS lbl FROM sym
+       |), ${labelRoundCtes(rounds)}, own AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(concat('0x', substr(md5('lic:' || source), 1, 15)) AS BIGINT) % 3 AS own
+       |  FROM documents
+       |), cl AS (
+       |  SELECT l.lbl, MAX(o.own) AS clic
+       |  FROM lab$rounds l JOIN own o ON o.doc_id = l.node GROUP BY 1
+       |)
+       |SELECT own_license, final_license, n_docs FROM (
+       |  SELECT o.own AS own_license, COALESCE(cl.clic, o.own) AS final_license,
+       |    COUNT(*) AS n_docs
+       |  FROM own o
+       |  LEFT JOIN lab$rounds l ON l.node = o.doc_id
+       |  LEFT JOIN cl ON cl.lbl = l.lbl
+       |  GROUP BY 1, 2
+       |  UNION ALL
+       |  SELECT -1, -1, CAST(-1 AS BIGINT)
+       |  WHERE EXISTS (SELECT 1 FROM lab$rounds a JOIN lab${rounds - 1} b
+       |                ON a.node = b.node WHERE a.lbl <> b.lbl)
+       |) ORDER BY own_license, final_license""".stripMargin
+  }
+
   // ------------------------------------ q134 embedding outlier audit
 
   /** q134: EMBEDDING OUTLIER AUDIT — the data-cleaning complement of
@@ -2332,6 +2414,7 @@ object Similarity {
     QueryDef("q116_cluster_top_terms", clusterTopTerms, Some(clusterTopTermsSql)),
     QueryDef("q129_mmr_selection", mmrSelection, Some(mmrSelectionSql)),
     QueryDef("q133_index_maintenance", indexMaintenance, Some(indexMaintenanceSql)),
-    QueryDef("q134_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql))
+    QueryDef("q134_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
+    QueryDef("q136_license_propagation", licensePropagation, Some(licensePropagationSql))
   )
 }

@@ -588,4 +588,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.getLong(4)).sum == nCorrupt,
       s"flagged ${rows.map(_.getLong(4)).sum} != corrupted cohort $nCorrupt")
   }
+
+  test("q136 license propagation: transition census matches a Scala model, only escalates") {
+    import org.apache.spark.sql.functions._
+    val rows = Similarity.licensePropagation(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // license never de-escalates: final >= own on every row
+    for (r <- rows) assert(r.getLong(1) >= r.getLong(0),
+      s"license de-escalated: ${r.getLong(0)} -> ${r.getLong(1)}")
+    // model from the same (validated-elsewhere) cluster labels
+    val (grps, groupLabels) = Similarity.clusterGroupLabels(spark, sfDir)
+    val docLbl = groupLabels
+      .join(grps.select(col("gid").as("node"), col("members")), Seq("node"))
+      .select(col("lbl"), explode(col("members")).as("doc_id"))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    val own = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        pmod(graft.llm.Similarity.hash60(concat(lit("lic:"), col("source"))), lit(3L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val clusterLic = docLbl.toSeq.groupBy(_._2).view
+      .mapValues(_.map(p => own(p._1)).max).toMap
+    val model = own.toSeq
+      .map { case (id, o) =>
+        (o, docLbl.get(id).map(clusterLic).map(math.max(o, _)).getOrElse(o)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(rows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap == model)
+    // contamination exists on this corpus, or the op is inert
+    assert(rows.exists(r => r.getLong(1) > r.getLong(0) && r.getLong(2) > 0),
+      "no license escalation anywhere - fixture map degenerate")
+  }
 }
