@@ -1328,6 +1328,99 @@ object CorpusStats {
        |FROM placed GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q137: BM25 retrieval scoring (integer-exact Okapi ranking)
+  // ---------------------------------------------------------------------
+
+  /** The fixed retrieval query for [[bm25Retrieval]]: one genuinely rare
+    * corpus term (`dup`, df ≈ 5% of docs — the discriminative signal) plus
+    * five mid-frequency terms, so the ranking exercises both ends of the
+    * idf range. */
+  val Bm25Terms: Seq[String] = Seq("dup", "spark", "window", "join", "vector", "slow")
+
+  /** q137: Okapi BM25 document ranking — the standard lexical retrieval
+    * scorer (Robertson & Spärck Jones; the BM25 in Lucene/Elasticsearch)
+    * over the corpus, top-10 documents for a fixed six-term query.
+    *
+    * Scoring is BM25 with k1 = 6/5 and b = 3/4 EXCEPT the idf log: like
+    * q66's linear idf and q90's transcendental-free classifier, the idf
+    * RATIO (N − df + ½)/(df + ½) is used un-logged so every quantity stays
+    * rational. With k1 and b exact rationals the whole per-term score is
+    * one integer-valued fraction:
+    *
+    *   score_t = 22·S·tf·(2N − 2df + 1)
+    *             ─────────────────────────────────────
+    *             (2df + 1)·(10·tf·S + 3·S + 9·dl·N)
+    *
+    * (S = total corpus tokens, N = docs, dl = doc length; derived by
+    * clearing avgdl = S/N from tf + k1·(1 − b + b·dl/avgdl)). Scaled by
+    * 10^5 and floored with integer `div`, per-term scores are exact
+    * int64s, their per-doc SUM is exact, and Spark and DuckDB agree
+    * bit-for-bit — no float enters the plan. At harness scale the widest
+    * intermediate is ≲ 10^17 (10^5·22·S·tf·(2N−2df+1)); a corpus where
+    * S·N approaches 10^13 must lift the numerator to DECIMAL(38,0), which
+    * changes no value — `div` is exact either way.
+    *
+    * 100 TB shape: dl comes from a per-row `size(tokens)` — no explode,
+    * no aggregate; the exploded token stream is filtered to the six query
+    * terms BEFORE its (doc, term) aggregate, so the tf shuffle carries
+    * only matching tokens; df is a six-row aggregate OF THE TF FRAME,
+    * broadcast back; corpus totals ride in as a broadcast one-row
+    * aggregate (the q66 scalar-subquery shape). Top-10 is
+    * `orderBy.limit` = TakeOrderedAndProject — per-partition top-k merged
+    * on the driver, never a global sort — with the (score, doc_id) total
+    * order making the cut deterministic. */
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val withDl = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val stats = withDl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("s_tokens"))
+    val tf = withDl
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("w"))
+      .filter(col("w").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("w")).agg(count(lit(1)).as("tf"))
+    val dfPerTerm = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfPerTerm), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_u", expr(
+        """(CAST(100000 AS BIGINT) * 22 * s_tokens * tf * (2*n_docs - 2*df + 1))
+          | div ((2*df + 1) * (10*tf*s_tokens + 3*s_tokens + 9*dl*n_docs))""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("matched_terms"),
+        sum(col("score_u")).cast("long").as("score_u"))
+      .orderBy(col("score_u").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  val bm25RetrievalSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH dd AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), dl AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM dd
+       |), stats AS (
+       |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS s_tokens FROM dl
+       |), t AS (
+       |  SELECT doc_id, dl, unnest(toks) AS w FROM dl
+       |), tf AS (
+       |  SELECT doc_id, dl, w, COUNT(*) AS tf FROM t
+       |  WHERE w IN ($terms) GROUP BY 1, 2, 3
+       |), dfx AS (
+       |  SELECT w, COUNT(*) AS df FROM tf GROUP BY 1
+       |), s AS (
+       |  SELECT tf.doc_id,
+       |    (CAST(100000 AS BIGINT) * 22 * s_tokens * tf * (2*n_docs - 2*df + 1))
+       |      // ((2*df + 1) * (10*tf*s_tokens + 3*s_tokens + 9*dl*n_docs)) AS score_u
+       |  FROM tf JOIN dfx USING (w) CROSS JOIN stats
+       |)
+       |SELECT doc_id, COUNT(*) AS matched_terms,
+       |  CAST(SUM(score_u) AS BIGINT) AS score_u
+       |FROM s GROUP BY 1 ORDER BY score_u DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1350,6 +1443,7 @@ object CorpusStats {
     QueryDef("q127_takedown_propagation", takedownPropagation,
       Some(takedownPropagationSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql)),
-    QueryDef("q130_shard_balance", shardBalance, Some(shardBalanceSql))
+    QueryDef("q130_shard_balance", shardBalance, Some(shardBalanceSql)),
+    QueryDef("q137_bm25_retrieval", bm25Retrieval, Some(bm25RetrievalSql))
   )
 }

@@ -12,6 +12,42 @@ class CorpusStatsSpec extends SparkSpec {
   private def scalaTokens(s: String): Seq[String] =
     s.split("\\s+").filter(_.nonEmpty).toSeq
 
+  test("q137 BM25 equals an independent Scala model (exact integer scores, top-10 cut)") {
+    // plain-Scala BM25 with the same exact-rational formula, computed with
+    // BigInt so any int64 overflow in the query would show as a mismatch
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> scalaTokens(r.getString(1).toLowerCase))
+    val n = BigInt(docs.length)
+    val s = BigInt(docs.map(_._2.length.toLong).sum)
+    val dfm = CorpusStats.Bm25Terms.map { t =>
+      t -> BigInt(docs.count(_._2.contains(t)))
+    }.toMap
+    val expected = docs.flatMap { case (id, toks) =>
+      val dl = BigInt(toks.length)
+      val scores = CorpusStats.Bm25Terms.flatMap { t =>
+        val tf = BigInt(toks.count(_ == t))
+        if (tf == 0) None
+        else {
+          val df = dfm(t)
+          val num = BigInt(100000) * 22 * s * tf * (2 * n - 2 * df + 1)
+          val den = (2 * df + 1) * (10 * tf * s + 3 * s + 9 * dl * n)
+          Some(num / den)
+        }
+      }
+      if (scores.isEmpty) None
+      else Some((id, scores.size.toLong, scores.sum.toLong))
+    }.sortBy { case (id, _, sc) => (-sc, id) }.take(10).toSeq
+    val got = CorpusStats.bm25Retrieval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the rare term must dominate: every top-10 doc matches >= 1 term and
+    // the #1 doc contains the discriminative term
+    assert(expected.head._3 > 0)
+    val topDoc = docs.find(_._1 == expected.head._1).get._2
+    assert(topDoc.contains("dup"), "rare-term idf should put a 'dup' doc on top")
+  }
+
   test("q91 fuzzy join: deletion banding equals brute-force ed-1, incl. length-changing edits") {
     // banding property on strings of DIFFERENT lengths (customer names are
     // all same-length, so the registered query alone never exercises the
