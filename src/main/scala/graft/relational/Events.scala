@@ -874,7 +874,62 @@ object Events {
       |FROM uw JOIN first f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- q138 frequent event paths
+
+  /** q138: top-15 frequent 3-step event-type paths — for every run of
+    * three consecutive same-user events with each inter-event gap inside
+    * the 30-minute session bound (q17's gap), count occurrences and
+    * distinct users walking the path. The sequence-mining primitive
+    * behind "what do users do right before purchase" / funnel-discovery
+    * dashboards; q100 is its order-1 (pair) marginal.
+    *
+    * Shape: ONE user-partitioned window exchange serves both `lead`
+    * columns (type and timestamp at offsets 1 and 2 share the frame),
+    * then the q100 two-level aggregation — (path, user) partials combine
+    * map-side so the second exchange carries ≤ |paths|·users rows, and
+    * the distinct-user count needs no Expand. Events never join to
+    * events: the naive 3-way self-join on (user, ts range) would shuffle
+    * the fact table three times and explode on hot users. Top-15 is
+    * `orderBy.limit` = TakeOrderedAndProject over the ≤|types|³
+    * aggregated rows, with the (n, path) total order making the cut
+    * deterministic at every scale. */
+  def eventPaths(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("t2", lead(col("us"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .withColumn("t3", lead(col("us"), 2).over(byUser))
+      .filter(col("e3").isNotNull &&
+        col("t2") - col("us") <= gapUs && col("t3") - col("t2") <= gapUs)
+      .groupBy(col("event_type").as("e1"), col("e2"), col("e3"), col("user_id"))
+      .agg(count(lit(1)).as("pn"))
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(sum(col("pn")).cast("long").as("n"), count(lit(1)).as("n_users"))
+      .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+      .limit(15)
+  }
+
+  val eventPathsSql: String =
+    """WITH nx AS (
+      |  SELECT user_id, event_type AS e1, epoch_us(ts) AS t1,
+      |    lead(event_type, 1) OVER w AS e2, lead(epoch_us(ts), 1) OVER w AS t2,
+      |    lead(event_type, 2) OVER w AS e3, lead(epoch_us(ts), 2) OVER w AS t3
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), runs AS (
+      |  SELECT e1, e2, e3, user_id, COUNT(*) AS pn FROM nx
+      |  WHERE e3 IS NOT NULL AND t2 - t1 <= 1800000000 AND t3 - t2 <= 1800000000
+      |  GROUP BY 1, 2, 3, 4
+      |)
+      |SELECT e1, e2, e3, CAST(SUM(pn) AS BIGINT) AS n, COUNT(*) AS n_users
+      |FROM runs GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 15""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q92_gap_fill", gapFillRevenue, Some(gapFillRevenueSql)),
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),

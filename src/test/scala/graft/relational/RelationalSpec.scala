@@ -413,6 +413,34 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got == model, "transition counts must match the model")
   }
 
+  test("q138 event paths match a per-user sequential Scala model (exact-micros gaps)") {
+    val gapUs = 30L * 60 * 1000000
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map { r =>
+        val t = r.getTimestamp(1)
+        val us = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+        (r.getLong(0), us, r.getLong(2), r.getString(3))
+      }
+    val triples: Seq[((String, String, String), Long)] =
+      ev.groupBy(_._1).toSeq.flatMap { case (uid, es) =>
+        val sorted = es.sortBy(e => (e._2, e._3)).toSeq
+        sorted.sliding(3).filter(_.length == 3).flatMap { w =>
+          val (a, b, c) = (w(0), w(1), w(2))
+          if (b._2 - a._2 <= gapUs && c._2 - b._2 <= gapUs)
+            Some(((a._4, b._4, c._4), uid))
+          else None
+        }
+      }
+    val model = triples.groupBy(_._1).map { case ((a, b, c), xs) =>
+      (a, b, c, xs.size.toLong, xs.map(_._2).distinct.size.toLong)
+    }.toSeq.sortBy(t => (-t._4, t._1, t._2, t._3)).take(15)
+    val got = Events.eventPaths(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == model, "path counts must match the model")
+  }
+
   test("q101 concurrency sweep: conserved, non-negative, equals interval counting at boundaries") {
     val q = Events.concurrencySweep(spark, sfDir)
     val rows = q.collect().map(r =>
