@@ -2385,6 +2385,71 @@ object Similarity {
        |) ORDER BY rnk""".stripMargin
   }
 
+  // ------------------------------------------------ q139 ANN recall audit
+
+  /** q139: recall@3 of BOTH approximate indexes against the exact answer —
+    * the evaluation harness that decides whether an ANN index is good
+    * enough to replace the brute-force path. Per probe: how many of the
+    * exact cosine top-3 (q44's baseline, cut at rank 3) does the
+    * hyperplane-LSH index (q46) return, and how many does the IVF index
+    * (q49)? Recall in integer basis points (`10000·hits div 3` — the
+    * div idiom, no floats), so the full audit hash-gates.
+    *
+    * This is the missing third leg of the ANN tier: q44 is ground truth,
+    * q46/q49 are the scale paths, and nothing previously MEASURED the
+    * approximation. At 100 TB the exact leg runs on a sampled probe set
+    * exactly like this one (8 broadcast probes); the audit's own joins
+    * see only the k·|probes| result rows, so its cost is the three
+    * underlying searches, nothing more.
+    *
+    * Expected result on this corpus, locked by the spec: LSH recall is
+    * WELL below 10000 for some probes (6 hyperplanes over near-orthogonal
+    * synthetic vectors split true neighbors across buckets) while IVF
+    * recall is higher (label-aligned cells) — the audit exists precisely
+    * to surface that difference. */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopk(spark, dir).filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val lsh = annLshTopk(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("lhit"))
+    val ivf = annIvfTopk(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("ihit"))
+    exact
+      .join(lsh, Seq("probe_id", "neighbor_id"), "left")
+      .join(ivf, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(coalesce(col("lhit"), lit(0L))).cast("long").as("lsh_hits"),
+        sum(coalesce(col("ihit"), lit(0L))).cast("long").as("ivf_hits"))
+      .withColumn("lsh_recall_bp", expr("10000 * lsh_hits div n_exact"))
+      .withColumn("ivf_recall_bp", expr("10000 * ivf_hits div n_exact"))
+      .orderBy(col("probe_id"))
+  }
+
+  val annRecallAuditSql: String =
+    s"""WITH exact AS (
+       |  SELECT probe_id, neighbor_id FROM ($cosineTopkSql) x WHERE rnk <= 3
+       |), lsh AS (
+       |  SELECT probe_id, neighbor_id FROM ($annLshTopkSql) l
+       |), ivf AS (
+       |  SELECT probe_id, neighbor_id FROM ($annIvfTopkSql) v
+       |), joined AS (
+       |  SELECT e.probe_id,
+       |    CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS lhit,
+       |    CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS ihit
+       |  FROM exact e
+       |  LEFT JOIN lsh l ON l.probe_id = e.probe_id AND l.neighbor_id = e.neighbor_id
+       |  LEFT JOIN ivf v ON v.probe_id = e.probe_id AND v.neighbor_id = e.neighbor_id
+       |), agg AS (
+       |  SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(lhit) AS BIGINT) AS lsh_hits, CAST(SUM(ihit) AS BIGINT) AS ivf_hits
+       |  FROM joined GROUP BY 1
+       |)
+       |SELECT probe_id, n_exact, lsh_hits, ivf_hits,
+       |  10000 * lsh_hits // n_exact AS lsh_recall_bp,
+       |  10000 * ivf_hits // n_exact AS ivf_recall_bp
+       |FROM agg ORDER BY probe_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_signatures", minhashSignatures, Some(minhashSignaturesSql)),
     QueryDef("q41_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
@@ -2415,6 +2480,7 @@ object Similarity {
     QueryDef("q129_mmr_selection", mmrSelection, Some(mmrSelectionSql)),
     QueryDef("q133_index_maintenance", indexMaintenance, Some(indexMaintenanceSql)),
     QueryDef("q134_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
-    QueryDef("q136_license_propagation", licensePropagation, Some(licensePropagationSql))
+    QueryDef("q136_license_propagation", licensePropagation, Some(licensePropagationSql)),
+    QueryDef("q139_ann_recall_audit", annRecallAudit, Some(annRecallAuditSql))
   )
 }

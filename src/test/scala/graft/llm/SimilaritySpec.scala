@@ -496,6 +496,32 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.forall(_ <= 3))
   }
 
+  test("q139 recall audit equals set intersection of the three searches; bp math exact") {
+    val exact = Similarity.cosineTopk(spark, sfDir).collect()
+      .filter(_.getAs[Int]("rnk") <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annLshTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.annIvfTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probes = exact.map(_._1).toSeq.sorted
+    val model = probes.map { p =>
+      val ex = exact.filter(_._1 == p)
+      val lh = ex.count(lsh.contains).toLong
+      val ih = ex.count(ivf.contains).toLong
+      (p, ex.size.toLong, lh, ih, 10000 * lh / ex.size, 10000 * ih / ex.size)
+    }
+    val got = Similarity.annRecallAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model)
+    assert(got.forall(r => r._5 >= 0 && r._5 <= 10000 && r._6 >= 0 && r._6 <= 10000))
+    // the audit must be non-vacuous: at least one probe shows imperfect
+    // recall on at least one index (otherwise it measures nothing here)
+    assert(got.exists(r => r._5 < 10000 || r._6 < 10000),
+      "expected at least one imperfect recall row on the synthetic corpus")
+  }
+
   test("q129 MMR: trajectory matches an independent greedy Scala model; selection is diverse") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.mmrSelection(spark, sfDir).collect()
