@@ -19,7 +19,8 @@ object SparkEntry {
       images.Geometry.defs ++
       llm.Similarity.defs ++
       io.Layout.defs ++
-      multimodal.Fixtures.defs
+      multimodal.Fixtures.defs ++
+      images.Perceptual.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

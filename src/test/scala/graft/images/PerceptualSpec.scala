@@ -1,0 +1,79 @@
+package graft.images
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Perceptual dHash tier: the decoded-pixel hash must equal the
+  * block-formula hash (the oracle derives from the formula; this spec
+  * closes the loop on the PIXEL side), and the fixture cohorts must show
+  * exactly the designed relationships. */
+class PerceptualSpec extends SparkSpec {
+
+  private def formulaHash(i: Int): Long = {
+    var h = 0L
+    for (by <- 0 until Perceptual.BlocksY; bx <- 0 until Perceptual.BlocksX - 1)
+      if (Perceptual.blockGray(bx, by, i) < Perceptual.blockGray(bx + 1, by, i))
+        h |= 1L << (by * 8 + bx)
+    h
+  }
+
+  test("dhashOf(imageBytes(i)) equals the block-formula hash for every fixture image") {
+    (0 until Perceptual.NumImages).foreach { i =>
+      assert(Perceptual.dhashOf(Perceptual.imageBytes(i)).contains(formulaHash(i)),
+        s"pixel-derived hash diverged from formula for image $i")
+    }
+  }
+
+  test("cohort design: byte twins collide, retouched cohort is hamming 3, bases spread") {
+    val hs = (0 until Perceptual.NumImages).map(formulaHash)
+    (16 to 19).foreach(i => assert(hs(i) == hs(i - 16), s"twin $i must collide"))
+    (20 to 23).foreach { i =>
+      val d = java.lang.Long.bitCount(hs(i) ^ hs(i - 20))
+      assert(d == 3, s"retouched $i expected hamming 3, got $d")
+    }
+    for (a <- 0 until 16; b <- (a + 1) until 16)
+      assert(java.lang.Long.bitCount(hs(a) ^ hs(b)) > Perceptual.HammingMax,
+        s"base patterns $a,$b too close — near-pair query would mix them in")
+    // bytes really differ where hashes collide (dedup that content hash misses)
+    (16 to 19).foreach { i =>
+      assert(!java.util.Arrays.equals(Perceptual.imageBytes(i),
+        Perceptual.imageBytes(i - 16)), s"twin $i must differ at byte level")
+    }
+  }
+
+  test("non-grid-divisible and undecodable inputs quarantine as None") {
+    assert(Perceptual.dhashOf(null).isEmpty)
+    assert(Perceptual.dhashOf("not an image".getBytes).isEmpty)
+    val odd = new java.awt.image.BufferedImage(35, 32,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(odd, "png", baos)
+    assert(Perceptual.dhashOf(baos.toByteArray).isEmpty)
+  }
+
+  test("q140/q141: families and near pairs match the formula-level model") {
+    val hs = (0 until Perceptual.NumImages).map(formulaHash)
+    val gotFams = Perceptual.imageDhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val famModel = (0 until Perceptual.NumImages).map { i =>
+      val fam = hs.zipWithIndex.filter(_._1 == hs(i)).map(_._2)
+      (i.toLong, hs(i), fam.min.toLong, fam.size.toLong)
+    }
+    assert(gotFams == famModel)
+    // twins share their base family; each such family has exactly 2 members
+    (16 to 19).foreach(i => assert(gotFams(i)._3 == i - 16 && gotFams(i)._4 == 2))
+    val gotPairs = Perceptual.dhashNearPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pairModel = (for {
+      a <- 0 until Perceptual.NumImages
+      b <- (a + 1) until Perceptual.NumImages
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b))
+      if d <= Perceptual.HammingMax
+    } yield (a.toLong, b.toLong, d.toLong)).sortBy(t => (t._1, t._2))
+    assert(gotPairs == pairModel)
+    // expected census: 4 twin pairs at 0, and the retouched cohort at 3
+    assert(gotPairs.count(_._3 == 0L) == 4)
+    assert(gotPairs.count(_._3 == 3L) == 8,
+      "each base 0..3 pairs with its retouch at 3 AND its twin pairs with the retouch")
+  }
+}
