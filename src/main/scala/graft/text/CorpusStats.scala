@@ -1421,6 +1421,60 @@ object CorpusStats {
        |FROM s GROUP BY 1 ORDER BY score_u DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------------
+  // q142: quality-filter calibration audit
+  // ---------------------------------------------------------------------
+
+  /** q142: calibration audit between the two quality filters the engine
+    * ships — the model-based classifier (q90's linear scorer) and the
+    * rule-based heuristic (q25's length/punct gate). Docs are ranked by
+    * classifier score, cut into DETERMINISTIC deciles, and each
+    * (decile, classifier label, heuristic verdict) cell reports its count
+    * and score range. The MLOps question this answers: where on the score
+    * axis do the two filters disagree, and is the disagreement
+    * concentrated at the decision boundary (expected, calibrated) or
+    * spread across confident deciles (a filter bug)?
+    *
+    * Determinism: the decile is `(rank−1)·10 div N` over the total order
+    * (score, doc_id) — not ntile over a single-partition window. The rank
+    * comes from `Dist.globalRowNumber` (range partition + broadcast
+    * offsets), N rides in as the broadcast one-row aggregate. Scores are
+    * q90's bit-identical cross-engine doubles; only MIN/MAX of them are
+    * emitted (order statistics — exact), never an order-dependent SUM. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val clf = qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("score"), col("label"))
+    val heur = TextOps.qualityScore(spark, dir)
+      .select(col("doc_id"), col("quality_ok"))
+    val joined = clf.join(heur, Seq("doc_id"))
+    val n = joined.agg(count(lit(1)).as("n_docs"))
+    graft.Dist.globalRowNumber(joined, struct(col("score"), col("doc_id")))
+      .crossJoin(broadcast(n))
+      .withColumn("decile", expr("(rn - 1) * 10 div n_docs"))
+      .groupBy(col("decile"), col("label"), col("quality_ok"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+      .orderBy(col("decile"), col("label"), col("quality_ok"))
+  }
+
+  val qualityCalibrationSql: String =
+    s"""WITH clf AS (
+       |  SELECT doc_id, score, label FROM ($qualityClassifierSql) c
+       |), heur AS (
+       |  SELECT doc_id, quality_ok FROM (${TextOps.qualityScoreSql}) h
+       |), j AS (
+       |  SELECT clf.doc_id, score, label, quality_ok
+       |  FROM clf JOIN heur USING (doc_id)
+       |), r AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY score, doc_id) AS rn,
+       |    COUNT(*) OVER () AS n_docs
+       |  FROM j
+       |)
+       |SELECT (rn - 1) * 10 // n_docs AS decile, label, quality_ok,
+       |  CAST(COUNT(*) AS BIGINT) AS n, MIN(score) AS min_score,
+       |  MAX(score) AS max_score
+       |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1444,6 +1498,7 @@ object CorpusStats {
       Some(takedownPropagationSql)),
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql)),
     QueryDef("q130_shard_balance", shardBalance, Some(shardBalanceSql)),
-    QueryDef("q137_bm25_retrieval", bm25Retrieval, Some(bm25RetrievalSql))
+    QueryDef("q137_bm25_retrieval", bm25Retrieval, Some(bm25RetrievalSql)),
+    QueryDef("q142_quality_calibration", qualityCalibration, Some(qualityCalibrationSql))
   )
 }

@@ -36,7 +36,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q110_triangle_count", "q115_equidepth_histogram", "q116_cluster_top_terms",
     "q117_spend_deciles", "q120_file_merge_oracle", "q121_file_dedup_oracle",
     "q124_exact_stratified_sample", "q133_index_maintenance",
-    "q134_embedding_outliers", "q137_bm25_retrieval", "q139_ann_recall_audit")
+    "q134_embedding_outliers", "q137_bm25_retrieval", "q139_ann_recall_audit",
+    "q142_quality_calibration")
 
   test("no registered query plans an unbounded cross product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

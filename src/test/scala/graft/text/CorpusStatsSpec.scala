@@ -48,6 +48,28 @@ class CorpusStatsSpec extends SparkSpec {
     assert(topDoc.contains("dup"), "rare-term idf should put a 'dup' doc on top")
   }
 
+  test("q142 calibration: cells partition the corpus, deciles balanced, ranges nest") {
+    val rows = CorpusStats.qualityCalibration(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val total = graft.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._4).sum == total, "cells must partition every document")
+    assert(rows.map(_._1).distinct.sorted.forall(d => d >= 0 && d <= 9))
+    // per-decile sizes differ by at most 1 from N/10
+    val byDec = rows.groupBy(_._1).view.mapValues(_.map(_._4).sum).toMap
+    assert(byDec.values.forall(n => math.abs(n - total / 10) <= 1))
+    // score ranges are consistent within a cell and ordered across deciles
+    rows.foreach { case (_, _, _, _, lo, hi) => assert(lo <= hi) }
+    val decMax = rows.groupBy(_._1).view.mapValues(_.map(_._6).max).toMap
+    val decMin = rows.groupBy(_._1).view.mapValues(_.map(_._5).min).toMap
+    for (d <- 0L to 8L if decMax.contains(d) && decMin.contains(d + 1))
+      assert(decMax(d) <= decMin(d + 1), s"decile $d overlaps ${d + 1} in score")
+    // the classifier label must agree with the score sign in every cell
+    rows.foreach { case (_, label, _, _, lo, hi) =>
+      if (label == "keep") assert(lo >= 0) else assert(hi < 0)
+    }
+  }
+
   test("q91 fuzzy join: deletion banding equals brute-force ed-1, incl. length-changing edits") {
     // banding property on strings of DIFFERENT lengths (customer names are
     // all same-length, so the registered query alone never exercises the
