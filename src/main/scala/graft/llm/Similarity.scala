@@ -2385,6 +2385,103 @@ object Similarity {
        |) ORDER BY rnk""".stripMargin
   }
 
+  // ------------------------------------------- q143 containment (subset) dedup
+
+  /** Distinct 3-gram shingle set, 60-bit-hashed and sorted — the
+    * granularity for CONTAINMENT, where the unigram sets are too dense
+    * (this corpus's 31-word vocabulary makes almost every unigram set
+    * near-contained in almost every other; word trigrams are
+    * discriminative). `t` must be a materialized token-array COLUMN, not
+    * an inline tokens(...) expression: the lambda references it per
+    * element, and an un-aliased expression would re-tokenize per trigram
+    * (the nested-HOF re-evaluation trap). The sequence bound is guarded —
+    * `sequence(1, n)` with n < 1 descends or throws. */
+  private def gram3Hashed(t: Column): Column =
+    when(size(t) >= 3,
+      array_sort(array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => pmod(hash60(concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))), lit(P))))))
+      .otherwise(array().cast("array<long>"))
+
+  /** q143: containment near-dup pairs — ordered pairs (A, B) where ≥ 90%
+    * of A's trigram shingles appear in B. The ASYMMETRIC relation the
+    * Jaccard tier (q41) is blind to: a doc fully contained in a much
+    * longer one has low symmetric Jaccard (|A|/|B|) but containment ≈ 1 —
+    * truncated crawls, quote-embedding pages, prefix-duplicated shards.
+    *
+    * Candidate generation is EXACT prefix filtering (the PPJoin family),
+    * not LSH: with minshared = ⌈0.9·|A|⌉, any B containing A at ≥ 0.9
+    * must hit at least one of A's K = |A| − minshared + 1 prefix
+    * shingles (pigeonhole), so indexing each set's K globally-RAREST
+    * shingles (order by document frequency — a correctness-free choice
+    * that minimizes candidates) against the full posting lists loses
+    * NOTHING. The DuckDB oracle verifies that exactness claim by brute
+    * force over all group pairs.
+    *
+    * Scale shape: sets collapse to distinct-set rep space first (the q41
+    * discipline); the checkpoint makes the groups aggregate ONE
+    * materialization serving postings, prefixes and both attaches; df
+    * and the prefix rank are hash/window exchanges on h and gid; the
+    * candidate join is equi on h and carries only ids; arrays attach
+    * broadcast AFTER the candidate distinct. Output stays in rep space
+    * (gid = min doc_id of the identical-set group) — bounded, and
+    * expandable to doc pairs exactly as lshVerifiedPairs documents. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sets = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("hs", gram3Hashed(col("t")))
+      .filter(size(col("hs")) > 0)
+      .groupBy(col("hs")).agg(min(col("doc_id")).as("gid"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .transform(graft.Dist.durableCkpt)
+    val tok = sets.select(col("gid"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = tok.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("gid")).orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("gid").as("gid_a"), col("h"))
+    val cand = prefixes
+      .join(tok.select(col("gid").as("gid_b"), col("h")), Seq("h"))
+      .filter(col("gid_a") =!= col("gid_b"))
+      .select(col("gid_a"), col("gid_b")).distinct()
+    cand
+      .join(broadcast(sets.select(col("gid").as("gid_a"),
+        col("hs").as("hs_a"), col("sz").as("sz_a"))), Seq("gid_a"))
+      .join(broadcast(sets.select(col("gid").as("gid_b"),
+        col("hs").as("hs_b"), col("sz").as("sz_b"))), Seq("gid_b"))
+      .filter(lit(10) * col("sz_b") >= lit(9) * col("sz_a"))
+      .withColumn("n_shared", graft.functions.ArrayKernels
+        .sortedIntersectCount(col("hs_a"), col("hs_b")).cast("long"))
+      .filter(lit(10) * col("n_shared") >= lit(9) * col("sz_a"))
+      .withColumn("containment_bp", expr("10000 * n_shared div sz_a"))
+      .select(col("gid_a"), col("gid_b"), col("sz_a"), col("sz_b"),
+        col("n_shared"), col("containment_bp"))
+      .repartition(1).sortWithinPartitions(col("gid_a"), col("gid_b"))
+  }
+
+  val containmentPairsSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    [CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) % $P
+       |     for i in range(1, len(t) - 1)])) AS hs
+       |  FROM toks WHERE len(t) >= 3
+       |), g AS MATERIALIZED (
+       |  SELECT hs, MIN(doc_id) AS gid, CAST(len(hs) AS BIGINT) AS sz
+       |  FROM sh WHERE len(hs) > 0 GROUP BY hs
+       |)
+       |SELECT a.gid AS gid_a, b.gid AS gid_b, a.sz AS sz_a, b.sz AS sz_b,
+       |  CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS n_shared,
+       |  10000 * CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) // a.sz AS containment_bp
+       |FROM g a JOIN g b ON a.gid <> b.gid AND 10 * b.sz >= 9 * a.sz
+       |WHERE 10 * len(list_intersect(a.hs, b.hs)) >= 9 * a.sz
+       |ORDER BY gid_a, gid_b""".stripMargin
+
   // ------------------------------------------------ q139 ANN recall audit
 
   /** q139: recall@3 of BOTH approximate indexes against the exact answer —
@@ -2481,6 +2578,7 @@ object Similarity {
     QueryDef("q133_index_maintenance", indexMaintenance, Some(indexMaintenanceSql)),
     QueryDef("q134_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
     QueryDef("q136_license_propagation", licensePropagation, Some(licensePropagationSql)),
-    QueryDef("q139_ann_recall_audit", annRecallAudit, Some(annRecallAuditSql))
+    QueryDef("q139_ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
+    QueryDef("q143_containment_pairs", containmentPairs, Some(containmentPairsSql))
   )
 }

@@ -496,6 +496,42 @@ class SimilaritySpec extends SparkSpec {
     assert(ranks.forall(_ <= 3))
   }
 
+  test("q143 containment: prefix filtering equals brute force over all group pairs") {
+    import graft.llm.Similarity
+    // brute-force Scala model over the same trigram hash space
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % Similarity.P
+    }
+    val sets = docs.map { case (id, text) =>
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (if (t.length < 3) Set.empty[Long]
+             else t.sliding(3).map(w => h60(w.mkString(" "))).toSet)
+    }.filter(_._2.nonEmpty)
+    val groups = sets.groupBy(_._2).map { case (hs, xs) =>
+      (xs.map(_._1).min, hs)
+    }.toSeq
+    val model = (for {
+      (ga, ha) <- groups; (gb, hb) <- groups
+      if ga != gb && 10 * hb.size >= 9 * ha.size
+      shared = (ha & hb).size
+      if 10 * shared >= 9 * ha.size
+    } yield (ga, gb, ha.size.toLong, hb.size.toLong, shared.toLong,
+        10000L * shared / ha.size)).sortBy(t => (t._1, t._2))
+    val got = Similarity.containmentPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model, s"got ${got.size} pairs, model ${model.size}")
+    assert(got.nonEmpty, "corpus must contain at least one containment pair")
+    // asymmetry must be representable: bp is measured on the CONTAINED side
+    assert(got.forall(r => r._6 >= 9000 && r._6 <= 10000))
+  }
+
   test("q139 recall audit equals set intersection of the three searches; bp math exact") {
     val exact = Similarity.cosineTopk(spark, sfDir).collect()
       .filter(_.getAs[Int]("rnk") <= 3)
