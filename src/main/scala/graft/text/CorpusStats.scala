@@ -1475,6 +1475,65 @@ object CorpusStats {
        |  MAX(score) AS max_score
        |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q144: token-budget curriculum selection
+  // ---------------------------------------------------------------------
+
+  /** q144: greedy token-budget selection — rank the corpus by the q90
+    * classifier score (best first) and keep documents until 40% of the
+    * corpus's tokens are spent. The "train on the best X tokens" selector
+    * every data-constrained run uses (quality-pruned pretraining,
+    * curriculum front-loading); q109 plans per-source RATES, this cuts a
+    * single global QUALITY frontier under a hard budget.
+    *
+    * Determinism and scale: the global running token total comes from
+    * `Dist.globalCumSum` over the total order (score desc, doc_id) —
+    * range partition + broadcast offsets, never a single-partition
+    * window; the budget (40% of total tokens) rides in as the broadcast
+    * one-row aggregate; selection is `cum ≤ budget` (inclusive greedy
+    * fill). Scores are q90's cross-engine-exact doubles used ONLY for
+    * ordering; all emitted numbers are integers. The per-source census
+    * carries `sel_fp` — the q125-style bit_xor membership fingerprint —
+    * so the hash gate certifies WHICH documents were selected, not just
+    * how many. */
+  def tokenBudgetSelection(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity.hash60
+    val clf = qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val total = clf.agg(sum(col("n_tokens")).cast("long").as("total_toks"))
+    graft.Dist.globalCumSum(clf.join(src, Seq("doc_id")),
+        struct((-col("score")).as("negs"), col("doc_id")), col("n_tokens"))
+      .crossJoin(broadcast(total))
+      .filter(col("cum") <= expr("4 * total_toks div 10"))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        hash60(concat(lit("sel:"), col("doc_id"))).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_sel"),
+        sum(col("n_tokens")).cast("long").as("tok_sel"),
+        expr("bit_xor(fp)").cast("long").as("sel_fp"))
+      .orderBy(col("source"))
+  }
+
+  val tokenBudgetSelectionSql: String =
+    s"""WITH clf AS (
+       |  SELECT doc_id, n_tokens, score FROM ($qualityClassifierSql) c
+       |), j AS (
+       |  SELECT clf.doc_id, clf.n_tokens, clf.score, d.source
+       |  FROM clf JOIN documents d USING (doc_id)
+       |), r AS (
+       |  SELECT *, SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    SUM(n_tokens) OVER () AS total_toks
+       |  FROM j
+       |), sel AS (
+       |  SELECT source, doc_id, n_tokens FROM r WHERE cum <= 4 * total_toks // 10
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sel,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tok_sel,
+       |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('sel:', doc_id)), 1, 15)) AS BIGINT)) AS BIGINT) AS sel_fp
+       |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1499,6 +1558,8 @@ object CorpusStats {
     QueryDef("q80_source_cap", sourceCap, Some(sourceCapSql)),
     QueryDef("q130_shard_balance", shardBalance, Some(shardBalanceSql)),
     QueryDef("q137_bm25_retrieval", bm25Retrieval, Some(bm25RetrievalSql)),
-    QueryDef("q142_quality_calibration", qualityCalibration, Some(qualityCalibrationSql))
+    QueryDef("q142_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
+    QueryDef("q144_token_budget_selection", tokenBudgetSelection,
+      Some(tokenBudgetSelectionSql))
   )
 }

@@ -48,6 +48,31 @@ class CorpusStatsSpec extends SparkSpec {
     assert(topDoc.contains("dup"), "rare-term idf should put a 'dup' doc on top")
   }
 
+  test("q144 budget selection equals a sequential greedy-fill model; budget respected") {
+    val clf = CorpusStats.qualityClassifier(spark, sfDir)
+      .select("doc_id", "n_tokens", "score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val srcOf = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val total = clf.map(_._2).sum
+    val budget = 4 * total / 10
+    var cum = 0L
+    val selected = clf.sortBy(t => (-t._3, t._1)).takeWhile { t =>
+      cum += t._2; cum <= budget
+    }
+    val model = selected.groupBy(t => srcOf(t._1)).map { case (s, xs) =>
+      (s, xs.length.toLong, xs.map(_._2).sum)
+    }.toSeq.sortBy(_._1)
+    val got = CorpusStats.tokenBudgetSelection(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == model)
+    assert(selected.map(_._2).sum <= budget && selected.nonEmpty)
+    // greedy maximality: the next-ranked doc would cross the budget
+    val next = clf.sortBy(t => (-t._3, t._1)).drop(selected.length).headOption
+    next.foreach(t => assert(selected.map(_._2).sum + t._2 > budget))
+  }
+
   test("q142 calibration: cells partition the corpus, deciles balanced, ranges nest") {
     val rows = CorpusStats.qualityCalibration(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getBoolean(2), r.getLong(3),
