@@ -2482,6 +2482,83 @@ object Similarity {
        |WHERE 10 * len(list_intersect(a.hs, b.hs)) >= 9 * a.sz
        |ORDER BY gid_a, gid_b""".stripMargin
 
+  // -------------------------------------------- q145 cross-modal purity audit
+
+  /** q145: cross-modal cluster purity — for every embedding label (the
+    * vector-space cluster id the harness ships), how concentrated are the
+    * joined documents' METADATA fields (lang, source)? The
+    * representation-quality audit run before trusting embedding clusters
+    * for curation (q118/q129/q116 all consume them): labels that mix
+    * languages/sources at random (purity ≈ uniform share) mean the
+    * embedding space does not encode that metadata — using it for
+    * language-targeted pruning would be noise.
+    *
+    * Shape: ONE join of the two modality tables on the shared id, ONE
+    * (label, lang, source) hash aggregate; both per-field majorities and
+    * totals derive from that tiny partial frame (map-side combined), so
+    * raw rows are touched once. The majority-with-tie-break is
+    * `min(struct(-n, field))` — max count, then lexicographic min —
+    * no window, no second shuffle. All emitted numbers are integers
+    * (`10000·top div total` basis points). */
+  def crossmodalPurity(spark: SparkSession, dir: String): DataFrame = {
+    val j = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(Tables.embeddings(spark, dir)
+        .select(col("vec_id").as("doc_id"), col("label")), Seq("doc_id"))
+    val part = j.groupBy(col("label"), col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"))
+    val byLang = part.groupBy(col("label"), col("lang"))
+      .agg(sum(col("n")).as("n"))
+    val bySource = part.groupBy(col("label"), col("source"))
+      .agg(sum(col("n")).as("n"))
+    val langTop = byLang.groupBy(col("label"))
+      .agg(sum(col("n")).cast("long").as("n_vecs"),
+        min(struct((-col("n")).as("negn"), col("lang").as("f"))).as("m"))
+      .select(col("label"), col("n_vecs"), col("m.f").as("top_lang"),
+        (-col("m.negn")).cast("long").as("top_lang_n"))
+    val srcTop = bySource.groupBy(col("label"))
+      .agg(min(struct((-col("n")).as("negn"), col("source").as("f"))).as("m"))
+      .select(col("label"), col("m.f").as("top_source"),
+        (-col("m.negn")).cast("long").as("top_source_n"))
+    langTop.join(srcTop, Seq("label"))
+      .withColumn("lang_purity_bp", expr("10000 * top_lang_n div n_vecs"))
+      .withColumn("source_purity_bp", expr("10000 * top_source_n div n_vecs"))
+      .select(col("label"), col("n_vecs"), col("top_lang"), col("top_lang_n"),
+        col("lang_purity_bp"), col("top_source"), col("top_source_n"),
+        col("source_purity_bp"))
+      .orderBy(col("label"))
+  }
+
+  val crossmodalPuritySql: String =
+    """WITH j AS (
+      |  SELECT e.label, d.lang, d.source
+      |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+      |), p AS (
+      |  SELECT label, lang, source, COUNT(*) AS n FROM j GROUP BY 1, 2, 3
+      |), l AS (
+      |  SELECT label, lang, SUM(n) AS n FROM p GROUP BY 1, 2
+      |), s AS (
+      |  SELECT label, source, SUM(n) AS n FROM p GROUP BY 1, 2
+      |), lt AS (
+      |  SELECT label, lang, n,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY n DESC, lang) AS rn
+      |  FROM l
+      |), st AS (
+      |  SELECT label, source, n,
+      |    ROW_NUMBER() OVER (PARTITION BY label ORDER BY n DESC, source) AS rn
+      |  FROM s
+      |), tot AS (
+      |  SELECT label, CAST(SUM(n) AS BIGINT) AS n_vecs FROM l GROUP BY 1
+      |)
+      |SELECT t.label, t.n_vecs, lt.lang AS top_lang, CAST(lt.n AS BIGINT) AS top_lang_n,
+      |  10000 * CAST(lt.n AS BIGINT) // t.n_vecs AS lang_purity_bp,
+      |  st.source AS top_source, CAST(st.n AS BIGINT) AS top_source_n,
+      |  10000 * CAST(st.n AS BIGINT) // t.n_vecs AS source_purity_bp
+      |FROM tot t
+      |JOIN lt ON lt.label = t.label AND lt.rn = 1
+      |JOIN st ON st.label = t.label AND st.rn = 1
+      |ORDER BY t.label""".stripMargin
+
   // ------------------------------------------------ q139 ANN recall audit
 
   /** q139: recall@3 of BOTH approximate indexes against the exact answer —
@@ -2579,6 +2656,7 @@ object Similarity {
     QueryDef("q134_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
     QueryDef("q136_license_propagation", licensePropagation, Some(licensePropagationSql)),
     QueryDef("q139_ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
-    QueryDef("q143_containment_pairs", containmentPairs, Some(containmentPairsSql))
+    QueryDef("q143_containment_pairs", containmentPairs, Some(containmentPairsSql)),
+    QueryDef("q145_crossmodal_purity", crossmodalPurity, Some(crossmodalPuritySql))
   )
 }

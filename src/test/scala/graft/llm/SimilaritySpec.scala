@@ -532,6 +532,34 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._6 >= 9000 && r._6 <= 10000))
   }
 
+  test("q145 cross-modal purity matches a collected-join Scala model") {
+    import graft.llm.Similarity
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val joined = docs.flatMap { case (id, lang, src) =>
+      labels.get(id).map(l => (l, lang, src))
+    }
+    def top(xs: Seq[String]): (String, Long) = {
+      val grouped = xs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      grouped.minBy { case (f, n) => (-n, f) }.swap.swap
+    }
+    val model = joined.groupBy(_._1).map { case (l, xs) =>
+      val n = xs.size.toLong
+      val (tl, tln) = top(xs.map(_._2))
+      val (ts, tsn) = top(xs.map(_._3))
+      (l, n, tl, tln, 10000 * tln / n, ts, tsn, 10000 * tsn / n)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.crossmodalPurity(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getString(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == model && got.nonEmpty)
+    assert(got.forall(r => r._5 <= 10000 && r._8 <= 10000))
+  }
+
   test("q139 recall audit equals set intersection of the three searches; bp math exact") {
     val exact = Similarity.cosineTopk(spark, sfDir).collect()
       .filter(_.getAs[Int]("rnk") <= 3)
