@@ -2428,10 +2428,18 @@ object Similarity {
     * (gid = min doc_id of the identical-set group) — bounded, and
     * expandable to doc pairs exactly as lshVerifiedPairs documents. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sets = Tables.documents(spark, dir)
+    // fanOut BEFORE the trigram hashing: higher-order functions are
+    // CodegenFallback (interpreted), so the ~52 md5 hashes per doc are
+    // exactly the per-row-compute ≫ per-row-bytes case Dist.fanOut
+    // documents — on the harness's one-row-group scan the chain otherwise
+    // runs on ONE core (measured 8.7s at sf0.1; 0.6s fanned out). No
+    // size-filter on hs: an empty set forms no prefix and no posting, so
+    // it can never pair — and an explicit filter would be pushed down by
+    // alias substitution, re-evaluating the whole hash chain per row.
+    val sets = graft.Dist.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .withColumn("hs", gram3Hashed(col("t")))
-      .filter(size(col("hs")) > 0)
       .groupBy(col("hs")).agg(min(col("doc_id")).as("gid"))
       .withColumn("sz", size(col("hs")).cast("long"))
       .transform(graft.Dist.durableCkpt)

@@ -874,6 +874,81 @@ object Events {
       |FROM uw JOIN first f USING (user_id)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- q146 cohort LTV curve
+
+  /** q146: weekly-cohort lifetime-value curve — q113 counts WHO comes
+    * back; this measures what they are WORTH: per (first-event-week
+    * cohort, weeks-since) cell, purchase revenue, its running cumulative,
+    * and cumulative LTV per cohort member. The growth-analytics
+    * complement of retention (payback-period dashboards read exactly
+    * this frame).
+    *
+    * Exactness: `value` is 4-decimal money (spec-checked: every value is
+    * exact at DECIMAL(14,4)), so revenue aggregates in INTEGER 10⁻⁴-dollar
+    * units — `dec(value)·10⁴` is integral, making the BIGINT cast
+    * rounding-free on both engines (cents would land on the
+    * truncate-vs-round half-cent cast tie that bit q112). LTV division is
+    * integer `div` by cohort size.
+    *
+    * Shape: one user aggregate pins each user's cohort week; purchases
+    * join to it on user_id and aggregate TWO-LEVEL ((cohort, offset,
+    * user) partials first, so distinct-buyer counting needs no Expand);
+    * the running sum windows over the aggregated cohort×offset frame
+    * only; cohort sizes broadcast. Offsets with zero purchases don't
+    * emit rows (the curve is sparse by construction; q92 is the gap-fill
+    * operator when a dense grid is wanted). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val firstWk = e.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+    val cohortSize = firstWk.groupBy(col("cohort"))
+      .agg(count(lit(1)).cast("long").as("cohort_users"))
+    val perUser = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        (dec(col("value")) * 10000).cast("long").as("v_u"))
+      .join(firstWk, Seq("user_id"))
+      .withColumn("offset_wk", expr("datediff(wk, cohort) div 7").cast("long"))
+      .groupBy(col("cohort"), col("offset_wk"), col("user_id"))
+      .agg(sum(col("v_u")).as("uc"))
+    val agg = perUser.groupBy(col("cohort"), col("offset_wk"))
+      .agg(count(lit(1)).cast("long").as("n_buyers"),
+        sum(col("uc")).cast("long").as("rev_u"))
+    val wC = Window.partitionBy(col("cohort")).orderBy(col("offset_wk"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    agg.withColumn("cum_rev_u", sum(col("rev_u")).over(wC).cast("long"))
+      .join(broadcast(cohortSize), Seq("cohort"))
+      .withColumn("ltv_u_per_user", expr("cum_rev_u div cohort_users"))
+      .select(col("cohort"), col("offset_wk"), col("n_buyers"), col("rev_u"),
+        col("cum_rev_u"), col("cohort_users"), col("ltv_u_per_user"))
+      .orderBy(col("cohort"), col("offset_wk"))
+  }
+
+  val cohortLtvSql: String =
+    """WITH f AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort FROM events GROUP BY 1
+      |), cs AS (
+      |  SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1
+      |), pu AS (
+      |  SELECT f.cohort,
+      |    CAST(date_diff('week', f.cohort, date_trunc('week', e.ts)) AS BIGINT) AS offset_wk,
+      |    e.user_id,
+      |    SUM(CAST(CAST(e.value AS DECIMAL(14,4)) * 10000 AS BIGINT)) AS uc
+      |  FROM events e JOIN f USING (user_id)
+      |  WHERE e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3
+      |), a AS (
+      |  SELECT cohort, offset_wk, CAST(COUNT(*) AS BIGINT) AS n_buyers,
+      |    CAST(SUM(uc) AS BIGINT) AS rev_u
+      |  FROM pu GROUP BY 1, 2
+      |), c AS (
+      |  SELECT *, CAST(SUM(rev_u) OVER (PARTITION BY cohort ORDER BY offset_wk
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_u
+      |  FROM a
+      |)
+      |SELECT c.cohort, c.offset_wk, c.n_buyers, c.rev_u, c.cum_rev_u,
+      |  cs.cohort_users, c.cum_rev_u // cs.cohort_users AS ltv_u_per_user
+      |FROM c JOIN cs USING (cohort) ORDER BY 1, 2""".stripMargin
+
   // --------------------------------------------- q138 frequent event paths
 
   /** q138: top-15 frequent 3-step event-type paths — for every run of
@@ -930,6 +1005,7 @@ object Events {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),
+    QueryDef("q146_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q92_gap_fill", gapFillRevenue, Some(gapFillRevenueSql)),
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),

@@ -75,7 +75,7 @@ class TableDriftSpec extends SparkSpec {
       .withColumn("doc_id", col("doc_id").cast("int"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/documents.parquet")
     for (name <- Seq("q124_exact_stratified_sample", "q127_takedown_propagation",
-        "q128_cdc_merge_apply")) {
+        "q128_cdc_merge_apply", "q137_bm25_retrieval", "q144_token_budget_selection")) {
       val q = SparkEntry.queries.getOrElse(name,
         fail(s"$name not registered — fix the spec's query list"))
       val ref = q(spark, sfDir).collect().map(_.toString).sorted.toSeq
@@ -97,7 +97,8 @@ class TableDriftSpec extends SparkSpec {
       .withColumn("embedding", col("embedding").cast("array<double>"))
       .coalesce(1).write.mode("overwrite").parquet(s"$base/embeddings.parquet")
     for (name <- Seq("q44_cosine_topk", "q70_int8_ann_topk",
-        "q129_mmr_selection", "q134_embedding_outliers")) {
+        "q129_mmr_selection", "q134_embedding_outliers",
+        "q139_ann_recall_audit", "q145_crossmodal_purity")) {
       val q = SparkEntry.queries.getOrElse(name,
         fail(s"$name not registered — fix the spec's query list"))
       val ref = q(spark, sfDir).collect().map(_.toString).sorted.toSeq

@@ -413,6 +413,38 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got == model, "transition counts must match the model")
   }
 
+  test("q146 cohort LTV matches a Scala model; curve is monotone and conserved") {
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
+        col("event_type"),
+        (graft.Exact.dec(col("value")) * 10000).cast("long").as("vu"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2), r.getLong(3)))
+    val cohortOf = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohortUsers = cohortOf.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val wkMs = 7L * 24 * 3600 * 1000
+    val cells = ev.filter(_._3 == "purchase").map { case (u, wk, _, vu) =>
+      val c = cohortOf(u)
+      ((c, (wk - c) / wkMs), u, vu)
+    }
+    val model = cells.groupBy(_._1).map { case ((c, off), xs) =>
+      (c, off, xs.map(_._2).distinct.size.toLong, xs.map(_._3).sum)
+    }.toSeq.sortBy(t => (t._1, t._2)).map { case (c, off, nb, rev) => (c, off, nb, rev) }
+    val withCum = model.groupBy(_._1).toSeq.flatMap { case (c, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).map { case (_, off, nb, rev) =>
+        cum += rev
+        (c, off, nb, rev, cum, cohortUsers(c), cum / cohortUsers(c))
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Events.cohortLtv(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == withCum && got.nonEmpty)
+    // conservation: total revenue across cells equals total purchase value
+    assert(got.map(_._4).sum == ev.filter(_._3 == "purchase").map(_._4).sum)
+  }
+
   test("q138 event paths match a per-user sequential Scala model (exact-micros gaps)") {
     val gapUs = 30L * 60 * 1000000
     val ev = graft.Tables.events(spark, sfDir)
