@@ -294,6 +294,73 @@ object Streaming {
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")
 
+  /** One buffered event in [[pathTriples]]' per-user state. */
+  final case class PathEvent(us: Long, event_id: Long, event_type: String)
+  /** Per-user buffer: the ≤ 2 most recent FINALIZED events plus every
+    * event still above the watermark. */
+  final case class PathBuf(events: List[PathEvent])
+  final case class PathTriple(user_id: Long, a_event_id: Long,
+                              e1: String, e2: String, e3: String)
+
+  /** Streaming 3-step path mining — the streaming twin of q138: emit one
+    * row per run of three consecutive same-user events with both
+    * inter-event gaps ≤ `gapMinutes`. The sequence-feature pattern that
+    * proves ARBITRARY order-sensitive features can stream with bounded
+    * state: no `lead` window exists in streaming, and a stream-stream
+    * 3-way self-join would hold unbounded state on hot users.
+    *
+    * Finality argument (exactly the sessionCloseEvents discipline): an
+    * arriving event can only change triples whose SPAN it lands inside,
+    * so a consecutive triple (a, b, c) is immutable once the event-time
+    * watermark passes c — no admissible event can still land in
+    * (a, c). Each invocation therefore emits every consecutive triple
+    * whose THIRD element is at-or-below the watermark, then retains only
+    * the last two finalized events (they may head a future triple) plus
+    * the still-pending suffix — per-user state is O(events per watermark
+    * horizon + 2), never history. An emitted triple's first element
+    * leaves the buffer immediately, so re-emission is impossible by
+    * construction. The event-time timeout re-fires idle users when the
+    * watermark passes their pending events; out-of-order arrival within
+    * the horizon is absorbed by sorting the buffer on the same total
+    * order (ts, event_id) the batch window uses. */
+  def pathTriples(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events.withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[PathBuf, PathTriple](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[PathBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = rows.map { e =>
+            val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            PathEvent(us, e.event_id, e.event_type)
+          }.toList
+          val all = (state.getOption.map(_.events).getOrElse(Nil) ++ incoming)
+            .sortBy(e => (e.us, e.event_id))
+          val out = all.sliding(3).filter(_.lengthCompare(3) == 0).collect {
+            case Seq(a, b, c)
+              if c.us <= wmUs && b.us - a.us <= gapUs && c.us - b.us <= gapUs =>
+              PathTriple(uid, a.event_id, a.event_type, b.event_type, c.event_type)
+          }.toList
+          val (fin, pending) = all.partition(_.us <= wmUs)
+          val keep = fin.takeRight(2) ++ pending
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(PathBuf(keep))
+            // re-fire when the watermark passes the oldest pending event,
+            // so its triples emit without waiting for new user data
+            if (pending.nonEmpty)
+              state.setTimeoutTimestamp(pending.head.us / 1000 + 1)
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** Incremental MATERIALIZED-VIEW maintenance via foreachBatch: per-user
     * lifetime totals kept in a hash-partitioned parquet table, updated by
     * merging each micro-batch's delta into ONLY the partitions it touches

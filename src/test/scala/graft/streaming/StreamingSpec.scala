@@ -19,6 +19,50 @@ class StreamingSpec extends SparkSpec {
       .toSeq
   }
 
+  test("streaming path triples match the batch q138 triple set on identical input") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 30L * 60 * 1000000
+    val rows = eventRows().sortBy(e => (e.ts.getTime, e.event_id))
+    // time-ordered halves keep batch 2 above batch 1's watermark, so the
+    // late-row filter drops nothing and stream input ≡ batch input
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val sentinelTs = new java.sql.Timestamp(rows.last.ts.getTime + 4L * 3600 * 1000)
+    val stream = MemoryStream[Streaming.EventRow]
+    val q = Streaming.pathTriples(stream.toDF())
+      .writeStream.format("memory").queryName("t_paths")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      // sentinel advances the watermark past every real event; timeouts
+      // flush the remaining pending triples on the next trigger
+      stream.addData(Streaming.EventRow(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      stream.addData(Streaming.EventRow(-2L,
+        new java.sql.Timestamp(sentinelTs.getTime + 3600 * 1000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_paths")
+      .filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSeq.sorted
+    // batch model: per-user consecutive triples under the same gap bound
+    val model = rows.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val s = es.sortBy(e => (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000,
+        e.event_id)).toSeq
+      def us(e: Streaming.EventRow) =
+        e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+      s.sliding(3).filter(_.lengthCompare(3) == 0).flatMap { w =>
+        if (us(w(1)) - us(w(0)) <= gapUs && us(w(2)) - us(w(1)) <= gapUs)
+          Some((uid, w(0).event_id, w(0).event_type, w(1).event_type, w(2).event_type))
+        else None
+      }
+    }.sorted
+    assert(got.nonEmpty && got == model,
+      s"stream ${got.size} triples vs batch ${model.size}")
+  }
+
   test("streaming tumbling windows match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
