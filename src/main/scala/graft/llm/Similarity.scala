@@ -2490,6 +2490,94 @@ object Similarity {
        |WHERE 10 * len(list_intersect(a.hs, b.hs)) >= 9 * a.sz
        |ORDER BY gid_a, gid_b""".stripMargin
 
+  // ---------------------------------------------- q147 LSH tuning S-curve
+
+  /** q147: the measured LSH S-curve — for every candidate pair surfaced
+    * by the q41 banding (8 bands × 8 rows), how many bands matched (k),
+    * and what fraction of the pairs at each k verify as true near-dups
+    * (exact Jaccard ≥ 0.9)? This is the tuning table behind the
+    * Bands/RowsPerBand choice: precision rising steeply with k is the
+    * S-curve working; flat precision means the banding is mis-sized for
+    * the corpus's similarity distribution. q131 plays this "measure,
+    * don't guess" role for skew; this plays it for the dedup tier.
+    *
+    * Band keys here are the EXACT signature slices rendered to strings
+    * (`array_join(slice, ',')`), not q41's xxhash64 of them: the census
+    * counts matching bands per pair, where a hash collision would
+    * silently inflate k — and DuckDB has no xxhash64, so exact slices
+    * are also what lets the oracle reproduce the count bit-for-bit.
+    * (q41 itself keeps the hashed key: there a collision only ADDS a
+    * candidate that exact verification then scores.)
+    *
+    * Scale shape: rep-space sets (the q41 collapse) → signatures → 8
+    * band-key rows per set; the self-join is equi on (band, key); the
+    * per-pair k is one hash aggregate over the slim candidate stream;
+    * arrays attach broadcast to the DISTINCT pairs only; the verify is
+    * the integer cross-multiplied Jaccard (10·∩ ≥ 9·∪ — no 0.9 double).
+    * Output is ≤ Bands rows. */
+  def lshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
+    val grps = shingleGroups(spark, dir).select(col("gid"), col("hs"))
+      .filter(size(col("hs")) > 0)
+      .transform(graft.Dist.durableCkpt)
+    val bandk = grps
+      .withColumn("sig", minhashSignature(col("hs")))
+      .select(col("gid"), posexplode(transform(sequence(lit(0), lit(Bands - 1)),
+        b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
+      .select(col("gid"), col("pos"), array_join(col("col"), ",").as("bkey"))
+    val cand = bandk.select(col("pos"), col("bkey"), col("gid").as("gid_a"))
+      .join(bandk.select(col("pos"), col("bkey"), col("gid").as("gid_b")),
+        Seq("pos", "bkey"))
+      .filter(col("gid_a") < col("gid_b"))
+      .groupBy(col("gid_a"), col("gid_b")).agg(count(lit(1)).as("k"))
+    cand
+      .join(broadcast(grps.select(col("gid").as("gid_a"), col("hs").as("hs_a"))),
+        Seq("gid_a"))
+      .join(broadcast(grps.select(col("gid").as("gid_b"), col("hs").as("hs_b"))),
+        Seq("gid_b"))
+      .withColumn("inter", graft.functions.ArrayKernels
+        .sortedIntersectCount(col("hs_a"), col("hs_b")).cast("long"))
+      .withColumn("uni",
+        size(col("hs_a")).cast("long") + size(col("hs_b")) - col("inter"))
+      .withColumn("dup", (lit(10) * col("inter") >= lit(9) * col("uni")).cast("int"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum(col("dup")).cast("long").as("n_dup"))
+      .withColumn("precision_bp", expr("10000 * n_dup div n_pairs"))
+      .orderBy(col("k"))
+  }
+
+  val lshTuningCurveSql: String =
+    s"""WITH $sigCteSql,
+       |gg AS MATERIALIZED (
+       |  -- group by the SORTED set: sh's hs preserves first-seen order, so
+       |  -- equal sets from different docs would otherwise split groups
+       |  SELECT list_sort(hs) AS hs, MIN(doc_id) AS gid
+       |  FROM sh WHERE len(hs) > 0 GROUP BY list_sort(hs)
+       |), gth AS (
+       |  SELECT gid, unnest(hs) AS h FROM gg
+       |), gsigs AS (
+       |  SELECT gid, i, MIN((a * h + b) % $P) AS sig
+       |  FROM gth CROSS JOIN perms GROUP BY gid, i
+       |), bandk AS MATERIALIZED (
+       |  SELECT gid, i // ${RowsPerBand} AS band,
+       |    string_agg(sig, ',' ORDER BY i) AS bkey
+       |  FROM gsigs GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT a.gid AS ga, b.gid AS gb, CAST(COUNT(*) AS BIGINT) AS k
+       |  FROM bandk a JOIN bandk b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.gid < b.gid
+       |  GROUP BY 1, 2
+       |), ver AS (
+       |  SELECT c.k, len(list_intersect(x.hs, y.hs)) AS inter,
+       |    len(x.hs) + len(y.hs) - len(list_intersect(x.hs, y.hs)) AS uni
+       |  FROM cand c JOIN gg x ON x.gid = c.ga JOIN gg y ON y.gid = c.gb
+       |)
+       |SELECT k, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CASE WHEN 10 * inter >= 9 * uni THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  10000 * CAST(SUM(CASE WHEN 10 * inter >= 9 * uni THEN 1 ELSE 0 END) AS BIGINT)
+       |    // CAST(COUNT(*) AS BIGINT) AS precision_bp
+       |FROM ver GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------- q145 cross-modal purity audit
 
   /** q145: cross-modal cluster purity — for every embedding label (the
@@ -2665,6 +2753,7 @@ object Similarity {
     QueryDef("q136_license_propagation", licensePropagation, Some(licensePropagationSql)),
     QueryDef("q139_ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
     QueryDef("q143_containment_pairs", containmentPairs, Some(containmentPairsSql)),
-    QueryDef("q145_crossmodal_purity", crossmodalPurity, Some(crossmodalPuritySql))
+    QueryDef("q145_crossmodal_purity", crossmodalPurity, Some(crossmodalPuritySql)),
+    QueryDef("q147_lsh_tuning_curve", lshTuningCurve, Some(lshTuningCurveSql))
   )
 }

@@ -532,6 +532,39 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._6 >= 9000 && r._6 <= 10000))
   }
 
+  test("q147 LSH S-curve: k counts match slice equality; precision rises to k=8") {
+    import graft.llm.Similarity
+    val grps = Similarity.shingleGroups(spark, sfDir)
+      .filter(size(col("hs")) > 0)
+      .select(col("gid"), col("hs"), Similarity.minhashSignature(col("hs")).as("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet, r.getSeq[Long](2).toIndexedSeq))
+    // Scala model: matching-band count from raw signature slices
+    val pairs = for {
+      i <- grps.indices; j <- (i + 1) until grps.length
+      (ga, ha, sa) = grps(i); (gb, hb, sb) = grps(j)
+      k = (0 until Similarity.Bands).count(b =>
+        (0 until Similarity.RowsPerBand).forall(r =>
+          sa(b * Similarity.RowsPerBand + r) == sb(b * Similarity.RowsPerBand + r)))
+      if k > 0
+      inter = (ha & hb).size.toLong
+      uni = ha.size + hb.size - inter
+    } yield (k.toLong, 10 * inter >= 9 * uni)
+    val model = pairs.groupBy(_._1).map { case (k, xs) =>
+      val dup = xs.count(_._2).toLong
+      (k, xs.size.toLong, dup, 10000 * dup / xs.size)
+    }.toSeq.sortBy(_._1)
+    val got = Similarity.lshTuningCurve(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model && got.nonEmpty)
+    // the S-curve property: precision at the highest observed k strictly
+    // above precision at the lowest (on this corpus k=8 is ~9500 bp, not
+    // 10000 — full-band MinHash false positives exist at a 31-word
+    // vocabulary, which is precisely what this diagnostic surfaces)
+    if (got.length > 1) assert(got.last._4 > got.head._4,
+      s"expected rising precision, got ${got.map(r => r._1 -> r._4)}")
+  }
+
   test("q145 cross-modal purity matches a collected-join Scala model") {
     import graft.llm.Similarity
     val docs = graft.Tables.documents(spark, sfDir)
