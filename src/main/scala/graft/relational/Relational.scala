@@ -1546,7 +1546,78 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY level")
   }
 
+  // ------------------------------------------------ q148 trimmed mean
+
+  /** q148: robust per-segment customer value — the 5%-trimmed mean of
+    * lifetime spend per market segment, beside the raw mean it corrects.
+    * Trimmed means are the standard whale/zero-inflation-resistant
+    * central tendency for spend dashboards (a handful of mega-customers
+    * or never-ordered accounts move a raw mean arbitrarily; the trimmed
+    * one ignores exactly ⌊n/20⌋ rows at each end).
+    *
+    * Exactness: spend is integer cents (`Exact.cents` per order, summed);
+    * the trim boundary is a pure integer rank test over the TOTAL order
+    * (spend, custkey), so both engines drop the identical row set; means
+    * are `div` (floor) — no float ever appears.
+    *
+    * Shape: orders aggregate to one row per customer (two-level: the
+    * shuffle carries customer partials), LEFT join keeps zero-spend
+    * customers (q12's population — a trimmed mean that silently drops
+    * them would overstate every segment); the rank window runs over the
+    * AGGREGATED per-customer frame partitioned by segment — never over
+    * raw orders; the final aggregate is per segment. */
+  def trimmedMeanSpend(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents(col("o_totalprice"))).as("sp"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(spend, col("c_custkey") === col("o_custkey"), "left")
+      .select(col("c_mktsegment"), col("c_custkey"),
+        coalesce(col("sp"), lit(0L)).as("cents_sp"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents_sp"), col("c_custkey"))
+    cust
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("cut", expr("n div 20"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("cents_sp")).cast("long").as("total_cents"),
+        sum(when(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"),
+          col("cents_sp"))).cast("long").as("kept_cents"),
+        sum(when(col("rn") > col("cut") && col("rn") <= col("n") - col("cut"),
+          1L)).cast("long").as("n_kept"))
+      .withColumn("mean_cents", expr("total_cents div n_customers"))
+      .withColumn("trimmed_mean_cents", expr("kept_cents div n_kept"))
+      .select(col("c_mktsegment"), col("n_customers"), col("n_kept"),
+        col("mean_cents"), col("trimmed_mean_cents"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  val trimmedMeanSpendSql: String =
+    """WITH spend AS (
+      |  SELECT o_custkey,
+      |    SUM(CAST(CAST(o_totalprice AS DECIMAL(14,4)) * 100 AS BIGINT)) AS sp
+      |  FROM orders GROUP BY 1
+      |), cust AS (
+      |  SELECT c.c_mktsegment, c.c_custkey, COALESCE(s.sp, 0) AS cents_sp
+      |  FROM customer c LEFT JOIN spend s ON s.o_custkey = c.c_custkey
+      |), r AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY cents_sp, c_custkey) AS rn,
+      |    COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+      |  FROM cust
+      |)
+      |SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  CAST(SUM(CASE WHEN rn > n // 20 AND rn <= n - n // 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(cents_sp) AS BIGINT) // COUNT(*) AS mean_cents,
+      |  CAST(SUM(CASE WHEN rn > n // 20 AND rn <= n - n // 20 THEN cents_sp END) AS BIGINT)
+      |    // CAST(SUM(CASE WHEN rn > n // 20 AND rn <= n - n // 20 THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_mean_cents
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q148_trimmed_mean", trimmedMeanSpend, Some(trimmedMeanSpendSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
     QueryDef("q03_shipping_priority", shippingPriority, Some(shippingPrioritySql)),

@@ -413,6 +413,30 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got == model, "transition counts must match the model")
   }
 
+  test("q148 trimmed mean equals a Scala model; trim bounds and robustness hold") {
+    val spend = graft.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(graft.Exact.cents(col("o_totalprice"))).as("sp"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("sp")).toMap
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val model = cust.groupBy(_._2).map { case (seg, xs) =>
+      val sp = xs.map { case (ck, _) => (spend.getOrElse(ck, 0L), ck) }
+        .sortBy(identity).map(_._1)
+      val n = sp.length
+      val cut = n / 20
+      val kept = sp.slice(cut, n - cut)
+      (seg, n.toLong, kept.length.toLong, sp.sum / n, kept.sum / kept.length)
+    }.toSeq.sortBy(_._1)
+    val got = Relational.trimmedMeanSpend(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.nonEmpty)
+    // the trim really dropped rows in every segment (n/20 ≥ 1 here)
+    assert(got.forall(r => r._3 < r._2))
+  }
+
   test("q146 cohort LTV matches a Scala model; curve is monotone and conserved") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
