@@ -1534,6 +1534,56 @@ object CorpusStats {
        |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat('sel:', doc_id)), 1, 15)) AS BIGINT)) AS BIGINT) AS sel_fp
        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q149: tokenizer fertility per language
+  // ---------------------------------------------------------------------
+
+  /** q149: tokenizer-fertility report — per language: corpus volume and
+    * the bytes-per-token / pieces-per-word ratios for BOTH tokenizers the
+    * engine ships (whitespace and q34's BPE-ish pre-tokenizer). This is
+    * the table a tokenizer budget review reads: a language whose
+    * fertility (BPE pieces per word) runs high is under-served by the
+    * vocab and will eat disproportionate context length at training
+    * time; compression (chars per BPE piece) is the same story from the
+    * bytes side.
+    *
+    * All ratios are integer basis points (`10000·a div b`) over exact
+    * per-language sums — one narrow scan with per-row counting
+    * expressions feeding ONE hash aggregate (map-side combined); no
+    * window, no join, no float. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+    val pieces = regexp_extract_all(lower(col("text")), lit(pat), lit(0))
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        length(col("text")).cast("long").as("chars"),
+        size(tokens(lower(col("text")))).cast("long").as("ws"),
+        size(pieces).cast("long").as("bpe"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("chars")).cast("long").as("n_chars"),
+        sum(col("ws")).cast("long").as("n_ws_tokens"),
+        sum(col("bpe")).cast("long").as("n_bpe_pieces"))
+      .withColumn("fertility_bp", expr("10000 * n_bpe_pieces div n_ws_tokens"))
+      .withColumn("chars_per_piece_bp", expr("10000 * n_chars div n_bpe_pieces"))
+      .orderBy(col("lang"))
+  }
+
+  val tokenizerFertilitySql: String =
+    """WITH f AS (
+      |  SELECT lang, CAST(length(text) AS BIGINT) AS chars,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS ws,
+      |    CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+')) AS BIGINT) AS bpe
+      |  FROM documents
+      |)
+      |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(chars) AS BIGINT) AS n_chars,
+      |  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+      |  CAST(SUM(bpe) AS BIGINT) AS n_bpe_pieces,
+      |  10000 * CAST(SUM(bpe) AS BIGINT) // CAST(SUM(ws) AS BIGINT) AS fertility_bp,
+      |  10000 * CAST(SUM(chars) AS BIGINT) // CAST(SUM(bpe) AS BIGINT) AS chars_per_piece_bp
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1560,6 +1610,8 @@ object CorpusStats {
     QueryDef("q137_bm25_retrieval", bm25Retrieval, Some(bm25RetrievalSql)),
     QueryDef("q142_quality_calibration", qualityCalibration, Some(qualityCalibrationSql)),
     QueryDef("q144_token_budget_selection", tokenBudgetSelection,
-      Some(tokenBudgetSelectionSql))
+      Some(tokenBudgetSelectionSql)),
+    QueryDef("q149_tokenizer_fertility", tokenizerFertility,
+      Some(tokenizerFertilitySql))
   )
 }

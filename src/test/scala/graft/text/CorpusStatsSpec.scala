@@ -48,6 +48,26 @@ class CorpusStatsSpec extends SparkSpec {
     assert(topDoc.contains("dup"), "rare-term idf should put a 'dup' doc on top")
   }
 
+  test("q149 tokenizer fertility matches a Scala regex model") {
+    val pat = java.util.regex.Pattern.compile(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("lang", "text").collect().map(r => (r.getString(0), r.getString(1)))
+    val model = docs.groupBy(_._1).map { case (lang, xs) =>
+      val chars = xs.map(_._2.length.toLong).sum
+      val ws = xs.map(t => scalaTokens(t._2.toLowerCase).size.toLong).sum
+      val bpe = xs.map { t =>
+        val m = pat.matcher(t._2.toLowerCase); var n = 0L
+        while (m.find()) n += 1
+        n
+      }.sum
+      (lang, xs.length.toLong, chars, ws, bpe, 10000 * bpe / ws, 10000 * chars / bpe)
+    }.toSeq.sortBy(_._1)
+    val got = CorpusStats.tokenizerFertility(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == model && got.nonEmpty)
+  }
+
   test("q144 budget selection equals a sequential greedy-fill model; budget respected") {
     val clf = CorpusStats.qualityClassifier(spark, sfDir)
       .select("doc_id", "n_tokens", "score").collect()
