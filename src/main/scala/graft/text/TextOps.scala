@@ -675,7 +675,97 @@ object TextOps {
       |JOIN per pb ON pb.source = p.source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  // ------------------------------------------ q150 theta-sketch overlap
+
+  /** q150: cross-source DISTINCT-TOKEN overlap via mergeable Theta
+    * sketches — the sketched scale path beside q132's exact census. One
+    * pass builds a `theta_sketch_agg` per source (O(2^lgK) state,
+    * mergeable map-side like every sketch in this engine); all pairwise
+    * set algebra (union, intersection, Jaccard) then runs on the tiny
+    * per-source sketch frame — NO token-keyed pairwise join ever
+    * happens. At 100 TB this is the difference between shipping 20
+    * sketches and shuffling the token↔source postings for every pair;
+    * sketches also persist (binary column) so tomorrow's overlap report
+    * unions yesterday's sketches instead of rescanning.
+    *
+    * Oracle-less by design (DuckDB has no Theta sketches) — the q14/q82
+    * discipline: the EXACT twin q150b carries the hash gate, and the
+    * spec pins this query to the twin. Theta sketches are exact below
+    * 2^lgK distinct values, a regime the spec asserts for this corpus;
+    * beyond it the estimate error is ~1/√(2^lgK) relative. */
+  def thetaSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("source"))
+      .agg(expr("theta_sketch_agg(tok, 12)").as("sk"))
+    val a = sk.select(col("source").as("src_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("src_b"), col("sk").as("sk_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        expr("CAST(theta_sketch_estimate(sk_a) AS BIGINT)").as("est_a"),
+        expr("CAST(theta_sketch_estimate(sk_b) AS BIGINT)").as("est_b"),
+        expr("CAST(theta_sketch_estimate(theta_union(sk_a, sk_b)) AS BIGINT)")
+          .as("est_union"),
+        expr("CAST(theta_sketch_estimate(theta_intersection(sk_a, sk_b)) AS BIGINT)")
+          .as("est_inter"))
+      .withColumn("jaccard_est_bp", expr("10000 * est_inter div est_union"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  /** q150b: the EXACT twin — per source pair, distinct-token overlap via
+    * the (source, token) postings join. Two-level: the distinct pass
+    * collapses to one row per (source, token) BEFORE the token-keyed
+    * self-join, so candidate volume is bounded by sources-per-token
+    * (the q132 discipline); per-source distinct counts broadcast onto
+    * the pair frame. This is what q150 estimates without the join. */
+  def sourceTokenOverlapExact(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("tok"))
+      .distinct()
+      .transform(graft.Dist.durableCkpt)
+    val counts = st.groupBy(col("source")).agg(count(lit(1)).cast("long").as("n"))
+    val pairs = st.select(col("tok"), col("source").as("src_a"))
+      .join(st.select(col("tok"), col("source").as("src_b")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+    pairs
+      .join(broadcast(counts.select(col("source").as("src_a"), col("n").as("n_a"))),
+        Seq("src_a"))
+      .join(broadcast(counts.select(col("source").as("src_b"), col("n").as("n_b"))),
+        Seq("src_b"))
+      .withColumn("n_union", col("n_a") + col("n_b") - col("n_shared"))
+      .withColumn("jaccard_bp", expr("10000 * n_shared div n_union"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_union"), col("n_shared"), col("jaccard_bp"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  val sourceTokenOverlapExactSql: String =
+    """WITH st AS (
+      |  SELECT DISTINCT source,
+      |    unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+      |  FROM documents
+      |), counts AS (
+      |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shared
+      |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT p.src_a, p.src_b, ca.n AS n_a, cb.n AS n_b,
+      |  ca.n + cb.n - p.n_shared AS n_union, p.n_shared,
+      |  10000 * p.n_shared // (ca.n + cb.n - p.n_shared) AS jaccard_bp
+      |FROM pairs p
+      |JOIN counts ca ON ca.source = p.src_a
+      |JOIN counts cb ON cb.source = p.src_b
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q150_theta_overlap", thetaSourceOverlap, None),
+    QueryDef("q150b_overlap_exact", sourceTokenOverlapExact,
+      Some(sourceTokenOverlapExactSql)),
     QueryDef("q20_dedup_first_occurrence", dedupFirstOccurrence, Some(dedupFirstOccurrenceSql)),
     QueryDef("q21_dedup_stats", dedupStats, Some(dedupStatsSql)),
     QueryDef("q22_merge_per_source", (s, d) => mergePerSource(s, d), Some(mergePerSourceSql)),

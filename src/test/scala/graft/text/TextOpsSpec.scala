@@ -9,6 +9,26 @@ import org.apache.spark.sql.functions._
   * (`/root/reference/modules/other_tasks.py`). */
 class TextOpsSpec extends SparkSpec {
 
+  test("q150 theta overlap equals the exact twin in the sub-k regime; sketches merge") {
+    val exact = TextOps.sourceTokenOverlapExact(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val theta = TextOps.thetaSourceOverlap(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(theta.nonEmpty)
+    // this corpus's per-source vocabularies are far below 2^12, so the
+    // sketches are in exact mode: estimates must EQUAL the exact twin
+    theta.foreach { case (pair, (ea, eb, eu, ei, jbp)) =>
+      val (na, nb, nu, ns, jb) = exact.getOrElse(pair, (0L, 0L, 0L, 0L, 0L))
+      assert((ea, eb, eu, ei) == (na, nb, nu, ns),
+        s"$pair theta ($ea,$eb,$eu,$ei) vs exact ($na,$nb,$nu,$ns)")
+      assert(jbp == jb, s"$pair jaccard bp mismatch")
+    }
+    // every exact pair has a theta row (theta emits all ordered pairs)
+    assert(exact.keySet.subsetOf(theta.keySet))
+  }
+
   test("dedup keeps first occurrence in original order (other_tasks.py:110-116)") {
     import spark.implicits._
     // reference fixture: [a, b, a, c, b, a] -> [a, b, c], removed=3
