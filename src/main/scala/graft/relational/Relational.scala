@@ -1546,6 +1546,82 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY level")
   }
 
+  // ------------------------------------------- q151 k-anonymity enforcement
+
+  /** q151: k-anonymity ENFORCEMENT — q135 measures the risk, this applies
+    * the fix: cascaded generalization. Every finest-level class
+    * (segment, nation, balance-bucket) smaller than k has its bucket
+    * suppressed and re-pools at (segment, nation); still-small pools
+    * suppress nation and re-pool at segment; anything below k there is
+    * withheld entirely. The output is the release census per
+    * generalization tier — the table a privacy review signs off on:
+    * every RELEASED class is ≥ k by construction, and `n_rows` accounts
+    * for the whole population (conservation is spec-locked).
+    *
+    * Shape: one finest-level hash aggregate; each coarser tier
+    * re-aggregates only the SMALL-CLASS REMAINDER (a few rows), so the
+    * cascade costs one corpus pass plus tiny re-groupings. The four
+    * tier censuses are one-row aggregates over the (checkpointed)
+    * shared level-3 frame — no corpus re-scan per branch. */
+  def kanonEnforce(spark: SparkSession, dir: String): DataFrame = {
+    val bb = expr(
+      s"(cast(cast(c_acctbal as decimal(14,4)) * 100 as bigint) + 10000000) div 100000")
+    val l3 = Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"), bb.as("bb"))
+      .groupBy(col("seg"), col("nat"), col("bb"))
+      .agg(count(lit(1)).as("sz"))
+      .transform(Dist.durableCkpt)
+    val rel3 = l3.filter(col("sz") >= AnonK)
+    val l2 = l3.filter(col("sz") < AnonK)
+      .groupBy(col("seg"), col("nat")).agg(sum(col("sz")).as("sz"))
+    val rel2 = l2.filter(col("sz") >= AnonK)
+    val l1 = l2.filter(col("sz") < AnonK)
+      .groupBy(col("seg")).agg(sum(col("sz")).as("sz"))
+    val rel1 = l1.filter(col("sz") >= AnonK)
+    val held = l1.filter(col("sz") < AnonK)
+    def census(tier: String, f: DataFrame): DataFrame =
+      f.agg(count(lit(1)).cast("long").as("n_classes"),
+        coalesce(sum(col("sz")), lit(0L)).cast("long").as("n_rows"),
+        coalesce(min(col("sz")), lit(0L)).cast("long").as("min_class"))
+        .select(lit(tier).as("tier"), col("n_classes"), col("n_rows"),
+          col("min_class"))
+    census("3_full_detail", rel3)
+      .unionByName(census("2_bucket_suppressed", rel2))
+      .unionByName(census("1_nation_suppressed", rel1))
+      .unionByName(census("0_withheld", held))
+      .orderBy(col("tier"))
+  }
+
+  val kanonEnforceSql: String = {
+    val bb = "(CAST(CAST(c_acctbal AS DECIMAL(14,4)) * 100 AS BIGINT) + 10000000) // 100000"
+    s"""WITH l3 AS MATERIALIZED (
+       |  SELECT c_mktsegment AS seg, c_nationkey AS nat, $bb AS bb,
+       |    COUNT(*) AS sz
+       |  FROM customer GROUP BY 1, 2, 3
+       |), l2 AS MATERIALIZED (
+       |  SELECT seg, nat, SUM(sz) AS sz FROM l3 WHERE sz < $AnonK GROUP BY 1, 2
+       |), l1 AS MATERIALIZED (
+       |  SELECT seg, SUM(sz) AS sz FROM l2 WHERE sz < $AnonK GROUP BY 1
+       |)
+       |SELECT '3_full_detail' AS tier, CAST(COUNT(*) AS BIGINT) AS n_classes,
+       |  CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_rows,
+       |  CAST(COALESCE(MIN(sz), 0) AS BIGINT) AS min_class
+       |FROM l3 WHERE sz >= $AnonK
+       |UNION ALL
+       |SELECT '2_bucket_suppressed', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(sz), 0) AS BIGINT), CAST(COALESCE(MIN(sz), 0) AS BIGINT)
+       |FROM l2 WHERE sz >= $AnonK
+       |UNION ALL
+       |SELECT '1_nation_suppressed', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(sz), 0) AS BIGINT), CAST(COALESCE(MIN(sz), 0) AS BIGINT)
+       |FROM l1 WHERE sz >= $AnonK
+       |UNION ALL
+       |SELECT '0_withheld', CAST(COUNT(*) AS BIGINT),
+       |  CAST(COALESCE(SUM(sz), 0) AS BIGINT), CAST(COALESCE(MIN(sz), 0) AS BIGINT)
+       |FROM l1 WHERE sz < $AnonK
+       |ORDER BY tier""".stripMargin
+  }
+
   // ------------------------------------------------ q148 trimmed mean
 
   /** q148: robust per-segment customer value — the 5%-trimmed mean of
@@ -1618,6 +1694,7 @@ object Relational {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q148_trimmed_mean", trimmedMeanSpend, Some(trimmedMeanSpendSql)),
+    QueryDef("q151_kanon_enforce", kanonEnforce, Some(kanonEnforceSql)),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql)),
     QueryDef("q02_revenue_by_nation", revenueByNation, Some(revenueByNationSql)),
     QueryDef("q03_shipping_priority", shippingPriority, Some(shippingPrioritySql)),

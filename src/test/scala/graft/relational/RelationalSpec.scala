@@ -413,6 +413,34 @@ class RelationalSpec extends SparkSpec {
     assert(got.nonEmpty && got == model, "transition counts must match the model")
   }
 
+  test("q151 k-anon enforcement: conservation, released tiers all >= k, model equality") {
+    val k = Relational.AnonK
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_mktsegment"), col("c_nationkey"),
+        expr("(cast(cast(c_acctbal as decimal(14,4)) * 100 as bigint) + 10000000) div 100000"))
+      .collect().map(r => (r.getString(0),
+        r.get(1).asInstanceOf[Number].longValue(), r.getLong(2)))
+    val l3 = cust.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (rel3, rest3) = l3.partition(_._2 >= k)
+    val l2 = rest3.toSeq.groupBy(t => (t._1._1, t._1._2))
+      .view.mapValues(_.map(_._2).sum).toMap
+    val (rel2, rest2) = l2.partition(_._2 >= k)
+    val l1 = rest2.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    val (rel1, held) = l1.partition(_._2 >= k)
+    def cen(tier: String, m: Map[_, Long]) =
+      (tier, m.size.toLong, m.values.sum, if (m.isEmpty) 0L else m.values.min)
+    val model = Seq(cen("0_withheld", held), cen("1_nation_suppressed", rel1),
+      cen("2_bucket_suppressed", rel2), cen("3_full_detail", rel3))
+    val got = Relational.kanonEnforce(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model)
+    // conservation: every customer is accounted for in exactly one tier
+    assert(got.map(_._3).sum == cust.length.toLong)
+    // released tiers only contain classes >= k
+    got.filter(r => r._1 != "0_withheld" && r._2 > 0)
+      .foreach(r => assert(r._4 >= k, s"tier ${r._1} released a class < k"))
+  }
+
   test("q148 trimmed mean equals a Scala model; trim bounds and robustness hold") {
     val spend = graft.Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
