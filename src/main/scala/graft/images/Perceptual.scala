@@ -53,10 +53,15 @@ object Perceptual {
     * ids 20..23: the RETOUCHED cohort — ids 0..3 with two blocks forced
     * to the opposite brightness extreme → dhash Hamming 3 from the base. */
   def blockGray(bx: Int, by: Int, i: Int): Int = {
-    val j = if (i >= 20) i - 20 else if (i >= 16) i - 16 else i
+    val j =
+      if (i >= 28) i - 22 // probe byte twins of bases 6, 7
+      else if (i >= 26) i - 10 // novel probe patterns (j = 16, 17)
+      else if (i >= 20) i - 20 // retouched (24, 25 are the probe retouches)
+      else if (i >= 16) i - 16 // corpus byte twins
+      else i
     val base = (8 + (((j.toLong * 2654435761L + bx.toLong * 40503L +
       by.toLong * 104729L + bx.toLong * by.toLong * (j + 1)) % 211) % 15) * 16).toInt
-    if (i >= 20 && ((bx == 2 && by == 3) || (bx == 6 && by == 5)))
+    if (i >= 20 && i <= 25 && ((bx == 2 && by == 3) || (bx == 6 && by == 5)))
       (if (base < 120) 232 else 8)
     else base
   }
@@ -82,7 +87,7 @@ object Perceptual {
     val h = BlocksY * BlockPx
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val sign = if (i >= 16 && i <= 19) -1 else 1
+    val sign = if ((i >= 16 && i <= 19) || i >= 28) -1 else 1
     val raster = img.getRaster
     var y = 0
     while (y < h) {
@@ -292,7 +297,121 @@ object Perceptual {
        |FROM cand WHERE bit_count(xor(ha, hb)) <= $HammingMax
        |ORDER BY img_a, img_b""".stripMargin
 
+  // --------------------------------------------- q152 incremental ingest
+
+  /** Probe cohort ids (a second, later-arriving batch): 24/25 retouches
+    * of bases 4/5 (expected near-dup, Hamming 3), 26/27 novel patterns,
+    * 28/29 byte twins of bases 6/7 (expected exact dup). */
+  val ProbeIds: Range = 24 until 30
+
+  /** Write the probe batch folder once per (application, dir). */
+  def probeFolder(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir + "#probe").toLong & 0xffffffffL)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, s"graft_dhash_probe_$suffix")
+    val key = spark.sparkContext.applicationId + ":" + p.toString
+    built.computeIfAbsent(key, { _ =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      ProbeIds.foreach { i =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(p, f"img$i%02d.png"), true)
+        try out.write(imageBytes(i)) finally out.close()
+      }
+      p.toString
+    })
+  }
+
+  /** q152: incremental perceptual ingest — a later-arriving image batch
+    * probed against the LANDED corpus, never corpus-vs-corpus (the q68
+    * asymmetry, played for images): per probe, verdict `exact_dup`
+    * (Hamming 0 to some corpus image), `near_dup` (≤ 6), or `novel`,
+    * with the matched corpus family and distance. Candidates come from
+    * the 8-band equi-join of PROBE band keys against corpus band keys —
+    * corpus-side work is proportional to the batch, and the pigeonhole
+    * makes the ≤ 6 verdict exact (a qualifying pair always shares a
+    * band; banded candidates beyond the threshold are dropped, so the
+    * brute-force oracle agrees row-for-row). Deterministic match choice:
+    * min (hamming, family gid). */
+  def dhashIngest(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = hashes(spark, dir)
+      .withColumnRenamed("img_id", "gid").withColumnRenamed("dhash", "ch")
+    val probes = spark.read.format("binaryFile").load(probeFolder(spark, dir))
+      .select(regexp_extract(col("path"), "img(\\d+)\\.png$", 1)
+        .cast("long").as("img_id"),
+        dhashUdf(col("content")).as("dhash"))
+    def bandsOf(df: DataFrame, id: String, h: String): DataFrame =
+      df.select(col(id), col(h), explode(sequence(lit(0), lit(7))).as("band"))
+        .withColumn("bval", expr(s"shiftright($h, band * 8) & 255"))
+    val cand = bandsOf(probes, "img_id", "dhash")
+      .join(bandsOf(corpus, "gid", "ch"), Seq("band", "bval"))
+      .select(col("img_id"), col("dhash"), col("gid"), col("ch")).distinct()
+      .withColumn("hamming", expr("bit_count(dhash ^ ch)").cast("long"))
+      .filter(col("hamming") <= HammingMax)
+    val best = cand
+      .groupBy(col("img_id"))
+      .agg(min(struct(col("hamming"), col("gid"))).as("m"))
+      .select(col("img_id"), col("m.gid").as("matched"), col("m.hamming").as("hamming"))
+    probes.join(best, Seq("img_id"), "left")
+      .select(col("img_id"), col("dhash"),
+        coalesce(col("matched"), lit(-1L)).as("matched_img"),
+        coalesce(col("hamming"), lit(-1L)).as("hamming"),
+        when(col("hamming") === 0, "exact_dup")
+          .when(col("hamming").isNotNull, "near_dup")
+          .otherwise("novel").as("verdict"))
+      .orderBy(col("img_id"))
+  }
+
+  /** Probe-side formula CTE: same block math, probe id mapping inline. */
+  val dhashIngestSql: String =
+    s"""WITH $hashesCte,
+       |pids AS (SELECT i FROM generate_series(24, 29) t(i)),
+       |pgrid AS (
+       |  SELECT i,
+       |    CASE WHEN i >= 28 THEN i - 22 WHEN i >= 26 THEN i - 10 ELSE i - 20 END AS j,
+       |    gx.bx, gy.by
+       |  FROM pids, generate_series(0, ${BlocksX - 1}) gx(bx),
+       |       generate_series(0, ${BlocksY - 1}) gy(by)
+       |), pbval AS (
+       |  SELECT i, bx, by,
+       |    CASE WHEN i <= 25 AND ((bx = 2 AND by = 3) OR (bx = 6 AND by = 5))
+       |         THEN (CASE WHEN ($blockGraySql) < 120 THEN 232 ELSE 8 END)
+       |         ELSE ($blockGraySql) END AS b
+       |  FROM pgrid
+       |), pbits AS (
+       |  SELECT l.i,
+       |    CASE WHEN l.b < r.b THEN
+       |      (CASE WHEN l.by * 8 + l.bx = 63 THEN -9223372036854775807 - 1
+       |            ELSE CAST(1 AS BIGINT) << (l.by * 8 + l.bx) END)
+       |    ELSE CAST(0 AS BIGINT) END AS bit
+       |  FROM pbval l JOIN pbval r ON r.i = l.i AND r.by = l.by AND r.bx = l.bx + 1
+       |  WHERE l.bx < ${BlocksX - 1}
+       |), phashes AS MATERIALIZED (
+       |  SELECT CAST(i AS BIGINT) AS img_id, CAST(SUM(bit) AS BIGINT) AS dhash
+       |  FROM pbits GROUP BY 1
+       |), cand AS (
+       |  SELECT p.img_id, c.img_id AS gid,
+       |    CAST(bit_count(xor(p.dhash, c.dhash)) AS BIGINT) AS ham
+       |  FROM phashes p JOIN hashes c
+       |    ON bit_count(xor(p.dhash, c.dhash)) <= $HammingMax
+       |), best AS (
+       |  SELECT img_id, gid, ham,
+       |    ROW_NUMBER() OVER (PARTITION BY img_id ORDER BY ham, gid) AS rn
+       |  FROM cand
+       |)
+       |SELECT p.img_id, p.dhash,
+       |  CAST(COALESCE(b.gid, -1) AS BIGINT) AS matched_img,
+       |  CAST(COALESCE(b.ham, -1) AS BIGINT) AS hamming,
+       |  CASE WHEN b.ham = 0 THEN 'exact_dup'
+       |       WHEN b.ham IS NOT NULL THEN 'near_dup'
+       |       ELSE 'novel' END AS verdict
+       |FROM phashes p
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (img_id)
+       |ORDER BY p.img_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q140_image_dhash", imageDhash, Some(imageDhashSql)),
-    QueryDef("q141_dhash_near_pairs", dhashNearPairs, Some(dhashNearPairsSql)))
+    QueryDef("q141_dhash_near_pairs", dhashNearPairs, Some(dhashNearPairsSql)),
+    QueryDef("q152_dhash_ingest", dhashIngest, Some(dhashIngestSql)))
 }

@@ -41,6 +41,27 @@ class PerceptualSpec extends SparkSpec {
     }
   }
 
+  test("q152 ingest: cohort verdicts exact, matched family and distance from formula model") {
+    val corpus = (0 until Perceptual.NumImages).map(i => i.toLong -> formulaHash(i))
+    val model = Perceptual.ProbeIds.map { p =>
+      val hp = formulaHash(p)
+      val close = corpus.map { case (g, c) =>
+        (java.lang.Long.bitCount(hp ^ c).toLong, g)
+      }.filter(_._1 <= Perceptual.HammingMax).sorted.headOption
+      val (ham, gid) = close.getOrElse((-1L, -1L))
+      val verdict = if (ham == 0) "exact_dup" else if (ham > 0) "near_dup" else "novel"
+      (p.toLong, hp, gid, ham, verdict)
+    }
+    val got = Perceptual.dhashIngest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got == model)
+    // the designed cohort story: 2 near-dups, 2 novels, 2 exact dups
+    assert(got.map(_._5) == Seq("near_dup", "near_dup", "novel", "novel",
+      "exact_dup", "exact_dup"))
+    assert(got.filter(_._5 == "exact_dup").map(_._3) == Seq(6L, 7L))
+  }
+
   test("non-grid-divisible and undecodable inputs quarantine as None") {
     assert(Perceptual.dhashOf(null).isEmpty)
     assert(Perceptual.dhashOf("not an image".getBytes).isEmpty)
