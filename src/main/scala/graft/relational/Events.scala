@@ -949,6 +949,81 @@ object Events {
       |  cs.cohort_users, c.cum_rev_u // cs.cohort_users AS ltv_u_per_user
       |FROM c JOIN cs USING (cohort) ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- q153 CUSUM drift detection
+
+  /** q153: two-sided CUSUM change-point detection on daily purchase
+    * revenue — the SEQUENTIAL drift monitor beside q111's pointwise
+    * z-score spikes: CUSUM accumulates small sustained shifts a
+    * per-day threshold never sees (the classic Page test).
+    *
+    * The textbook recursion s_t = max(0, s_{t−1} + (x_t − μ − k)) looks
+    * iteration-bound, but distributes exactly via the prefix identity
+    * s_t = C_t − min_{τ≤t} C_τ with C the running sum of (x − μ − k) —
+    * both a cumulative sum and a running min, i.e. two frames over ONE
+    * ordered window on the AGGREGATED daily frame (≤ 365 rows/year at
+    * any data scale; the corpus scan is one hash aggregate to days).
+    * The down-side statistic uses the mirrored identity with slack +k
+    * and a prefix max.
+    *
+    * All in exact integer 10⁻⁴-dollar units (the q146 unit — `value` is
+    * 4-decimal): μ = total div n_days, slack k = μ div 20 (5%), alarm
+    * threshold h = μ (one mean day's worth of accumulated drift). */
+  def cusumDrift(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((dec(col("value")) * 10000).cast("long")).as("x_u"))
+    val stats = daily.agg(count(lit(1)).as("n_days"), sum(col("x_u")).as("tot"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("mu", expr("tot div n_days"))
+      .withColumn("k", expr("mu div 20"))
+      .withColumn("cup", sum(col("x_u") - col("mu") - col("k")).over(w))
+      .withColumn("cdn", sum(col("x_u") - col("mu") + col("k")).over(w))
+      // the prefix extremum must include the virtual C_0 = 0 (the empty
+      // prefix of the recursion), or an immediately-positive drift would
+      // be under-counted by its own first value
+      .withColumn("cusum_up",
+        (col("cup") - least(min(col("cup")).over(w), lit(0L))).cast("long"))
+      .withColumn("cusum_down",
+        (greatest(max(col("cdn")).over(w), lit(0L)) - col("cdn")).cast("long"))
+      .withColumn("alarm",
+        col("cusum_up") > col("mu") || col("cusum_down") > col("mu"))
+      .select(col("day"), col("x_u").cast("long").as("x_u"),
+        col("cusum_up"), col("cusum_down"), col("alarm"))
+      .orderBy(col("day"))
+  }
+
+  val cusumDriftSql: String =
+    """WITH daily AS (
+      |  SELECT date_trunc('day', ts) AS day,
+      |    SUM(CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT)) AS x_u
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1
+      |), s AS (
+      |  SELECT COUNT(*) AS n_days, CAST(SUM(x_u) AS BIGINT) AS tot FROM daily
+      |), c AS (
+      |  SELECT day, x_u, tot // n_days AS mu, (tot // n_days) // 20 AS k
+      |  FROM daily CROSS JOIN s
+      |), r1 AS (
+      |  SELECT day, x_u, mu,
+      |    SUM(x_u - mu - k) OVER w AS cup,
+      |    SUM(x_u - mu + k) OVER w AS cdn
+      |  FROM c
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |), r2 AS (
+      |  SELECT day, x_u, mu, cup, cdn,
+      |    LEAST(MIN(cup) OVER w, 0) AS mincup,
+      |    GREATEST(MAX(cdn) OVER w, 0) AS maxcdn
+      |  FROM r1
+      |  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |)
+      |SELECT day, CAST(x_u AS BIGINT) AS x_u,
+      |  CAST(cup - mincup AS BIGINT) AS cusum_up,
+      |  CAST(maxcdn - cdn AS BIGINT) AS cusum_down,
+      |  (cup - mincup > mu OR maxcdn - cdn > mu) AS alarm
+      |FROM r2 ORDER BY day""".stripMargin
+
   // --------------------------------------------- q138 frequent event paths
 
   /** q138: top-15 frequent 3-step event-type paths — for every run of
@@ -1006,6 +1081,7 @@ object Events {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q146_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
+    QueryDef("q153_cusum_drift", cusumDrift, Some(cusumDriftSql)),
     QueryDef("q92_gap_fill", gapFillRevenue, Some(gapFillRevenueSql)),
     QueryDef("q15_events_tumbling", tumbling, Some(tumblingSql)),
     QueryDef("q16_events_sliding", sliding, Some(slidingSql)),

@@ -465,6 +465,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.forall(r => r._3 < r._2))
   }
 
+  test("q153 CUSUM equals the sequential max(0, s+(x-mu-k)) recursion") {
+    val daily = graft.Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum((graft.Exact.dec(col("value")) * 10000).cast("long")).as("x"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1)))
+      .sortBy(_._1)
+    val n = daily.length.toLong
+    val mu = daily.map(_._2).sum / n
+    val k = mu / 20
+    var su = 0L; var sd = 0L
+    val model = daily.map { case (d, x) =>
+      su = math.max(0L, su + (x - mu - k))
+      sd = math.max(0L, sd + (mu - x - k))
+      (d, x, su, sd, su > mu || sd > mu)
+    }.toSeq
+    val got = Events.cusumDrift(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got == model && got.nonEmpty)
+  }
+
   test("q146 cohort LTV matches a Scala model; curve is monotone and conserved") {
     val ev = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), date_trunc("week", col("ts")).as("wk"),
