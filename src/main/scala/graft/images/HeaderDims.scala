@@ -106,6 +106,56 @@ object HeaderDims {
     * TIFF keeps going to the JDK's ImageIO reader; full RAW pixel
     * decode (demosaic) stays declared-out-of-scope like HEIC/WebP
     * decode. Pixel-free, total: malformed input → None. */
+  /** EXIF Orientation (TIFF tag 0x0112, values 1-8) from a JPEG's APP1
+    * Exif segment, or from TIFF-direct bytes. Byte-level and total like
+    * every parser here: segments are walked FF-marker by FF-marker until
+    * SOS; the embedded TIFF is read at its own endianness with all
+    * offsets relative to the TIFF header (the classic Exif off-by-base
+    * bug class). Missing segment / tag / malformed input → None — a
+    * pipeline treats that as orientation 1 (top-left) by convention,
+    * but the DISTINCTION matters for audits, so None is surfaced. */
+  def exifOrientation(b: Array[Byte]): Option[Int] =
+    try {
+      def tiffOrientation(base: Int, limit: Int): Option[Int] = {
+        if (base + 8 > limit) return None
+        val le = tag(b, base, "II") && u8(b, base + 2) == 42
+        val be = tag(b, base, "MM") && u8(b, base + 3) == 42
+        if (!le && !be) return None
+        def u16(i: Int): Int =
+          if (le) le16(b, i) else (u8(b, i) << 8) | u8(b, i + 1)
+        def u32(i: Int): Long = if (le) le32(b, i) else be32(b, i)
+        val ifd = base + u32(base + 4).toInt
+        if (ifd + 2 > limit) return None
+        val n = u16(ifd)
+        var i = 0
+        while (i < n && ifd + 2 + 12 * (i + 1) <= limit) {
+          val e = ifd + 2 + 12 * i
+          if (u16(e) == 0x0112 && u16(e + 2) == 3) {
+            val v = u16(e + 8)
+            return if (v >= 1 && v <= 8) Some(v) else None
+          }
+          i += 1
+        }
+        None
+      }
+      if (b.length >= 4 && u8(b, 0) == 0xff && u8(b, 1) == 0xd8) {
+        // JPEG: walk segments to find APP1/Exif
+        var i = 2
+        while (i + 4 <= b.length && u8(b, i) == 0xff) {
+          val marker = u8(b, i + 1)
+          if (marker == 0xda) return None // SOS: entropy data, stop
+          val len = (u8(b, i + 2) << 8) | u8(b, i + 3)
+          if (marker == 0xe1 && tag(b, i + 4, "Exif") &&
+              u8(b, i + 8) == 0 && u8(b, i + 9) == 0)
+            return tiffOrientation(i + 10, math.min(b.length, i + 2 + len))
+          i += 2 + len
+        }
+        None
+      } else if (b.length >= 8 && (tag(b, 0, "II") || tag(b, 0, "MM")))
+        tiffOrientation(0, b.length)
+      else None
+    } catch { case _: Exception => None }
+
   def rawDims(b: Array[Byte]): Option[(Int, Int)] =
     try {
       if (b.length < 8) return None

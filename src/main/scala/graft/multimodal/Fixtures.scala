@@ -398,6 +398,95 @@ object Fixtures {
       |) AS t(file, kind, sample_rate, channels, audio_ms, width, height, fps, video_ms)
       |ORDER BY file""".stripMargin
 
+  // ------------------------------------------------ q154 EXIF orientation
+
+  /** JPEG bytes with an APP1/Exif segment spliced after SOI carrying
+    * exactly one TIFF tag: Orientation (0x0112) = `orientation`.
+    * Little-endian TIFF, IFD at offset 8 — the minimal well-formed Exif
+    * a camera writes. */
+  def jpegWithExif(w: Int, h: Int, rgb: Int, orientation: Int): Array[Byte] = {
+    val base = jpegBytes(w, h, rgb)
+    val tiff = java.nio.ByteBuffer.allocate(26)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put("II".getBytes); tiff.putShort(42); tiff.putInt(8)
+    tiff.putShort(1) // one IFD entry
+    tiff.putShort(0x0112.toShort); tiff.putShort(3); tiff.putInt(1)
+    tiff.putShort(orientation.toShort); tiff.putShort(0)
+    tiff.putInt(0) // next-IFD pointer
+    val payload = "Exif".getBytes ++ Array[Byte](0, 0) ++ tiff.array()
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte,
+      (((payload.length + 2) >> 8) & 0xff).toByte,
+      ((payload.length + 2) & 0xff).toByte) ++ payload
+    base.take(2) ++ app1 ++ base.drop(2)
+  }
+
+  /** q154: EXIF orientation audit — the ingest check a real image
+    * pipeline cannot skip: tiles cut from a sensor-rotated JPEG without
+    * honoring Orientation are silently rotated/mirrored training data.
+    * One binaryFile scan → byte-level APP1/TIFF walk
+    * (`HeaderDims.exifOrientation`) → display dims (90°-family
+    * orientations 5-8 transpose width/height). Files without the tag
+    * surface orientation 0 (distinct from the explicit top-left 1 — an
+    * audit wants to KNOW the tag is absent); undecodable dims
+    * quarantine as -1. Oracle = the ground truth the fixtures were
+    * built with (q88 discipline). */
+  def exifOrientationAudit(spark: SparkSession, dir: String): DataFrame = {
+    val folder = exifFolder(spark, dir)
+    val orient = udf { (bytes: Array[Byte]) =>
+      graft.images.HeaderDims.exifOrientation(bytes).getOrElse(0)
+    }
+    spark.read.format("binaryFile").load(folder)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        orient(col("content")).as("orientation"),
+        graft.images.ImageCodec.imageDims(col("content")).as("d"))
+      .select(col("file"), col("orientation"),
+        coalesce(col("d._1"), lit(-1)).as("raw_w"),
+        coalesce(col("d._2"), lit(-1)).as("raw_h"))
+      .withColumn("disp_w",
+        when(col("orientation") >= 5, col("raw_h")).otherwise(col("raw_w")))
+      .withColumn("disp_h",
+        when(col("orientation") >= 5, col("raw_w")).otherwise(col("raw_h")))
+      .orderBy(col("file"))
+  }
+
+  private def exifFolder(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir + "#exif").toLong & 0xffffffffL)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, s"graft_exif_fixtures_$suffix")
+    val key = spark.sparkContext.applicationId + ":" + p.toString
+    built.computeIfAbsent(key, { _ =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      val files: Seq[(String, Array[Byte])] = Seq(
+        "cam_a_top.jpg" -> jpegWithExif(40, 30, 0x336699, 1),
+        "cam_b_rot180.jpg" -> jpegWithExif(40, 30, 0x996633, 3),
+        "cam_c_rot90cw.jpg" -> jpegWithExif(40, 30, 0x663399, 6),
+        "cam_d_rot90ccw.jpg" -> jpegWithExif(40, 30, 0x399663, 8),
+        "scan_e_untagged.jpg" -> jpegBytes(64, 48, 0x224488),
+        "junk_f.bin" -> "not an image at all".getBytes)
+      files.foreach { case (name, bytes) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+        try out.write(bytes) finally out.close()
+      }
+      p.toString
+    })
+  }
+
+  val exifOrientationAuditSql: String =
+    """SELECT * FROM (VALUES
+      |  ('cam_a_top.jpg',      CAST(1 AS INT), CAST(40 AS INT), CAST(30 AS INT), CAST(40 AS INT), CAST(30 AS INT)),
+      |  ('cam_b_rot180.jpg',   CAST(3 AS INT), CAST(40 AS INT), CAST(30 AS INT), CAST(40 AS INT), CAST(30 AS INT)),
+      |  ('cam_c_rot90cw.jpg',  CAST(6 AS INT), CAST(40 AS INT), CAST(30 AS INT), CAST(30 AS INT), CAST(40 AS INT)),
+      |  ('cam_d_rot90ccw.jpg', CAST(8 AS INT), CAST(40 AS INT), CAST(30 AS INT), CAST(30 AS INT), CAST(40 AS INT)),
+      |  ('junk_f.bin',         CAST(0 AS INT), CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS INT), CAST(-1 AS INT)),
+      |  ('scan_e_untagged.jpg', CAST(0 AS INT), CAST(64 AS INT), CAST(48 AS INT), CAST(64 AS INT), CAST(48 AS INT))
+      |) AS t(file, orientation, raw_w, raw_h, disp_w, disp_h)
+      |ORDER BY file""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q88_media_metadata", mediaMetadata, Some(mediaMetadataSql)))
+    QueryDef("q88_media_metadata", mediaMetadata, Some(mediaMetadataSql)),
+    QueryDef("q154_exif_orientation", exifOrientationAudit,
+      Some(exifOrientationAuditSql)))
 }

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 
 class MultimodalSpec extends SparkSpec {
 
+  test("exifOrientation: JPEG APP1 walk, TIFF-direct, endianness, truncation") {
+    import graft.images.HeaderDims
+    for (o <- Seq(1, 3, 6, 8))
+      assert(HeaderDims.exifOrientation(Fixtures.jpegWithExif(8, 6, 0x123456, o))
+        .contains(o), s"orientation $o round-trip")
+    // untagged JPEG and junk -> None
+    assert(HeaderDims.exifOrientation(Fixtures.jpegBytes(8, 6, 0x123456)).isEmpty)
+    assert(HeaderDims.exifOrientation("junk".getBytes).isEmpty)
+    assert(HeaderDims.exifOrientation(Array.empty[Byte]).isEmpty)
+    // TIFF-direct (both endiannesses): build big-endian by hand
+    val be = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.BIG_ENDIAN)
+    be.put("MM".getBytes); be.putShort(42); be.putInt(8)
+    be.putShort(1); be.putShort(0x0112.toShort); be.putShort(3); be.putInt(1)
+    be.putShort(6.toShort); be.putShort(0); be.putInt(0)
+    assert(HeaderDims.exifOrientation(be.array()).contains(6))
+    // truncated APP1 must not throw, just miss
+    val good = Fixtures.jpegWithExif(8, 6, 0x123456, 6)
+    for (cut <- Seq(3, 9, 15, 21))
+      assert(HeaderDims.exifOrientation(good.take(cut)).isEmpty)
+    // out-of-range orientation value -> None
+    assert(HeaderDims.exifOrientation(Fixtures.jpegWithExif(8, 6, 1, 9)).isEmpty)
+  }
+
   test("audio decode stub is deterministic and centered") {
     import spark.implicits._
     val df = Seq((1L, Array[Byte](0, 64, -128, 127))).toDF("id", "payload")
