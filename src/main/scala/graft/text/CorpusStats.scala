@@ -1584,6 +1584,88 @@ object CorpusStats {
       |  10000 * CAST(SUM(chars) AS BIGINT) // CAST(SUM(bpe) AS BIGINT) AS chars_per_piece_bp
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q155: dataset card
+  // ---------------------------------------------------------------------
+
+  /** q155: the DATASET CARD — the one-page accounting a training-data
+    * release ships with (volumes, composition, dedup rate, quality-gate
+    * pass rates, embedding coverage), emitted as (metric, value) rows so
+    * the schema never changes as metrics are added. This is the
+    * publishing step: every number is exact, integer, and re-derivable
+    * by the oracle, so the card itself is under the hash gate — a card
+    * whose numbers can't drift from the data they describe.
+    *
+    * Shape: ONE slim joined per-doc frame (documents ⋈ q90 classifier ⋈
+    * q25 heuristic) feeds one aggregate (the multi-countDistinct Expand
+    * runs over the aggregated-width frame, the q105 pattern); the lang
+    * mode and embedding stats are two more tiny aggregates; `stack`
+    * melts wide → long. */
+  def datasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
+        md5(col("text")).as("fp"))
+    val clf = qualityClassifier(spark, dir)
+      .select(col("doc_id"), col("n_tokens"), col("label"))
+    val qs = TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality_ok"))
+    val wide = base.join(clf, Seq("doc_id")).join(qs, Seq("doc_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_tokens")).as("total_ws_tokens"),
+        countDistinct(col("fp")).as("distinct_texts"),
+        sum(when(col("label") === "keep", 1L).otherwise(0L)).as("clf_keep_docs"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("heuristic_ok_docs"))
+    val docsLong = wide.selectExpr(
+      """stack(9,
+        |  'clf_keep_docs', clf_keep_docs,
+        |  'distinct_texts', distinct_texts,
+        |  'exact_dup_docs', n_docs - distinct_texts,
+        |  'heuristic_ok_docs', heuristic_ok_docs,
+        |  'n_docs', n_docs,
+        |  'n_langs', n_langs,
+        |  'n_sources', n_sources,
+        |  'total_chars', total_chars,
+        |  'total_ws_tokens', total_ws_tokens) AS (metric, value)""".stripMargin)
+    val topLang = Tables.documents(spark, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("v"))
+      .select(lit("top_lang_docs").as("metric"), col("v").as("value"))
+    val emb = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n_vecs"), countDistinct(col("label")).as("n_labels"))
+      .selectExpr("stack(2, 'emb_labels', n_labels, 'emb_vectors', n_vecs) AS (metric, value)")
+    docsLong.unionByName(topLang).unionByName(emb)
+      .select(col("metric"), col("value").cast("long").as("value"))
+      .orderBy(col("metric"))
+  }
+
+  val datasetCardSql: String =
+    s"""WITH j AS (
+       |  SELECT d.doc_id, d.source, d.lang, d.n_chars, md5(d.text) AS fp,
+       |    c.n_tokens, c.label, q.quality_ok
+       |  FROM documents d
+       |  JOIN ($qualityClassifierSql) c USING (doc_id)
+       |  JOIN (${TextOps.qualityScoreSql}) q USING (doc_id)
+       |)
+       |SELECT 'clf_keep_docs' AS metric,
+       |  CAST(SUM(CASE WHEN label = 'keep' THEN 1 ELSE 0 END) AS BIGINT) AS value FROM j
+       |UNION ALL SELECT 'distinct_texts', CAST(COUNT(DISTINCT fp) AS BIGINT) FROM j
+       |UNION ALL SELECT 'exact_dup_docs',
+       |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) FROM j
+       |UNION ALL SELECT 'heuristic_ok_docs',
+       |  CAST(SUM(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) FROM j
+       |UNION ALL SELECT 'n_docs', CAST(COUNT(*) AS BIGINT) FROM j
+       |UNION ALL SELECT 'n_langs', CAST(COUNT(DISTINCT lang) AS BIGINT) FROM j
+       |UNION ALL SELECT 'n_sources', CAST(COUNT(DISTINCT source) AS BIGINT) FROM j
+       |UNION ALL SELECT 'total_chars', CAST(SUM(n_chars) AS BIGINT) FROM j
+       |UNION ALL SELECT 'total_ws_tokens', CAST(SUM(n_tokens) AS BIGINT) FROM j
+       |UNION ALL SELECT 'top_lang_docs',
+       |  CAST(MAX(n) AS BIGINT) FROM (SELECT COUNT(*) AS n FROM documents GROUP BY lang)
+       |UNION ALL SELECT 'emb_labels', CAST(COUNT(DISTINCT label) AS BIGINT) FROM embeddings
+       |UNION ALL SELECT 'emb_vectors', CAST(COUNT(*) AS BIGINT) FROM embeddings
+       |ORDER BY metric""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1612,6 +1694,7 @@ object CorpusStats {
     QueryDef("q144_token_budget_selection", tokenBudgetSelection,
       Some(tokenBudgetSelectionSql)),
     QueryDef("q149_tokenizer_fertility", tokenizerFertility,
-      Some(tokenizerFertilitySql))
+      Some(tokenizerFertilitySql)),
+    QueryDef("q155_dataset_card", datasetCard, Some(datasetCardSql))
   )
 }

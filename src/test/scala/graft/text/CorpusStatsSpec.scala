@@ -48,6 +48,21 @@ class CorpusStatsSpec extends SparkSpec {
     assert(topDoc.contains("dup"), "rare-term idf should put a 'dup' doc on top")
   }
 
+  test("q155 dataset card: internal consistency across its own metrics") {
+    val card = CorpusStats.datasetCard(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = graft.Tables.documents(spark, sfDir).count()
+    assert(card("n_docs") == nDocs)
+    assert(card("exact_dup_docs") == card("n_docs") - card("distinct_texts"))
+    assert(card("clf_keep_docs") <= card("n_docs"))
+    assert(card("heuristic_ok_docs") <= card("n_docs"))
+    assert(card("top_lang_docs") <= card("n_docs"))
+    assert(card("top_lang_docs") * card("n_langs") >= card("n_docs"),
+      "mode times #langs must cover the corpus")
+    assert(card("emb_vectors") > 0 && card("emb_labels") > 0)
+    assert(card.size == 12)
+  }
+
   test("q149 tokenizer fertility matches a Scala regex model") {
     val pat = java.util.regex.Pattern.compile(" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+")
     val docs = graft.Tables.documents(spark, sfDir)
