@@ -1078,7 +1078,83 @@ object Events {
       |SELECT e1, e2, e3, CAST(SUM(pn) AS BIGINT) AS n, COUNT(*) AS n_users
       |FROM runs GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 15""".stripMargin
 
+  // --------------------------------------------- q156 activity coverage
+
+  /** q156: per-user coalesced activity coverage — classic gaps-and-islands.
+    * Each event opens a 5-minute activity interval `[ts, ts+5m)`;
+    * overlapping or touching intervals merge into islands, and the report
+    * is each user's island count, total covered time, and longest
+    * uninterrupted stretch. This is the "time actually spent" metric
+    * engagement dashboards need, which q17's gap-sessionization does NOT
+    * give (a session's `max(ts)−min(ts)` counts dead air between events;
+    * coverage counts only instrumented activity), and q101's sweep
+    * answers the transposed question (how many users at time t, not how
+    * long user u was active).
+    *
+    * Island detection without a self-join: over the per-user event-time
+    * order, an interval starts a new island iff its start exceeds the
+    * running max of all previous interval ends — one `max(...)` window
+    * frame ending at −1 row, then the standard running-sum island id.
+    * Within an island coverage is contiguous BY CONSTRUCTION (each
+    * member's start ≤ the running end-max when it joined), so per-island
+    * covered time is just `max(end) − min(start)` — no sweep needed.
+    * All arithmetic in exact epoch microseconds. Both windows share the
+    * ONE (user_id) hash-partition exchange, and everything after the
+    * per-island aggregate is a second aggregate over ≤ |islands| rows;
+    * per-user ordering parallelizes across users at any scale. */
+  def activityCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val spanUs = 5L * 60 * 1000000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val prevEnds = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("s_us", unix_micros(col("ts")))
+      .withColumn("e_us", col("s_us") + spanUs)
+      .withColumn("prev_max_end", max(col("e_us")).over(prevEnds))
+      .withColumn("new_isl",
+        when(col("prev_max_end").isNull || col("s_us") > col("prev_max_end"), 1)
+          .otherwise(0))
+      .withColumn("isl_id", sum(col("new_isl")).over(running))
+      .groupBy(col("user_id"), col("isl_id"))
+      .agg(count(lit(1)).as("isl_events"),
+        (max(col("e_us")) - min(col("s_us"))).as("isl_cov_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("isl_events")).cast("long").as("n_events"),
+        sum(col("isl_cov_us")).cast("long").as("covered_us"),
+        max(col("isl_cov_us")).cast("long").as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val activityCoverageSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS s_us,
+      |    epoch_us(ts) + 300000000 AS e_us,
+      |    MAX(epoch_us(ts) + 300000000) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+      |  FROM events
+      |), isl AS (
+      |  SELECT user_id, s_us, e_us,
+      |    CAST(SUM(CASE WHEN prev_max_end IS NULL OR s_us > prev_max_end
+      |                  THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s_us, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl_id
+      |  FROM iv
+      |), per AS (
+      |  SELECT user_id, isl_id, COUNT(*) AS isl_events,
+      |    MAX(e_us) - MIN(s_us) AS isl_cov_us
+      |  FROM isl GROUP BY 1, 2
+      |)
+      |SELECT user_id, COUNT(*) AS n_islands,
+      |  CAST(SUM(isl_events) AS BIGINT) AS n_events,
+      |  CAST(SUM(isl_cov_us) AS BIGINT) AS covered_us,
+      |  CAST(MAX(isl_cov_us) AS BIGINT) AS longest_us
+      |FROM per GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q156_activity_coverage", activityCoverage, Some(activityCoverageSql)),
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q146_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q153_cusum_drift", cusumDrift, Some(cusumDriftSql)),

@@ -1546,6 +1546,58 @@ object Relational {
       .mkString("", "\nUNION ALL\n", "\nORDER BY level")
   }
 
+  // --------------------------------------------------- q157 l-diversity
+
+  /** q157: L-DIVERSITY audit — k-anonymity's blind spot (Machanavajjhala
+    * et al., ICDE 2006): a class can be large (k-safe) yet have every
+    * member sharing ONE sensitive value, so linkage still discloses it.
+    * Here the quasi-identifier is (nation, $1000 balance bucket) — what
+    * an adversary plausibly knows — and the sensitive attribute is the
+    * market segment. Per class, l = distinct sensitive values present;
+    * the report is the census by l: how many classes (and rows) sit at
+    * each diversity level, with l < 3 the disclosure-risk band a release
+    * review must resolve by generalizing or withholding.
+    *
+    * Shape: (nation, bucket, segment) hash aggregate first — after it,
+    * l per class is a plain COUNT(*) over the pre-deduplicated frame, so
+    * no COUNT(DISTINCT) Expand ever touches corpus-sized data — then the
+    * census over ≤ |classes| rows. Three cascaded aggregates, each input
+    * smaller than the last; the same shifted-positive bucket arithmetic
+    * as q135 keeps Spark `div` ≡ DuckDB `//`. */
+  def lDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val bb = expr(
+      s"(cast(cast(c_acctbal as decimal(14,4)) * 100 as bigint) + 10000000) div 100000")
+    val classes = Tables.customer(spark, dir)
+      .select(col("c_nationkey").as("nat"), bb.as("bb"),
+        col("c_mktsegment").as("seg"))
+      .groupBy(col("nat"), col("bb"), col("seg"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("nat"), col("bb"))
+      .agg(count(lit(1)).as("l"), sum(col("n")).as("class_rows"))
+    classes.groupBy(col("l"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("class_rows")).cast("long").as("n_rows"),
+        min(col("class_rows")).cast("long").as("min_class"))
+      .withColumn("at_risk", col("l") < 3)
+      .orderBy(col("l"))
+  }
+
+  val lDiversitySql: String =
+    """WITH cell AS (
+      |  SELECT c_nationkey AS nat,
+      |    (CAST(CAST(c_acctbal AS DECIMAL(14,4)) * 100 AS BIGINT) + 10000000) // 100000 AS bb,
+      |    c_mktsegment AS seg, COUNT(*) AS n
+      |  FROM customer GROUP BY 1, 2, 3
+      |), cls AS (
+      |  SELECT nat, bb, CAST(COUNT(*) AS BIGINT) AS l, SUM(n) AS class_rows
+      |  FROM cell GROUP BY 1, 2
+      |)
+      |SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+      |  CAST(SUM(class_rows) AS BIGINT) AS n_rows,
+      |  CAST(MIN(class_rows) AS BIGINT) AS min_class,
+      |  l < 3 AS at_risk
+      |FROM cls GROUP BY l ORDER BY l""".stripMargin
+
   // ------------------------------------------- q151 k-anonymity enforcement
 
   /** q151: k-anonymity ENFORCEMENT — q135 measures the risk, this applies
@@ -1620,6 +1672,60 @@ object Relational {
        |  CAST(COALESCE(SUM(sz), 0) AS BIGINT), CAST(COALESCE(MIN(sz), 0) AS BIGINT)
        |FROM l1 WHERE sz < $AnonK
        |ORDER BY tier""".stripMargin
+  }
+
+  // ------------------------------------------------ q158 Benford audit
+
+  /** q158: Benford first-digit audit over `o_totalprice` — the standard
+    * forensic screen for fabricated or truncated financial data (Nigrini:
+    * naturally-occurring multi-magnitude amounts follow
+    * P(d) = log10(1+1/d); a flat or spiked digit histogram flags
+    * synthetic entry). Reports, per leading digit, observed share vs the
+    * Benford expectation and the signed deviation, all in integer basis
+    * points.
+    *
+    * No float ever enters either plan: the leading digit comes from the
+    * decimal string of exact integer cents (×100 shifts the decimal
+    * point — same leading digit as the price), shares are integer
+    * cross-multiplied against the broadcast one-row total, and the
+    * Benford curve is a hardcoded ⌊10⁴·log10(1+1/d)⌋ table — identical
+    * constants in the Spark plan and the oracle, so there is no
+    * engine-log10 to disagree. ONE scan → 9-row census → broadcast
+    * total join; scales as a pure two-phase count. */
+  private val benfordBp = Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
+
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+        .cast("int").as("lead_digit"))
+      .groupBy(col("lead_digit")).agg(count(lit(1)).as("n"))
+    val total = digits.agg(sum(col("n")).as("tot"))
+    digits.crossJoin(broadcast(total))
+      .withColumn("share_bp", expr("10000 * n div tot"))
+      .withColumn("benford_bp",
+        element_at(array(benfordBp.map(lit): _*), col("lead_digit")))
+      .select(col("lead_digit"), col("n").cast("long").as("n"),
+        col("share_bp").cast("long").as("share_bp"), col("benford_bp"),
+        (col("share_bp") - col("benford_bp")).cast("long").as("delta_bp"))
+      .orderBy(col("lead_digit"))
+  }
+
+  val benfordAuditSql: String = {
+    val cases = benfordBp.zipWithIndex
+      .map { case (bp, i) => s"WHEN ${i + 1} THEN $bp" }.mkString(" ")
+    s"""WITH d AS (
+       |  SELECT CAST(SUBSTR(CAST(
+       |      CAST(CAST(o_totalprice AS DECIMAL(14,4)) * 100 AS BIGINT)
+       |    AS VARCHAR), 1, 1) AS INTEGER) AS lead_digit
+       |  FROM orders
+       |), c AS (
+       |  SELECT lead_digit, COUNT(*) AS n FROM d GROUP BY 1
+       |), t AS (SELECT SUM(n) AS tot FROM c)
+       |SELECT lead_digit, CAST(n AS BIGINT) AS n,
+       |  CAST(10000 * n // tot AS BIGINT) AS share_bp,
+       |  CAST(CASE lead_digit $cases END AS BIGINT) AS benford_bp,
+       |  CAST(10000 * n // tot - CASE lead_digit $cases END AS BIGINT) AS delta_bp
+       |FROM c CROSS JOIN t ORDER BY lead_digit""".stripMargin
   }
 
   // ------------------------------------------------ q148 trimmed mean
@@ -1734,6 +1840,8 @@ object Relational {
     QueryDef("q115_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q117_spend_deciles", spendDeciles, Some(spendDecilesSql)),
     QueryDef("q131_skew_audit", skewAudit, Some(skewAuditSql)),
-    QueryDef("q135_k_anonymity", kAnonymity, Some(kAnonymitySql))
+    QueryDef("q135_k_anonymity", kAnonymity, Some(kAnonymitySql)),
+    QueryDef("q157_l_diversity", lDiversity, Some(lDiversitySql)),
+    QueryDef("q158_benford_audit", benfordAudit, Some(benfordAuditSql))
   )
 }

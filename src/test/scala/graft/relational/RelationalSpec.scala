@@ -465,6 +465,48 @@ class RelationalSpec extends SparkSpec {
     assert(got.forall(r => r._3 < r._2))
   }
 
+  test("q157 l-diversity census matches a Scala model and conserves rows") {
+    val cust = graft.Tables.customer(spark, sfDir)
+      .select(col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+      .collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+    def bucket(bal: Double): Long =
+      Math.floorDiv(BigDecimal(bal).setScale(4).*(100).toLongExact + 10000000L, 100000L)
+    val byClass = cust.groupBy(c => (c._1, bucket(c._2)))
+    val model = byClass.values.toSeq
+      .map(ms => (ms.map(_._3).distinct.size.toLong, ms.size.toLong))
+      .groupBy(_._1).toSeq
+      .map { case (l, cs) =>
+        (l, cs.size.toLong, cs.map(_._2).sum, cs.map(_._2).min, l < 3)
+      }.sortBy(_._1)
+    val got = Relational.lDiversity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == model && got.nonEmpty)
+    // every customer row lands in exactly one census bucket
+    assert(got.map(_._3).sum == cust.length.toLong)
+  }
+
+  test("q158 Benford digit census is exact and shares sum to ~10000 bp") {
+    val prices = graft.Tables.orders(spark, sfDir)
+      .select(col("o_totalprice")).collect().map(_.getDouble(0))
+    val cents = prices.map(p => BigDecimal(p).setScale(4).*(100).toLongExact)
+    val digits = cents.map(_.toString.head.asDigit)
+    val tot = digits.length.toLong
+    val benford = Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
+    val model = digits.groupBy(identity).toSeq.map { case (d, xs) =>
+      val n = xs.length.toLong
+      (d, n, 10000L * n / tot, benford(d - 1), 10000L * n / tot - benford(d - 1))
+    }.sortBy(_._1)
+    val got = Relational.benfordAudit(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.nonEmpty)
+    // sanity: observed shares cover (integer-floor) the full distribution
+    val bpSum = got.map(_._3).sum
+    assert(bpSum > 9990L && bpSum <= 10000L)
+  }
+
   test("q153 CUSUM equals the sequential max(0, s+(x-mu-k)) recursion") {
     val daily = graft.Tables.events(spark, sfDir)
       .filter(col("event_type") === "purchase")
@@ -485,6 +527,39 @@ class RelationalSpec extends SparkSpec {
       .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
         r.getLong(3), r.getBoolean(4))).toSeq
     assert(got == model && got.nonEmpty)
+  }
+
+  test("q156 activity coverage equals a sequential interval-merge model") {
+    val spanUs = 5L * 60 * 1000000
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .collect().map { r =>
+        val t = r.getTimestamp(1)
+        val us = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+        (r.getLong(0), us, r.getLong(2))
+      }
+    // classic sweep: sort per user, merge [s, s+span) into islands when
+    // the next start is <= the running island end (touch coalesces)
+    val model = ev.groupBy(_._1).toSeq.map { case (uid, es) =>
+      val starts = es.sortBy(e => (e._2, e._3)).map(_._2).toSeq
+      var islands = List.empty[(Long, Long, Long)] // (start, end, nEvents)
+      starts.foreach { s =>
+        islands match {
+          case (is, ie, n) :: rest if s <= ie =>
+            islands = (is, math.max(ie, s + spanUs), n + 1) :: rest
+          case _ => islands = (s, s + spanUs, 1L) :: islands
+        }
+      }
+      val covs = islands.map(i => i._2 - i._1)
+      (uid, islands.size.toLong, islands.map(_._3).sum,
+        covs.sum, covs.max)
+    }.sortBy(_._1)
+    val got = Events.activityCoverage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.nonEmpty)
+    // coverage never exceeds events × span and never undershoots one span
+    assert(got.forall(r => r._4 <= r._3 * spanUs && r._4 >= spanUs))
   }
 
   test("q146 cohort LTV matches a Scala model; curve is monotone and conserved") {
