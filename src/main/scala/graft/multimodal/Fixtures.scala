@@ -398,6 +398,69 @@ object Fixtures {
       |) AS t(file, kind, sample_rate, channels, audio_ms, width, height, fps, video_ms)
       |ORDER BY file""".stripMargin
 
+  // ------------------------------------------------ q159 frame-sample plan
+
+  /** q159: deterministic frame-sampling PLAN from container metadata —
+    * the scheduling half of video ingest, separated from decode so the
+    * expensive part touches exactly the planned frames: per video, up to
+    * `FrameBudget` evenly-spaced frame indices with their presentation
+    * timestamps. A training pipeline materializes this plan, then a
+    * decode pass (`Multimodal.videoFrames` for GIF/MJPEG-AVI; the AVC
+    * stub elsewhere) extracts only `frame_idx ∈ plan` — never
+    * decode-all-then-sample.
+    *
+    * All integer arithmetic so the plan hash-gates: fps enters as exact
+    * milli-fps (fixture rates are integral), frame count =
+    * `fps_milli·duration_ms div 10⁶`, the i-th pick is `i·n div k`
+    * (floor-even spacing, duplicate-free since k ≤ n), and its timestamp
+    * inverts through the same milli-fps. One header-cost scan; the
+    * explode multiplies only the ≤ budget·videos plan rows. Oracle = the
+    * fixture ground truth (q88 discipline). */
+  val FrameBudget = 8L
+
+  def frameSamplePlan(spark: SparkSession, dir: String): DataFrame = {
+    val folder = mediaFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        Multimodal.videoMetaFromBytes(col("content")).as("v"))
+      .filter(col("v").isNotNull)
+      .select(col("file"),
+        (col("v.fps") * 1000).cast("long").as("fps_milli"),
+        col("v.duration_ms").as("video_ms"))
+      .withColumn("n_frames", expr("fps_milli * video_ms div 1000000"))
+      .withColumn("k", least(lit(FrameBudget), col("n_frames")))
+      .filter(col("k") > 0)
+      .select(col("file"), col("fps_milli"), col("n_frames"), col("k"),
+        explode(sequence(lit(0L), col("k") - 1, lit(1L))).as("sample_ord"))
+      .withColumn("frame_idx", expr("sample_ord * n_frames div k"))
+      .withColumn("ts_ms", expr("frame_idx * 1000000 div fps_milli"))
+      .select(col("file"), col("sample_ord"), col("frame_idx"), col("ts_ms"))
+      .orderBy(col("file"), col("sample_ord"))
+  }
+
+  /** Ground truth the video fixtures were built with (see q88). */
+  val frameSamplePlanSql: String =
+    s"""WITH v AS (
+       |  SELECT * FROM (VALUES
+       |    ('anim_d.gif',  10000, 200),
+       |    ('movie_f.mp4', 24000, 10000),
+       |    ('vid_e.avi',    4000, 1500)
+       |  ) AS t(file, fps_milli, video_ms)
+       |), p AS (
+       |  SELECT file, fps_milli,
+       |    fps_milli * video_ms // 1000000 AS n_frames,
+       |    LEAST($FrameBudget, fps_milli * video_ms // 1000000) AS k
+       |  FROM v
+       |), e AS (
+       |  SELECT file, fps_milli, n_frames, k,
+       |    unnest(generate_series(0, k - 1)) AS sample_ord
+       |  FROM p WHERE k > 0
+       |)
+       |SELECT file, CAST(sample_ord AS BIGINT) AS sample_ord,
+       |  CAST(sample_ord * n_frames // k AS BIGINT) AS frame_idx,
+       |  CAST((sample_ord * n_frames // k) * 1000000 // fps_milli AS BIGINT) AS ts_ms
+       |FROM e ORDER BY file, sample_ord""".stripMargin
+
   // ------------------------------------------------ q154 EXIF orientation
 
   /** JPEG bytes with an APP1/Exif segment spliced after SOI carrying
@@ -488,5 +551,6 @@ object Fixtures {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q88_media_metadata", mediaMetadata, Some(mediaMetadataSql)),
     QueryDef("q154_exif_orientation", exifOrientationAudit,
-      Some(exifOrientationAuditSql)))
+      Some(exifOrientationAuditSql)),
+    QueryDef("q159_frame_sample_plan", frameSamplePlan, Some(frameSamplePlanSql)))
 }

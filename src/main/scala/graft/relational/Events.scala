@@ -424,6 +424,116 @@ object Events {
       |  CAST(SUM(attr_cents) AS DOUBLE) / 100.0 AS attributed_value
       |FROM attr GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** q160: POSITION-BASED (U-shaped, 40/20/40) multi-touch attribution —
+    * the standard alternative to q79's equal split: the first and last
+    * touch each earn 40% of the purchase, the middle touches share the
+    * remaining 20%. Same exact-integer-cents discipline as q79 (floats
+    * leak cents and are order-dependent): 40% shares are `cents·40 div
+    * 100` trunc-division, the middle pool is the exact remainder
+    * `cents − first − last` (so conservation is structural, not
+    * approximate), the pool splits `div (n−2)` with its remainder to the
+    * EARLIEST middle, and the degenerate shapes are explicit — a single
+    * touch takes everything, a two-touch journey folds the pool into the
+    * first touch. Output is per user with the position breakdown (how
+    * much of their influence is opener vs closer vs nurture — the report
+    * marketing actually reads).
+    *
+    * Shape: identical to q79 — q64's equi-join, two windows over ONE
+    * purchase_id exchange, then a user-keyed aggregate. Trunc-division
+    * (not floor) on both engines for refund-negative values: the SQL
+    * twin spells out the sign-carrying `//` pair. */
+  def positionAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val matched = attributionJoin(spark, dir)
+      .withColumn("cents", cents(col("value")))
+    val wP = Window.partitionBy(col("purchase_id"))
+    val wRank = Window.partitionBy(col("purchase_id"))
+      .orderBy(col("click_ts"), col("click_id"))
+    matched
+      .withColumn("n_clicks", count(lit(1)).over(wP))
+      .withColumn("rk", row_number().over(wRank))
+      .withColumn("f", expr("(cents * 40) div 100"))
+      .withColumn("l", expr("(cents * 40) div 100"))
+      .withColumn("pool", col("cents") - col("f") - col("l"))
+      .withColumn("mid_share",
+        when(col("n_clicks") > 2, expr("pool div (n_clicks - 2)")).otherwise(lit(0L)))
+      .withColumn("attr_cents",
+        when(col("n_clicks") === 1, col("cents"))
+          .when(col("rk") === 1 && col("n_clicks") === 2, col("cents") - col("l"))
+          .when(col("rk") === 1, col("f"))
+          .when(col("rk") === col("n_clicks"), col("l"))
+          .otherwise(col("mid_share") + when(col("rk") === 2,
+            col("pool") - col("mid_share") * (col("n_clicks") - 2)).otherwise(lit(0L))))
+      .withColumn("pos",
+        when(col("n_clicks") === 1, "first")
+          .when(col("rk") === 1, "first")
+          .when(col("rk") === col("n_clicks"), "last")
+          .otherwise("mid"))
+      .groupBy(col("user_id"))
+      .agg(countDistinct(col("purchase_id")).as("n_purchases"),
+        count(lit(1)).as("n_credited_clicks"),
+        sum(when(col("pos") === "first", col("attr_cents")).otherwise(0L))
+          .cast("long").as("first_cents"),
+        sum(when(col("pos") === "mid", col("attr_cents")).otherwise(0L))
+          .cast("long").as("mid_cents"),
+        sum(when(col("pos") === "last", col("attr_cents")).otherwise(0L))
+          .cast("long").as("last_cents"))
+      .withColumn("attributed_value",
+        (col("first_cents") + col("mid_cents") + col("last_cents")).cast("double") / 100.0)
+      .orderBy(col("user_id"))
+  }
+
+  val positionAttributionSql: String =
+    """WITH c AS (
+      |  SELECT user_id, event_id AS click_id, ts AS click_ts
+      |  FROM events WHERE event_type = 'click'
+      |), p AS (
+      |  SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, value
+      |  FROM events WHERE event_type = 'purchase'
+      |), m AS (
+      |  SELECT p.user_id, purchase_id, click_id, click_ts,
+      |    CAST(CAST(value AS DECIMAL(14,4)) * 100 AS BIGINT) AS cents
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |    AND purchase_ts >= click_ts
+      |    AND purchase_ts <= click_ts + INTERVAL '30 minutes'
+      |), w AS (
+      |  SELECT user_id, purchase_id, cents,
+      |    COUNT(*) OVER (PARTITION BY purchase_id) AS n_clicks,
+      |    ROW_NUMBER() OVER (PARTITION BY purchase_id
+      |                       ORDER BY click_ts, click_id) AS rk
+      |  FROM m
+      |), s AS (
+      |  SELECT *,
+      |    CASE WHEN cents * 40 >= 0 THEN (cents * 40) // 100
+      |         ELSE -((-(cents * 40)) // 100) END AS f
+      |  FROM w
+      |), s2 AS (
+      |  SELECT *, cents - 2 * f AS pool,
+      |    CASE WHEN n_clicks > 2 THEN
+      |      CASE WHEN cents - 2 * f >= 0 THEN (cents - 2 * f) // (n_clicks - 2)
+      |           ELSE -((-(cents - 2 * f)) // (n_clicks - 2)) END
+      |    ELSE 0 END AS mid_share
+      |  FROM s
+      |), a AS (
+      |  SELECT user_id, purchase_id,
+      |    CASE WHEN n_clicks = 1 THEN cents
+      |         WHEN rk = 1 AND n_clicks = 2 THEN cents - f
+      |         WHEN rk = 1 THEN f
+      |         WHEN rk = n_clicks THEN f
+      |         ELSE mid_share + CASE WHEN rk = 2
+      |           THEN pool - mid_share * (n_clicks - 2) ELSE 0 END
+      |    END AS attr_cents,
+      |    CASE WHEN n_clicks = 1 OR rk = 1 THEN 'first'
+      |         WHEN rk = n_clicks THEN 'last' ELSE 'mid' END AS pos
+      |  FROM s2
+      |)
+      |SELECT user_id, COUNT(DISTINCT purchase_id) AS n_purchases,
+      |  COUNT(*) AS n_credited_clicks,
+      |  CAST(SUM(CASE WHEN pos = 'first' THEN attr_cents ELSE 0 END) AS BIGINT) AS first_cents,
+      |  CAST(SUM(CASE WHEN pos = 'mid' THEN attr_cents ELSE 0 END) AS BIGINT) AS mid_cents,
+      |  CAST(SUM(CASE WHEN pos = 'last' THEN attr_cents ELSE 0 END) AS BIGINT) AS last_cents,
+      |  CAST(SUM(attr_cents) AS DOUBLE) / 100.0 AS attributed_value
+      |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin
+
   /** KEYLESS interval (range) join, binned: every 'error' event opens a
     * 5-minute incident window [s, s+5m); count ALL events (any user)
     * inside each window. With no equality key, Spark plans a raw range
@@ -1169,6 +1279,8 @@ object Events {
     QueryDef("q84_asof_forward", asofForward, Some(asofForwardSql)),
     QueryDef("q64_attribution_join", attributionJoin, Some(attributionJoinSql)),
     QueryDef("q79_linear_attribution", linearAttribution, Some(linearAttributionSql)),
+    QueryDef("q160_position_attribution", positionAttribution,
+      Some(positionAttributionSql)),
     QueryDef("q65_range_join", rangeJoinBinned, Some(rangeJoinBinnedSql)),
     QueryDef("q100_transition_matrix", transitionMatrix, Some(transitionMatrixSql)),
     QueryDef("q101_concurrency_sweep", concurrencySweep, Some(concurrencySweepSql)),

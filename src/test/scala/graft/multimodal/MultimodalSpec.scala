@@ -492,6 +492,31 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.forall(_.getLong(0) == 7L))
   }
 
+  test("q159 frame-sample plan: budgeted even spacing over the fixture videos") {
+    // closed-form model from the fixture ground truth (milli-fps, ms)
+    val truth = Seq(("anim_d.gif", 10000L, 200L),
+      ("movie_f.mp4", 24000L, 10000L), ("vid_e.avi", 4000L, 1500L))
+    val model = truth.flatMap { case (f, fpsM, ms) =>
+      val n = fpsM * ms / 1000000L
+      val k = math.min(Fixtures.FrameBudget, n)
+      (0L until k).map { i =>
+        val idx = i * n / k
+        (f, i, idx, idx * 1000000L / fpsM)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Fixtures.frameSamplePlan(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model && got.nonEmpty)
+    // the 240-frame mp4 hits the budget cap; the 2-frame gif takes all
+    assert(got.count(_._1 == "movie_f.mp4") == Fixtures.FrameBudget)
+    assert(got.count(_._1 == "anim_d.gif") == 2)
+    // indices strictly increase within a file (no duplicate picks)
+    got.groupBy(_._1).values.foreach { rs =>
+      val idxs = rs.sortBy(_._2).map(_._3)
+      assert(idxs == idxs.distinct.sorted)
+    }
+  }
+
   test("extractFeaturesBatched matches the column-expression path") {
     import spark.implicits._
     val payload = Array[Byte](10, 20, 30, 40, 50, 60, 70)

@@ -529,6 +529,64 @@ class RelationalSpec extends SparkSpec {
     assert(got == model && got.nonEmpty)
   }
 
+  test("q160 position attribution conserves purchase cents and matches a model") {
+    val gapUs = 30L * 60 * 1000000
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        graft.Exact.cents(col("value")).as("cents"))
+      .collect().map { r =>
+        val t = r.getTimestamp(1)
+        val us = (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+        (r.getLong(0), us, r.getLong(2), r.getString(3), r.getLong(4))
+      }
+    val clicks = ev.filter(_._4 == "click")
+    val purchases = ev.filter(_._4 == "purchase")
+    // matched pairs: same user, purchase within [click, click+30m]
+    val byUserClicks = clicks.groupBy(_._1)
+    case class Touch(clickUs: Long, clickId: Long)
+    val matched = purchases.flatMap { p =>
+      byUserClicks.getOrElse(p._1, Array.empty[(Long, Long, Long, String, Long)])
+        .filter(c => p._2 >= c._2 && p._2 <= c._2 + gapUs)
+        .map(c => (p._1, p._3, p._5, Touch(c._2, c._3)))
+    }
+    def tdiv(a: Long, b: Long): Long = a / b // Scala / truncates like Spark div
+    val perUser = scala.collection.mutable.Map[Long, (Set[Long], Long, Long, Long, Long)]()
+      .withDefaultValue((Set.empty, 0L, 0L, 0L, 0L))
+    matched.groupBy(_._2).foreach { case (_, rows) =>
+      val cents = rows.head._3
+      val uid = rows.head._1
+      val touches = rows.map(_._4).sortBy(t => (t.clickUs, t.clickId))
+      val n = touches.length
+      val f = tdiv(cents * 40, 100)
+      val attrs: Seq[(String, Long)] =
+        if (n == 1) Seq(("first", cents))
+        else if (n == 2) Seq(("first", cents - f), ("last", f))
+        else {
+          val pool = cents - 2 * f
+          val ms = tdiv(pool, n - 2)
+          ("first", f) +: (0 until n - 2).map(i =>
+            ("mid", ms + (if (i == 0) pool - ms * (n - 2) else 0L))) :+ (("last", f))
+        }
+      val (ps, nc, fc, mc, lc) = perUser(uid)
+      perUser(uid) = (ps + rows.head._2, nc + n,
+        fc + attrs.filter(_._1 == "first").map(_._2).sum,
+        mc + attrs.filter(_._1 == "mid").map(_._2).sum,
+        lc + attrs.filter(_._1 == "last").map(_._2).sum)
+    }
+    val model = perUser.toSeq.map { case (u, (ps, nc, fc, mc, lc)) =>
+      (u, ps.size.toLong, nc, fc, mc, lc, (fc + mc + lc).toDouble / 100.0)
+    }.sortBy(_._1)
+    val got = Events.positionAttribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6))).toSeq
+    assert(got == model && got.nonEmpty)
+    // conservation across schemes: U-shaped and linear attribute the SAME total
+    val linear = Events.linearAttribution(spark, sfDir)
+      .agg(sum(round(col("attributed_value") * 100).cast("long"))).collect()(0).getLong(0)
+    val total = got.map(r => r._4 + r._5 + r._6).sum
+    assert(total == linear)
+  }
+
   test("q156 activity coverage equals a sequential interval-merge model") {
     val spanUs = 5L * 60 * 1000000
     val ev = graft.Tables.events(spark, sfDir)
