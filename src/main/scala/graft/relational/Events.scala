@@ -1188,6 +1188,61 @@ object Events {
       |SELECT e1, e2, e3, CAST(SUM(pn) AS BIGINT) AS n, COUNT(*) AS n_users
       |FROM runs GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 15""".stripMargin
 
+  // --------------------------------------------- q161 rolling active users
+
+  /** q161: rolling 7-day active users (WAU) per day, with same-day
+    * actives (DAU) and the DAU/WAU stickiness ratio — the growth
+    * dashboard's engagement line. Exact distinct counting over a SLIDING
+    * window is the trap here: a window-function COUNT(DISTINCT) is
+    * unsupported, and re-scanning 7 days per output day multiplies the
+    * corpus.
+    *
+    * Shape: dedup to the (user, active-day) frame ONCE (hash aggregate
+    * with map-side combine — the only corpus-sized step), then each
+    * active day contributes to the ≤ 7 window-END days it is visible
+    * from via a bounded explode over the aggregated frame, a second
+    * (user, window-day) dedup collapses multi-active users, and the
+    * per-day count is plain COUNT(*). Window-end days are inner-joined
+    * back to observed days so trailing phantom windows (ending after the
+    * last event) never appear. Everything after the first dedup is
+    * |users|·|days|-sized, not event-sized; stickiness is integer basis
+    * points. */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perDay = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val days = perDay.select(col("day")).distinct()
+    val dau = perDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = perDay
+      .select(col("user_id"), col("day"),
+        explode(sequence(lit(0), lit(6), lit(1))).as("k"))
+      .select(col("user_id"), expr("timestampadd(DAY, k, day)").as("win_day"))
+      .distinct()
+      .groupBy(col("win_day")).agg(count(lit(1)).as("wau"))
+    wau.join(days.withColumnRenamed("day", "win_day"), Seq("win_day"))
+      .join(dau.withColumnRenamed("day", "win_day"), Seq("win_day"))
+      .withColumn("stickiness_bp", expr("10000 * dau div wau"))
+      .select(col("win_day"), col("wau").cast("long").as("wau"),
+        col("dau").cast("long").as("dau"), col("stickiness_bp"))
+      .orderBy(col("win_day"))
+  }
+
+  val rollingActiveUsersSql: String =
+    """WITH pd AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+      |), days AS (SELECT DISTINCT day FROM pd),
+      |dau AS (SELECT day, COUNT(*) AS dau FROM pd GROUP BY 1),
+      |c AS (
+      |  SELECT DISTINCT user_id, day + k * INTERVAL 1 DAY AS win_day
+      |  FROM pd, range(0, 7) t(k)
+      |), w AS (SELECT win_day, COUNT(*) AS wau FROM c GROUP BY 1)
+      |SELECT w.win_day, CAST(wau AS BIGINT) AS wau,
+      |  CAST(dau.dau AS BIGINT) AS dau,
+      |  CAST(10000 * dau.dau // wau AS BIGINT) AS stickiness_bp
+      |FROM w JOIN days ON w.win_day = days.day
+      |  JOIN dau ON dau.day = w.win_day
+      |ORDER BY w.win_day""".stripMargin
+
   // --------------------------------------------- q156 activity coverage
 
   /** q156: per-user coalesced activity coverage — classic gaps-and-islands.
@@ -1265,6 +1320,8 @@ object Events {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q156_activity_coverage", activityCoverage, Some(activityCoverageSql)),
+    QueryDef("q161_rolling_active_users", rollingActiveUsers,
+      Some(rollingActiveUsersSql)),
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q146_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q153_cusum_drift", cusumDrift, Some(cusumDriftSql)),

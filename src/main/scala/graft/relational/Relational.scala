@@ -1728,6 +1728,63 @@ object Relational {
        |FROM c CROSS JOIN t ORDER BY lead_digit""".stripMargin
   }
 
+  // ------------------------------------------- q162 distribution drift
+
+  /** q162: distribution-drift audit between two periods — the
+    * cross-sectional complement of q153's temporal CUSUM: bucket the
+    * order-value distribution, compare the early-period (pre-1998)
+    * reference against the current period share-by-share, and report
+    * per-bucket deviation in basis points. The Σ|delta| total-variation
+    * summary (what a PSI/chi-square monitor thresholds on) falls out of
+    * the same rows; unlike PSI or chi-square it needs no log and no
+    * division by near-zero expected counts, so it is INTEGER-EXACT and
+    * scale-free at any data volume — the overflow-safe choice at 100 TB
+    * where (n·total)² chi-square numerators exceed int128.
+    *
+    * Shape: ONE scan, one conditional-sum hash aggregate over ≤ 20
+    * buckets, totals via the broadcast one-row scalar frame (the q153
+    * pattern, hygiene-whitelisted). $25k-wide integer-cents buckets,
+    * capped at 19. */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.orders(spark, dir)
+      .select(
+        least(lit(19L), expr(
+          "cast(cast(o_totalprice as decimal(14,4)) * 100 as bigint) div 2500000"))
+          .as("bucket"),
+        (year(col("o_orderdate")) < 1998).as("is_ref"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("is_ref"), 1L).otherwise(0L)).as("ref_n"),
+        sum(when(!col("is_ref"), 1L).otherwise(0L)).as("cur_n"))
+    val tot = counts.agg(sum(col("ref_n")).as("ref_tot"),
+      sum(col("cur_n")).as("cur_tot"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("ref_bp", expr("10000 * ref_n div ref_tot"))
+      .withColumn("cur_bp", expr("10000 * cur_n div cur_tot"))
+      .select(col("bucket"), col("ref_n").cast("long").as("ref_n"),
+        col("cur_n").cast("long").as("cur_n"),
+        col("ref_bp").cast("long").as("ref_bp"),
+        col("cur_bp").cast("long").as("cur_bp"),
+        (col("cur_bp") - col("ref_bp")).cast("long").as("delta_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  val distributionDriftSql: String =
+    """WITH b AS (
+      |  SELECT LEAST(19, CAST(CAST(o_totalprice AS DECIMAL(14,4)) * 100 AS BIGINT) // 2500000) AS bucket,
+      |    year(o_orderdate) < 1998 AS is_ref
+      |  FROM orders
+      |), c AS (
+      |  SELECT bucket,
+      |    SUM(CASE WHEN is_ref THEN 1 ELSE 0 END) AS ref_n,
+      |    SUM(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cur_n
+      |  FROM b GROUP BY 1
+      |), t AS (SELECT SUM(ref_n) AS ref_tot, SUM(cur_n) AS cur_tot FROM c)
+      |SELECT bucket, CAST(ref_n AS BIGINT) AS ref_n, CAST(cur_n AS BIGINT) AS cur_n,
+      |  CAST(10000 * ref_n // ref_tot AS BIGINT) AS ref_bp,
+      |  CAST(10000 * cur_n // cur_tot AS BIGINT) AS cur_bp,
+      |  CAST(10000 * cur_n // cur_tot - 10000 * ref_n // ref_tot AS BIGINT) AS delta_bp
+      |FROM c CROSS JOIN t ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------ q148 trimmed mean
 
   /** q148: robust per-segment customer value — the 5%-trimmed mean of
@@ -1842,6 +1899,7 @@ object Relational {
     QueryDef("q131_skew_audit", skewAudit, Some(skewAuditSql)),
     QueryDef("q135_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q157_l_diversity", lDiversity, Some(lDiversitySql)),
-    QueryDef("q158_benford_audit", benfordAudit, Some(benfordAuditSql))
+    QueryDef("q158_benford_audit", benfordAudit, Some(benfordAuditSql)),
+    QueryDef("q162_distribution_drift", distributionDrift, Some(distributionDriftSql))
   )
 }

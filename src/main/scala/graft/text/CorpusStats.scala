@@ -1535,6 +1535,54 @@ object CorpusStats {
        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q163: BPE merge candidates
+
+  /** q163: BPE merge-candidate counting — the TRAINING step of the
+    * tokenizer tier (q34 applies a byte-pair-ish tokenizer, q149 measures
+    * its fertility; this computes what tokenizer training actually
+    * iterates): the top-20 adjacent symbol pairs by corpus frequency,
+    * i.e. the first BPE merge round over a character-initialized
+    * vocabulary (Sennrich et al., ACL 2016).
+    *
+    * The shape IS the classic BPE-training optimization: pair counts are
+    * computed over the WORD-FREQUENCY TABLE, not over token occurrences —
+    * collapse the corpus to (word, count) first (one hash aggregate, the
+    * only corpus-sized step; distinct words grow ~Heaps-sublinearly), then
+    * expand each distinct word once into its ≤ len−1 adjacent pairs and
+    * weight by the word count. At 100 TB the vocab frame is millions of
+    * rows where the token stream is trillions. Top-20 via
+    * TakeOrderedAndProject with the (n desc, pair) total order. */
+  def bpeMergeCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+    vocab
+      .select(col("wn"),
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wn")).cast("long").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+  }
+
+  val bpeMergeCandidatesSql: String =
+    """WITH v AS (
+      |  SELECT w, COUNT(*) AS wn FROM (
+      |    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |    FROM documents
+      |  ) WHERE strlen(w) > 1 GROUP BY 1
+      |), i AS (
+      |  -- DuckDB's range() table function rejects lateral column args;
+      |  -- the list-returning generate_series + unnest does the same job
+      |  SELECT w, wn, unnest(generate_series(1, strlen(w) - 1)) AS i FROM v
+      |), p AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wn FROM i
+      |)
+      |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
+      |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
+
   // q149: tokenizer fertility per language
   // ---------------------------------------------------------------------
 
@@ -1695,6 +1743,8 @@ object CorpusStats {
       Some(tokenBudgetSelectionSql)),
     QueryDef("q149_tokenizer_fertility", tokenizerFertility,
       Some(tokenizerFertilitySql)),
-    QueryDef("q155_dataset_card", datasetCard, Some(datasetCardSql))
+    QueryDef("q155_dataset_card", datasetCard, Some(datasetCardSql)),
+    QueryDef("q163_bpe_merge_candidates", bpeMergeCandidates,
+      Some(bpeMergeCandidatesSql))
   )
 }

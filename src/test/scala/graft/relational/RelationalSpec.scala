@@ -529,6 +529,50 @@ class RelationalSpec extends SparkSpec {
     assert(got == model && got.nonEmpty)
   }
 
+  test("q161 rolling WAU matches a per-day user-set model; WAU bounds DAU") {
+    val dayMs = 24L * 3600 * 1000
+    val pd = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime))
+    val days = pd.map(_._2).distinct.sorted
+    val model = days.map { d =>
+      val wau = pd.filter(p => p._2 >= d - 6 * dayMs && p._2 <= d)
+        .map(_._1).distinct.length.toLong
+      val dau = pd.filter(_._2 == d).map(_._1).distinct.length.toLong
+      (d, wau, dau, 10000L * dau / wau)
+    }.toSeq
+    val got = Events.rollingActiveUsers(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == model && got.nonEmpty)
+    assert(got.forall(r => r._2 >= r._3))
+  }
+
+  test("q162 drift audit: shares conserve counts and the buckets partition orders") {
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_totalprice"), year(col("o_orderdate")).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getInt(1)))
+    val model = orders.map { case (p, y) =>
+      val b = math.min(19L, BigDecimal(p).setScale(4).*(100).toLongExact / 2500000L)
+      (b, y < 1998)
+    }.groupBy(_._1).toSeq.map { case (b, xs) =>
+      (b, xs.count(_._2).toLong, xs.count(!_._2).toLong)
+    }.sortBy(_._1)
+    val refTot = model.map(_._2).sum
+    val curTot = model.map(_._3).sum
+    val full = model.map { case (b, rn, cn) =>
+      val rbp = 10000L * rn / refTot
+      val cbp = 10000L * cn / curTot
+      (b, rn, cn, rbp, cbp, cbp - rbp)
+    }
+    val got = Relational.distributionDrift(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == full && got.nonEmpty)
+    assert(got.map(_._2).sum + got.map(_._3).sum == orders.length.toLong)
+  }
+
   test("q160 position attribution conserves purchase cents and matches a model") {
     val gapUs = 30L * 60 * 1000000
     val ev = graft.Tables.events(spark, sfDir)

@@ -531,6 +531,25 @@ class CorpusStatsSpec extends SparkSpec {
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
     shuffleExchanges(df).size
 
+  test("q163 BPE merge candidates equal a word-frequency Scala model") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val wordFreq = texts.toSeq
+      .flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase).toSeq)
+      .filter(_.length > 1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pairCounts = wordFreq.toSeq.flatMap { case (w, n) =>
+      w.sliding(2).map(p => (p, n))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val model = pairCounts.sortBy { case (p, n) => (-n, p) }.take(20)
+      .map { case (p, n) => (p, n) }
+    val got = graft.text.CorpusStats.bpeMergeCandidates(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == model && got.nonEmpty)
+    // every candidate is two adjacent letters
+    assert(got.forall(_._1.matches("[a-z]{2}")))
+  }
+
   test("plan locks: chunking is shuffle-free, sampling/packing/redaction one-shuffle") {
     // the documented 100 TB shapes, made checkable: q62's only exchange is
     // the presentation sort; q60 adds its audit aggregation, q63 its
