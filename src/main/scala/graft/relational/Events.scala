@@ -1243,6 +1243,103 @@ object Events {
       |  JOIN dau ON dau.day = w.win_day
       |ORDER BY w.win_day""".stripMargin
 
+  // ---------------------------------------- q164 theta-sketch rolling WAU
+
+  /** q164: q161's 100 TB SCALE PATH — rolling 7-day active users from
+    * mergeable Theta sketches instead of the exact (user, day) dedup.
+    * The exact path's first aggregate keys on every distinct (user, day)
+    * pair; at 100 TB that is the dominant shuffle. Here ONE corpus pass
+    * builds a per-day `theta_sketch_agg` of user ids (O(2^lgK) state per
+    * day, mergeable map-side), and every 7-day window is a
+    * `theta_union_agg` over ≤ 7 sketch rows — the window algebra runs on
+    * a |days|-row frame no matter the event volume, and persisted daily
+    * sketches make tomorrow's report incremental (union yesterday's
+    * sketches; never rescan).
+    *
+    * Oracle-less by design (q14/q82/q150 discipline: DuckDB has no Theta
+    * sketches) — q161 IS the exact twin under the hash gate, and the
+    * spec pins this estimate to q161's exact counts in the sub-2^lgK
+    * regime the harness data occupies. */
+  def thetaRollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy(col("day"))
+      .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+    val days = daily.select(col("day"))
+    daily
+      .select(col("day"), col("sk"),
+        explode(sequence(lit(0), lit(6), lit(1))).as("k"))
+      .select(expr("timestampadd(DAY, k, day)").as("win_day"), col("sk"))
+      .groupBy(col("win_day"))
+      .agg(expr("CAST(theta_sketch_estimate(theta_union_agg(sk, 12)) AS BIGINT)")
+        .as("wau_est"))
+      .join(days.withColumnRenamed("day", "win_day"), Seq("win_day"))
+      .orderBy(col("win_day"))
+  }
+
+  // ------------------------------------------ q165 conversion survival
+
+  /** q165: time-to-first-purchase survival curve — discrete Kaplan-Meier
+    * over day offsets with no censoring (every user observed from their
+    * first event): for each offset k, how many users converted exactly k
+    * days after first touch, the cumulative converts, and the share
+    * still unconverted in basis points. The payback-period curve beside
+    * q146's revenue LTV and q113's return-visit cohorts.
+    *
+    * Shape: ONE user-keyed aggregate computes both first-touch and
+    * first-purchase days (conditional min — no self-join of events to
+    * events), the offset census is a second aggregate over ≤ |users|
+    * rows, and the running sum's global window orders ≤ |days| census
+    * rows — bounded at any corpus size. Cohort total attaches via the
+    * broadcast one-row scalar frame (hygiene-whitelisted shape); all
+    * ratios integer basis points. */
+  def conversionSurvival(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("first_day"),
+        min(when(col("event_type") === "purchase", date_trunc("day", col("ts"))))
+          .as("first_purchase"))
+    val n = per.agg(count(lit(1)).as("n_users"))
+    val conv = per.filter(col("first_purchase").isNotNull)
+      .select(datediff(col("first_purchase"), col("first_day")).cast("long")
+        .as("offset_d"))
+      .groupBy(col("offset_d")).agg(count(lit(1)).as("n_convert"))
+    val w = Window.orderBy(col("offset_d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    conv.crossJoin(broadcast(n))
+      .withColumn("cum_convert", sum(col("n_convert")).over(w))
+      .withColumn("surviving_bp", expr("10000 * (n_users - cum_convert) div n_users"))
+      .select(col("offset_d"), col("n_convert").cast("long").as("n_convert"),
+        col("cum_convert").cast("long").as("cum_convert"),
+        col("n_users").cast("long").as("n_users"),
+        col("surviving_bp").cast("long").as("surviving_bp"))
+      .orderBy(col("offset_d"))
+  }
+
+  val conversionSurvivalSql: String =
+    """WITH per AS (
+      |  SELECT user_id, MIN(date_trunc('day', ts)) AS first_day,
+      |    MIN(CASE WHEN event_type = 'purchase'
+      |             THEN date_trunc('day', ts) END) AS first_purchase
+      |  FROM events GROUP BY 1
+      |), n AS (SELECT COUNT(*) AS n_users FROM per),
+      |conv AS (
+      |  SELECT date_diff('day', first_day, first_purchase) AS offset_d,
+      |    COUNT(*) AS n_convert
+      |  FROM per WHERE first_purchase IS NOT NULL GROUP BY 1
+      |), c AS (
+      |  SELECT offset_d, n_convert,
+      |    SUM(n_convert) OVER (ORDER BY offset_d
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_convert
+      |  FROM conv
+      |)
+      |SELECT CAST(offset_d AS BIGINT) AS offset_d,
+      |  CAST(n_convert AS BIGINT) AS n_convert,
+      |  CAST(cum_convert AS BIGINT) AS cum_convert,
+      |  CAST(n_users AS BIGINT) AS n_users,
+      |  CAST(10000 * (n_users - cum_convert) // n_users AS BIGINT) AS surviving_bp
+      |FROM c CROSS JOIN n ORDER BY offset_d""".stripMargin
+
   // --------------------------------------------- q156 activity coverage
 
   /** q156: per-user coalesced activity coverage — classic gaps-and-islands.
@@ -1322,6 +1419,9 @@ object Events {
     QueryDef("q156_activity_coverage", activityCoverage, Some(activityCoverageSql)),
     QueryDef("q161_rolling_active_users", rollingActiveUsers,
       Some(rollingActiveUsersSql)),
+    QueryDef("q164_theta_wau", thetaRollingActiveUsers, None),
+    QueryDef("q165_conversion_survival", conversionSurvival,
+      Some(conversionSurvivalSql)),
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),
     QueryDef("q146_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("q153_cusum_drift", cusumDrift, Some(cusumDriftSql)),

@@ -529,6 +529,40 @@ class RelationalSpec extends SparkSpec {
     assert(got == model && got.nonEmpty)
   }
 
+  test("q164 theta WAU equals the exact q161 counts in the sub-2^lgK regime") {
+    val exact = Events.rollingActiveUsers(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    val est = Events.thetaRollingActiveUsers(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
+    assert(est.nonEmpty && est.keySet == exact.keySet)
+    // the harness has far fewer than 2^12 users per window: theta is exact
+    est.foreach { case (d, v) => assert(v == exact(d), s"day $d: $v vs ${exact(d)}") }
+  }
+
+  test("q165 conversion survival matches a model; curve is non-increasing") {
+    val dayMs = 24L * 3600 * 1000
+    val ev = graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val nUsers = byUser.size.toLong
+    val offsets = byUser.values.flatMap { es =>
+      val firstDay = es.map(_._2).min
+      val firstP = es.filter(_._3 == "purchase").map(_._2).minOption
+      firstP.map(p => (p - firstDay) / dayMs)
+    }.toSeq
+    var cum = 0L
+    val model = offsets.groupBy(identity).toSeq.sortBy(_._1).map { case (k, xs) =>
+      cum += xs.size
+      (k, xs.size.toLong, cum, nUsers, 10000L * (nUsers - cum) / nUsers)
+    }
+    val got = Events.conversionSurvival(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.nonEmpty)
+    assert(got.map(_._5) == got.map(_._5).sorted.reverse)
+  }
+
   test("q161 rolling WAU matches a per-day user-set model; WAU bounds DAU") {
     val dayMs = 24L * 3600 * 1000
     val pd = graft.Tables.events(spark, sfDir)
