@@ -1535,6 +1535,81 @@ object CorpusStats {
        |FROM sel GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q166: vocabulary growth (Heaps curve)
+
+  /** q166: vocabulary-growth census — the empirical Heaps curve: walking
+    * the corpus in doc_id order in 100-doc buckets, how many NEW word
+    * types does each bucket contribute, against its token volume. The
+    * curve answers the collection questions scaling laws need (is the
+    * corpus still contributing vocabulary, or is it re-treading — a
+    * flattening novelty rate is the "more of the same data" signal
+    * dedup/mixture planning acts on).
+    *
+    * Shape: a type's first occurrence is `min(doc_id)` per token — ONE
+    * inverted-index-shaped hash aggregate (the only corpus-sized step,
+    * map-side combinable), bucketed by integer division; per-bucket
+    * token volume is a second corpus aggregate that never explodes
+    * (per-row `size(tokens)`); cumulative sums run over the ≤
+    * |docs|/100-row bucket frame. Novelty in integer basis points. */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+    val perBucket = docs
+      .select(expr("doc_id div 100").as("bucket"),
+        size(col("toks")).cast("long").as("n_toks"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bucket_tokens"))
+    val newTypes = docs
+      .select(explode(col("toks")).as("tok"), col("doc_id"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
+      .groupBy(expr("fd div 100").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perBucket.join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .withColumn("novelty_bp", expr("10000 * new_types div bucket_tokens"))
+      .select(col("bucket"), col("n_docs").cast("long").as("n_docs"),
+        col("bucket_tokens").cast("long").as("bucket_tokens"),
+        col("new_types").cast("long").as("new_types"),
+        col("cum_types").cast("long").as("cum_types"),
+        col("cum_tokens").cast("long").as("cum_tokens"),
+        col("novelty_bp").cast("long").as("novelty_bp"))
+      .orderBy(col("bucket"))
+  }
+
+  val vocabGrowthSql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+      |  FROM documents
+      |), pb AS (
+      |  SELECT doc_id // 100 AS bucket, COUNT(*) AS n_docs,
+      |    SUM(len(toks)) AS bucket_tokens
+      |  FROM d GROUP BY 1
+      |), ft AS (
+      |  SELECT tok, MIN(doc_id) AS fd FROM (
+      |    SELECT doc_id, unnest(toks) AS tok FROM d
+      |  ) GROUP BY 1
+      |), nt AS (
+      |  SELECT fd // 100 AS bucket, COUNT(*) AS new_types FROM ft GROUP BY 1
+      |), j AS (
+      |  SELECT pb.bucket, n_docs, bucket_tokens,
+      |    COALESCE(new_types, 0) AS new_types
+      |  FROM pb LEFT JOIN nt ON pb.bucket = nt.bucket
+      |)
+      |SELECT bucket, CAST(n_docs AS BIGINT) AS n_docs,
+      |  CAST(bucket_tokens AS BIGINT) AS bucket_tokens,
+      |  CAST(new_types AS BIGINT) AS new_types,
+      |  CAST(SUM(new_types) OVER w AS BIGINT) AS cum_types,
+      |  CAST(SUM(bucket_tokens) OVER w AS BIGINT) AS cum_tokens,
+      |  CAST(10000 * new_types // bucket_tokens AS BIGINT) AS novelty_bp
+      |FROM j
+      |WINDOW w AS (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY bucket""".stripMargin
+
   // q163: BPE merge candidates
 
   /** q163: BPE merge-candidate counting — the TRAINING step of the
@@ -1745,6 +1820,7 @@ object CorpusStats {
       Some(tokenizerFertilitySql)),
     QueryDef("q155_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("q163_bpe_merge_candidates", bpeMergeCandidates,
-      Some(bpeMergeCandidatesSql))
+      Some(bpeMergeCandidatesSql)),
+    QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql))
   )
 }

@@ -531,6 +531,32 @@ class CorpusStatsSpec extends SparkSpec {
   private def shuffleCount(df: org.apache.spark.sql.DataFrame): Int =
     shuffleExchanges(df).size
 
+  test("q166 vocab growth equals a sequential first-occurrence model") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), scalaTokens(r.getString(1).toLowerCase)))
+    val byBucket = docs.groupBy(_._1 / 100)
+    val firstDoc = scala.collection.mutable.Map[String, Long]()
+    docs.sortBy(_._1).foreach { case (id, toks) =>
+      toks.foreach(t => if (!firstDoc.contains(t)) firstDoc(t) = id)
+    }
+    val newPerBucket = firstDoc.values.groupBy(_ / 100).view
+      .mapValues(_.size.toLong).toMap
+    var cumT = 0L; var cumN = 0L
+    val model = byBucket.toSeq.sortBy(_._1).map { case (b, ds) =>
+      val toks = ds.map(_._2.size.toLong).sum
+      val nt = newPerBucket.getOrElse(b, 0L)
+      cumT += nt; cumN += toks
+      (b, ds.size.toLong, toks, nt, cumT, cumN, 10000L * nt / toks)
+    }
+    val got = graft.text.CorpusStats.vocabGrowth(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(got == model && got.nonEmpty)
+    // final cumulative vocabulary equals the corpus distinct-type count
+    assert(got.last._5 == firstDoc.size.toLong)
+  }
+
   test("q163 BPE merge candidates equal a word-frequency Scala model") {
     val texts = graft.Tables.documents(spark, sfDir)
       .select(col("text")).collect().map(_.getString(0))
