@@ -1208,9 +1208,14 @@ object Events {
     * |users|·|days|-sized, not event-sized; stickiness is integer basis
     * points. */
   def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    // the (user, day) frame feeds THREE branches (observed days, DAU,
+    // the windowed WAU dedup); without the lineage cut each branch
+    // re-scans the corpus and re-pays the dedup shuffle — checkpoint so
+    // the only corpus-sized step runs once (q83's shared-subtree rule)
     val perDay = Tables.events(spark, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
       .distinct()
+      .transform(graft.Dist.durableCkpt)
     val days = perDay.select(col("day")).distinct()
     val dau = perDay.groupBy(col("day")).agg(count(lit(1)).as("dau"))
     val wau = perDay
@@ -1242,6 +1247,70 @@ object Events {
       |FROM w JOIN days ON w.win_day = days.day
       |  JOIN dau ON dau.day = w.win_day
       |ORDER BY w.win_day""".stripMargin
+
+  // ------------------------------------------ q167 session-depth census
+
+  /** q167: session-depth census with bounce rate — q17 MAKES the
+    * sessions; this is the report product teams read off them: how many
+    * sessions are single-event bounces vs 2-event pairs vs shallow (3–5)
+    * vs deep (6+), each class's share in basis points, and the event
+    * volume it carries. The bounce row IS the bounce rate.
+    *
+    * Shape: q17's lag/cumsum sessionizer (one user-keyed exchange serves
+    * the lag window, the running sum, and the per-session count — hash
+    * (user) satisfies the (user, sess) clustering), then a 4-row class
+    * census and the broadcast one-row total (hygiene-whitelisted scalar
+    * shape). Depth classes are a fixed CASE on both engines. */
+  def sessionDepthCensus(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val running = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = Tables.events(spark, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             unix_micros(col("ts")) - col("prev_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(running))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("depth"))
+    val census = sess.groupBy(
+        when(col("depth") === 1, "1_bounce")
+          .when(col("depth") === 2, "2_pair")
+          .when(col("depth") <= 5, "3_shallow_3_5")
+          .otherwise("4_deep_6_plus").as("depth_class"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("depth")).cast("long").as("n_events"))
+    val tot = census.agg(sum(col("n_sessions")).as("tot"))
+    census.crossJoin(broadcast(tot))
+      .withColumn("share_bp", expr("10000 * n_sessions div tot"))
+      .select(col("depth_class"), col("n_sessions").cast("long").as("n_sessions"),
+        col("n_events"), col("share_bp").cast("long").as("share_bp"))
+      .orderBy(col("depth_class"))
+  }
+
+  val sessionDepthCensusSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, event_id,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events
+      |), s AS (
+      |  SELECT user_id,
+      |    CAST(SUM(CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_id
+      |  FROM o
+      |), d AS (
+      |  SELECT user_id, sess_id, COUNT(*) AS depth FROM s GROUP BY 1, 2
+      |), c AS (
+      |  SELECT CASE WHEN depth = 1 THEN '1_bounce'
+      |              WHEN depth = 2 THEN '2_pair'
+      |              WHEN depth <= 5 THEN '3_shallow_3_5'
+      |              ELSE '4_deep_6_plus' END AS depth_class,
+      |    COUNT(*) AS n_sessions, CAST(SUM(depth) AS BIGINT) AS n_events
+      |  FROM d GROUP BY 1
+      |), t AS (SELECT SUM(n_sessions) AS tot FROM c)
+      |SELECT depth_class, CAST(n_sessions AS BIGINT) AS n_sessions, n_events,
+      |  CAST(10000 * n_sessions // tot AS BIGINT) AS share_bp
+      |FROM c CROSS JOIN t ORDER BY depth_class""".stripMargin
 
   // ---------------------------------------- q164 theta-sketch rolling WAU
 
@@ -1420,6 +1489,7 @@ object Events {
     QueryDef("q161_rolling_active_users", rollingActiveUsers,
       Some(rollingActiveUsersSql)),
     QueryDef("q164_theta_wau", thetaRollingActiveUsers, None),
+    QueryDef("q167_session_depth", sessionDepthCensus, Some(sessionDepthCensusSql)),
     QueryDef("q165_conversion_survival", conversionSurvival,
       Some(conversionSurvivalSql)),
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),

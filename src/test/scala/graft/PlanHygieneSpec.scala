@@ -39,7 +39,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q134_embedding_outliers", "q137_bm25_retrieval", "q139_ann_recall_audit",
     "q142_quality_calibration", "q144_token_budget_selection",
     "q150_theta_overlap", "q153_cusum_drift", "q158_benford_audit",
-    "q162_distribution_drift", "q165_conversion_survival")
+    "q162_distribution_drift", "q165_conversion_survival",
+    "q167_session_depth")
 
   test("no registered query plans an unbounded cross product") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -529,6 +529,46 @@ class RelationalSpec extends SparkSpec {
     assert(got == model && got.nonEmpty)
   }
 
+  test("q167 session-depth census agrees with q17's sessions exactly") {
+    val depths = Events.sessionize(spark, sfDir).collect().map(_.getLong(2))
+    val tot = depths.length.toLong
+    def cls(d: Long) =
+      if (d == 1) "1_bounce" else if (d == 2) "2_pair"
+      else if (d <= 5) "3_shallow_3_5" else "4_deep_6_plus"
+    val model = depths.groupBy(cls).toSeq.map { case (c, ds) =>
+      (c, ds.length.toLong, ds.sum, 10000L * ds.length / tot)
+    }.sortBy(_._1)
+    val got = Events.sessionDepthCensus(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model && got.nonEmpty)
+    // census conserves sessions and events
+    assert(got.map(_._2).sum == tot)
+  }
+
+  test("plan locks for the r6 event tier: bounded hash-exchange counts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    def hashEx(df: org.apache.spark.sql.DataFrame): Int =
+      shuffleExchanges(df).count {
+        case s: ShuffleExchangeExec =>
+          s.outputPartitioning.isInstanceOf[HashPartitioning]
+        case _ => false
+      }
+    // q156: hash(user_id) from the island windows also satisfies both
+    // downstream (user, isl)/(user) aggregates — ONE hash exchange total
+    assert(hashEx(Events.activityCoverage(spark, sfDir)) == 1)
+    // q160: one purchase_id exchange (both windows) + one user_id
+    // aggregate exchange on top of q64's join shuffles — the join of two
+    // event selections adds at most 2 more; ban anything beyond 4
+    assert(hashEx(Events.positionAttribution(spark, sfDir)) <= 4)
+    // q161: ONE corpus-sized (user, day) dedup (checkpointed — each of
+    // the three consumer branches reads the materialized frame, never
+    // the corpus), then days/DAU/window-dedup/WAU aggregates and the two
+    // final joins over |users|·|days|-sized frames: ≤ 6 hash exchanges,
+    // only the first corpus-sized
+    assert(hashEx(Events.rollingActiveUsers(spark, sfDir)) <= 6)
+  }
+
   test("q164 theta WAU equals the exact q161 counts in the sub-2^lgK regime") {
     val exact = Events.rollingActiveUsers(spark, sfDir).collect()
       .map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toMap
