@@ -294,6 +294,74 @@ object Streaming {
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")
 
+  /** Per-user buffer for [[activityIslands]]: every event start (us,
+    * event_id) belonging to a still-OPEN island. */
+  final case class IslandBuf(starts: List[(Long, Long)])
+  /** One emitted coalesced-activity island (q156's unit of account). */
+  final case class Island(user_id: Long, start_us: Long, end_us: Long,
+                          n_events: Long)
+
+  /** Streaming twin of q156's gaps-and-islands activity coverage: emit
+    * each user's coalesced 5-minute activity island exactly once, as
+    * soon as it can no longer change.
+    *
+    * Finality: an island is immutable once the watermark reaches its
+    * end — Spark's stateful late-row filter drops input with
+    * ts <= watermark (equality included), so any event still admissible
+    * has ts > wm >= island end and, by the merge rule (an interval joins
+    * an island iff its start <= the island's end), must OPEN A NEW
+    * island, never extend a closed one. Re-emission is impossible by
+    * construction: an emitted island's events leave the buffer with it,
+    * and a later event cannot rebuild an island ending at or before the
+    * watermark.
+    *
+    * Bounded state: the buffer holds only events of OPEN islands (end >
+    * watermark), so with delay D and span W it is at most ~⌈D/W⌉ + 1
+    * islands' worth of starts per user — O(1) in the corpus size. The
+    * event-time timeout re-fires an idle user when the watermark passes
+    * its first open island's end, so islands emit without waiting for
+    * new data from that user. Out-of-order arrival within the watermark
+    * is absorbed by re-deriving islands from the sorted buffer each
+    * trigger — the same (us, event_id) total order the batch query
+    * windows on. */
+  def activityIslands(events: DataFrame, spanMinutes: Int = 5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val spanUs = spanMinutes * 60L * 1000000L
+    events.withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[IslandBuf, Island](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[IslandBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val incoming = rows.map { e =>
+            (e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000, e.event_id)
+          }.toList
+          val all = (state.getOption.map(_.starts).getOrElse(Nil) ++ incoming)
+            .sortBy(identity)
+          // rebuild islands from the sorted starts (merge on touch:
+          // s <= current end extends; otherwise a new island opens)
+          val islands = all.foldLeft(List.empty[(Long, Long, Long)]) {
+            case ((s0, e0, n0) :: rest, (s, _)) if s <= e0 =>
+              (s0, math.max(e0, s + spanUs), n0 + 1) :: rest
+            case (acc, (s, _)) => (s, s + spanUs, 1L) :: acc
+          }.reverse
+          val (closed, open) = islands.partition(_._2 <= wmUs)
+          val out = closed.map { case (s, e, n) => Island(uid, s, e, n) }
+          val firstOpen = open.headOption.map(_._1)
+          val keep = firstOpen.map(fo => all.filter(_._1 >= fo)).getOrElse(Nil)
+          if (keep.isEmpty) state.remove()
+          else {
+            state.update(IslandBuf(keep))
+            state.setTimeoutTimestamp(open.head._2 / 1000 + 1)
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** One buffered event in [[pathTriples]]' per-user state. */
   final case class PathEvent(us: Long, event_id: Long, event_type: String)
   /** Per-user buffer: the ≤ 2 most recent FINALIZED events plus every

@@ -63,6 +63,58 @@ class StreamingSpec extends SparkSpec {
       s"stream ${got.size} triples vs batch ${model.size}")
   }
 
+  test("streaming activity islands match the batch q156 per-user aggregates") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val spanUs = 5L * 60 * 1000000
+    val rows = eventRows().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val sentinelTs = new java.sql.Timestamp(rows.last.ts.getTime + 4L * 3600 * 1000)
+    val stream = MemoryStream[Streaming.EventRow]
+    val q = Streaming.activityIslands(stream.toDF())
+      .writeStream.format("memory").queryName("t_islands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      stream.addData(Streaming.EventRow(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      stream.addData(Streaming.EventRow(-2L,
+        new java.sql.Timestamp(sentinelTs.getTime + 3600 * 1000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val islands = spark.table("t_islands").filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // every island emitted exactly once: starts are unique per user
+    assert(islands.map(i => (i._1, i._2)).distinct.size == islands.size)
+    // batch island model (the q156 spec's sweep, kept per-island)
+    val model = rows.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val starts = es.sortBy(e => (e.ts.getTime * 1000 +
+        (e.ts.getNanos / 1000) % 1000, e.event_id))
+        .map(e => e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000)
+      var acc = List.empty[(Long, Long, Long)]
+      starts.foreach { s =>
+        acc = acc match {
+          case (is, ie, n) :: rest if s <= ie =>
+            (is, math.max(ie, s + spanUs), n + 1) :: rest
+          case _ => (s, s + spanUs, 1L) :: acc
+        }
+      }
+      acc.map(i => (uid, i._1, i._2, i._3))
+    }
+    assert(islands.sorted == model.sorted && islands.nonEmpty)
+    // and the streamed islands aggregate to exactly the q156 report
+    val agg = islands.groupBy(_._1).toSeq.map { case (u, is) =>
+      (u, is.size.toLong, is.map(_._4).sum,
+        is.map(i => i._3 - i._2).sum, is.map(i => i._3 - i._2).max)
+    }.sortBy(_._1)
+    val batch = graft.relational.Events.activityCoverage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(agg == batch)
+  }
+
   test("streaming tumbling windows match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
