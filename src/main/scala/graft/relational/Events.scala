@@ -1312,6 +1312,70 @@ object Events {
       |  CAST(10000 * n_sessions // tot AS BIGINT) AS share_bp
       |FROM c CROSS JOIN t ORDER BY depth_class""".stripMargin
 
+  // ------------------------------------------ q168 burst / rate-limit census
+
+  /** q168: per-user peak-burst census — the rate-limit / abuse-detection
+    * audit: the most events any user emitted inside ONE sliding hour,
+    * with the user count, event volume, and user share per peak value.
+    * The census keys on the peak itself (not pre-binned classes): the
+    * distinct-peak domain is bounded by the worst burst ever observed, so
+    * the report stays tiny at any corpus size while never collapsing to
+    * one row on sparse data the way fixed power-of-two classes do.
+    *
+    * The burst window is event-anchored: for each event, count the same
+    * user's events in [t, t+1h) via a RANGE frame over unix micros — the
+    * exact sliding-window maximum, not an hourly-bucket approximation (a
+    * burst straddling a bucket boundary would split there and
+    * under-report). Tied timestamps are frame peers on both engines, so
+    * the count is tie-stable.
+    *
+    * Shape: ONE corpus-sized hash(user) exchange serves BOTH the RANGE
+    * window and the per-user peak aggregate (HashPartitioning(user_id)
+    * satisfies the downstream clustering); the census is a ≤6-row
+    * aggregate whose total attaches via an unpartitioned window OVER THE
+    * CENSUS ITSELF — unlike the crossJoin(broadcast(one-row-agg)) scalar
+    * shape, this adds no second plan branch, so the corpus scan+window
+    * run exactly once (plan-locked at 2 hash exchanges). The RANGE frame
+    * advances two pointers linearly per user partition — no self-join,
+    * no per-event hour explode. */
+  def burstCensus(spark: SparkSession, dir: String): DataFrame = {
+    val hourAhead = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(Window.currentRow, 3600L * 1000000 - 1)
+    val peaks = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("burst", count(lit(1)).over(hourAhead))
+      .groupBy(col("user_id"))
+      .agg(max(col("burst")).as("peak"), count(lit(1)).as("n_events"))
+    val census = peaks.groupBy(col("peak").cast("long").as("peak"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("n_events")).cast("long").as("n_events"))
+    val overAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    census.withColumn("tot", sum(col("n_users")).over(overAll))
+      .withColumn("share_bp", expr("10000 * n_users div tot"))
+      .select(col("peak"), col("n_users").cast("long").as("n_users"),
+        col("n_events"), col("share_bp").cast("long").as("share_bp"))
+      .orderBy(col("peak"))
+  }
+
+  val burstCensusSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us FROM events
+      |), b AS (
+      |  SELECT user_id,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+      |                   RANGE BETWEEN CURRENT ROW AND 3599999999 FOLLOWING) AS burst
+      |  FROM e
+      |), p AS (
+      |  SELECT user_id, MAX(burst) AS peak, COUNT(*) AS n_events FROM b GROUP BY 1
+      |), c AS (
+      |  SELECT CAST(peak AS BIGINT) AS peak, COUNT(*) AS n_users,
+      |    CAST(SUM(n_events) AS BIGINT) AS n_events
+      |  FROM p GROUP BY 1
+      |)
+      |SELECT peak, CAST(n_users AS BIGINT) AS n_users, n_events,
+      |  CAST(10000 * n_users // SUM(n_users) OVER () AS BIGINT) AS share_bp
+      |FROM c ORDER BY peak""".stripMargin
+
   // ---------------------------------------- q164 theta-sketch rolling WAU
 
   /** q164: q161's 100 TB SCALE PATH — rolling 7-day active users from
@@ -1490,6 +1554,7 @@ object Events {
       Some(rollingActiveUsersSql)),
     QueryDef("q164_theta_wau", thetaRollingActiveUsers, None),
     QueryDef("q167_session_depth", sessionDepthCensus, Some(sessionDepthCensusSql)),
+    QueryDef("q168_burst_census", burstCensus, Some(burstCensusSql)),
     QueryDef("q165_conversion_survival", conversionSurvival,
       Some(conversionSurvivalSql)),
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),

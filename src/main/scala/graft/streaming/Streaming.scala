@@ -294,6 +294,61 @@ object Streaming {
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")
 
+  /** Per-shard Misra-Gries summary for [[trendingItems]]: at most k
+    * counters plus the shard's processed-item count and an emission
+    * sequence number. */
+  final case class MGShardState(counters: Map[String, Long], n: Long, seq: Long)
+  /** One summary row: `est` is the Misra-Gries lower-bound estimate for
+    * `item` among the `shard_n` items routed to `shard` so far. */
+  final case class TrendingRow(shard: Int, item: String, est: Long,
+                               shard_n: Long, seq: Long)
+
+  /** Streaming heavy hitters (trending items) in bounded memory: a
+    * Misra-Gries summary per item-hash shard, maintained in
+    * `mapGroupsWithState` and re-emitted as a snapshot every trigger
+    * (Update mode — the feed a "trending now" panel polls).
+    *
+    * Sharding by `hash(item) % nShards` sends EVERY occurrence of an
+    * item to one shard, so each shard's summary carries the classic MG
+    * guarantee over its own substream: for every tracked item,
+    * `true − ⌊n/(k+1)⌋ ≤ est ≤ true`, and any item with true count
+    * > n/(k+1) is guaranteed tracked. Total state is nShards·k counters
+    * — O(1) in the stream length, vs the unbounded keyed state of a
+    * plain streaming `groupBy(item).count`. At 100 TB/day this is the
+    * only viable exact-bound shape: shards scale horizontally (each is
+    * an independent state-store key) and summaries merge by the same
+    * decrement rule for a global top-k. The batch twin is q71's
+    * `misra_gries` TypedImperativeAggregate; StreamingSpec asserts the
+    * MG bound theorems against exact counts — deterministic regardless
+    * of trigger slicing — and exact equality when k covers the domain. */
+  def trendingItems(items: DataFrame, k: Int = 8, nShards: Int = 4): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(col("item").cast("string")).as[String]
+      .groupByKey(it => math.floorMod(it.hashCode, nShards))
+      .flatMapGroupsWithState[MGShardState, TrendingRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[String], state: GroupState[MGShardState]) =>
+          val s0 = state.getOption.getOrElse(MGShardState(Map.empty, 0L, 0L))
+          var m = s0.counters
+          var n = s0.n
+          rows.foreach { it =>
+            n += 1
+            m.get(it) match {
+              case Some(c) => m = m.updated(it, c + 1)
+              case None if m.size < k => m = m.updated(it, 1L)
+              case None => // summary full: decrement all, evict zeros
+                m = m.flatMap { case (i, c) =>
+                  if (c > 1) Some(i -> (c - 1)) else None
+                }
+            }
+          }
+          val seq = s0.seq + 1
+          state.update(MGShardState(m, n, seq))
+          m.iterator.map { case (i, c) => TrendingRow(shard, i, c, n, seq) }
+      }.toDF()
+  }
+
   /** Per-user buffer for [[activityIslands]]: every event start (us,
     * event_id) belonging to a still-OPEN island. */
   final case class IslandBuf(starts: List[(Long, Long)])

@@ -1,6 +1,6 @@
 package graft.relational
 
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.exchange.Exchange
@@ -567,6 +567,37 @@ class RelationalSpec extends SparkSpec {
     // final joins over |users|·|days|-sized frames: ≤ 6 hash exchanges,
     // only the first corpus-sized
     assert(hashEx(Events.rollingActiveUsers(spark, sfDir)) <= 6)
+    // q168: hash(user) serves the RANGE window AND the peak aggregate;
+    // the only other hash exchange is the ≤6-row class census
+    assert(hashEx(Events.burstCensus(spark, sfDir)) == 2)
+  }
+
+  test("q168 burst census matches a two-pointer sliding-window model") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val peaks = ev.groupBy(_._1).map { case (uid, rows) =>
+      val us = rows.map(_._2).sorted
+      var lo = 0; var peak = 0L; var n = 0L
+      us.indices.foreach { hi =>
+        // shrink until us(lo) is inside [us(hi) - 1h + 1us, us(hi)] —
+        // equivalently count rows in the event-anchored [t, t+1h) frame
+        while (us(hi) - us(lo) >= 3600L * 1000000) lo += 1
+        peak = math.max(peak, (hi - lo + 1).toLong)
+        n += 1
+      }
+      (uid, peak, n)
+    }.toSeq
+    val tot = peaks.size.toLong
+    val model = peaks.groupBy(_._2).toSeq.map { case (p, us) =>
+      (p, us.size.toLong, us.map(_._3).sum, 10000L * us.size / tot)
+    }.sortBy(_._1)
+    val got = Events.burstCensus(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model && got.nonEmpty && got.size > 1,
+      s"peak census should be non-degenerate, got $got")
+    // census conserves users and events
+    assert(got.map(_._2).sum == tot && got.map(_._3).sum == ev.length.toLong)
   }
 
   test("q164 theta WAU equals the exact q161 counts in the sub-2^lgK regime") {

@@ -115,6 +115,58 @@ class StreamingSpec extends SparkSpec {
     assert(agg == batch)
   }
 
+  test("streaming trending items: exact when k covers the domain, MG bounds when it cannot") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // deterministic skewed item stream: repeat each event's type
+    // (event_id % 4) + 1 times so counts differ across items
+    val items = eventRows().flatMap(e =>
+      Seq.fill((e.event_id % 4).toInt + 1)(e.event_type))
+    val (a, b) = items.splitAt(items.size / 2)
+    def run(k: Int, nShards: Int, name: String): Seq[(Int, String, Long, Long)] = {
+      val stream = MemoryStream[String]
+      val q = Streaming.trendingItems(
+          stream.toDF().select(col("value").as("item")), k, nShards)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        stream.addData(a); q.processAllAvailable()
+        stream.addData(b); q.processAllAvailable()
+      } finally q.stop()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      val lastSeq = rows.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._5).max }
+      rows.filter(r => r._5 == lastSeq(r._1)).map(r => (r._1, r._2, r._3, r._4))
+    }
+    val exact = items.groupBy(identity).map { case (i, xs) => i -> xs.size.toLong }
+    // ample k: every shard tracks its whole sub-domain with exact counts
+    val ample = run(16, 4, "t_trend_ample")
+    assert(ample.nonEmpty)
+    ample.foreach { case (sh, it, est, _) =>
+      assert(math.floorMod(it.hashCode, 4) == sh)
+      assert(est == exact(it), s"ample-k MG must be exact: $it $est vs ${exact(it)}")
+    }
+    assert(ample.map(_._2).toSet == exact.keySet)
+    assert(ample.map(_._4).distinct.sorted ==
+      items.groupBy(i => math.floorMod(i.hashCode, 4)).values
+        .map(_.size.toLong).toSeq.distinct.sorted)
+    // tight k = 2, one shard: the decrement path runs; the MG theorems
+    // hold regardless of how triggers sliced the stream
+    val tight = run(2, 1, "t_trend_tight")
+    val n = items.size.toLong
+    assert(tight.size <= 2, "summary must never exceed k counters")
+    tight.foreach { case (_, it, est, shardN) =>
+      assert(shardN == n)
+      assert(est <= exact(it), "MG estimate never overcounts")
+      assert(exact(it) - est <= n / (2 + 1), "MG undercount bounded by n/(k+1)")
+    }
+    val tracked = tight.map(_._2).toSet
+    exact.foreach { case (it, c) =>
+      if (c > n / 3) assert(tracked(it), s"true heavy hitter $it ($c > n/3) must be tracked")
+    }
+  }
+
   test("streaming tumbling windows match the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
