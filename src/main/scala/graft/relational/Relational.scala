@@ -1343,6 +1343,97 @@ object Relational {
       |SELECT v, CAST(score AS BIGINT) AS score FROM r2
       |ORDER BY score DESC, v LIMIT 20""".stripMargin
 
+  // --------------------------------------- q169 k-core onion decomposition
+
+  /** Peeling rounds unrolled for q169 (max observed convergence across
+    * SF dirs is 6 rounds at sf0.1; 8 leaves proof-of-convergence
+    * headroom — the census itself shows trailing zero-peel rounds). */
+  val KCoreRounds = 8
+
+  /** q169: k-core (k=2) onion decomposition of the co-purchase graph —
+    * the graph-pruning primitive beside q114's influence ranking and
+    * q110's clustering coefficient: repeatedly peel vertices of degree
+    * < k; what survives is the 2-core (every vertex keeps ≥ 2
+    * co-purchase partners), and the per-round peel census is the "onion
+    * layer" profile — how shell-like vs core-like the graph is. Peeling
+    * is the standard degeneracy decomposition restricted to its first
+    * core; the census stays meaningful even when the core empties.
+    *
+    * Both engines unroll the SAME fixed [[KCoreRounds]] rounds (q114's
+    * unrolled-rounds policy — never a convergence loop two engines
+    * could exit differently); a converged graph just repeats its final
+    * row, so trailing `n_peeled = 0` rows ARE the convergence proof,
+    * spec-asserted at round [[KCoreRounds]].
+    *
+    * Shape: edges from q110's basket generator, symmetrized by the
+    * one-generator explode (never a union). Per round: one map-combined
+    * degree aggregate and two LEFT SEMI hash joins against the ≤|V|
+    * keep-set; every round's edge frame is lazily checkpointed — three
+    * consumers each (next round's degree, the semi joins, its census
+    * row) read ONE materialized RDD, so the per-round cost is
+    * O(|remaining edges|) and the 4^rounds analyzer blowup of
+    * self-referential loops never starts. The 9-row census assembles
+    * from one-row aggregates; the peel delta attaches via a window over
+    * that tiny frame (no second branch through the loop). */
+  def kcoreOnion(spark: SparkSession, dir: String): DataFrame = {
+    val k = 2
+    val pairs = copurchaseCounts(spark, dir).filter(col("n") >= 2)
+    var edges = pairs
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
+      .transform(graft.Dist.durableCkpt)
+    def census(r: Int, e: DataFrame): DataFrame =
+      e.agg(count_distinct(col("src")).cast("long").as("n_vertices"),
+        count(lit(1)).cast("long").as("n_sym_edges"))
+        .withColumn("round", lit(r.toLong))
+    var rows = Seq(census(0, edges))
+    (1 to KCoreRounds).foreach { r =>
+      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("v"))
+        .transform(graft.Dist.durableCkpt)
+      edges = edges
+        .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
+        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
+        .transform(graft.Dist.durableCkpt)
+      rows = rows :+ census(r, edges)
+    }
+    rows.reduce(_ unionByName _)
+      .withColumn("n_peeled",
+        coalesce(lag(col("n_vertices"), 1).over(Window.orderBy(col("round")))
+          - col("n_vertices"), lit(0L)))
+      .select(col("round"), col("n_vertices"), col("n_sym_edges"), col("n_peeled"))
+      .orderBy(col("round"))
+  }
+
+  val kcoreOnionSql: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""d$r AS (SELECT src AS v FROM e${r - 1} GROUP BY src HAVING COUNT(*) >= 2),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |  JOIN d$r a ON e.src = a.v JOIN d$r b ON e.dst = b.v)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to KCoreRounds).map { r =>
+      s"SELECT $r AS round, COUNT(DISTINCT src) AS n_vertices, COUNT(*) AS n_sym_edges FROM e$r"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |p AS (SELECT a.l_partkey a, b.l_partkey b FROM i a JOIN i b
+       |      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       |      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+       |e0 AS MATERIALIZED (SELECT a AS src, b AS dst FROM p
+       |                    UNION ALL SELECT b, a FROM p),
+       |$rounds,
+       |c AS (
+       |  $unions
+       |)
+       |SELECT CAST(round AS BIGINT) AS round,
+       |  CAST(n_vertices AS BIGINT) AS n_vertices,
+       |  CAST(n_sym_edges AS BIGINT) AS n_sym_edges,
+       |  CAST(COALESCE(lag(n_vertices) OVER (ORDER BY round) - n_vertices, 0) AS BIGINT)
+       |    AS n_peeled
+       |FROM c ORDER BY round""".stripMargin
+  }
+
   /** Equi-depth bucket count for q115. */
   val HistB = 8
 
@@ -1894,6 +1985,7 @@ object Relational {
     QueryDef("q110_triangle_count", triangleCount, Some(triangleCountSql)),
     QueryDef("q112_market_share", marketShare, Some(marketShareSql)),
     QueryDef("q114_pagerank", pagerankTwoRounds, Some(pagerankTwoRoundsSql)),
+    QueryDef("q169_kcore_onion", kcoreOnion, Some(kcoreOnionSql)),
     QueryDef("q115_equidepth_histogram", equidepthHistogram, Some(equidepthHistogramSql)),
     QueryDef("q117_spend_deciles", spendDeciles, Some(spendDecilesSql)),
     QueryDef("q131_skew_audit", skewAudit, Some(skewAuditSql)),

@@ -572,6 +572,30 @@ class RelationalSpec extends SparkSpec {
     assert(hashEx(Events.burstCensus(spark, sfDir)) == 2)
   }
 
+  test("q169 k-core onion census matches a sequential peeling model") {
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct.collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairs = li.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keySet
+    var edges = pairs.toSeq.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    def verts = edges.map(_._1).distinct.size.toLong
+    var census = Vector((0L, verts, edges.size.toLong, 0L))
+    (1 to Relational.KCoreRounds).foreach { r =>
+      val keep = edges.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val prev = census.last._2
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+      census :+= ((r.toLong, verts, edges.size.toLong, prev - verts))
+    }
+    val got = Relational.kcoreOnion(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toVector
+    assert(got == census && got.size == Relational.KCoreRounds + 1)
+    // the unroll count proves convergence: the final round peels nothing
+    assert(got.last._4 == 0L)
+  }
+
   test("q168 burst census matches a two-pointer sliding-window model") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
