@@ -1025,11 +1025,19 @@ object Relational {
     * per basket and never crosses an exchange. The pair census then
     * map-side-combines. Output is the top-25 pairs under a total order
     * (count desc, pair) so the limit is deterministic. */
-  /** Shared basket pair generator for q96/q110/q114: per-order baskets →
-    * all ordered part pairs (a < b by the sorted basket) with their
-    * co-occurrence count. One hash agg + one bounded per-basket
-    * generator — never a fact-fact self-join. */
-  private def copurchaseCounts(spark: SparkSession, dir: String): DataFrame =
+  /** Shared basket pair generator for q96/q110/q114/q169: per-order
+    * baskets → all ordered part pairs (a < b by the sorted basket) with
+    * their co-occurrence count. One hash agg + one bounded per-basket
+    * generator — never a fact-fact self-join (spec-locked on this
+    * builder: one lineitem scan, no SortMergeJoin).
+    *
+    * Four registered queries consume this identical frame, so
+    * [[copurchaseCounts]] lands it ONCE per (session, dir,
+    * checkpoint-regime) — the d7258c8 idiom the LSH/k-means front-ends
+    * use, with the same durability-aware memo key (round-6 gotcha). At
+    * 100 TB the equivalent is landing the pair graph as a bucketed
+    * catalog table with a content fingerprint, not a session memo. */
+  private[relational] def buildCopurchaseCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
@@ -1041,6 +1049,14 @@ object Relational {
           |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
+
+  private val copurchaseMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), DataFrame]()
+
+  private def copurchaseCounts(spark: SparkSession, dir: String): DataFrame =
+    copurchaseMemo.computeIfAbsent(
+      (spark, dir, spark.sparkContext.getCheckpointDir),
+      { _ => buildCopurchaseCounts(spark, dir).transform(graft.Dist.durableCkpt) })
 
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame =
     copurchaseCounts(spark, dir)
@@ -1359,22 +1375,28 @@ object Relational {
     * is the standard degeneracy decomposition restricted to its first
     * core; the census stays meaningful even when the core empties.
     *
-    * Both engines unroll the SAME fixed [[KCoreRounds]] rounds (q114's
-    * unrolled-rounds policy — never a convergence loop two engines
-    * could exit differently); a converged graph just repeats its final
-    * row, so trailing `n_peeled = 0` rows ARE the convergence proof,
+    * Both engines report the SAME fixed [[KCoreRounds]] rounds (q114's
+    * unrolled-rounds policy for the ORACLE — never a convergence loop
+    * two engines could exit differently); peeling is idempotent at its
+    * fixpoint, so once a round removes nothing every later round's row
+    * is provably identical, and the Spark side SYNTHESIZES those
+    * trailing rows instead of running known-no-op jobs (the q55/q75
+    * convergence-action idiom — at sf0.1 this skips 2 of 8 rounds).
+    * Trailing `n_peeled = 0` rows ARE the convergence proof,
     * spec-asserted at round [[KCoreRounds]].
     *
     * Shape: edges from q110's basket generator, symmetrized by the
     * one-generator explode (never a union). Per round: one map-combined
-    * degree aggregate and two LEFT SEMI hash joins against the ≤|V|
-    * keep-set; every round's edge frame is lazily checkpointed — three
-    * consumers each (next round's degree, the semi joins, its census
-    * row) read ONE materialized RDD, so the per-round cost is
-    * O(|remaining edges|) and the 4^rounds analyzer blowup of
-    * self-referential loops never starts. The 9-row census assembles
-    * from one-row aggregates; the peel delta attaches via a window over
-    * that tiny frame (no second branch through the loop). */
+    * degree aggregate and two LEFT SEMI joins against the ≤|V| keep-set
+    * — BROADCAST-hinted, because checkpointed frames carry no stats and
+    * would silently fall back to shuffle joins (round-2 gotcha; like
+    * q55's label broadcast, switch to shuffle semi joins if the
+    * keep-set ever outgrows a broadcast). Every round's edge frame is
+    * lazily checkpointed and materialized by that round's bounded
+    * one-row census action, so the next round reads ONE RDD and the
+    * 4^rounds analyzer blowup of self-referential loops never starts.
+    * The census itself is driver-side longs (≤ 9 rows) returned as a
+    * local relation. */
   def kcoreOnion(spark: SparkSession, dir: String): DataFrame = {
     val k = 2
     val pairs = copurchaseCounts(spark, dir).filter(col("n") >= 2)
@@ -1383,27 +1405,38 @@ object Relational {
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
+      // the peeled graph is orders smaller than the corpus; 8 partitions
+      // keep every later round's checkpoint/scan constant small (no
+      // exchange: coalesce narrows the explode's partitioning)
+      .coalesce(8)
       .transform(graft.Dist.durableCkpt)
-    def census(r: Int, e: DataFrame): DataFrame =
-      e.agg(count_distinct(col("src")).cast("long").as("n_vertices"),
-        count(lit(1)).cast("long").as("n_sym_edges"))
-        .withColumn("round", lit(r.toLong))
-    var rows = Seq(census(0, edges))
-    (1 to KCoreRounds).foreach { r =>
-      val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-        .filter(col("d") >= k).select(col("src").as("v"))
-        .transform(graft.Dist.durableCkpt)
-      edges = edges
-        .join(keep.select(col("v").as("src")), Seq("src"), "left_semi")
-        .join(keep.select(col("v").as("dst")), Seq("dst"), "left_semi")
-        .transform(graft.Dist.durableCkpt)
-      rows = rows :+ census(r, edges)
+    def counts(e: DataFrame): (Long, Long) = {
+      // bounded one-row action: materializes the round's checkpoint and
+      // doubles as the convergence check
+      val r = e.agg(count_distinct(col("src")).cast("long"),
+        count(lit(1)).cast("long")).collect()(0)
+      (r.getLong(0), r.getLong(1))
     }
-    rows.reduce(_ unionByName _)
-      .withColumn("n_peeled",
-        coalesce(lag(col("n_vertices"), 1).over(Window.orderBy(col("round")))
-          - col("n_vertices"), lit(0L)))
-      .select(col("round"), col("n_vertices"), col("n_sym_edges"), col("n_peeled"))
+    var cur = counts(edges)
+    val census = scala.collection.mutable.ArrayBuffer((0L, cur._1, cur._2, 0L))
+    var converged = false
+    (1 to KCoreRounds).foreach { r =>
+      if (converged) census += ((r.toLong, cur._1, cur._2, 0L))
+      else {
+        val keep = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .filter(col("d") >= k).select(col("src").as("v"))
+        edges = edges
+          .join(broadcast(keep.select(col("v").as("src"))), Seq("src"), "left_semi")
+          .join(broadcast(keep.select(col("v").as("dst"))), Seq("dst"), "left_semi")
+          .transform(graft.Dist.durableCkpt)
+        val nxt = counts(edges)
+        census += ((r.toLong, nxt._1, nxt._2, cur._1 - nxt._1))
+        converged = nxt == cur
+        cur = nxt
+      }
+    }
+    import spark.implicits._
+    census.toSeq.toDF("round", "n_vertices", "n_sym_edges", "n_peeled")
       .orderBy(col("round"))
   }
 

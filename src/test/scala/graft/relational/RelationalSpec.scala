@@ -52,8 +52,10 @@ class RelationalSpec extends SparkSpec {
     val got = q.collect().toSeq
     assert(got.nonEmpty && got == brute,
       "basket pair generation must equal the self-join formulation")
-    // the whole point: ONE lineitem scan, no fact-fact join node
-    val nodes = collectAll(plan(q))
+    // the whole point, locked on the UNMEMOIZED builder (the registered
+    // query reads the session-landed checkpoint of this exact frame):
+    // ONE lineitem scan, no fact-fact join node
+    val nodes = collectAll(plan(Relational.buildCopurchaseCounts(spark, sfDir)))
     val scans = nodes.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
     assert(scans.size == 1, s"expected a single lineitem scan, got ${scans.size}")
