@@ -71,31 +71,39 @@ class FileStreamRestartSpec extends SparkSpec {
   test("trendingItems: Misra-Gries state survives a checkpointed restart") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-trend-restart")
-    val in = s"$base/in"; val ckpt = s"$base/ckpt"
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
     new java.io.File(in).mkdirs()
     try {
       val schema = StructType.fromDDL("item STRING")
-      def start(name: String) = Streaming.trendingItems(
+      // memory sinks cannot recover a checkpoint; foreachBatch is the
+      // restartable Update-mode sink shape (snapshots appended per batch)
+      def start() = Streaming.trendingItems(
           spark.readStream.schema(schema).parquet(in), k = 8, nShards = 2)
-        .writeStream.format("memory").queryName(name)
+        .writeStream
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          df.write.mode("append").parquet(out)
+        }
         .option("checkpointLocation", ckpt)
         .outputMode("update").start()
 
       val batch1 = Seq("a", "a", "b", "c")
       batch1.toDF("item").coalesce(1).write.mode("append").parquet(in)
-      val q1 = start("t_trend_r1")
+      val q1 = start()
       q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+      val preRestart = spark.read.parquet(out)
+        .agg(org.apache.spark.sql.functions.max("seq")).collect()(0).getLong(0)
 
       val batch2 = Seq("a", "b", "b", "d")
       batch2.toDF("item").coalesce(1).write.mode("append").parquet(in)
-      val q2 = start("t_trend_r2")
+      val q2 = start()
       q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
 
-      // the restarted query's memory table holds only post-restart
-      // snapshots — cumulative counts there prove the MG state (and its
+      // only post-restart snapshots (seq beyond the pre-restart max) are
+      // examined — cumulative counts there prove the MG state (and its
       // processed-item total) was restored from the checkpoint, and the
       // checkpointed offsets prove batch 1 was not replayed
-      val rows = spark.table("t_trend_r2").collect()
+      val rows = spark.read.parquet(out)
+        .filter(org.apache.spark.sql.functions.col("seq") > preRestart).collect()
         .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
           r.getLong(4))).toSeq
       val lastSeq = rows.groupBy(_._1).map { case (s, rs) => s -> rs.map(_._5).max }
