@@ -1376,6 +1376,59 @@ object Events {
       |  CAST(10000 * n_users // SUM(n_users) OVER () AS BIGINT) AS share_bp
       |FROM c ORDER BY peak""".stripMargin
 
+  // ------------------------------------------ q170 burst alert feed
+
+  /** Alert threshold and bucket width for q170 (and its streaming twin
+    * [[graft.streaming.Streaming.burstAlerts]]): ≥ BurstThreshold events
+    * in the rolling 12-bucket (1 h) window ending at a 5-minute bucket. */
+  val BurstThreshold = 3L
+  val BurstBucketUs = 300000000L
+
+  /** q170: the rate-limit EXCEEDANCE FEED — where q168 reports each
+    * user's single worst burst, this emits every (user, 5-minute bucket)
+    * whose trailing-hour event count crosses [[BurstThreshold]]: the
+    * actionable alert stream a throttling system consumes, and the batch
+    * twin the streaming emitter is proven against. Bucketed-hour
+    * semantics (12 complete 5-min buckets) rather than q168's
+    * event-anchored exact window — the standard alerting definition,
+    * because it gives each potential alert a FINALITY instant (bucket
+    * end + watermark) a streaming emitter can act on exactly once.
+    *
+    * Shape: one explicit hash(user) repartition serves BOTH the
+    * (user, bucket) count and the per-user RANGE window (q74's
+    * partitioning-reuse idiom; plan-locked at 1 hash exchange — grouping
+    * on (user, bucket) directly would exchange on the pair and then
+    * AGAIN for the user window). The RANGE frame over bucket indices
+    * skips empty buckets by value, no gap-fill row explosion. */
+  def burstAlerts(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("bkt"))
+      .rangeBetween(-11, Window.currentRow)
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        expr(s"unix_micros(ts) div $BurstBucketUs").as("bkt"))
+      .repartition(col("user_id"))
+      .groupBy(col("user_id"), col("bkt")).agg(count(lit(1)).as("n"))
+      .withColumn("hr_events", sum(col("n")).over(byUser).cast("long"))
+      .filter(col("hr_events") >= BurstThreshold)
+      .select(col("user_id"), col("bkt").cast("long").as("bkt"),
+        col("hr_events"))
+      .orderBy(col("user_id"), col("bkt"))
+  }
+
+  val burstAlertsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 300000000 AS bkt FROM events
+      |), c AS (
+      |  SELECT user_id, bkt, COUNT(*) AS n FROM e GROUP BY 1, 2
+      |), w AS (
+      |  SELECT user_id, CAST(bkt AS BIGINT) AS bkt,
+      |    CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY bkt
+      |         RANGE BETWEEN 11 PRECEDING AND CURRENT ROW) AS BIGINT) AS hr_events
+      |  FROM c
+      |)
+      |SELECT user_id, bkt, hr_events FROM w
+      |WHERE hr_events >= 3 ORDER BY user_id, bkt""".stripMargin
+
   // ---------------------------------------- q164 theta-sketch rolling WAU
 
   /** q164: q161's 100 TB SCALE PATH — rolling 7-day active users from
@@ -1555,6 +1608,7 @@ object Events {
     QueryDef("q164_theta_wau", thetaRollingActiveUsers, None),
     QueryDef("q167_session_depth", sessionDepthCensus, Some(sessionDepthCensusSql)),
     QueryDef("q168_burst_census", burstCensus, Some(burstCensusSql)),
+    QueryDef("q170_burst_alerts", burstAlerts, Some(burstAlertsSql)),
     QueryDef("q165_conversion_survival", conversionSurvival,
       Some(conversionSurvivalSql)),
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),

@@ -294,6 +294,79 @@ object Streaming {
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")
 
+  /** Per-user state for [[burstAlerts]]: event counts for the open
+    * (non-final) 5-minute buckets plus the last finalized bucket index
+    * already swept for alerts. */
+  final case class BurstBuf(counts: Map[Long, Long], emittedUpTo: Long)
+  /** One rate-limit exceedance: `hr_events` events in the 12-bucket
+    * trailing hour ending at bucket `bkt`. */
+  final case class BurstAlert(user_id: Long, bkt: Long, hr_events: Long)
+
+  /** Streaming twin of q170's rate-limit exceedance feed: emit
+    * (user, 5-minute bucket) exactly once when the trailing-hour count
+    * crosses the threshold, as soon as the watermark proves the bucket's
+    * count can no longer change.
+    *
+    * Finality: bucket b covers [b·U, (b+1)·U); it is final once the
+    * watermark reaches (b+1)·U, because the stateful late-row filter
+    * drops ts <= watermark — every admissible event lands in a LATER
+    * bucket. Alerts are only swept over final buckets past
+    * `emittedUpTo`, in order, so each fires at most once and carries the
+    * complete trailing-hour sum (all 11 predecessors of a final bucket
+    * are final too, and are retained until no future bucket's window can
+    * reference them). Out-of-order arrival within the watermark is
+    * absorbed by the per-bucket counts — addition is order-free, so the
+    * emitted set equals the batch q170 answer under ANY trigger slicing.
+    *
+    * Bounded state: final buckets older than (last final − 11) are
+    * evicted; with delay D and bucket U the map holds ≈ D/U + 12
+    * entries per user. The event-time timeout re-fires an idle user when
+    * its newest bucket finalizes, so alerts flush without new data. */
+  def burstAlerts(events: DataFrame, threshold: Long = 3L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val U = graft.relational.Events.BurstBucketUs
+    events.withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[BurstBuf, BurstAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[BurstBuf]) =>
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val finalMax = wmUs / U - 1 // (finalMax+1)*U <= wmUs for wmUs>=U
+          val s0 = state.getOption.getOrElse(BurstBuf(Map.empty, -1L))
+          var counts = s0.counts
+          rows.foreach { e =>
+            val us = e.ts.getTime * 1000 + (e.ts.getNanos / 1000) % 1000
+            val b = us / U
+            counts = counts.updated(b, counts.getOrElse(b, 0L) + 1)
+          }
+          val sweep = counts.keys.filter(b => b <= finalMax && b > s0.emittedUpTo)
+            .toSeq.sorted
+          val out = sweep.flatMap { b =>
+            val hr = (b - 11 to b).flatMap(counts.get).sum
+            if (hr >= threshold) Some(BurstAlert(uid, b, hr)) else None
+          }
+          val upTo = math.max(s0.emittedUpTo, finalMax)
+          val kept = counts.filter { case (b, _) => b >= finalMax - 10 }
+          if (kept.isEmpty) state.remove()
+          else {
+            state.update(BurstBuf(kept, upTo))
+            // fire again once the newest OPEN bucket finalizes (strictly
+            // past its end — necessarily > the current watermark). If
+            // every kept bucket is already final they exist only as
+            // lookback for future data-triggered invocations: nothing
+            // more can emit until new data, so no timeout is set.
+            val open = kept.keys.filter(_ > finalMax)
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp((open.max + 1) * U / 1000L + 1)
+          }
+          out.iterator
+      }.toDF()
+  }
+
   /** Per-shard Misra-Gries summary for [[trendingItems]]: at most k
     * counters plus the shard's processed-item count and an emission
     * sequence number. */

@@ -572,6 +572,26 @@ class RelationalSpec extends SparkSpec {
     // q168: hash(user) serves the RANGE window AND the peak aggregate;
     // the only other hash exchange is the ≤6-row class census
     assert(hashEx(Events.burstCensus(spark, sfDir)) == 2)
+    // q170: ONE explicit hash(user) repartition serves the (user, bkt)
+    // count AND the per-user RANGE window (q74's partitioning reuse)
+    assert(hashEx(Events.burstAlerts(spark, sfDir)) == 1)
+  }
+
+  test("q170 burst alerts match a rolling-bucket model") {
+    val U = Events.BurstBucketUs
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / U))
+    val model = ev.groupBy(_._1).toSeq.flatMap { case (uid, rows) =>
+      val counts = rows.groupBy(_._2).map { case (b, xs) => b -> xs.size.toLong }
+      counts.keys.toSeq.sorted.flatMap { b =>
+        val hr = (b - 11 to b).flatMap(counts.get).sum
+        if (hr >= Events.BurstThreshold) Some((uid, b, hr)) else None
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = Events.burstAlerts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == model && got.nonEmpty)
   }
 
   test("q169 k-core onion census matches a sequential peeling model") {

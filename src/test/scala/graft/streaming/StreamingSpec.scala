@@ -115,6 +115,34 @@ class StreamingSpec extends SparkSpec {
     assert(agg == batch)
   }
 
+  test("streaming burst alerts equal the batch q170 feed, each exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = eventRows().sortBy(e => (e.ts.getTime, e.event_id))
+    val (first, second) = rows.splitAt(rows.size / 2)
+    val sentinelTs = new java.sql.Timestamp(rows.last.ts.getTime + 4L * 3600 * 1000)
+    val stream = MemoryStream[Streaming.EventRow]
+    val q = Streaming.burstAlerts(stream.toDF())
+      .writeStream.format("memory").queryName("t_burst")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(first); q.processAllAvailable()
+      stream.addData(second); q.processAllAvailable()
+      stream.addData(Streaming.EventRow(-1L, sentinelTs, -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+      stream.addData(Streaming.EventRow(-2L,
+        new java.sql.Timestamp(sentinelTs.getTime + 3600 * 1000), -1L, "sentinel", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_burst").filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // exactly-once: no (user, bucket) fires twice
+    assert(got.map(a => (a._1, a._2)).distinct.size == got.size)
+    val batch = graft.relational.Events.burstAlerts(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.sorted == batch.sorted && got.nonEmpty)
+  }
+
   test("streaming trending items: exact when k covers the domain, MG bounds when it cannot") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
