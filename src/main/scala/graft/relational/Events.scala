@@ -1429,6 +1429,69 @@ object Events {
       |SELECT user_id, bkt, hr_events FROM w
       |WHERE hr_events >= 3 ORDER BY user_id, bkt""".stripMargin
 
+  // ------------------------------------------ q172 incremental backfill
+
+  /** q172: LATE-DATA BACKFILL — the reconciliation job that keeps a
+    * landed daily aggregate correct when events arrive after their day
+    * was published. Late rows are deterministic synthetic stragglers
+    * (`event_id % 37 = 0` on days with `day_index % 7 = 3` — day-
+    * targeted so the touched set stays a strict subset of the 30-day
+    * span at EVERY scale factor; a flat id-modulo marker touches every
+    * day once the corpus is large). The landed MV is the on-time daily
+    * aggregate; the backfill recomputes ONLY the late batch's days and
+    * stitches them into the untouched landed rows, flagging rewrites.
+    *
+    * The contract that makes this THE production shape: the stitched
+    * output equals a FULL recompute bit-for-bit (oracle = full
+    * recompute + touch flag) while the recompute work is proportional
+    * to touched days. At 100 TB the landed aggregate is a stored table
+    * (zero scan), the tiny touched-day set broadcasts into a
+    * partition-PRUNED scan of the date-partitioned feed, and dynamic
+    * partition overwrite rewrites exactly those partitions (the
+    * mechanism the streaming MV in `streaming/Streaming.scala` already
+    * uses); here the landed side derives in-query so the whole
+    * contract stays oracle-checkable. The left-anti/left-semi joins
+    * against the broadcast day set are the only join shapes — no
+    * day-to-day shuffle anywhere. */
+  def incrementalBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = Tables.events(spark, dir)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("event_id"),
+        col("value"))
+      .withColumn("late",
+        pmod(col("event_id"), lit(37)) === 0 &&
+          pmod(expr(s"unix_micros(day) div $dayUs"), lit(7)) === 3)
+    val touched = ev.filter(col("late")).select(col("day")).distinct()
+      .transform(graft.Dist.durableCkpt)
+    val landed = ev.filter(!col("late"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+    val untouched = landed.join(broadcast(touched), Seq("day"), "left_anti")
+      .withColumn("recomputed", lit(false))
+    val recomputed = ev.join(broadcast(touched), Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), sumMoney(col("value")).as("total_value"))
+      .withColumn("recomputed", lit(true))
+    untouched.unionByName(recomputed)
+      .select(col("day"), col("n_events"), col("total_value"), col("recomputed"))
+      .orderBy(col("day"))
+  }
+
+  val incrementalBackfillSql: String =
+    """WITH e AS (
+      |  SELECT date_trunc('day', ts) AS day, event_id, value FROM events
+      |), f AS (
+      |  SELECT day, COUNT(*) AS n_events,
+      |    CAST(SUM(CAST(value AS DECIMAL(14,4))) AS DOUBLE) AS total_value
+      |  FROM e GROUP BY 1
+      |), t AS (
+      |  SELECT DISTINCT day FROM e
+      |  WHERE event_id % 37 = 0 AND (epoch_us(day) // 86400000000) % 7 = 3
+      |)
+      |SELECT f.day, n_events, total_value, (t.day IS NOT NULL) AS recomputed
+      |FROM f LEFT JOIN t ON f.day = t.day
+      |ORDER BY f.day""".stripMargin
+
   // ---------------------------------------- q164 theta-sketch rolling WAU
 
   /** q164: q161's 100 TB SCALE PATH — rolling 7-day active users from
@@ -1609,6 +1672,8 @@ object Events {
     QueryDef("q167_session_depth", sessionDepthCensus, Some(sessionDepthCensusSql)),
     QueryDef("q168_burst_census", burstCensus, Some(burstCensusSql)),
     QueryDef("q170_burst_alerts", burstAlerts, Some(burstAlertsSql)),
+    QueryDef("q172_incremental_backfill", incrementalBackfill,
+      Some(incrementalBackfillSql)),
     QueryDef("q165_conversion_survival", conversionSurvival,
       Some(conversionSurvivalSql)),
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),

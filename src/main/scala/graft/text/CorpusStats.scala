@@ -1027,6 +1027,87 @@ object CorpusStats {
       |FROM s CROSS JOIN t ORDER BY source NULLS FIRST""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q171: temperature-rebalanced language mixture (α = 0.5, exact
+  // largest-remainder apportionment)
+  // ---------------------------------------------------------------------
+
+  /** q171: the MULTILINGUAL rebalancing step (the α-temperature sampling
+    * of XLM-R/mT5): language ℓ's sampling weight is n_tokensℓ^α with
+    * α = 0.5, which boosts low-resource languages without letting them
+    * dominate. q109 flattens SOURCES toward uniform (α = 0); this keeps
+    * a power-law compromise across LANGUAGES and allocates a fixed
+    * token budget (half the corpus) EXACTLY:
+    *
+    *  - weight = integer √n_tokens (floor), made exact by a ±1 Newton
+    *    correction on both engines, so α = 0.5 never touches floats;
+    *  - allocations use Hamilton's largest-remainder method — floor the
+    *    proportional quota, then hand the `budget − Σfloor` leftover
+    *    units to the largest remainders (ties by language code). Unlike
+    *    q109's independent floor rates, the allocations SUM TO THE
+    *    BUDGET EXACTLY (spec-asserted), which is what a downstream
+    *    sharder actually needs.
+    *
+    * Shape: ONE corpus-sized hash(lang) aggregate; every subsequent
+    * step (weight, quota, remainder rank, leftover bonus) is a window
+    * over the ≤|langs| frame (q168's unpartitioned-window idiom — no
+    * scalar branch re-executes the corpus scan). Long arithmetic holds
+    * to ~10^18: budget·weight overflows int64 only past ~10^12 tokens ·
+    * 10^6 weight — at that corpus scale lift the quota products to
+    * DECIMAL(38,0). */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+      .withColumn("s0", expr("cast(floor(sqrt(cast(n_tokens AS double))) AS bigint)"))
+      .withColumn("weight", expr(
+        """CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+          |     WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END""".stripMargin))
+      .withColumn("wsum", sum(col("weight")).over(all))
+      .withColumn("budget", expr("sum(n_tokens) OVER () div 2"))
+      .withColumn("base", expr("(budget * weight) div wsum"))
+      .withColumn("rem", expr("(budget * weight) % wsum"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"))))
+      .withColumn("leftover", expr("budget - sum(base) OVER ()"))
+      .withColumn("alloc_tokens",
+        expr("base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        col("weight"), col("alloc_tokens").cast("long").as("alloc_tokens"),
+        expr("(10000 * alloc_tokens) div budget").cast("long").as("alloc_bp"))
+      .orderBy(col("lang"))
+  }
+
+  val temperatureMixtureSql: String =
+    """WITH s AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT *, CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
+      |                      WHEN s0 * s0 > n_tokens THEN s0 - 1 ELSE s0 END AS BIGINT) AS weight
+      |  FROM (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS s0 FROM s)
+      |), q AS (
+      |  SELECT *,
+      |    CAST(SUM(weight) OVER () AS BIGINT) AS wsum,
+      |    CAST(SUM(n_tokens) OVER () // 2 AS BIGINT) AS budget
+      |  FROM w
+      |), r AS (
+      |  SELECT *, (budget * weight) // wsum AS base,
+      |    (budget * weight) % wsum AS rem
+      |  FROM q
+      |), k AS (
+      |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rnk,
+      |    CAST(budget - SUM(base) OVER () AS BIGINT) AS leftover
+      |  FROM r
+      |)
+      |SELECT lang, n_docs, n_tokens, weight,
+      |  CAST(base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS alloc_tokens,
+      |  CAST(10000 * (base + (CASE WHEN rnk <= leftover THEN 1 ELSE 0 END)) // budget AS BIGINT) AS alloc_bp
+      |FROM k ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q119: deterministic training-order shuffle + sharding
   // ---------------------------------------------------------------------
 
@@ -1805,6 +1886,8 @@ object CorpusStats {
     QueryDef("q103_pps_sample", ppsSample, Some(ppsSampleSql)),
     QueryDef("q104_pmi_pairs", pmiPairs, Some(pmiPairsSql)),
     QueryDef("q109_mixture_plan", mixturePlan, Some(mixturePlanSql)),
+    QueryDef("q171_temperature_mixture", temperatureMixture,
+      Some(temperatureMixtureSql)),
     QueryDef("q119_training_order", trainingOrder, Some(trainingOrderSql)),
     QueryDef("q124_exact_stratified_sample", exactStratifiedSample,
       Some(exactStratifiedSampleSql)),

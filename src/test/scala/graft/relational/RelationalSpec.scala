@@ -618,6 +618,32 @@ class RelationalSpec extends SparkSpec {
     assert(got.last._4 == 0L)
   }
 
+  test("q172 incremental backfill equals the full recompute; both stitch classes nonempty") {
+    val got = Events.incrementalBackfill(spark, sfDir).collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSeq
+    // THE backfill contract: stitched == full recompute, bit for bit
+    val full = Tables.events(spark, sfDir)
+      .select(date_trunc("DAY", col("ts")).as("day"), col("value"))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n"), graft.Exact.sumMoney(col("value")).as("tv"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == full && got.nonEmpty)
+    // the recompute flag marks exactly the days carrying a late row
+    val lateDays = Tables.events(spark, sfDir)
+      .select(unix_micros(date_trunc("DAY", col("ts"))).as("dus"), col("event_id"))
+      .collect()
+      .filter(r => r.getLong(1) % 37 == 0 && (r.getLong(0) / 86400000000L) % 7 == 3)
+      .map(r => r.getLong(0) / 1000).toSet
+    got.foreach { case (dayMs, _, _, rec) =>
+      assert(rec == lateDays.contains(dayMs), s"flag wrong for day $dayMs")
+    }
+    // day-targeted lateness keeps the stitch non-degenerate at any SF:
+    // some days recomputed, some served untouched from the landed MV
+    assert(got.exists(_._4) && got.exists(t => !t._4))
+  }
+
   test("q168 burst census matches a two-pointer sliding-window model") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()

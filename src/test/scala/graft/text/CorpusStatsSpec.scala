@@ -296,6 +296,42 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("q171 temperature mixture: Scala model agreement; allocations sum to the budget exactly") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => r.getString(0) -> scalaTokens(r.getString(1)).length.toLong)
+    val byLang = docs.groupBy(_._1).map { case (l, xs) =>
+      (l, xs.length.toLong, xs.map(_._2).sum) }.toSeq.sortBy(_._1)
+    def isqrt(n: Long): Long = {
+      var s = math.sqrt(n.toDouble).toLong
+      while ((s + 1) * (s + 1) <= n) s += 1
+      while (s * s > n) s -= 1
+      s
+    }
+    val weights = byLang.map { case (l, _, nt) => l -> isqrt(nt) }.toMap
+    val wsum = weights.values.sum
+    val budget = byLang.map(_._3).sum / 2
+    val base = byLang.map { case (l, _, _) => l -> (budget * weights(l)) / wsum }.toMap
+    val rem = byLang.map { case (l, _, _) => l -> (budget * weights(l)) % wsum }.toMap
+    val leftover = budget - base.values.sum
+    val bonusLangs = byLang.map(_._1).sortBy(l => (-rem(l), l)).take(leftover.toInt).toSet
+    val model = byLang.map { case (l, nd, nt) =>
+      val alloc = base(l) + (if (bonusLangs(l)) 1L else 0L)
+      (l, nd, nt, weights(l), alloc, 10000L * alloc / budget)
+    }
+    val got = CorpusStats.temperatureMixture(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == model, s"temperature mixture mismatch:\n$got\nvs\n$model")
+    // Hamilton apportionment: the budget is allocated EXACTLY, and the
+    // α=0.5 compromise keeps every language's allocation between the
+    // uniform and proportional extremes' floors at most one unit apart
+    assert(got.map(_._5).sum == budget)
+    got.foreach { case (_, _, nt, w, _, _) =>
+      assert(w * w <= nt && (w + 1) * (w + 1) > nt, "integer sqrt must be exact")
+    }
+  }
+
   test("q90 classifier: scores match a Scala model bit-for-bit; map-only plan") {
     val stop = Set("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
     // the exact left-associated chain the query and its oracle share —
