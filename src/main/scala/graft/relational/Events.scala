@@ -1429,6 +1429,63 @@ object Events {
       |SELECT user_id, bkt, hr_events FROM w
       |WHERE hr_events >= 3 ORDER BY user_id, bkt""".stripMargin
 
+  // ------------------------------------------ q173 inter-event gap spectrum
+
+  /** q173: the think-time SPECTRUM — per-user inter-event gaps binned by
+    * power of two (integer log₂), the census that justifies q17's
+    * 30-minute session gap empirically: within-session think times pile
+    * into the low buckets, cross-session returns into the high ones,
+    * and the sessionization threshold belongs in the valley between.
+    * q107 debounces the sub-second end and q108 measures one funnel's
+    * latency; this is the full distribution both of them sit inside.
+    *
+    * The log₂ bucket is the BINARY DIGIT COUNT of the gap in micros —
+    * `length(bin(gap))` in Spark, `length(format('{:b}', gap))` in
+    * DuckDB — an exact integer on both engines, where `floor(log2(x))`
+    * in doubles can flip at power-of-two boundaries. Zero gaps (tied
+    * timestamps) land in bucket 1 on both.
+    *
+    * Shape: ONE hash(user) exchange for the lag window, then a
+    * ≤64-row bucket census; shares attach via the unpartitioned window
+    * over the census (q168's idiom — no second corpus branch). */
+  def gapSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(length(bin(col("gap_us"))).cast("long").as("gap_bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap_us")).cast("long").as("lo_us"),
+        max(col("gap_us")).cast("long").as("hi_us"))
+      .withColumn("share_bp",
+        expr("10000 * n_gaps div sum(n_gaps) OVER ()").cast("long"))
+      .select(col("gap_bucket"), col("n_gaps").cast("long").as("n_gaps"),
+        col("lo_us"), col("hi_us"), col("share_bp"))
+      .orderBy(col("gap_bucket"))
+  }
+
+  val gapSpectrumSql: String =
+    """WITH o AS (
+      |  SELECT user_id, epoch_us(ts) AS us, event_id,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+      |  FROM events
+      |), g AS (
+      |  SELECT CAST(length(format('{:b}', us - p)) AS BIGINT) AS gap_bucket,
+      |    us - p AS gap_us
+      |  FROM o WHERE p IS NOT NULL
+      |), c AS (
+      |  SELECT gap_bucket, COUNT(*) AS n_gaps,
+      |    CAST(MIN(gap_us) AS BIGINT) AS lo_us,
+      |    CAST(MAX(gap_us) AS BIGINT) AS hi_us
+      |  FROM g GROUP BY 1
+      |)
+      |SELECT gap_bucket, CAST(n_gaps AS BIGINT) AS n_gaps, lo_us, hi_us,
+      |  CAST(10000 * n_gaps // SUM(n_gaps) OVER () AS BIGINT) AS share_bp
+      |FROM c ORDER BY gap_bucket""".stripMargin
+
   // ------------------------------------------ q172 incremental backfill
 
   /** q172: LATE-DATA BACKFILL — the reconciliation job that keeps a
@@ -1674,6 +1731,7 @@ object Events {
     QueryDef("q170_burst_alerts", burstAlerts, Some(burstAlertsSql)),
     QueryDef("q172_incremental_backfill", incrementalBackfill,
       Some(incrementalBackfillSql)),
+    QueryDef("q173_gap_spectrum", gapSpectrum, Some(gapSpectrumSql)),
     QueryDef("q165_conversion_survival", conversionSurvival,
       Some(conversionSurvivalSql)),
     QueryDef("q138_event_paths", eventPaths, Some(eventPathsSql)),

@@ -644,6 +644,28 @@ class RelationalSpec extends SparkSpec {
     assert(got.exists(_._4) && got.exists(t => !t._4))
   }
 
+  test("q173 gap spectrum matches a sequential lag model") {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps = ev.groupBy(_._1).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3)).map(_._2)
+      sorted.zip(sorted.drop(1)).map { case (a, b) => b - a }
+    }.toSeq
+    val tot = gaps.size.toLong
+    val model = gaps.groupBy(g => java.lang.Long.toBinaryString(g).length.toLong)
+      .toSeq.map { case (b, gs) =>
+        (b, gs.size.toLong, gs.min, gs.max, 10000L * gs.size / tot)
+      }.sortBy(_._1)
+    val got = Events.gapSpectrum(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.size > 3)
+    // spectrum conserves gaps: every event except each user's first
+    assert(got.map(_._2).sum == tot &&
+      tot == ev.length - ev.map(_._1).distinct.length)
+  }
+
   test("q168 burst census matches a two-pointer sliding-window model") {
     val ev = Tables.events(spark, sfDir)
       .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
