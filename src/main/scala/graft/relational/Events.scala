@@ -1567,10 +1567,15 @@ object Events {
     * spec pins this estimate to q161's exact counts in the sub-2^lgK
     * regime the harness data occupies. */
   def thetaRollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    // `daily` feeds TWO plan branches (the window-explode and the
+    // observed-days join); without a lineage cut the corpus-sized
+    // theta_sketch_agg would execute once per branch — the multi-branch
+    // re-execution gotcha q161's perDay already guards against.
     val daily = Tables.events(spark, dir)
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
       .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+      .transform(graft.Dist.durableCkpt)
     val days = daily.select(col("day"))
     daily
       .select(col("day"), col("sk"),

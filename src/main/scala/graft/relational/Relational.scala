@@ -1050,6 +1050,11 @@ object Relational {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
 
+  // NOTE process-lifetime retention: entries (and the SparkSession in the
+  // key) are never evicted — the same idiom as Similarity's landed-frame
+  // memos, fine for the one-session Verify/Bench/test hosts this runs in,
+  // but a leak in a long-lived multi-session host. Such a host should
+  // clear entries on session stop (or key on session id with a listener).
   private val copurchaseMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), DataFrame]()
 
@@ -1819,9 +1824,16 @@ object Relational {
   private val benfordBp = Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
 
   def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    // Guard lead_digit to 1..9 on BOTH engines: a zero/negative amount
+    // yields digit 0 or '-' (null after the int cast), where Spark's
+    // element_at(array, 0) THROWS while the oracle's CASE returns NULL —
+    // divergent failure modes. Unreachable on TPC-H data (all prices
+    // positive), so the guard changes nothing today; it pins the defined
+    // behavior (non-positive amounts excluded from the census).
     val digits = Tables.orders(spark, dir)
       .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
         .cast("int").as("lead_digit"))
+      .filter(col("lead_digit").between(1, 9))
       .groupBy(col("lead_digit")).agg(count(lit(1)).as("n"))
     val total = digits.agg(sum(col("n")).as("tot"))
     digits.crossJoin(broadcast(total))
@@ -1843,7 +1855,8 @@ object Relational {
        |    AS VARCHAR), 1, 1) AS INTEGER) AS lead_digit
        |  FROM orders
        |), c AS (
-       |  SELECT lead_digit, COUNT(*) AS n FROM d GROUP BY 1
+       |  SELECT lead_digit, COUNT(*) AS n FROM d
+       |  WHERE lead_digit BETWEEN 1 AND 9 GROUP BY 1
        |), t AS (SELECT SUM(n) AS tot FROM c)
        |SELECT lead_digit, CAST(n AS BIGINT) AS n,
        |  CAST(10000 * n // tot AS BIGINT) AS share_bp,

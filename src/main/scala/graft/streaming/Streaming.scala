@@ -354,14 +354,18 @@ object Streaming {
           if (kept.isEmpty) state.remove()
           else {
             state.update(BurstBuf(kept, upTo))
-            // fire again once the newest OPEN bucket finalizes (strictly
-            // past its end — necessarily > the current watermark). If
-            // every kept bucket is already final they exist only as
+            // fire again as soon as the OLDEST open bucket finalizes
+            // (strictly past its end — necessarily > the current
+            // watermark); each firing re-arms on the new oldest open
+            // bucket, so every open bucket's alert flushes the moment the
+            // watermark finalizes IT — arming on open.max would delay an
+            // idle user's older alerts until the newest bucket finalized.
+            // If every kept bucket is already final they exist only as
             // lookback for future data-triggered invocations: nothing
             // more can emit until new data, so no timeout is set.
             val open = kept.keys.filter(_ > finalMax)
             if (open.nonEmpty)
-              state.setTimeoutTimestamp((open.max + 1) * U / 1000L + 1)
+              state.setTimeoutTimestamp((open.min + 1) * U / 1000L + 1)
           }
           out.iterator
       }.toDF()

@@ -141,21 +141,26 @@ object CorpusStats {
     *
     * 100 TB shape: the distributed work is the explode + hash aggregation
     * (map-side partial combine reduces each partition to its distinct
-    * words). The ranking windows then run over the AGGREGATED vocab table,
-    * which is ≤ |vocabulary| rows regardless of corpus size — the
-    * single-partition window is over thousands of rows, not the corpus
-    * (same aggregated-frame-first pattern as q37's percentiles). */
+    * words). The top-50 is then a DISTRIBUTED ordered take
+    * (`orderBy.limit` → TakeOrderedAndProject: per-partition top-50,
+    * 50·parts rows merged at the driver) — never a full-vocab sort
+    * through one task, which matters because the distinct-token table of
+    * a web corpus is typo/noise-inflated to 10⁸–10⁹ rows. The ranking
+    * windows run over the LIMIT-BOUNDED 50-row frame, and the corpus
+    * total attaches via the broadcast one-row scalar frame (the q137
+    * idiom) instead of a whole-vocab `sum over ()`. */
   def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(spark, dir)
       .select(explode(tokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum(col("n")).as("total_n"))
     val order = Window.orderBy(col("n").desc, col("w"))
     counts
+      .orderBy(col("n").desc, col("w")).limit(50)
       .withColumn("rank", row_number().over(order).cast("long"))
       .withColumn("cum_n",
         sum(col("n")).over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total_n", sum(col("n")).over(Window.partitionBy()))
-      .filter(col("rank") <= 50)
+      .crossJoin(broadcast(total))
       .select(col("rank"), col("w"), col("n").cast("long").as("n"),
         (col("cum_n") / col("total_n")).as("cum_frac"))
       .orderBy(col("rank"))
@@ -1630,8 +1635,11 @@ object CorpusStats {
     * inverted-index-shaped hash aggregate (the only corpus-sized step,
     * map-side combinable), bucketed by integer division; per-bucket
     * token volume is a second corpus aggregate that never explodes
-    * (per-row `size(tokens)`); cumulative sums run over the ≤
-    * |docs|/100-row bucket frame. Novelty in integer basis points. */
+    * (per-row `size(tokens)`). The bucket frame GROWS with the corpus
+    * (|docs|/100 rows — 10⁷ at 10⁹ docs), so the cumulative sums run
+    * through [[graft.Dist.globalCumSum]] (range partition + broadcast
+    * offsets, the q103/q144 primitive), never a single-partition
+    * window. Novelty in integer basis points. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
@@ -1645,12 +1653,12 @@ object CorpusStats {
       .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
       .groupBy(expr("fd div 100").as("bucket"))
       .agg(count(lit(1)).as("new_types"))
-    val w = Window.orderBy(col("bucket"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    perBucket.join(newTypes, Seq("bucket"), "left")
+    val joined = perBucket.join(newTypes, Seq("bucket"), "left")
       .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
-      .withColumn("cum_types", sum(col("new_types")).over(w))
-      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+    graft.Dist.globalCumSum(joined, col("bucket"), col("new_types"))
+      .withColumnRenamed("cum", "cum_types")
+      .transform(d => graft.Dist.globalCumSum(d, col("bucket"), col("bucket_tokens")))
+      .withColumnRenamed("cum", "cum_tokens")
       .withColumn("novelty_bp", expr("10000 * new_types div bucket_tokens"))
       .select(col("bucket"), col("n_docs").cast("long").as("n_docs"),
         col("bucket_tokens").cast("long").as("bucket_tokens"),
