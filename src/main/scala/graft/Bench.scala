@@ -88,7 +88,19 @@ object Bench {
     // "total" is repeated at the END of the line: the driver's log capture
     // truncates the head of long lines, which made the r3/r4 totals
     // unrecoverable from the record
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","total":$total}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"sf":"$sfDir","total":$total}"""
+    println(line)
+    // The driver's log capture ALSO truncates this line's head (r6 lost
+    // q01-q54 and q100+ per-query reps entirely), so persist the full
+    // record to a committed artifact — BENCH_LOCAL.json by default, next
+    // to the repo the driver commits at round end. Best-effort: a bench
+    // run must never fail on a read-only working directory.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $out: $e")
+    }
     spark.stop()
   }
 }

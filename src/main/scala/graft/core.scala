@@ -269,6 +269,33 @@ object Dist {
       explode(sequence(lit(0), lit(factor - 1), lit(1))))
     salted.join(replicated, keys :+ "__salt").drop("__salt")
   }
+
+  /** The q131 skew audit's `rec_salt` as a reusable measurement:
+    * ⌈max_cnt / avg_cnt⌉ over the join key's count distribution — how
+    * many average-key volumes the hottest key spans, which is exactly
+    * the number of reducers it must spread over to level with the rest.
+    * Returns 1 on uniform keys (no salting needed). The measurement is
+    * one two-level hash aggregate ending in a bounded ONE-ROW action;
+    * at 100 TB it runs on yesterday's key-stats table, not inline —
+    * pass that factor straight to [[saltedJoin]] instead. */
+  def recommendedSalt(df: DataFrame, keys: Seq[String]): Int =
+    math.max(1, df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
+        max(col("cnt")).as("max_cnt"))
+      .selectExpr("cast((max_cnt * n_keys + total - 1) div total as int)")
+      .head().getInt(0))
+
+  /** Measure-then-act skew join: [[saltedJoin]] with the factor the
+    * skew audit recommends for THIS big side, closing the q131→q89
+    * loop (q89's hardcoded factor 8 was a guess; this computes it).
+    * Degenerates to the plain equi-join when the keys are level —
+    * salting a uniform key only pays the small-side replication. */
+  def auditedSaltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                        saltSource: Column): DataFrame = {
+    val factor = recommendedSalt(big, keys)
+    if (factor <= 1) big.join(small, keys)
+    else saltedJoin(big, small, keys, saltSource, factor)
+  }
 }
 
 /** Exact-arithmetic helpers shared by queries and their DuckDB oracles.

@@ -135,6 +135,58 @@ class DistSpec extends SparkSpec {
     }
   }
 
+  test("auditedSaltedJoin picks the audit's salt and levels the hot task") {
+    // The measure->act loop: a 50%-hot-key big side must yield
+    // rec_salt = ceil(max_cnt/avg_cnt) and an auditedSaltedJoin whose max
+    // task input is leveled to roughly one average key's volume — while
+    // a uniform big side must recommend 1 and degenerate to the plain
+    // join (no small-side replication paid for nothing).
+    import spark.implicits._
+    val conf = spark.conf
+    val prevBroadcast = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = conf.get("spark.sql.adaptive.enabled")
+    val prevParts = conf.get("spark.sql.shuffle.partitions")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.shuffle.partitions", "200")
+      val n = 40000
+      val big = (0 until n)
+        .map(i => (if (i % 2 == 0) 0L else (i % 97).toLong, i.toLong))
+        .toDF("k", "payload").repartition(8)
+      val small = (0L until 97L).map(k => (k, s"dim_$k")).toDF("k", "attr")
+      // max_cnt = 20000, n_keys = 97, total = 40000 -> ceil(48.5) = 49
+      assert(Dist.recommendedSalt(big, Seq("k")) == 49)
+      // exactly 400 rows per key: max = avg, so the ceiling division
+      // lands on 1 (a LEVEL-with-remainder distribution would ceil to 2
+      // — the formula is deliberately conservative about any excess)
+      val uniform = (0 until n).map(i => ((i % 100).toLong, i.toLong))
+        .toDF("k", "payload")
+      assert(Dist.recommendedSalt(uniform, Seq("k")) == 1)
+      def maxPartRows(df: org.apache.spark.sql.DataFrame): Long =
+        df.groupBy(spark_partition_id().as("pid")).count()
+          .agg(max("count")).head().getLong(0)
+      val plain = big.join(small, Seq("k"))
+      val audited = Dist.auditedSaltedJoin(big, small, Seq("k"),
+        xxhash64(col("payload")))
+      assert(audited.select("k", "payload", "attr")
+          .orderBy("payload").collect().toSeq ==
+        plain.select("k", "payload", "attr")
+          .orderBy("payload").collect().toSeq)
+      val plainMax = maxPartRows(plain)
+      val auditedMax = maxPartRows(audited)
+      assert(plainMax >= n / 2L, s"test premise broken: plain max $plainMax")
+      // hot key levels to ~(n/2)/49 ~ 408 rows/task; allow collisions of
+      // a few splits/cold keys per partition with a 10x-under-plain bound
+      assert(auditedMax <= plainMax / 10L,
+        s"audited salt did not level the hot task: $auditedMax vs $plainMax")
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      conf.set("spark.sql.adaptive.enabled", prevAqe)
+      conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("globalRowNumber is dense 1..N") {
     val n = 123
     import spark.implicits._
