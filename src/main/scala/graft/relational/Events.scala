@@ -1566,15 +1566,35 @@ object Events {
     * sketches) — q161 IS the exact twin under the hash gate, and the
     * spec pins this estimate to q161's exact counts in the sub-2^lgK
     * regime the harness data occupies. */
-  def thetaRollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
-    // `daily` feeds TWO plan branches (the window-explode and the
-    // observed-days join); without a lineage cut the corpus-sized
-    // theta_sketch_agg would execute once per branch — the multi-branch
-    // re-execution gotcha q161's perDay already guards against.
-    val daily = Tables.events(spark, dir)
+  /** The LANDABLE unit of q164's incremental story: per-day Theta
+    * sketches of the active-user set — ONE pass over an events frame,
+    * O(2^lgK) state per day, mergeable map-side AND across landings.
+    * The binary payload writes straight to parquet; a daily-ingest
+    * deployment lands ONLY the new day's rows (sketched from that day's
+    * partition-pruned events) and appends them — history is never
+    * rescanned. ThetaPersistenceSpec proves landed-parquet ∪ fresh-day
+    * sketches ≡ the full recompute. */
+  def dailyThetaSketches(events: DataFrame): DataFrame =
+    events
       .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
       .groupBy(col("day"))
       .agg(expr("theta_sketch_agg(user_id, 12)").as("sk"))
+
+  /** Rolling 7-day WAU from a per-day sketch frame — landed rows, fresh
+    * rows, or any union of the two. The leading per-day collapse
+    * (`theta_union_agg` keyed on day) makes append-only landing safe: a
+    * day split across landings (a mid-day incremental top-up) unions
+    * back to the full-day sketch before the window algebra, and
+    * HashPartitioning(day) from the sketch aggregate serves the collapse
+    * without a second exchange. Everything downstream runs on the
+    * |days|-row frame regardless of event volume. The collapsed frame
+    * feeds TWO plan branches (window-explode + observed-days join), so
+    * it is lineage-cut — without it the upstream sketch aggregate would
+    * execute once per branch. */
+  def thetaWauFromDaily(dailyRaw: DataFrame): DataFrame = {
+    val daily = dailyRaw
+      .groupBy(col("day"))
+      .agg(expr("theta_union_agg(sk, 12)").as("sk"))
       .transform(graft.Dist.durableCkpt)
     val days = daily.select(col("day"))
     daily
@@ -1587,6 +1607,9 @@ object Events {
       .join(days.withColumnRenamed("day", "win_day"), Seq("win_day"))
       .orderBy(col("win_day"))
   }
+
+  def thetaRollingActiveUsers(spark: SparkSession, dir: String): DataFrame =
+    thetaWauFromDaily(dailyThetaSketches(Tables.events(spark, dir)))
 
   // ------------------------------------------ q165 conversion survival
 
