@@ -1,0 +1,92 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic corpus scaler for the dedup/ANN scaling measurements
+  * (SCALING.md, ScalingSpec): a factor-F corpus derived from the harness
+  * tables by replication under an ISOMORPHIC per-copy mutation.
+  *
+  * Why isomorphic: the 100 TB claim for q41/q94/q118/q143 is that work
+  * grows with the TRUE duplicate density, not with N² — so the scaled
+  * corpus must hold duplicate density constant while N grows. Each copy
+  * c prefixes every token with `c<c>x`, a bijection on the token
+  * alphabet: every within-copy shingle/span/containment relation of the
+  * base corpus is reproduced exactly (same pair counts per copy), while
+  * NO shingle collides across copies (a `c1x…` trigram never equals a
+  * `c2x…` one). Copy 0 is the base corpus verbatim, so factor 1 is the
+  * identity. Embeddings rotate by c positions (norm-preserving,
+  * deterministic) and offset vec_id the same way. No RNG anywhere —
+  * byte-reproducible across runs and machines. */
+object Scaling {
+
+  /** id offset between copies; far above any harness doc_id/vec_id. */
+  val Stride = 1000000L
+
+  def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    docs
+      .withColumn("c", explode(sequence(lit(0), lit(factor - 1), lit(1))))
+      .select(
+        (col("doc_id") + col("c") * Stride).as("doc_id"),
+        when(col("c") === 0, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("c"), col("c"), lit("x$1")))).as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+  }
+
+  def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1: $factor")
+    embs
+      .withColumn("c", explode(sequence(lit(0), lit(factor - 1), lit(1))))
+      .withColumn("r", pmod(col("c"), size(col("embedding"))))
+      .select(
+        (col("vec_id") + col("c") * Stride).as("vec_id"),
+        concat(
+          slice(col("embedding"), col("r") + 1, size(col("embedding")) - col("r")),
+          slice(col("embedding"), lit(1), col("r"))).as("embedding"),
+        col("label"))
+  }
+
+  /** Write the factor-F twin of `baseDir`'s documents/embeddings tables
+    * under `outDir`, in the harness layout the `dir`-taking queries read. */
+  def materialize(spark: SparkSession, baseDir: String, outDir: String,
+                  factor: Int): Unit = {
+    scaleDocuments(Tables.documents(spark, baseDir), factor)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    scaleEmbeddings(Tables.embeddings(spark, baseDir), factor)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  // ------------------------------------------------- candidate measures
+
+  /** q41's raw LSH band-candidate volume (the self-join output BEFORE
+    * verification) — the quantity banding keeps sub-quadratic. */
+  def lshCandidateCount(spark: SparkSession, dir: String): Long = {
+    val sets = Similarity.shingleGroups(spark, dir)
+      .select(col("gid"), col("hs")).transform(graft.Dist.durableCkpt)
+    val banded = Similarity.bandKeys(sets, "gid")
+    banded.select(col("bkey"), col("gid").as("gid_a"))
+      .join(banded.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
+      .filter(col("gid_a") < col("gid_b"))
+      .count()
+  }
+
+  /** q143's PPJoin prefix-filter candidate volume (distinct rep pairs
+    * entering verification). */
+  def containmentCandidateCount(spark: SparkSession, dir: String): Long =
+    Similarity.containmentCandidates(Similarity.containmentSets(spark, dir))
+      .count()
+
+  /** q118's within-cluster comparison volume Σₖ mₖ(mₖ−1)/2 under cluster
+    * count `k` — the SemDeDup production shape scales k with the corpus
+    * so this stays linear in N. */
+  def semanticPairVolume(spark: SparkSession, dir: String, k: Int): Long = {
+    val (a2, _) = Similarity.kmeansAssignment(spark, dir, k)
+    a2.groupBy(col("cid")).agg(count(lit(1)).as("m"))
+      .agg(sum(col("m") * (col("m") - 1) / 2).cast("long")).head().getLong(0)
+  }
+}

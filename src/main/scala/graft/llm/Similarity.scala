@@ -761,9 +761,16 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
 
   /** Final Lloyd-iteration state: (`a2` = (vec_id, cid) assignment,
-    * `c2` = (cid, qc) centroids), both reading checkpointed frames. */
-  private[llm] def kmeansAssignment(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    kmeansMemo.computeIfAbsent(memoKey(spark, dir), { _ =>
+    * `c2` = (cid, qc) centroids), both reading checkpointed frames.
+    * `k` defaults to the oracle-locked 8; the SemDeDup production shape
+    * scales k WITH the corpus (keeping per-cluster sizes bounded, so the
+    * within-cluster quadratic step stays linear overall) — ScalingSpec
+    * and ScalingBench measure exactly that via this parameter. The memo
+    * key carries k, so the landed q75/q118 frames (k = 8) are never
+    * mixed with a scaled-k measurement run. */
+  private[llm] def kmeansAssignment(spark: SparkSession, dir: String,
+      k: Int = 8): (DataFrame, DataFrame) =
+    kmeansMemo.computeIfAbsent(memoKey(spark, s"$dir#k=$k"), { _ =>
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .transform(Dist.durableCkpt) // reused by every assign/update pass
@@ -785,8 +792,21 @@ object Similarity {
           .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
             x => x.getField("v")).as("qc"))
           .transform(Dist.durableCkpt) // k rows; truncates the per-round lineage
-      val c0 = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("q").as("qc"))
+      // k = 8 keeps the oracle-locked first-8 init (cid = vec_id); any
+      // other k (the scaled-k measurement path) seeds from a
+      // deterministic hash ordering so the k seeds spread across the
+      // corpus instead of clustering at the lowest ids (first-k over a
+      // replicated corpus would seed every centroid inside one copy).
+      // The seed-rank window is limit-bounded (k rows).
+      val c0 =
+        if (k == 8)
+          e.filter(col("vec_id") < 8)
+            .select(col("vec_id").cast("int").as("cid"), col("q").as("qc"))
+        else
+          e.orderBy(xxhash64(col("vec_id"))).limit(k)
+            .withColumn("cid", (row_number().over(
+              Window.orderBy(col("vec_id"))) - 1).cast("int"))
+            .select(col("cid"), col("q").as("qc"))
       val c1 = update(assign(c0))
       val a2 = assign(c1).transform(Dist.durableCkpt) // read by q75 AND q118
       val c2 = update(a2)
@@ -878,8 +898,14 @@ object Similarity {
     * bounded; k = 8 here only because the oracle must walk the identical
     * trajectory. The int8 payload (64 bytes + one long) is the same 8×
     * bandwidth saving q70 documents. */
-  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
-    val (a2, _) = kmeansAssignment(spark, dir)
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame =
+    semanticDedupAt(spark, dir, 8)
+
+  /** [[semanticDedup]] with a caller-chosen cluster count — the
+    * production knob (k grows with the corpus so per-cluster sizes stay
+    * bounded); k = 8 is the oracle-locked default. */
+  def semanticDedupAt(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val (a2, _) = kmeansAssignment(spark, dir, k)
     val e8 = Tables.embeddings(spark, dir)
       .withColumn("mx", array_max(transform(col("embedding"), x => abs(x.cast("double")))))
       .withColumn("q8",
@@ -2428,33 +2454,8 @@ object Similarity {
     * (gid = min doc_id of the identical-set group) — bounded, and
     * expandable to doc pairs exactly as lshVerifiedPairs documents. */
   def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut BEFORE the trigram hashing: higher-order functions are
-    // CodegenFallback (interpreted), so the ~52 md5 hashes per doc are
-    // exactly the per-row-compute ≫ per-row-bytes case Dist.fanOut
-    // documents — on the harness's one-row-group scan the chain otherwise
-    // runs on ONE core (measured 8.7s at sf0.1; 0.6s fanned out). No
-    // size-filter on hs: an empty set forms no prefix and no posting, so
-    // it can never pair — and an explicit filter would be pushed down by
-    // alias substitution, re-evaluating the whole hash chain per row.
-    val sets = graft.Dist.fanOut(
-        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
-      .select(col("doc_id"), tokens(col("text")).as("t"))
-      .withColumn("hs", gram3Hashed(col("t")))
-      .groupBy(col("hs")).agg(min(col("doc_id")).as("gid"))
-      .withColumn("sz", size(col("hs")).cast("long"))
-      .transform(graft.Dist.durableCkpt)
-    val tok = sets.select(col("gid"), col("sz"), explode(col("hs")).as("h"))
-    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val prefixes = tok.join(dfreq, Seq("h"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("gid")).orderBy(col("df"), col("h"))))
-      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
-      .select(col("gid").as("gid_a"), col("h"))
-    val cand = prefixes
-      .join(tok.select(col("gid").as("gid_b"), col("h")), Seq("h"))
-      .filter(col("gid_a") =!= col("gid_b"))
-      .select(col("gid_a"), col("gid_b")).distinct()
-    cand
+    val sets = containmentSets(spark, dir)
+    containmentCandidates(sets)
       .join(broadcast(sets.select(col("gid").as("gid_a"),
         col("hs").as("hs_a"), col("sz").as("sz_a"))), Seq("gid_a"))
       .join(broadcast(sets.select(col("gid").as("gid_b"),
@@ -2467,6 +2468,45 @@ object Similarity {
       .select(col("gid_a"), col("gid_b"), col("sz_a"), col("sz_b"),
         col("n_shared"), col("containment_bp"))
       .repartition(1).sortWithinPartitions(col("gid_a"), col("gid_b"))
+  }
+
+  /** q143's rep-space shingle-set frame (gid, hs, sz), checkpointed once
+    * — serves postings, prefixes and both verify attaches. fanOut BEFORE
+    * the trigram hashing: higher-order functions are CodegenFallback
+    * (interpreted), so the ~52 md5 hashes per doc are exactly the
+    * per-row-compute ≫ per-row-bytes case Dist.fanOut documents — on the
+    * harness's one-row-group scan the chain otherwise runs on ONE core
+    * (measured 8.7s at sf0.1; 0.6s fanned out). No size-filter on hs: an
+    * empty set forms no prefix and no posting, so it can never pair —
+    * and an explicit filter would be pushed down by alias substitution,
+    * re-evaluating the whole hash chain per row. */
+  private[llm] def containmentSets(spark: SparkSession, dir: String): DataFrame =
+    graft.Dist.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("hs", gram3Hashed(col("t")))
+      .groupBy(col("hs")).agg(min(col("doc_id")).as("gid"))
+      .withColumn("sz", size(col("hs")).cast("long"))
+      .transform(graft.Dist.durableCkpt)
+
+  /** q143's PPJoin prefix-filter candidate stage: each set's K rarest
+    * shingles (K = sz − ⌈0.9·sz⌉ + 1, pigeonhole-exact) probe the full
+    * posting lists; output is the DISTINCT (gid_a, gid_b) candidate set
+    * the verify then scores. Exposed separately so the scaling
+    * measurement (ScalingSpec/ScalingBench) can count candidates — the
+    * quantity whose sub-quadratic growth IS the 100 TB claim. */
+  private[llm] def containmentCandidates(sets: DataFrame): DataFrame = {
+    val tok = sets.select(col("gid"), col("sz"), explode(col("hs")).as("h"))
+    val dfreq = tok.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = tok.join(dfreq, Seq("h"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("gid")).orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("sz") - expr("(9 * sz + 9) div 10") + 1)
+      .select(col("gid").as("gid_a"), col("h"))
+    prefixes
+      .join(tok.select(col("gid").as("gid_b"), col("h")), Seq("h"))
+      .filter(col("gid_a") =!= col("gid_b"))
+      .select(col("gid_a"), col("gid_b")).distinct()
   }
 
   val containmentPairsSql: String =
