@@ -21,10 +21,12 @@ import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
   *  - format conversion (`other_tasks.py:28-67`): JPEG forces RGB and takes
   *    a quality, PNG ignores quality.
   *
-  * Formats: PNG/JPEG/BMP/GIF/TIFF/WBMP (javax.imageio built-ins). The
-  * reference's HEIC/RAW paths need decoders absent from this offline JVM —
-  * out of scope, documented; the reference itself degrades the same way
-  * when pillow-heif/imageio are missing (`batch_processor.py:12-22`).
+  * Formats: PNG/JPEG/BMP/GIF/TIFF/WBMP (javax.imageio built-ins) plus
+  * lossless WebP via the pure-JVM [[Vp8l]] bitstream decoder (r7). The
+  * reference's HEIC/RAW paths and lossy-VP8 WebP need decoders absent
+  * from this offline JVM — out of scope, documented; the reference
+  * itself degrades the same way when pillow-heif/imageio are missing
+  * (`batch_processor.py:12-22`).
   *
   * Scale: each UDF is a pure function of one row's bytes — embarrassingly
   * parallel, no state, no shuffle. Decode failures return null (the
@@ -42,8 +44,12 @@ object ImageCodec {
   // ----------------------------------------------------------------- decode
 
   private def decode(bytes: Array[Byte]): Option[BufferedImage] =
-    try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-    catch { case _: Exception => None }
+    (try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+     catch { case _: Exception => None })
+      // no ImageIO reader claims WebP in this JVM: lossless (VP8L) files
+      // decode through the pure-JVM bitstream decoder (golden-pixel
+      // validated against libwebp); lossy VP8 stays quarantined as None
+      .orElse(Vp8l.decode(bytes))
 
   /** (width, height) from the image header only — no pixel decode.
     * Formats without an ImageIO reader in this JVM (WebP, HEIC/AVIF)

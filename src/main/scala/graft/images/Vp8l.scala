@@ -1,0 +1,535 @@
+package graft.images
+
+import java.awt.image.BufferedImage
+
+/** Pure-JVM decoder for LOSSLESS WebP (VP8L) — the last format in the
+  * reference's conversion matrix (`/root/reference/modules/other_tasks.py:59-60`
+  * lists webp) that can be closed without a native codec: the lossless
+  * bitstream is Huffman + LZ77 + four reversible transforms, all exactly
+  * decodable in plain JVM integer code. Lossy VP8 stays out of scope
+  * (DCT/loop-filter reconstruction — a codec, not a coder).
+  *
+  * Implements the public "WebP Lossless Bitstream Specification":
+  * RIFF/VP8X unwrap, the 14-bit dimension header, all four transforms
+  * (predictor, cross-color, subtract-green, color-indexing incl. pixel
+  * packing), color cache, meta-Huffman groups, canonical Huffman codes
+  * (simple and code-length-coded, incl. max_symbol trimming and
+  * single-symbol zero-bit trees) and the LZ77 distance neighborhood map.
+  *
+  * Validated against golden pixels produced by the system libwebp
+  * encoder (Vp8lSpec: byte-exact RGBA over gradients, palettes, noise,
+  * repetitive tiles and odd sizes). Decode failures surface as None —
+  * the per-item quarantine contract of the image tier (C2).
+  *
+  * Scale shape: a pure per-row byte[]→pixels function with no Spark
+  * state — it rides the same binaryFile parallelism as every other
+  * ImageCodec kernel. */
+object Vp8l {
+
+  /** Decode a WebP file (or a bare VP8L payload) to ARGB. None when the
+    * bytes are not lossless WebP or are corrupt. */
+  def decode(bytes: Array[Byte]): Option[BufferedImage] =
+    try {
+      vp8lPayload(bytes).flatMap { payload =>
+        val br = new BitReader(payload)
+        if (br.readBits(8) != 0x2f) None
+        else {
+          val w = br.readBits(14) + 1
+          val h = br.readBits(14) + 1
+          br.readBits(1) // alpha hint
+          if (br.readBits(3) != 0) None // version must be 0
+          else {
+            val (pix, _) = decodeImageStream(w, h, isLevel0 = true, br)
+            val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_ARGB)
+            img.setRGB(0, 0, w, h, pix, 0, w)
+            Some(img)
+          }
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** The VP8L chunk payload out of a RIFF/WEBP container (plain or
+    * VP8X-extended); bare payloads (leading 0x2F) pass through. */
+  private def vp8lPayload(b: Array[Byte]): Option[Array[Byte]] = {
+    def tag(off: Int, t: String): Boolean =
+      b.length >= off + 4 && t.indices.forall(i => (b(off + i) & 0xff) == t.charAt(i))
+    if (b.length >= 1 && (b(0) & 0xff) == 0x2f && !tag(0, "RIFF")) return Some(b)
+    if (!tag(0, "RIFF") || !tag(8, "WEBP")) return None
+    var i = 12
+    while (i + 8 <= b.length) {
+      val size = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
+        ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
+      if (tag(i, "VP8L")) {
+        val end = math.min(b.length, i + 8 + size)
+        return Some(java.util.Arrays.copyOfRange(b, i + 8, end))
+      }
+      i += 8 + size + (size & 1)
+    }
+    None
+  }
+
+  // ------------------------------------------------------------ bit reader
+
+  /** LSB-first little-endian bit reader; overrun throws (caught by
+    * [[decode]] into the quarantine None). */
+  private final class BitReader(data: Array[Byte]) {
+    private var pos = 0L // bit position
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        val byteIx = (pos >> 3).toInt
+        if (byteIx >= data.length) throw new IllegalStateException("EOS")
+        v |= (((data(byteIx) >> (pos & 7).toInt) & 1) << i)
+        pos += 1
+        i += 1
+      }
+      v
+    }
+  }
+
+  // ------------------------------------------------------- huffman decoding
+
+  private val MaxCodeLength = 15
+  private val CodeLengthCodeOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Canonical-Huffman decoder (deflate code construction, bits read
+    * MSB-of-code-first). `single >= 0` marks a zero-bit tree. */
+  private final class HTree(lengths: Array[Int], simplePair: Array[Int]) {
+    // simplePair: null, or Array(s0) / Array(s0, s1) straight from a
+    // "simple" code — code 0 -> s0, code 1 -> s1, in READ order (not
+    // canonical symbol order).
+    private val single: Int =
+      if (simplePair != null && simplePair.length == 1) simplePair(0)
+      else if (simplePair == null) {
+        val nz = lengths.indices.filter(lengths(_) > 0)
+        if (nz.isEmpty) throw new IllegalStateException("empty huffman code")
+        if (nz.length == 1) nz.head else -1
+      } else -1
+    private val (blCount, firstCode, offsets, sorted) =
+      if (single >= 0 || (simplePair != null && simplePair.length == 2))
+        (null, null, null, null)
+      else {
+        val bl = new Array[Int](MaxCodeLength + 1)
+        lengths.foreach(l => if (l > 0) bl(l) += 1)
+        val fc = new Array[Int](MaxCodeLength + 2)
+        val off = new Array[Int](MaxCodeLength + 1)
+        var code = 0
+        var total = 0
+        var l = 1
+        while (l <= MaxCodeLength) {
+          code = (code + bl(l - 1)) << 1
+          fc(l) = code
+          off(l) = total
+          total += bl(l)
+          l += 1
+        }
+        val srt = new Array[Int](total)
+        val fill = off.clone()
+        var s = 0
+        while (s < lengths.length) {
+          val ln = lengths(s)
+          if (ln > 0) { srt(fill(ln)) = s; fill(ln) += 1 }
+          s += 1
+        }
+        (bl, fc, off, srt)
+      }
+
+    def read(br: BitReader): Int = {
+      if (single >= 0) return single
+      if (simplePair != null) return simplePair(br.readBits(1))
+      var code = 0
+      var len = 0
+      while (len < MaxCodeLength) {
+        code = (code << 1) | br.readBits(1)
+        len += 1
+        val idx = code - firstCode(len)
+        if (idx >= 0 && idx < blCount(len)) return sorted(offsets(len) + idx)
+      }
+      throw new IllegalStateException("bad huffman code")
+    }
+  }
+
+  private def readHuffmanCode(alphabetSize: Int, br: BitReader): HTree = {
+    if (br.readBits(1) == 1) { // simple code
+      val numSymbols = br.readBits(1) + 1
+      val firstWide = br.readBits(1) == 1
+      val s0 = br.readBits(if (firstWide) 8 else 1)
+      if (numSymbols == 2) new HTree(null, Array(s0, br.readBits(8)))
+      else new HTree(null, Array(s0))
+    } else {
+      val cll = new Array[Int](19)
+      val numCodes = br.readBits(4) + 4
+      var i = 0
+      while (i < numCodes) { cll(CodeLengthCodeOrder(i)) = br.readBits(3); i += 1 }
+      val clTree = new HTree(cll, null)
+      val lengths = new Array[Int](alphabetSize)
+      var maxSymbol =
+        if (br.readBits(1) == 1) {
+          val nbits = 2 + 2 * br.readBits(3)
+          2 + br.readBits(nbits)
+        } else alphabetSize
+      var prevLen = 8
+      var symbol = 0
+      while (symbol < alphabetSize && maxSymbol > 0) {
+        maxSymbol -= 1
+        val codeLen = clTree.read(br)
+        if (codeLen < 16) {
+          lengths(symbol) = codeLen
+          symbol += 1
+          if (codeLen != 0) prevLen = codeLen
+        } else {
+          val (extra, offset, usePrev) = codeLen match {
+            case 16 => (2, 3, true)
+            case 17 => (3, 3, false)
+            case _  => (7, 11, false)
+          }
+          var repeat = br.readBits(extra) + offset
+          val fill = if (usePrev) prevLen else 0
+          while (repeat > 0 && symbol < alphabetSize) {
+            lengths(symbol) = fill
+            symbol += 1
+            repeat -= 1
+          }
+        }
+      }
+      new HTree(lengths, null)
+    }
+  }
+
+  // --------------------------------------------------------- LZ77 plumbing
+
+  /** Length/distance prefix coding shared by both symbol families. */
+  private def prefixValue(code: Int, br: BitReader): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.readBits(extra) + 1
+    }
+
+  /** Distance codes 1..120 address a 2-D pixel neighborhood. */
+  private val DistanceMap: Array[(Int, Int)] = Array(
+    (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+    (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+    (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+    (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+    (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+    (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+    (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+    (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+    (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+    (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+    (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+    (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+    (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+    (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+    (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+
+  private def planeCodeToDistance(xsize: Int, code: Int): Int =
+    if (code > 120) code - 120
+    else {
+      val (dx, dy) = DistanceMap(code - 1)
+      val d = dy * xsize + dx
+      if (d >= 1) d else 1
+    }
+
+  // -------------------------------------------------------- pixel helpers
+
+  private def subSample(size: Int, bits: Int): Int = (size + (1 << bits) - 1) >> bits
+
+  /** Per-channel byte-wise addition mod 256 (SIMD-in-register). */
+  private def addPixels(a: Int, b: Int): Int = {
+    val rb = ((a & 0x00ff00ff) + (b & 0x00ff00ff)) & 0x00ff00ff
+    val ag = (((a >>> 8) & 0x00ff00ff) + ((b >>> 8) & 0x00ff00ff)) & 0x00ff00ff
+    (ag << 8) | rb
+  }
+
+  /** Per-channel floor average. */
+  private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def select(a: Int, b: Int, c: Int): Int = {
+    def sub3(x: Int, y: Int, z: Int): Int = math.abs(y - z) - math.abs(x - z)
+    val d =
+      sub3((a >>> 24), (b >>> 24), (c >>> 24)) +
+        sub3((a >>> 16) & 0xff, (b >>> 16) & 0xff, (c >>> 16) & 0xff) +
+        sub3((a >>> 8) & 0xff, (b >>> 8) & 0xff, (c >>> 8) & 0xff) +
+        sub3(a & 0xff, b & 0xff, c & 0xff)
+    if (d <= 0) a else b
+  }
+
+  private def clampAddSubtractFull(a: Int, b: Int, c: Int): Int = {
+    def ch(sh: Int): Int =
+      clip255(((a >>> sh) & 0xff) + ((b >>> sh) & 0xff) - ((c >>> sh) & 0xff))
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  private def clampAddSubtractHalf(a: Int, b: Int): Int = {
+    def ch(sh: Int): Int = {
+      val x = (a >>> sh) & 0xff
+      val y = (b >>> sh) & 0xff
+      clip255(x + (x - y) / 2)
+    }
+    (ch(24) << 24) | (ch(16) << 16) | (ch(8) << 8) | ch(0)
+  }
+
+  /** Predictor modes 0..13 over (left, top, top-left, top-right). */
+  private def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int =
+    mode match {
+      case 0  => 0xff000000
+      case 1  => l
+      case 2  => t
+      case 3  => tr
+      case 4  => tl
+      case 5  => avg2(avg2(l, tr), t)
+      case 6  => avg2(l, tl)
+      case 7  => avg2(l, t)
+      case 8  => avg2(tl, t)
+      case 9  => avg2(t, tr)
+      case 10 => avg2(avg2(l, tl), avg2(t, tr))
+      case 11 => select(t, l, tl)
+      case 12 => clampAddSubtractFull(l, t, tl)
+      case 13 => clampAddSubtractHalf(avg2(l, t), tl)
+      case _  => throw new IllegalStateException(s"bad predictor $mode")
+    }
+
+  /** ((int8)pred * (int8)color) >> 5 — BOTH operands sign-extended. */
+  private def colorDelta(pred: Int, color: Int): Int =
+    (pred.toByte * color.toByte) >> 5
+
+  // ------------------------------------------------------------ transforms
+
+  private sealed trait Transform {
+    /** Returns (pixels, width) after inversion. */
+    def inverse(pix: Array[Int], w: Int, h: Int): (Array[Int], Int)
+  }
+
+  private final case class PredictorT(bits: Int, data: Array[Int]) extends Transform {
+    def inverse(pix: Array[Int], w: Int, h: Int): (Array[Int], Int) = {
+      val blockW = subSample(w, bits)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val pred =
+            if (x == 0 && y == 0) 0xff000000
+            else if (y == 0) pix(i - 1) // first row: left
+            else if (x == 0) pix(i - w) // first column: top
+            else {
+              val mode = (data((y >> bits) * blockW + (x >> bits)) >>> 8) & 0xff
+              val l = pix(i - 1)
+              val t = pix(i - w)
+              val tl = pix(i - w - 1)
+              val tr = if (x == w - 1) pix(y * w) else pix(i - w + 1)
+              predict(mode, l, t, tl, tr)
+            }
+          pix(i) = addPixels(pix(i), pred)
+          x += 1
+        }
+        y += 1
+      }
+      (pix, w)
+    }
+  }
+
+  private final case class ColorT(bits: Int, data: Array[Int]) extends Transform {
+    def inverse(pix: Array[Int], w: Int, h: Int): (Array[Int], Int) = {
+      val blockW = subSample(w, bits)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val i = y * w + x
+          val cte = data((y >> bits) * blockW + (x >> bits))
+          val g2r = cte & 0xff
+          val g2b = (cte >>> 8) & 0xff
+          val r2b = (cte >>> 16) & 0xff
+          val p = pix(i)
+          val green = (p >>> 8) & 0xff
+          val red = (((p >>> 16) & 0xff) + colorDelta(g2r, green)) & 0xff
+          val blue = ((p & 0xff) + colorDelta(g2b, green) + colorDelta(r2b, red)) & 0xff
+          pix(i) = (p & 0xff00ff00) | (red << 16) | blue
+          x += 1
+        }
+        y += 1
+      }
+      (pix, w)
+    }
+  }
+
+  private case object SubtractGreenT extends Transform {
+    def inverse(pix: Array[Int], w: Int, h: Int): (Array[Int], Int) = {
+      var i = 0
+      while (i < pix.length) {
+        val p = pix(i)
+        val green = (p >>> 8) & 0xff
+        val red = (((p >>> 16) & 0xff) + green) & 0xff
+        val blue = ((p & 0xff) + green) & 0xff
+        pix(i) = (p & 0xff00ff00) | (red << 16) | blue
+        i += 1
+      }
+      (pix, w)
+    }
+  }
+
+  private final case class ColorIndexT(widthBits: Int, table: Array[Int],
+                                       origW: Int) extends Transform {
+    def inverse(pix: Array[Int], w: Int, h: Int): (Array[Int], Int) = {
+      def lookup(idx: Int): Int = if (idx < table.length) table(idx) else 0
+      if (widthBits == 0) {
+        var i = 0
+        while (i < pix.length) { pix(i) = lookup((pix(i) >>> 8) & 0xff); i += 1 }
+        (pix, w)
+      } else {
+        val bitsPerPixel = 8 >> widthBits
+        val mask = (1 << bitsPerPixel) - 1
+        val out = new Array[Int](origW * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < origW) {
+            val packed = pix(y * w + (x >> widthBits))
+            val shift = (x & ((1 << widthBits) - 1)) * bitsPerPixel
+            out(y * origW + x) = lookup(((packed >>> 8) >>> shift) & mask)
+            x += 1
+          }
+          y += 1
+        }
+        (out, origW)
+      }
+    }
+  }
+
+  // ----------------------------------------------------- image stream core
+
+  private final class HGroup(val green: HTree, val red: HTree, val blue: HTree,
+                             val alpha: HTree, val dist: HTree)
+
+  private def readGroup(cacheSize: Int, br: BitReader): HGroup =
+    new HGroup(
+      readHuffmanCode(256 + 24 + cacheSize, br),
+      readHuffmanCode(256, br),
+      readHuffmanCode(256, br),
+      readHuffmanCode(256, br),
+      readHuffmanCode(40, br))
+
+  /** The spec's decode_image_stream: transforms (level 0 only), color
+    * cache, (meta-)Huffman codes, LZ77 pixels, then inverse transforms
+    * in reverse read order. Returns (pixels, width). */
+  private def decodeImageStream(xsizeIn: Int, ysize: Int, isLevel0: Boolean,
+                                br: BitReader): (Array[Int], Int) = {
+    var xsize = xsizeIn
+    val transforms = scala.collection.mutable.ListBuffer.empty[Transform]
+    if (isLevel0) {
+      var seen = 0
+      while (br.readBits(1) == 1) {
+        val ttype = br.readBits(2)
+        if ((seen & (1 << ttype)) != 0)
+          throw new IllegalStateException("duplicate transform")
+        seen |= 1 << ttype
+        ttype match {
+          case 0 | 1 =>
+            val bits = br.readBits(3) + 2
+            val sub = decodeImageStream(
+              subSample(xsize, bits), subSample(ysize, bits), isLevel0 = false, br)._1
+            transforms += (if (ttype == 0) PredictorT(bits, sub) else ColorT(bits, sub))
+          case 2 =>
+            transforms += SubtractGreenT
+          case _ =>
+            val numColors = br.readBits(8) + 1
+            val widthBits =
+              if (numColors > 16) 0
+              else if (numColors > 4) 1
+              else if (numColors > 2) 2
+              else 3
+            val raw = decodeImageStream(numColors, 1, isLevel0 = false, br)._1
+            var i = 1
+            while (i < raw.length) { raw(i) = addPixels(raw(i), raw(i - 1)); i += 1 }
+            transforms += ColorIndexT(widthBits, raw, xsize)
+            xsize = subSample(xsize, widthBits)
+        }
+      }
+    }
+
+    val cacheBits = if (br.readBits(1) == 1) br.readBits(4) else 0
+    if (cacheBits > 11) throw new IllegalStateException(s"bad cache bits $cacheBits")
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+
+    var metaBits = 0
+    var metaW = 0
+    var metaImage: Array[Int] = null
+    var numGroups = 1
+    if (isLevel0 && br.readBits(1) == 1) {
+      metaBits = br.readBits(3) + 2
+      metaW = subSample(xsize, metaBits)
+      metaImage = decodeImageStream(metaW, subSample(ysize, metaBits),
+        isLevel0 = false, br)._1
+      var mx = 0
+      var i = 0
+      while (i < metaImage.length) {
+        val m = (metaImage(i) >>> 8) & 0xffff
+        if (m > mx) mx = m
+        i += 1
+      }
+      numGroups = mx + 1
+    }
+    val groups = Array.fill(numGroups)(readGroup(cacheSize, br))
+
+    val total = xsize * ysize
+    val pix = new Array[Int](total)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    @inline def insert(p: Int): Unit =
+      if (cache != null) cache((0x1e35a7bd * p) >>> (32 - cacheBits)) = p
+    var pos = 0
+    while (pos < total) {
+      val g =
+        if (metaImage == null) groups(0)
+        else {
+          val x = pos % xsize
+          val y = pos / xsize
+          groups((metaImage((y >> metaBits) * metaW + (x >> metaBits)) >>> 8) & 0xffff)
+        }
+      val s = g.green.read(br)
+      if (s < 256) {
+        val red = g.red.read(br)
+        val blue = g.blue.read(br)
+        val alpha = g.alpha.read(br)
+        val p = (alpha << 24) | (red << 16) | (s << 8) | blue
+        pix(pos) = p
+        insert(p)
+        pos += 1
+      } else if (s < 280) {
+        val length = prefixValue(s - 256, br)
+        val distCode = prefixValue(g.dist.read(br), br)
+        val dist = planeCodeToDistance(xsize, distCode)
+        if (dist > pos) throw new IllegalStateException("bad distance")
+        var i = 0
+        while (i < length && pos < total) {
+          val p = pix(pos - dist)
+          pix(pos) = p
+          insert(p)
+          pos += 1
+          i += 1
+        }
+      } else {
+        if (cache == null) throw new IllegalStateException("cache symbol without cache")
+        pix(pos) = cache(s - 280)
+        pos += 1
+      }
+    }
+
+    var cur = pix
+    var curW = xsize
+    transforms.reverseIterator.foreach { t =>
+      val (np, nw) = t.inverse(cur, curW, ysize)
+      cur = np
+      curW = nw
+    }
+    (cur, curW)
+  }
+}

@@ -163,16 +163,50 @@ object Fixtures {
     ftyp ++ box("moov", mvhd, trak) ++ box("mdat", Array[Byte](1, 2, 3))
   }
 
-  /** Lossless-WebP (VP8L) header with the given canvas dims. Header-only
-    * body (no pixel stream): the offline-supported tier for WebP is
-    * exactly header parsing ([[graft.images.HeaderDims.webpDims]]), which
-    * is all q88's metadata routing needs. */
+  /** Solid color of the webp fixture (round-trips through
+    * [[graft.images.Vp8l]] and the ImageCodec pixel path). */
+  val WebpFixtureArgb: Int = 0xff2060a0
+
+  /** COMPLETE lossless-WebP (VP8L) file with the given canvas dims — a
+    * solid [[WebpFixtureArgb]] image coded as five single-symbol Huffman
+    * trees (zero data bits per pixel; the same shape libwebp emits for
+    * solid images). Upgraded from the r6 header-only skeleton now that
+    * [[graft.images.Vp8l]] decodes the full bitstream: the fixture
+    * exercises header dims (q88) AND real pixel decode (Vp8lSpec). */
   def webpBytes(w: Int, h: Int): Array[Byte] = {
     def le32(v: Long): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
         ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
-    val packed = (w - 1).toLong | ((h - 1).toLong << 14)
-    val payload = Array(0x2f.toByte) ++ le32(packed) ++ Array[Byte](0, 0, 0)
+    // LSB-first bit accumulation (the VP8L bit order)
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    var acc = 0L
+    var nAcc = 0
+    def put(v: Int, n: Int): Unit = {
+      acc |= (v.toLong & ((1L << n) - 1)) << nAcc
+      nAcc += n
+      while (nAcc >= 8) { bits += (acc & 0xff).toByte; acc >>>= 8; nAcc -= 8 }
+    }
+    val argb = WebpFixtureArgb
+    put(0x2f, 8)
+    put(w - 1, 14); put(h - 1, 14)
+    put(1, 1) // alpha hint
+    put(0, 3) // version
+    put(0, 1) // no transforms
+    put(0, 1) // no color cache
+    put(0, 1) // no meta huffman
+    def singleSymbolCode(sym: Int): Unit = {
+      put(1, 1) // simple code
+      put(0, 1) // one symbol
+      put(1, 1) // 8-bit symbol
+      put(sym, 8)
+    }
+    singleSymbolCode((argb >>> 8) & 0xff)  // green
+    singleSymbolCode((argb >>> 16) & 0xff) // red
+    singleSymbolCode(argb & 0xff)          // blue
+    singleSymbolCode(argb >>> 24)          // alpha
+    singleSymbolCode(0)                    // distance
+    if (nAcc > 0) bits += (acc & 0xff).toByte
+    val payload = bits.toArray
     "RIFF".getBytes("ISO-8859-1") ++ le32(4 + 8 + payload.length) ++
       "WEBP".getBytes("ISO-8859-1") ++ "VP8L".getBytes("ISO-8859-1") ++
       le32(payload.length) ++ payload
@@ -288,7 +322,7 @@ object Fixtures {
       frames = (0 until 6).map(i => jpegBytes(32, 24, 0x102030 * (i + 1)))),
     // 640×360, 24 fps, 10000 ms
     "movie_f.mp4" -> mp4Bytes(),
-    // 100×50 lossless WebP — image tier via header dims (no JVM decoder)
+    // 100×50 lossless WebP — full VP8L file (pixels decode via Vp8l)
     "photo_h.webp" -> webpBytes(100, 50),
     // HEIC with a 160×120 thumbnail ispe + 4032×3024 primary → primary wins
     "photo_i.heic" -> heicBytes(Seq((160, 120), (4032, 3024))),
@@ -346,8 +380,9 @@ object Fixtures {
     // Routing precedence: audio → video → image → quarantine. Video
     // before image matters: an animated GIF parses under BOTH (frame
     // metadata vs still dims) and belongs to the video tier. The image
-    // tier covers formats with header-only dims and no offline pixel
-    // decoder (WebP/HEIC — reference scan accepts them, tiling.py:87).
+    // tier covers WebP/HEIC via header dims (reference scan accepts
+    // them, tiling.py:87); lossless WebP additionally pixel-decodes
+    // through graft.images.Vp8l, HEIC stays header-only.
     spark.read.format("binaryFile").load(folder)
       .select(element_at(split(col("path"), "/"), -1).as("file"),
         Multimodal.audioMetaFromBytes(col("content")).as("a"),
