@@ -1878,6 +1878,151 @@ object CorpusStats {
        |UNION ALL SELECT 'emb_vectors', CAST(COUNT(*) AS BIGINT) FROM embeddings
        |ORDER BY metric""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q174: digram self-information (compression-proxy quality signal)
+  // ---------------------------------------------------------------------
+
+  /** q174: per-doc character-digram SELF-INFORMATION — the exact-integer
+    * stand-in for the compression-ratio gibberish filter (Gopher/C4-style
+    * pipelines zlib-compress each doc and drop the too-compressible;
+    * zlib output is not an engine-portable oracle, but the signal it
+    * thresholds — repetitive low-entropy character structure — is).
+    * Score: Σ over digram occurrences of (bits(N) − bits(n_d)) where n_d
+    * is the digram's in-doc count, N the doc's digram total and bits(x)
+    * the BINARY DIGIT COUNT ⌊log2 x⌋+1 (the q173 idiom: `length(bin(x))`
+    * ≡ DuckDB `length(format('{:b}', x))`, exact where double log2
+    * wobbles at power-of-two boundaries). That is N·H(digrams) in whole
+    * bits — low for "aaaa…"/boilerplate, high for natural prose —
+    * normalized to basis points of the distinct-digram maximum
+    * N·(bits(N)−1) and flagged below 3000 bp.
+    *
+    * Scale shape: the digram explode is one row per character (the q94
+    * cost class); ONE explicit hash(doc_id) repartition serves the
+    * (doc, digram) count, the per-doc total window AND the per-doc
+    * rollup (q74's partitioning-reuse idiom — HashPartitioning(doc_id)
+    * satisfies all three clusterings). All arithmetic int64: ent_units
+    * ≤ N·63, overflow at N ≈ 1.5·10¹⁷ digrams PER DOC — unreachable. */
+  def entropyQuality(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Window.partitionBy(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 2)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("dg"))
+      .groupBy(col("doc_id"), col("dg")).agg(count(lit(1)).as("n"))
+      .withColumn("nd", sum(col("n")).over(perDoc))
+      .groupBy(col("doc_id"))
+      .agg(max(col("nd")).cast("long").as("n_digrams"),
+        sum(col("n") * (length(bin(col("nd"))) - length(bin(col("n")))))
+          .cast("long").as("ent_units"))
+      .withColumn("ent_bp",
+        when(col("n_digrams") > 1,
+          expr("10000 * ent_units div (n_digrams * (length(bin(n_digrams)) - 1))"))
+          .otherwise(0L).cast("long"))
+      .select(col("doc_id"), col("n_digrams"), col("ent_units"),
+        col("ent_bp"), (col("ent_bp") < 3000).as("low_entropy"))
+      .orderBy(col("doc_id"))
+  }
+
+  val entropyQualitySql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2
+      |), g AS (
+      |  SELECT doc_id, unnest([substr(t, i, 2) for i in range(1, length(t))]) AS dg
+      |  FROM d
+      |), c AS (
+      |  SELECT doc_id, dg, COUNT(*) AS n FROM g GROUP BY 1, 2
+      |), c2 AS (
+      |  SELECT doc_id, n, CAST(SUM(n) OVER (PARTITION BY doc_id) AS BIGINT) AS nd
+      |  FROM c
+      |), p AS (
+      |  SELECT doc_id, CAST(MAX(nd) AS BIGINT) AS n_digrams,
+      |    CAST(SUM(n * (length(format('{:b}', nd)) - length(format('{:b}', n))))
+      |      AS BIGINT) AS ent_units
+      |  FROM c2 GROUP BY 1
+      |), r AS (
+      |  SELECT doc_id, n_digrams, ent_units,
+      |    CASE WHEN n_digrams > 1 THEN CAST(10000 * ent_units
+      |      // (n_digrams * (length(format('{:b}', n_digrams)) - 1)) AS BIGINT)
+      |    ELSE 0 END AS ent_bp
+      |  FROM p
+      |)
+      |SELECT doc_id, n_digrams, ent_units, ent_bp, ent_bp < 3000 AS low_entropy
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------------
+  // q175: per-source token-distribution divergence (total variation)
+  // ---------------------------------------------------------------------
+
+  /** q175: how token-distributionally UNUSUAL is each source vs the
+    * whole corpus — the mixture-monitoring companion of q109/q171: a
+    * source whose unigram distribution drifts far from the pool is the
+    * one to re-weight or re-crawl. Distance is TOTAL VARIATION (½·L1),
+    * the q162 discipline applied to text: integer-exact, scale-free, no
+    * log and no divide-by-near-zero (KL explodes on tokens absent from a
+    * source; TV doesn't).
+    *
+    * Exactness trick: TV needs the sum over ALL corpus tokens including
+    * those ABSENT from source s. Over the common denominator n_s·N the
+    * absent-token mass is n_s·(N − Σ_{t∈s} n_t) — computable from the
+    * PRESENT rows alone, so nothing is zero-filled:
+    * `2·TV·n_s·N = Σ_{t∈s} |n_st·N − n_t·n_s| + n_s·(N − Σ_{t∈s} n_t)`.
+    *
+    * Scale shape: ONE corpus-sized (source, token) aggregate
+    * (checkpointed — it feeds the token-total branch and the join), the
+    * token-total aggregate derives FROM it (never a second corpus scan),
+    * source totals and the one-row N broadcast onto the per-source
+    * rollup. int64 holds to n_st·N ≈ 10¹⁸; at larger volumes lift the
+    * two products to DECIMAL(38,0). */
+  def sourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val st = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n_st"))
+      .transform(graft.Dist.durableCkpt)
+    val tokTotals = st.groupBy(col("w")).agg(sum(col("n_st")).as("n_t"))
+    val srcTotals = st.groupBy(col("source")).agg(sum(col("n_st")).as("n_s"))
+    // the one-row grand total attaches to the |sources|-row frame (never
+    // to the corpus-sized join) before broadcasting both columns at once
+    val srcWithTotal = srcTotals
+      .crossJoin(broadcast(srcTotals.agg(sum(col("n_s")).as("n_total"))))
+    st.join(tokTotals, Seq("w"))
+      .join(broadcast(srcWithTotal), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct"),
+        max(col("n_s")).as("n_s"),
+        max(col("n_total")).as("n_total"),
+        sum(abs(col("n_st") * col("n_total") - col("n_t") * col("n_s")))
+          .as("present_dev"),
+        sum(col("n_t")).as("present_mass"))
+      .withColumn("tv_num",
+        col("present_dev") + col("n_s") * (col("n_total") - col("present_mass")))
+      .select(col("source"), col("n_s").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"),
+        expr("10000 * tv_num div (2 * n_s * n_total)").cast("long").as("tv_bp"))
+      .orderBy(col("source"))
+  }
+
+  val sourceDivergenceSql: String =
+    """WITH st AS MATERIALIZED (
+      |  SELECT source, w, COUNT(*) AS n_st FROM (
+      |    SELECT source,
+      |      unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w
+      |    FROM documents
+      |  ) GROUP BY 1, 2
+      |), tt AS (
+      |  SELECT w, CAST(SUM(n_st) AS BIGINT) AS n_t FROM st GROUP BY 1
+      |), ss AS (
+      |  SELECT source, CAST(SUM(n_st) AS BIGINT) AS n_s FROM st GROUP BY 1
+      |), g AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_total FROM ss)
+      |SELECT st.source, CAST(MAX(ss.n_s) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_distinct,
+      |  CAST(10000 * (CAST(SUM(ABS(st.n_st * g.n_total - tt.n_t * ss.n_s)) AS BIGINT)
+      |        + MAX(ss.n_s) * (MAX(g.n_total) - CAST(SUM(tt.n_t) AS BIGINT)))
+      |     // (2 * MAX(ss.n_s) * MAX(g.n_total)) AS BIGINT) AS tv_bp
+      |FROM st JOIN tt USING (w) JOIN ss USING (source) CROSS JOIN g
+      |GROUP BY st.source ORDER BY st.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -1912,6 +2057,8 @@ object CorpusStats {
     QueryDef("q155_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("q163_bpe_merge_candidates", bpeMergeCandidates,
       Some(bpeMergeCandidatesSql)),
-    QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql))
+    QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
+    QueryDef("q174_entropy_quality", entropyQuality, Some(entropyQualitySql)),
+    QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql))
   )
 }

@@ -62,7 +62,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q142_quality_calibration", "q144_token_budget_selection",
     "q150_theta_overlap", "q153_cusum_drift", "q158_benford_audit",
     "q162_distribution_drift", "q165_conversion_survival",
-    "q167_session_depth")
+    "q167_session_depth",
+    // q175: the one-row grand total attaches to the |sources|-row frame
+    // (never the corpus-sized join) before broadcasting
+    "q175_source_divergence")
 
   /** Queries whose unpartitioned windows run over a DOMAIN-bounded
     * aggregated census frame (value = the bound, stated for the audit

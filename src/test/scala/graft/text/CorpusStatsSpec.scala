@@ -710,4 +710,58 @@ class CorpusStatsSpec extends SparkSpec {
     assert(loads.values.max - loads.values.min <= largest,
       s"spread ${loads.values.max - loads.values.min} exceeds largest stratum $largest")
   }
+
+  test("q174 digram self-information equals a Scala model; repetition scores lowest") {
+    def bits(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase)
+    val model = docs.filter(_._2.length >= 2).map { case (id, t) =>
+      val grams = (0 until t.length - 1).map(i => t.substring(i, i + 2))
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      val n = grams.length.toLong
+      val ent = counts.values.map(c => c * (bits(n) - bits(c))).sum
+      val bp = if (n > 1) 10000L * ent / (n * (bits(n) - 1)) else 0L
+      (id, n, ent, bp, bp < 3000L)
+    }.sortBy(_._1).toSeq
+    val got = CorpusStats.entropyQuality(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == model && got.nonEmpty)
+    // discriminative sanity: a pathological repeated-char doc must score
+    // below every natural-text doc of comparable length
+    import spark.implicits._
+    val synth = Seq((1L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("entropy").toString
+    synth.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val degenerate = CorpusStats.entropyQuality(spark, tmp).collect()(0)
+    assert(degenerate.getLong(2) == 0L && degenerate.getBoolean(4),
+      "an all-identical-digram doc must have zero self-information and flag low")
+  }
+
+  test("q175 source divergence equals a BigInt Scala model; TV within [0, 10000]") {
+    val rows = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> scalaTokens(r.getString(1).toLowerCase))
+    val st = rows.flatMap { case (s, ts) => ts.map(s -> _) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nT = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val nS = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val total = nS.values.sum
+    val model = nS.keys.toSeq.sorted.map { s =>
+      val present = st.collect { case ((`s`, w), n) => (w, n) }
+      val dev = present.map { case (w, n) =>
+        (BigInt(n) * total - BigInt(nT(w)) * nS(s)).abs
+      }.sum
+      val presentMass = present.map { case (w, _) => nT(w) }.sum
+      val tvNum = dev + BigInt(nS(s)) * (total - presentMass)
+      val bp = (BigInt(10000) * tvNum / (BigInt(2) * nS(s) * total)).toLong
+      (s, nS(s), present.size.toLong, bp)
+    }
+    val got = CorpusStats.sourceDivergence(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model && got.nonEmpty)
+    assert(got.forall(r => r._4 >= 0 && r._4 <= 10000), "TV is a probability distance")
+  }
 }
