@@ -81,6 +81,10 @@ object ImageCodec {
       case "jpg" | "jpeg" => "jpeg"
       case f => f
     }
+    // webp writes LOSSLESS VP8L via the pure-JVM coder (quality ignored,
+    // like PNG) — the write side of the reference's conversion matrix
+    if (norm == "webp")
+      return try Some(Vp8l.encode(img)) catch { case _: Exception => None }
     // JPEG cannot carry alpha: force RGB like the reference's convert("RGB")
     val src = if (norm == "jpeg" && img.getType != BufferedImage.TYPE_INT_RGB) {
       val rgb = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)

@@ -68,6 +68,222 @@ object Vp8l {
     None
   }
 
+  // ------------------------------------------------------------- encoder
+
+  /** Encode ARGB pixels as LOSSLESS WebP (VP8L in a RIFF container) —
+    * the write side of the reference's conversion matrix for webp. A
+    * deliberately simple, always-valid coder: no transforms, no LZ77, no
+    * color cache; one Huffman group whose per-channel codes are
+    * BALANCED-COMPLETE prefix codes over the symbols present (most
+    * frequent symbols get the shorter of the two lengths; Kraft sum
+    * exactly 1, so any spec decoder — libwebp included, verified via
+    * tools/check_webp_encoder.py — accepts the stream). Compression is
+    * ~entropy-bound per channel (solid/palette-ish images land near the
+    * libwebp size class; photos stay ~4 bpp) — the goal is a CORRECT
+    * lossless writer, not a rate-optimal one. Round-trip is bit-exact:
+    * Vp8lSpec decodes every encode back to identical ARGB. */
+  def encode(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384,
+      s"VP8L dims out of range: ${w}x$h")
+    val pix = img.getRGB(0, 0, w, h, null, 0, w)
+    val bw = new BitWriter
+    bw.put(0x2f, 8)
+    bw.put(w - 1, 14)
+    bw.put(h - 1, 14)
+    bw.put(if (pix.exists(p => (p >>> 24) != 0xff)) 1 else 0, 1) // alpha hint
+    bw.put(0, 3) // version
+    bw.put(0, 1) // no transforms
+    bw.put(0, 1) // no color cache
+    bw.put(0, 1) // no meta huffman
+    def histogram(shift: Int, size: Int): Array[Long] = {
+      val f = new Array[Long](size)
+      var i = 0
+      while (i < pix.length) { f(((pix(i) >>> shift) & 0xff)) += 1; i += 1 }
+      f
+    }
+    val coders = Array(
+      writeChannelCode(bw, histogram(8, 256 + 24)),  // green
+      writeChannelCode(bw, histogram(16, 256)),      // red
+      writeChannelCode(bw, histogram(0, 256)),       // blue
+      writeChannelCode(bw, histogram(24, 256)),      // alpha
+      writeChannelCode(bw, { val f = new Array[Long](40); f(0) = 1; f }))
+    var i = 0
+    while (i < pix.length) {
+      val p = pix(i)
+      coders(0).emit(bw, (p >>> 8) & 0xff)
+      coders(1).emit(bw, (p >>> 16) & 0xff)
+      coders(2).emit(bw, p & 0xff)
+      coders(3).emit(bw, p >>> 24)
+      i += 1
+    }
+    val payload = bw.bytes
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val pad = if ((payload.length & 1) == 1) Array(0.toByte) else Array.empty[Byte]
+    "RIFF".getBytes("ISO-8859-1") ++ le32(4 + 8 + payload.length + pad.length) ++
+      "WEBP".getBytes("ISO-8859-1") ++ "VP8L".getBytes("ISO-8859-1") ++
+      le32(payload.length) ++ payload ++ pad
+  }
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var acc = 0L
+    private var nAcc = 0
+    def put(v: Int, n: Int): Unit = {
+      acc |= (v.toLong & ((1L << n) - 1)) << nAcc
+      nAcc += n
+      while (nAcc >= 8) { buf += (acc & 0xff).toByte; acc >>>= 8; nAcc -= 8 }
+    }
+    /** Huffman code bits go MSB-first into the LSB-first stream. */
+    def putCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { put((code >> i) & 1, 1); i -= 1 }
+    }
+    def bytes: Array[Byte] = {
+      if (nAcc > 0) { buf += (acc & 0xff).toByte; acc = 0; nAcc = 0 }
+      buf.toArray
+    }
+  }
+
+  /** Per-symbol (code, length) emitter for one channel. */
+  private final class SymbolCoder(codes: Array[Int], lens: Array[Int]) {
+    def emit(bw: BitWriter, sym: Int): Unit =
+      if (lens(sym) > 0) bw.putCode(codes(sym), lens(sym))
+    // zero-length (single-symbol) codes emit nothing
+  }
+
+  /** Balanced-complete code lengths: k present symbols, L = ⌈log2 k⌉,
+    * the (2^L − k) most frequent get length L−1, the rest L — Kraft sum
+    * exactly 1, max length 9 for k ≤ 280. */
+  private def balancedLengths(freqs: Array[Long]): Array[Int] = {
+    val present = freqs.indices.filter(freqs(_) > 0)
+      .sortBy(s => (-freqs(s), s))
+    val k = present.size
+    var l = 0
+    while ((1 << l) < k) l += 1
+    val nShort = (1 << l) - k
+    val lengths = new Array[Int](freqs.length)
+    present.zipWithIndex.foreach { case (s, rank) =>
+      lengths(s) = if (rank < nShort) l - 1 else l
+    }
+    lengths
+  }
+
+  /** Canonical (deflate-order) codes for a length assignment. */
+  private def canonicalCodes(lengths: Array[Int]): Array[Int] = {
+    val blCount = new Array[Int](MaxCodeLength + 1)
+    lengths.foreach(l => if (l > 0) blCount(l) += 1)
+    val nextCode = new Array[Int](MaxCodeLength + 1)
+    var code = 0
+    var l = 1
+    while (l <= MaxCodeLength) {
+      code = (code + blCount(l - 1)) << 1
+      nextCode(l) = code
+      l += 1
+    }
+    val codes = new Array[Int](lengths.length)
+    var s = 0
+    while (s < lengths.length) {
+      if (lengths(s) > 0) { codes(s) = nextCode(lengths(s)); nextCode(lengths(s)) += 1 }
+      s += 1
+    }
+    codes
+  }
+
+  /** Write one Huffman code description (simple when ≤2 symbols, else
+    * the code-length-coded normal form) and return the emitter. */
+  private def writeChannelCode(bw: BitWriter, freqs: Array[Long]): SymbolCoder = {
+    val present = freqs.indices.filter(freqs(_) > 0)
+    if (present.size == 1) {
+      val s = present.head
+      bw.put(1, 1) // simple
+      bw.put(0, 1) // one symbol
+      if (s < 2) { bw.put(0, 1); bw.put(s, 1) }
+      else { bw.put(1, 1); bw.put(s, 8) }
+      return new SymbolCoder(new Array[Int](freqs.length), new Array[Int](freqs.length))
+    }
+    if (present.size == 2 && present(1) < 256) {
+      // simple two-symbol code. Code ASSIGNMENT is canonical over symbol
+      // value (code 0 -> smaller symbol — libwebp-verified), independent
+      // of the order the symbols appear in the stream; stream order only
+      // decides whether the first can use the 1-bit short form.
+      val (lo, hi) = (present(0), present(1))
+      val (s0, s1) = if (lo < 2) (lo, hi) else (lo, hi)
+      bw.put(1, 1) // simple
+      bw.put(1, 1) // two symbols
+      if (s0 < 2) { bw.put(0, 1); bw.put(s0, 1) }
+      else { bw.put(1, 1); bw.put(s0, 8) }
+      bw.put(s1, 8)
+      val codes = new Array[Int](freqs.length)
+      val lens = new Array[Int](freqs.length)
+      codes(lo) = 0; lens(lo) = 1
+      codes(hi) = 1; lens(hi) = 1
+      return new SymbolCoder(codes, lens)
+    }
+    val lengths = balancedLengths(freqs)
+    bw.put(0, 1) // normal code
+    // ---- code-length symbol stream (literals + zero runs; no 16-runs:
+    // balanced lengths rarely repeat >2 of the same nonzero length in
+    // symbol order, and literal emission is always valid)
+    val stream = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+    var i = 0
+    while (i < lengths.length) {
+      if (lengths(i) == 0) {
+        var run = 0
+        while (i + run < lengths.length && lengths(i + run) == 0) run += 1
+        var left = run
+        while (left >= 11) {
+          val take = math.min(left, 138)
+          stream += ((18, take - 11, 7)); left -= take
+        }
+        if (left >= 3) { stream += ((17, left - 3, 3)); left = 0 }
+        while (left > 0) { stream += ((0, 0, 0)); left -= 1 }
+        i += run
+      } else {
+        stream += ((lengths(i), 0, 0))
+        i += 1
+      }
+    }
+    // NOTE trailing zeros must be emitted in full: without the
+    // max_symbol escape the decoder consumes code-length symbols for
+    // the ENTIRE alphabet, so a trimmed stream would make it read pixel
+    // bits as lengths (run-17/18 keeps the cost to a few symbols anyway)
+    // ---- code-length code over the stream's symbol histogram
+    val clFreq = new Array[Long](19)
+    stream.foreach { case (s, _, _) => clFreq(s) += 1 }
+    val clPresent = clFreq.indices.filter(clFreq(_) > 0)
+    val clLens =
+      if (clPresent.size == 1) {
+        // a one-symbol code-length code would need the simple form, which
+        // the cl-code slot does not have: force a 2-symbol balanced code
+        // by borrowing one occurrence for an unused symbol? Simpler and
+        // always valid: give the lone symbol length 1 and symbol 0 (or 1)
+        // length 1 as a never-used partner.
+        val partner = if (clPresent.head == 0) 1 else 0
+        val ls = new Array[Int](19)
+        ls(clPresent.head) = 1
+        ls(partner) = 1
+        ls
+      } else balancedLengths(clFreq)
+    val clCodes = canonicalCodes(clLens)
+    // emit the 19 3-bit lengths in the spec order, trimmed
+    val order = CodeLengthCodeOrder
+    var numCodes = 19
+    while (numCodes > 4 && clLens(order(numCodes - 1)) == 0) numCodes -= 1
+    bw.put(numCodes - 4, 4)
+    var j = 0
+    while (j < numCodes) { bw.put(clLens(order(j)), 3); j += 1 }
+    bw.put(0, 1) // no max_symbol trimming
+    stream.foreach { case (s, extra, extraBits) =>
+      bw.putCode(clCodes(s), clLens(s))
+      if (extraBits > 0) bw.put(extra, extraBits)
+    }
+    new SymbolCoder(canonicalCodes(lengths), lengths)
+  }
+
   // ------------------------------------------------------------ bit reader
 
   /** LSB-first little-endian bit reader; overrun throws (caught by
@@ -96,10 +312,15 @@ object Vp8l {
 
   /** Canonical-Huffman decoder (deflate code construction, bits read
     * MSB-of-code-first). `single >= 0` marks a zero-bit tree. */
-  private final class HTree(lengths: Array[Int], simplePair: Array[Int]) {
-    // simplePair: null, or Array(s0) / Array(s0, s1) straight from a
-    // "simple" code — code 0 -> s0, code 1 -> s1, in READ order (not
-    // canonical symbol order).
+  private final class HTree(lengths: Array[Int], simplePairIn: Array[Int]) {
+    // simplePair: null, or Array(s0) / the two symbols of a "simple"
+    // code. Two-symbol codes are CANONICAL over symbol value (both
+    // lengths are 1, so code 0 belongs to the smaller symbol — verified
+    // against libwebp, which decodes exactly this way regardless of the
+    // order the two symbols appear in the stream).
+    private val simplePair =
+      if (simplePairIn != null && simplePairIn.length == 2) simplePairIn.sorted
+      else simplePairIn
     private val single: Int =
       if (simplePair != null && simplePair.length == 1) simplePair(0)
       else if (simplePair == null) {

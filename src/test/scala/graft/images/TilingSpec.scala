@@ -141,6 +141,23 @@ class TilingSpec extends SparkSpec {
     assert(img.getWidth == 80 && img.getHeight == 60)
   }
 
+  test("convertImages transcodes png -> webp LOSSLESSLY (VP8L write + read back)") {
+    // the reference conversion matrix includes webp (other_tasks.py:59-60);
+    // the r7 VP8L coder closes it offline — and lossless means the pixels
+    // survive the round trip EXACTLY, unlike the jpg leg above
+    val in = tmpDirWith("c.png" -> gradientPng(80, 60))
+    val out = Files.createTempDirectory("graft-conv-webp")
+    val n = Tiling.convertImages(spark, in.toString, out.toString, "webp", quality = 0)
+    assert(n == 1)
+    val bytes = Files.readAllBytes(out.resolve("c.webp"))
+    val img = Vp8l.decode(bytes).getOrElse(fail("webp output did not decode"))
+    val src = ImageIO.read(new java.io.ByteArrayInputStream(gradientPng(80, 60)))
+    assert(img.getWidth == 80 && img.getHeight == 60)
+    for (y <- 0 until 60; x <- 0 until 80)
+      assert((img.getRGB(x, y) & 0xffffff) == (src.getRGB(x, y) & 0xffffff),
+        s"pixel ($x,$y)")
+  }
+
   test("resize: exact dims, solid color preserved, 2x downscale averages gradient") {
     import spark.implicits._
     // solid-color image: any interpolation must return the same color

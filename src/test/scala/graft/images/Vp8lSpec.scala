@@ -60,6 +60,24 @@ class Vp8lSpec extends AnyFunSuite {
     assert(HeaderDims.webpDims(bytes).contains((100, 50)))
   }
 
+  for (f <- fixtures) test(s"$f round-trips through the VP8L encoder bit-exactly") {
+    val golden = res(s"$f.rgba")
+    val dims = new String(res(s"$f.dims"), "UTF-8").trim.split(" ").map(_.toInt)
+    val (w, h) = (dims(0), dims(1))
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 4
+      img.setRGB(x, y, ((golden(i + 3) & 0xff) << 24) | ((golden(i) & 0xff) << 16) |
+        ((golden(i + 1) & 0xff) << 8) | (golden(i + 2) & 0xff))
+    }
+    val webp = Vp8l.encode(img)
+    val back = Vp8l.decode(webp).getOrElse(fail(s"$f: re-decode returned None"))
+    assert(back.getWidth == w && back.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(back.getRGB(x, y) == img.getRGB(x, y), s"$f: pixel ($x,$y)")
+  }
+
   test("non-WebP and truncated bytes quarantine as None, never throw") {
     assert(Vp8l.decode(Array[Byte](1, 2, 3)).isEmpty)
     assert(Vp8l.decode(Array.empty[Byte]).isEmpty)
