@@ -2023,6 +2023,143 @@ object CorpusStats {
       |FROM st JOIN tt USING (w) JOIN ss USING (source) CROSS JOIN g
       |GROUP BY st.source ORDER BY st.source""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q176: padding-waste audit (length-bucketed batching)
+  // ---------------------------------------------------------------------
+
+  /** Batch size for the padding audit (docs per training batch). */
+  val PadBatch = 32L
+
+  /** q176: PADDING-WASTE audit — the measurement behind length-grouped
+    * batching (HF `group_by_length`, the dynamic-batching default in
+    * every serious trainer): batching docs in arrival order pads every
+    * sequence to its batch's max length, so mixed-length batches burn
+    * compute on pad tokens; sorting by length first makes batch members
+    * similar and collapses the waste. Reports, per strategy, the padded
+    * token volume, the pad fraction in basis points, and the savings —
+    * the number that justifies turning the trainer knob on.
+    *
+    * Batches are rank div B under each order: arrival = doc_id rank,
+    * length-sorted = (n_tokens, doc_id) rank — BOTH via
+    * [[graft.Dist.globalRowNumber]] (range partition + broadcast
+    * offsets; never a single-partition window). Waste per batch is
+    * n_b·max_b − Σlen (the trailing partial batch pays its true n_b).
+    * One corpus-sized tokenize pass feeds both rankings; everything
+    * after the ranks is a two-level aggregate over batch keys. All
+    * integer, so the hash gate covers every cell. */
+  def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
+    val lens = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(tokens(lower(col("text")))).cast("long").as("len"))
+      .transform(graft.Dist.durableCkpt) // feeds both rankings
+    def audit(tag: String, ranked: DataFrame): DataFrame =
+      ranked
+        .withColumn("batch", expr(s"(rn - 1) div $PadBatch"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("tok"),
+          max(col("len")).as("mx"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("tok")).as("total_tokens"),
+          sum(col("n_docs") * col("mx")).as("padded_tokens"))
+        .select(lit(tag).as("strategy"),
+          col("n_batches").cast("long").as("n_batches"),
+          col("total_tokens").cast("long").as("total_tokens"),
+          col("padded_tokens").cast("long").as("padded_tokens"),
+          expr("10000 * (padded_tokens - total_tokens) div padded_tokens")
+            .cast("long").as("waste_bp"))
+    audit("1_arrival", graft.Dist.globalRowNumber(lens, col("doc_id")))
+      .unionByName(audit("2_length_sorted",
+        graft.Dist.globalRowNumber(lens, struct(col("len"), col("doc_id")))))
+      .orderBy(col("strategy"))
+  }
+
+  val paddingWasteSql: String = {
+    val b = PadBatch
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS BIGINT) AS len
+       |  FROM documents
+       |), arr AS (
+       |  SELECT len, (ROW_NUMBER() OVER (ORDER BY doc_id) - 1) // $b AS batch FROM d
+       |), srt AS (
+       |  SELECT len, (ROW_NUMBER() OVER (ORDER BY len, doc_id) - 1) // $b AS batch FROM d
+       |), pa AS (
+       |  SELECT batch, COUNT(*) AS n_docs, SUM(len) AS tok, MAX(len) AS mx FROM arr GROUP BY 1
+       |), ps AS (
+       |  SELECT batch, COUNT(*) AS n_docs, SUM(len) AS tok, MAX(len) AS mx FROM srt GROUP BY 1
+       |), ra AS (
+       |  SELECT '1_arrival' AS strategy, CAST(COUNT(*) AS BIGINT) AS n_batches,
+       |    CAST(SUM(tok) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(n_docs * mx) AS BIGINT) AS padded_tokens
+       |  FROM pa
+       |), rs AS (
+       |  SELECT '2_length_sorted', CAST(COUNT(*) AS BIGINT),
+       |    CAST(SUM(tok) AS BIGINT), CAST(SUM(n_docs * mx) AS BIGINT)
+       |  FROM ps
+       |), u AS (SELECT * FROM ra UNION ALL SELECT * FROM rs)
+       |SELECT strategy, n_batches, total_tokens, padded_tokens,
+       |  CAST(10000 * (padded_tokens - total_tokens) // padded_tokens AS BIGINT) AS waste_bp
+       |FROM u ORDER BY strategy""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q177: source-concentration audit (exact Gini + Lorenz shares)
+  // ---------------------------------------------------------------------
+
+  /** q177: how CONCENTRATED is the corpus over sources — the dataset-card
+    * risk metric behind "is this corpus basically one domain": exact
+    * integer Gini coefficient over per-source token mass plus the Lorenz
+    * reading marketing actually quotes (the token share of the top
+    * half of sources). Gini via the rank identity
+    * G = (2·Σᵢ i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted x,
+    * cross-multiplied to basis points with a single floor division:
+    * gini_bp = (10⁴·(2·Σ i·xᵢ − (n+1)·Σx)) div (n·Σx).
+    *
+    * Scale shape: per-source mass is ONE corpus-sized hash(source)
+    * aggregate; ranking and sums run over the ≤|sources| frame
+    * (domain-bounded — the hygiene-whitelisted census class); output is
+    * one row. Everything integer-exact under the hash gate. */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val mass = Tables.documents(spark, dir)
+      .groupBy(col("source"))
+      .agg(sum(size(tokens(lower(col("text"))))).cast("long").as("x"))
+    val ranked = mass
+      .withColumn("i",
+        row_number().over(Window.orderBy(col("x"), col("source"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(
+        Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        .cast("long"))
+    ranked
+      .agg(max(col("n")).as("n_sources"),
+        sum(col("x")).as("total_tokens"),
+        sum(col("i") * col("x")).as("ix"),
+        sum(when(col("i") * 2 > col("n"), col("x")).otherwise(0L))
+          .as("top_half_tokens"))
+      .select(col("n_sources").cast("long").as("n_sources"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        expr("10000 * (2 * ix - (n_sources + 1) * total_tokens) div (n_sources * total_tokens)")
+          .cast("long").as("gini_bp"),
+        expr("10000 * top_half_tokens div total_tokens")
+          .cast("long").as("top_half_share_bp"))
+  }
+
+  val sourceConcentrationSql: String =
+    """WITH m AS (
+      |  SELECT source,
+      |    CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS BIGINT) AS x
+      |  FROM documents GROUP BY 1
+      |), r AS (
+      |  SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, source) AS BIGINT) AS i,
+      |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+      |  FROM m
+      |)
+      |SELECT CAST(MAX(n) AS BIGINT) AS n_sources,
+      |  CAST(SUM(x) AS BIGINT) AS total_tokens,
+      |  CAST(10000 * (2 * CAST(SUM(i * x) AS BIGINT) - (MAX(n) + 1) * CAST(SUM(x) AS BIGINT))
+      |    // (MAX(n) * CAST(SUM(x) AS BIGINT)) AS BIGINT) AS gini_bp,
+      |  CAST(10000 * CAST(SUM(CASE WHEN i * 2 > n THEN x ELSE 0 END) AS BIGINT)
+      |    // CAST(SUM(x) AS BIGINT) AS BIGINT) AS top_half_share_bp
+      |FROM r""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -2059,6 +2196,9 @@ object CorpusStats {
       Some(bpeMergeCandidatesSql)),
     QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q174_entropy_quality", entropyQuality, Some(entropyQualitySql)),
-    QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql))
+    QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),
+    QueryDef("q176_padding_waste", paddingWaste, Some(paddingWasteSql)),
+    QueryDef("q177_source_concentration", sourceConcentration,
+      Some(sourceConcentrationSql))
   )
 }

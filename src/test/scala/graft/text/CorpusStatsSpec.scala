@@ -740,6 +740,59 @@ class CorpusStatsSpec extends SparkSpec {
       "an all-identical-digram doc must have zero self-information and flag low")
   }
 
+  test("q176 padding waste equals a Scala model; length-sorting never loses") {
+    val b = CorpusStats.PadBatch.toInt
+    val lens = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), scalaTokens(r.getString(1).toLowerCase).size.toLong))
+    def audit(tag: String, ordered: Seq[Long]): (String, Long, Long, Long, Long) = {
+      val batches = ordered.grouped(b).toSeq
+      val total = ordered.sum
+      val padded = batches.map(g => g.size * g.max).sum
+      (tag, batches.size.toLong, total, padded, 10000L * (padded - total) / padded)
+    }
+    val model = Seq(
+      audit("1_arrival", lens.sortBy(_._1).map(_._2).toSeq),
+      audit("2_length_sorted", lens.sortBy(l => (l._2, l._1)).map(_._2).toSeq))
+    val got = CorpusStats.paddingWaste(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model)
+    // sorting by length can only reduce the padded volume
+    assert(got(1)._4 <= got(0)._4, "length-sorted batching must not pad more")
+  }
+
+  test("q177 Gini equals a Scala model and a transfer raises it") {
+    def gini(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      val n = s.size.toLong
+      val tot = s.sum
+      val ix = s.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      10000L * (2 * ix - (n + 1) * tot) / (n * tot)
+    }
+    val mass = graft.Tables.documents(spark, sfDir)
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> scalaTokens(r.getString(1).toLowerCase).size.toLong)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    val xs = mass.map(_._2).toSeq
+    val row = CorpusStats.sourceConcentration(spark, sfDir).collect()(0)
+    assert(row.getLong(0) == xs.size.toLong && row.getLong(1) == xs.sum)
+    assert(row.getLong(2) == gini(xs))
+    val sorted = mass.sortBy(m => (m._2, m._1))
+    val topHalf = sorted.zipWithIndex
+      .collect { case ((_, x), i) if (i + 1) * 2 > sorted.size => x }.sum
+    assert(row.getLong(3) == 10000L * topHalf / xs.sum)
+    assert(row.getLong(2) >= 0 && row.getLong(2) < 10000)
+    // Pigou-Dalton direction: moving mass from the poorest source to the
+    // richest must increase Gini (model-level sanity of the formula)
+    if (xs.size >= 2) {
+      val s = xs.sorted
+      val transfer = (s.head + 1) / 2
+      val moved = (s.head - transfer) +: s.tail.init :+ (s.last + transfer)
+      assert(gini(moved) >= gini(xs))
+    }
+  }
+
   test("q175 source divergence equals a BigInt Scala model; TV within [0, 10000]") {
     val rows = graft.Tables.documents(spark, sfDir)
       .select("source", "text").collect()
