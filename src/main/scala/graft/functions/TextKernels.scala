@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftops.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local text-statistics kernels (q174's digram self-information).
+  *
+  * The first q174 shape exploded one row per digram into a
+  * (doc, digram) hash aggregate — ~10M shuffled rows at sf0.1 and the
+  * round-7 bench's slowest query (4.99 s). The statistic is row-LOCAL
+  * (each doc's score depends only on its own digram counts), so the
+  * explode+shuffle bought nothing: this kernel computes the same two
+  * integers in one compiled pass per document (code-point pairs keyed
+  * into an open-addressed long map), q174 dropped to a map-only plan
+  * (4.99 → 0.4 s, zero pre-output exchanges) and the oracle SQL is
+  * UNCHANGED — the hash gate pins kernel ≡ explode formulation.
+  *
+  * Digrams are CODE-POINT pairs, matching Spark `substring(t, i, 2)`
+  * and DuckDB `substr` character semantics on the same text. */
+object TextKernels {
+
+  /** STRUCT<n_digrams BIGINT, ent_units BIGINT>: the doc's digram total
+    * and Σ c·(bits(N)−bits(c)) over its digram counts. */
+  def digramSelfInfo(c: Column): Column =
+    ColumnBridge.column(DigramSelfInfo(ColumnBridge.expression(c)))
+
+  @inline private def bits(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
+
+  // static entry point referenced from generated code
+  def compute(s: UTF8String): InternalRow = {
+    val str = s.toString
+    // code points, so a surrogate pair is ONE digram element (the same
+    // unit Spark's substring and DuckDB's substr count by)
+    val cps = str.codePoints().toArray
+    val n = cps.length - 1
+    if (n < 1) return InternalRow(0L, 0L)
+    // open-addressed map: key = (cp1 << 21 | cp2) + 1 (code points are
+    // <= 0x10FFFF < 2^21, so the pack is injective; +1 keeps 0 = empty)
+    val cap = Integer.highestOneBit(math.max(4, n * 2) - 1) << 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Long](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < n) {
+      val key = (cps(i).toLong << 21 | cps(i + 1).toLong) + 1
+      var slot = (java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L)) & mask
+      while (keys(slot) != 0 && keys(slot) != key) slot = (slot + 1) & mask
+      keys(slot) = key
+      counts(slot) += 1
+      i += 1
+    }
+    val bn = bits(n.toLong)
+    var ent = 0L
+    var j = 0
+    while (j < cap) {
+      val c = counts(j)
+      if (c > 0) ent += c * (bn - bits(c))
+      j += 1
+    }
+    InternalRow(n.toLong, ent)
+  }
+}
+
+case class DigramSelfInfo(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_digrams", LongType, nullable = false),
+    StructField("ent_units", LongType, nullable = false)))
+  override def prettyName: String = "digram_self_info"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DigramSelfInfo =
+    copy(child = newChild)
+}

@@ -1896,26 +1896,26 @@ object CorpusStats {
     * normalized to basis points of the distinct-digram maximum
     * N·(bits(N)−1) and flagged below 3000 bp.
     *
-    * Scale shape: the digram explode is one row per character (the q94
-    * cost class); ONE explicit hash(doc_id) repartition serves the
-    * (doc, digram) count, the per-doc total window AND the per-doc
-    * rollup (q74's partitioning-reuse idiom — HashPartitioning(doc_id)
-    * satisfies all three clusterings). All arithmetic int64: ent_units
-    * ≤ N·63, overflow at N ≈ 1.5·10¹⁷ digrams PER DOC — unreachable. */
+    * Scale shape: the statistic is row-LOCAL, so it runs as ONE compiled
+    * kernel pass per document ([[graft.functions.TextKernels]] — code
+    * points into an open-addressed long map), a map-only plan with zero
+    * pre-output shuffles; `Dist.fanOut` unlocks cores above the
+    * one-row-group harness scan (per-row compute ≫ bytes, the q143
+    * precedent). The first registered shape exploded one row per digram
+    * through a (doc, digram) hash aggregate — 10M shuffled rows and
+    * 4.99 s at sf0.1 vs 0.4 s for the kernel; the oracle still runs the
+    * explode formulation, so the hash gate pins the two equal. All
+    * arithmetic int64: ent_units ≤ N·63, overflow at N ≈ 1.5·10¹⁷
+    * digrams PER DOC — unreachable. */
   def entropyQuality(spark: SparkSession, dir: String): DataFrame = {
-    val perDoc = Window.partitionBy(col("doc_id"))
-    Tables.documents(spark, dir)
+    graft.Dist.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), lower(col("text")).as("t"))
       .filter(length(col("t")) >= 2)
-      .repartition(col("doc_id"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, length(t) - 1), i -> substring(t, i, 2))")).as("dg"))
-      .groupBy(col("doc_id"), col("dg")).agg(count(lit(1)).as("n"))
-      .withColumn("nd", sum(col("n")).over(perDoc))
-      .groupBy(col("doc_id"))
-      .agg(max(col("nd")).cast("long").as("n_digrams"),
-        sum(col("n") * (length(bin(col("nd"))) - length(bin(col("n")))))
-          .cast("long").as("ent_units"))
+      .select(col("doc_id"),
+        graft.functions.TextKernels.digramSelfInfo(col("t")).as("k"))
+      .select(col("doc_id"), col("k.n_digrams").as("n_digrams"),
+        col("k.ent_units").as("ent_units"))
       .withColumn("ent_bp",
         when(col("n_digrams") > 1,
           expr("10000 * ent_units div (n_digrams * (length(bin(n_digrams)) - 1))"))
