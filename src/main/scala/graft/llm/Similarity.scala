@@ -252,14 +252,32 @@ object Similarity {
     * pair's verification is the rep pair's). Every doc pair belongs to
     * exactly one of those cases, so no final distinct is needed — the
     * 958k-row doc-pair set never passes through a dedup exchange. */
+  private val groupsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), DataFrame]()
+
+  /** [[shingleGroups]] landed ONCE per (session, dir, durability regime)
+    * — the d7258c8 front-end idiom (kmeans assignment, co-purchase
+    * counts): four query families (q41/q50 verified pairs, q85's
+    * near-dup membership, q147's tuning curve, plus every
+    * lshVerifiedPairs consumer) read the identical rep-space frame, and
+    * without the memo each registered query re-ran the corpus tokenize +
+    * shingle hash-aggregate from scratch. Same process-lifetime
+    * retention note as the co-purchase memo; at 100 TB this is a landed
+    * bucketed catalog table with a content fingerprint, not a session
+    * memo. Lineage is cut by the checkpoint, so every consumer must
+    * hint `broadcast()` on small attaches (stats-less LogicalRDD). */
+  private[llm] def landedShingleGroups(spark: SparkSession, dir: String): DataFrame =
+    groupsMemo.computeIfAbsent(memoKey(spark, dir),
+      { _ => shingleGroups(spark, dir).transform(Dist.durableCkpt) })
+
   def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     // ONE materialization of the groups aggregate: grps feeds the within
     // branch, the two expansion attaches, and repPairsFromGroups' three
     // internal references — without the checkpoint each reference re-runs
     // the corpus scan + hash-aggregate (no plan CSE across union/join
-    // branches). Blocks are reclaimed by the ContextCleaner once the
-    // returned frame is GC'd.
-    val grps = shingleGroups(spark, dir).transform(Dist.durableCkpt)
+    // branches); the session memo additionally shares that one
+    // materialization across every consumer query.
+    val grps = landedShingleGroups(spark, dir)
     // size(hs) > 0 is load-bearing, not an optimization: token-free docs
     // (empty/whitespace text) share hs = [] and would expand to pairs
     // with jaccard "1.0", but the verify kernel computes 0/0 -> NULL for
@@ -1096,7 +1114,7 @@ object Similarity {
     // jaccard 1 cliques — so contracting them first is exact), and the
     // expansion back to doc counts happens only in the final aggregate.
     // The 958k expanded doc pairs never exist as edges at all.
-    val grps = shingleGroups(spark, dir).transform(Dist.durableCkpt)
+    val grps = landedShingleGroups(spark, dir)
     val edges = repPairsFromGroups(grps).select(col("gid_a"), col("gid_b"))
       .transform(Dist.durableCkpt)
     val sym = edges.select(col("gid_a").as("node"), col("gid_b").as("nbr"))
@@ -1794,7 +1812,7 @@ object Similarity {
     // Both edge directions go through ONE generator (no Union — union
     // branches would re-execute the pair pipeline, the exact regression
     // the plan spec locks out).
-    val grps = shingleGroups(spark, dir).transform(Dist.durableCkpt)
+    val grps = landedShingleGroups(spark, dir)
     val nbrMin = repPairsFromGroups(grps)
       .select(explode(array(
           struct(col("gid_a").as("g"), col("gid_b").as("n")),
@@ -2556,7 +2574,7 @@ object Similarity {
     * the integer cross-multiplied Jaccard (10·∩ ≥ 9·∪ — no 0.9 double).
     * Output is ≤ Bands rows. */
   def lshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
-    val grps = shingleGroups(spark, dir).select(col("gid"), col("hs"))
+    val grps = landedShingleGroups(spark, dir).select(col("gid"), col("hs"))
       .filter(size(col("hs")) > 0)
       .transform(graft.Dist.durableCkpt)
     val bandk = grps
