@@ -278,12 +278,21 @@ object Dist {
     * one two-level hash aggregate ending in a bounded ONE-ROW action;
     * at 100 TB it runs on yesterday's key-stats table, not inline —
     * pass that factor straight to [[saltedJoin]] instead. */
-  def recommendedSalt(df: DataFrame, keys: Seq[String]): Int =
-    math.max(1, df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
+  def recommendedSalt(df: DataFrame, keys: Seq[String]): Int = {
+    // DECIMAL(38,0) products: max_cnt·n_keys overflows int64 exactly at
+    // the 100 TB scale this audit targets (1e10 rows on a hot key ×
+    // 1e9 keys), where a silent wrap would return 1 — no salting — when
+    // skew is worst. Empty input yields a NULL aggregate row → 1 (the
+    // plain join is trivially level).
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("cnt"))
       .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("total"),
         max(col("cnt")).as("max_cnt"))
-      .selectExpr("cast((max_cnt * n_keys + total - 1) div total as int)")
-      .head().getInt(0))
+      .selectExpr(
+        """cast((cast(max_cnt as decimal(38,0)) * n_keys + total - 1)
+          |  div total as int)""".stripMargin)
+      .head()
+    if (r.isNullAt(0)) 1 else math.max(1, r.getInt(0))
+  }
 
   /** Measure-then-act skew join: [[saltedJoin]] with the factor the
     * skew audit recommends for THIS big side, closing the q131→q89

@@ -59,6 +59,9 @@ object Vp8l {
     while (i + 8 <= b.length) {
       val size = (b(i + 4) & 0xff) | ((b(i + 5) & 0xff) << 8) |
         ((b(i + 6) & 0xff) << 16) | ((b(i + 7) & 0xff) << 24)
+      // a negative/corrupt size would stall or reverse the walk — a hang
+      // the quarantine try/catch cannot catch; bail to None instead
+      if (size < 0) return None
       if (tag(i, "VP8L")) {
         val end = math.min(b.length, i + 8 + size)
         return Some(java.util.Arrays.copyOfRange(b, i + 8, end))
@@ -211,12 +214,11 @@ object Vp8l {
       // of the order the symbols appear in the stream; stream order only
       // decides whether the first can use the 1-bit short form.
       val (lo, hi) = (present(0), present(1))
-      val (s0, s1) = if (lo < 2) (lo, hi) else (lo, hi)
       bw.put(1, 1) // simple
       bw.put(1, 1) // two symbols
-      if (s0 < 2) { bw.put(0, 1); bw.put(s0, 1) }
-      else { bw.put(1, 1); bw.put(s0, 8) }
-      bw.put(s1, 8)
+      if (lo < 2) { bw.put(0, 1); bw.put(lo, 1) }
+      else { bw.put(1, 1); bw.put(lo, 8) }
+      bw.put(hi, 8)
       val codes = new Array[Int](freqs.length)
       val lens = new Array[Int](freqs.length)
       codes(lo) = 0; lens(lo) = 1

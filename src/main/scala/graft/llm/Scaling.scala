@@ -25,8 +25,19 @@ object Scaling {
   /** id offset between copies; far above any harness doc_id/vec_id. */
   val Stride = 1000000L
 
+  /** The copy construction is only isomorphic while ids stay below
+    * [[Stride]] — a colliding id would merge groups ACROSS copies and
+    * silently corrupt every "exactly k×" measurement downstream. Fail
+    * loudly instead (one bounded one-row action). */
+  private def requireIdsBelowStride(df: DataFrame, idCol: String): Unit = {
+    val r = df.agg(max(col(idCol))).head()
+    require(r.isNullAt(0) || r.getLong(0) < Stride,
+      s"$idCol reaches ${r.get(0)} >= Stride $Stride: copies would collide")
+  }
+
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1: $factor")
+    requireIdsBelowStride(docs, "doc_id")
     docs
       .withColumn("c", explode(sequence(lit(0), lit(factor - 1), lit(1))))
       .select(
@@ -40,6 +51,7 @@ object Scaling {
 
   def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1: $factor")
+    requireIdsBelowStride(embs, "vec_id")
     embs
       .withColumn("c", explode(sequence(lit(0), lit(factor - 1), lit(1))))
       .withColumn("r", pmod(col("c"), size(col("embedding"))))
@@ -66,8 +78,10 @@ object Scaling {
   /** q41's raw LSH band-candidate volume (the self-join output BEFORE
     * verification) — the quantity banding keeps sub-quadratic. */
   def lshCandidateCount(spark: SparkSession, dir: String): Long = {
-    val sets = Similarity.shingleGroups(spark, dir)
-      .select(col("gid"), col("hs")).transform(graft.Dist.durableCkpt)
+    // read the session-landed groups (shared with every LSH consumer)
+    // instead of re-materializing a private checkpoint of the same frame
+    val sets = Similarity.landedShingleGroups(spark, dir)
+      .select(col("gid"), col("hs"))
     val banded = Similarity.bandKeys(sets, "gid")
     banded.select(col("bkey"), col("gid").as("gid_a"))
       .join(banded.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
@@ -86,7 +100,10 @@ object Scaling {
     * so this stays linear in N. */
   def semanticPairVolume(spark: SparkSession, dir: String, k: Int): Long = {
     val (a2, _) = Similarity.kmeansAssignment(spark, dir, k)
-    a2.groupBy(col("cid")).agg(count(lit(1)).as("m"))
-      .agg(sum(col("m") * (col("m") - 1) / 2).cast("long")).head().getLong(0)
+    val r = a2.groupBy(col("cid")).agg(count(lit(1)).as("m"))
+      // integer division (div), not /: the double quotient loses
+      // exactness past 2^53 — against the whole point of the measurement
+      .agg(sum(expr("m * (m - 1) div 2")).cast("long")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 }

@@ -1908,10 +1908,13 @@ object CorpusStats {
     * arithmetic int64: ent_units ≤ N·63, overflow at N ≈ 1.5·10¹⁷
     * digrams PER DOC — unreachable. */
   def entropyQuality(spark: SparkSession, dir: String): DataFrame = {
+    // the admission filter is on RAW text length, matching the oracle's
+    // WHERE length(text) >= 2 exactly — filtering the LOWERED length
+    // diverges on case mappings that change code-point count (U+0130)
     graft.Dist.fanOut(
         Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .filter(length(col("text")) >= 2)
       .select(col("doc_id"), lower(col("text")).as("t"))
-      .filter(length(col("t")) >= 2)
       .select(col("doc_id"),
         graft.functions.TextKernels.digramSelfInfo(col("t")).as("k"))
       .select(col("doc_id"), col("k.n_digrams").as("n_digrams"),

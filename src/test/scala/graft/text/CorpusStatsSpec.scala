@@ -715,8 +715,10 @@ class CorpusStatsSpec extends SparkSpec {
     def bits(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
     val docs = graft.Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
-      .map(r => r.getLong(0) -> r.getString(1).toLowerCase)
-    val model = docs.filter(_._2.length >= 2).map { case (id, t) =>
+      .map(r => r.getLong(0) -> r.getString(1))
+    // admission on RAW length (the oracle's WHERE), digrams on lowered
+    val model = docs.filter(_._2.length >= 2).map { case (id, raw) =>
+      val t = raw.toLowerCase
       val grams = (0 until t.length - 1).map(i => t.substring(i, i + 2))
       val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
       val n = grams.length.toLong
