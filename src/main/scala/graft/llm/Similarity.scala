@@ -2778,6 +2778,112 @@ object Similarity {
        |  10000 * ivf_hits // n_exact AS ivf_recall_bp
        |FROM agg ORDER BY probe_id""".stripMargin
 
+  // ------------------------------------------ q178 containment ingest
+
+  /** q178: INCREMENTAL containment probe — the q68/q152 land-once
+    * pattern applied to the containment tier (q143): a later-arriving
+    * batch (the q68 fixture convention, doc_id ≡ 7 mod 10) is probed
+    * against the LANDED corpus for redundancy: is ≥ 90 % of the new
+    * doc's trigram set already inside some existing doc? The ingest
+    * gate a crawl pipeline runs before admitting near-redundant
+    * newcomers (truncated re-crawls, quote-wrapper pages) that exact
+    * and Jaccard dedup both miss.
+    *
+    * EXACTNESS of the prefix probe: if ≥ 0.9·|A| of A's shingles are in
+    * B, then ANY (⌊0.1·|A|⌋+1)-subset of A's shingles hits B
+    * (pigeonhole) — so probing each batch set's K rarest shingles
+    * against the postings loses nothing REGARDLESS of the rarity
+    * ranking; rarity (by landed document frequency, batch-absent
+    * shingles ranked rarest at df 0) only minimizes candidates. The
+    * DuckDB oracle verifies by brute force over all batch×corpus pairs.
+    *
+    * Scale shape: at 100 TB the postings (h → cor_id) and the df table
+    * are LANDED tables (the q87 deployment); here they derive in-query
+    * from one checkpointed per-doc set pass so the whole contract stays
+    * oracle-checkable. Batch-side frames broadcast (probe prefixes are
+    * ≈ 0.1·|batch sets|); the only corpus-touching joins are the
+    * posting equi-join and the candidate attach — work ∝ batch. Best
+    * match per doc via one min(struct) aggregate, ties to the lowest
+    * corpus id. */
+  def containmentIngest(spark: SparkSession, dir: String): DataFrame = {
+    val isIncoming = pmod(col("doc_id"), lit(10)) === 7
+    val sets = graft.Dist.fanOut(
+        Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("hs", gram3Hashed(col("t")))
+      .select(col("doc_id"), col("hs"), size(col("hs")).cast("long").as("sz"))
+      .transform(Dist.durableCkpt)
+    val incoming = sets.filter(isIncoming && size(col("hs")) > 0)
+    val corpus = sets.filter(!isIncoming)
+    val postings = corpus.select(col("doc_id").as("cor_id"),
+      col("sz").as("sz_c"), explode(col("hs")).as("h"))
+    val dfreq = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = incoming
+      .select(col("doc_id").as("inc_id"), col("sz").as("sz_i"),
+        explode(col("hs")).as("h"))
+      .join(dfreq, Seq("h"), "left")
+      .withColumn("df", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("inc_id")).orderBy(col("df"), col("h"))))
+      .filter(col("rn") <= col("sz_i") - expr("(9 * sz_i + 9) div 10") + 1)
+      .select(col("inc_id"), col("h"))
+    val cand = prefixes.join(postings, Seq("h"))
+      .select(col("inc_id"), col("cor_id")).distinct()
+    val verified = cand
+      .join(broadcast(incoming.select(col("doc_id").as("inc_id"),
+        col("hs").as("hs_i"), col("sz").as("sz_i"))), Seq("inc_id"))
+      .join(corpus.select(col("doc_id").as("cor_id"),
+        col("hs").as("hs_c"), col("sz").as("sz_c")), Seq("cor_id"))
+      .filter(lit(10) * col("sz_c") >= lit(9) * col("sz_i"))
+      .withColumn("n_shared", graft.functions.ArrayKernels
+        .sortedIntersectCount(col("hs_i"), col("hs_c")).cast("long"))
+      .filter(lit(10) * col("n_shared") >= lit(9) * col("sz_i"))
+      .withColumn("cont_bp", expr("10000 * n_shared div sz_i"))
+      .groupBy(col("inc_id"))
+      .agg(min(struct((lit(10000L) - col("cont_bp")).as("neg"),
+        col("cor_id"), col("cont_bp"))).as("b"))
+      .select(col("inc_id").as("doc_id"),
+        col("b.cor_id").as("best_match"), col("b.cont_bp").as("containment_bp"))
+    incoming.select(col("doc_id"))
+      .join(verified, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("best_match").isNotNull, "contained").otherwise("novel")
+          .as("status"),
+        col("best_match"), col("containment_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val containmentIngestSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents
+       |), sh AS MATERIALIZED (
+       |  SELECT doc_id, list_sort(list_distinct(
+       |    [CAST(concat('0x', substr(md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]), 1, 15)) AS BIGINT) % $P
+       |     for i in range(1, len(t) - 1)])) AS hs
+       |  FROM toks WHERE len(t) >= 3
+       |), s AS MATERIALIZED (
+       |  SELECT doc_id, hs, CAST(len(hs) AS BIGINT) AS sz FROM sh
+       |), inc AS (SELECT * FROM s WHERE doc_id % 10 = 7 AND sz > 0),
+       |cor AS (SELECT * FROM s WHERE doc_id % 10 <> 7),
+       |v AS (
+       |  SELECT i.doc_id, c.doc_id AS cor_id,
+       |    10000 * CAST(len(list_intersect(i.hs, c.hs)) AS BIGINT) // i.sz AS cont_bp
+       |  FROM inc i JOIN cor c ON 10 * c.sz >= 9 * i.sz
+       |  WHERE 10 * len(list_intersect(i.hs, c.hs)) >= 9 * i.sz
+       |), best AS (
+       |  SELECT doc_id, cor_id AS best_match, cont_bp AS containment_bp,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY cont_bp DESC, cor_id) AS r
+       |  FROM v
+       |)
+       |SELECT i.doc_id,
+       |  CASE WHEN b.best_match IS NOT NULL THEN 'contained' ELSE 'novel' END AS status,
+       |  b.best_match, b.containment_bp
+       |FROM inc i LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (doc_id)
+       |ORDER BY i.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q40_minhash_signatures", minhashSignatures, Some(minhashSignaturesSql)),
     QueryDef("q41_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
@@ -2811,6 +2917,7 @@ object Similarity {
     QueryDef("q136_license_propagation", licensePropagation, Some(licensePropagationSql)),
     QueryDef("q139_ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
     QueryDef("q143_containment_pairs", containmentPairs, Some(containmentPairsSql)),
+    QueryDef("q178_containment_ingest", containmentIngest, Some(containmentIngestSql)),
     QueryDef("q145_crossmodal_purity", crossmodalPurity, Some(crossmodalPuritySql)),
     QueryDef("q147_lsh_tuning_curve", lshTuningCurve, Some(lshTuningCurveSql))
   )

@@ -532,6 +532,50 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(r => r._6 >= 9000 && r._6 <= 10000))
   }
 
+  test("q178 containment ingest equals brute force batch x corpus; non-degenerate") {
+    import graft.llm.Similarity
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md.map("%02x".format(_)).mkString.take(15), 16) % Similarity.P
+    }
+    val sets = docs.map { case (id, text) =>
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      id -> (if (t.length < 3) Set.empty[Long]
+             else t.sliding(3).map(w => h60(w.mkString(" "))).toSet)
+    }
+    val incoming = sets.filter { case (id, hs) => id % 10 == 7 && hs.nonEmpty }
+    val corpus = sets.filter { case (id, _) => id % 10 != 7 }
+    val model = incoming.map { case (id, hi) =>
+      val best = corpus.flatMap { case (cid, hc) =>
+        val shared = (hi & hc).size
+        if (10 * hc.size >= 9 * hi.size && 10 * shared >= 9 * hi.size)
+          Some((10000L * shared / hi.size, cid))
+        else None
+      }
+      best.sortBy { case (bp, cid) => (-bp, cid) }.headOption match {
+        case Some((bp, cid)) => (id, "contained", Some(cid), Some(bp))
+        case None => (id, "novel", None, None)
+      }
+    }.sortBy(_._1).toSeq
+    val got = Similarity.containmentIngest(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)))).toSeq
+    assert(got == model, s"got ${got.size} rows, model ${model.size}")
+    // the fixture batch must exercise BOTH verdicts, or the probe is
+    // vacuous on this corpus
+    assert(got.exists(_._2 == "contained") && got.exists(_._2 == "novel"))
+    // contained rows carry a >= 90% score against a real corpus doc
+    assert(got.filter(_._2 == "contained")
+      .forall(r => r._4.exists(bp => bp >= 9000 && bp <= 10000) &&
+        r._3.exists(c => c % 10 != 7)))
+  }
+
   test("q147 LSH S-curve: k counts match slice equality; precision rises to k=8") {
     import graft.llm.Similarity
     val grps = Similarity.shingleGroups(spark, sfDir)
