@@ -641,4 +641,71 @@ object Streaming {
     val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
     try { q.processAllAvailable() } finally q.stop()
   }
+
+  // --------------------------------------- streaming daily theta sketches
+
+  /** Keyed state for [[dailyUserSketches]]: the day's COMPACT Theta
+    * sketch bytes (compact, not the update form — compact sketches are
+    * the serializable/mergeable unit; per trigger the new user ids build
+    * a fresh update sketch that unions into the stored bytes). */
+  final case class DaySketchState(sk: Array[Byte])
+  /** One emitted row: a finalized day and its sketch payload, the same
+    * (day, sk) schema the batch `Events.dailyThetaSketches` lands. */
+  final case class DaySketchRow(day: java.sql.Timestamp, sk: Array[Byte])
+
+  /** The STREAM side of q164's landing story: per-day Theta sketches of
+    * the active-user set, maintained in keyed state and emitted EXACTLY
+    * ONCE when the watermark finalizes the day — the rows land beside
+    * (or instead of) the batch `dailyThetaSketches` table, and
+    * `Events.thetaWauFromDaily` consumes either source
+    * indistinguishably (ThetaStreamSpec proves streamed-sketch WAU ≡
+    * the exact batch counts in the sub-2^lgK regime).
+    *
+    * Same DataSketches family and lgK (12) as Spark's
+    * `theta_sketch_agg`, same default update seed — so a streamed day
+    * and a batch-built day union exactly (identical retained hash
+    * sets over identical user ids).
+    *
+    * Finality: day D covers [D, D+1); the stateful late-row filter
+    * drops ts <= watermark, so once the event-time timeout set at
+    * D+1day fires (watermark ≥ that instant), no admissible event can
+    * still land in D — emit and DROP the state (bounded: ≈ watermark
+    * delay / 1 day open sketches per partition, each O(2^lgK)). */
+  def dailyUserSketches(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val dayMs = 24L * 3600 * 1000
+    events.withWatermark("ts", "1 hour")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[EventRow]
+      .groupByKey(e => Math.floorDiv(e.ts.getTime, dayMs))
+      .flatMapGroupsWithState[DaySketchState, DaySketchRow](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (day: Long, rows: Iterator[EventRow], state: GroupState[DaySketchState]) =>
+          import org.apache.datasketches.theta.{CompactSketch, SetOperation, UpdateSketch}
+          if (state.hasTimedOut) {
+            // watermark passed the day's end: the sketch is final
+            val out = state.getOption.map(s =>
+              DaySketchRow(new java.sql.Timestamp(day * dayMs), s.sk))
+            state.remove()
+            out.iterator
+          } else {
+            val fresh = UpdateSketch.builder().setLogNominalEntries(12).build()
+            rows.foreach(e => fresh.update(e.user_id))
+            val merged = state.getOption match {
+              case Some(prev) =>
+                val u = SetOperation.builder().setLogNominalEntries(12).buildUnion()
+                u.union(CompactSketch.heapify(
+                  org.apache.datasketches.memory.Memory.wrap(prev.sk)))
+                u.union(fresh.compact())
+                u.getResult.toByteArray
+              case None => fresh.compact().toByteArray
+            }
+            state.update(DaySketchState(merged))
+            state.setTimeoutTimestamp((day + 1) * dayMs)
+            Iterator.empty
+          }
+      }.toDF()
+  }
 }
