@@ -2,7 +2,7 @@ package graft.io
 
 import graft.{QueryDef, Tables}
 import graft.Exact.{discPrice, narrow}
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Table layout for scale: partitioned writes and the pruning they buy.
@@ -518,11 +518,116 @@ object Layout {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ---------------------------------------- q179 rendezvous re-sharding
+
+  /** Shard count before the expansion audited by [[rendezvousResharding]]. */
+  val RdvOldShards = 8
+
+  /** q179: rendezvous (highest-random-weight) re-sharding audit — the
+    * layout-maintenance question behind every landed bucketed corpus
+    * (q68/q87's dedup tables, q119's training shards): when capacity
+    * grows from S to S+1 shards, how much of the corpus must MOVE?
+    * Mod-hashing (`h % S`, what naive bucketing does) reassigns ~S/(S+1)
+    * of all rows — adding one shard rewrites nearly the whole 100 TB
+    * layout. Rendezvous hashing (each doc lives on the shard maximizing
+    * `hash(doc, shard)`) moves EXACTLY the docs whose new shard's weight
+    * beats all S old ones — expected 1/(S+1), and every moved doc moves
+    * INTO the new shard, never between old ones (spec-locked invariant),
+    * so the rewrite is one append-only shard build plus deletes.
+    *
+    * Both strategies are audited side by side from the same scan:
+    * movement count/fraction and the largest-shard share (rendezvous
+    * balance is the same birthday-uniformity as mod — the audit shows
+    * the minimal movement costs no balance).
+    *
+    * Shape: ONE documents scan reading ONLY `doc_id` (projection reaches
+    * the parquet scan), per-doc weights are a row-local
+    * `transform(sequence(...))` kernel over S+1 md5-derived 60-bit
+    * weights (`array_max` on (w, shard) structs — lexicographic struct
+    * order gives the argmax with a deterministic tie-break both engines
+    * share), then one map-combined hash aggregate over the ≤2·(S+1)
+    * (strategy, shard) groups. Nothing corpus-sized ever shuffles: the
+    * only exchange carries ≤18 rows. At 100 TB the same kernel IS the
+    * migration plan — `new_shard` is computable per row with no join
+    * against any assignment table, which is the operational point of
+    * rendezvous hashing (no central directory to keep consistent). */
+  def rendezvousResharding(spark: SparkSession, dir: String): DataFrame = {
+    val S = RdvOldShards
+    def w60(doc: Column, s: Column): Column =
+      conv(substring(md5(concat(lit("rdv:"), doc.cast("string"), lit(":"),
+        s.cast("string"))), 1, 15), 16, 10).cast("long")
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"))
+      .withColumn("arr", transform(sequence(lit(0), lit(S)),
+        s => struct(w60(col("doc_id"), s).as("w"), s.as("s"))))
+      .withColumn("old_rdv", array_max(slice(col("arr"), 1, S)).getField("s"))
+      .withColumn("new_rdv", array_max(col("arr")).getField("s"))
+      .withColumn("h", graft.llm.Similarity.hash60(
+        concat(lit("shmod:"), col("doc_id").cast("string"))))
+      .withColumn("old_mod", pmod(col("h"), lit(S.toLong)))
+      .withColumn("new_mod", pmod(col("h"), lit((S + 1).toLong)))
+    perDoc
+      .select(explode(array(
+        struct(lit("rendezvous").as("strategy"),
+          col("new_rdv").cast("long").as("shard"),
+          (col("old_rdv") =!= col("new_rdv")).cast("long").as("moved")),
+        struct(lit("mod").as("strategy"),
+          col("new_mod").cast("long").as("shard"),
+          (col("old_mod") =!= col("new_mod")).cast("long").as("moved")))).as("r"))
+      .select(col("r.strategy").as("strategy"), col("r.shard").as("shard"),
+        col("r.moved").as("moved"))
+      .groupBy(col("strategy"), col("shard"))
+      .agg(count(lit(1)).as("n"), sum(col("moved")).as("m"))
+      .groupBy(col("strategy"))
+      .agg(sum(col("n")).cast("long").as("n_docs"),
+        sum(col("m")).cast("long").as("n_moved"),
+        max(col("n")).cast("long").as("max_shard"))
+      .select(col("strategy"), col("n_docs"), col("n_moved"),
+        expr("(10000 * n_moved) div n_docs").as("moved_bp"),
+        expr("(10000 * max_shard) div n_docs").as("max_shard_bp"))
+      .orderBy(col("strategy"))
+  }
+
+  val rendezvousReshardingSql: String = {
+    val S = RdvOldShards
+    val w = "CAST(concat('0x', substr(md5('rdv:' || CAST(doc_id AS VARCHAR)" +
+      " || ':' || CAST(s AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, $S),
+       |      s -> struct_pack(w := $w, s := s)) AS arr,
+       |    CAST(concat('0x', substr(md5('shmod:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+       |  FROM documents
+       |), a AS (
+       |  SELECT doc_id,
+       |    struct_extract(list_max(arr[1:$S]), 's') AS old_rdv,
+       |    struct_extract(list_max(arr), 's') AS new_rdv,
+       |    h % $S AS old_mod, h % ${S + 1} AS new_mod
+       |  FROM d
+       |), e AS (
+       |  SELECT 'rendezvous' AS strategy, new_rdv AS shard,
+       |    CASE WHEN old_rdv <> new_rdv THEN 1 ELSE 0 END AS moved FROM a
+       |  UNION ALL
+       |  SELECT 'mod', new_mod,
+       |    CASE WHEN old_mod <> new_mod THEN 1 ELSE 0 END FROM a
+       |), g AS (
+       |  SELECT strategy, shard, COUNT(*) AS n, SUM(moved) AS m
+       |  FROM e GROUP BY 1, 2
+       |)
+       |SELECT strategy, CAST(SUM(n) AS BIGINT) AS n_docs,
+       |  CAST(SUM(m) AS BIGINT) AS n_moved,
+       |  CAST((10000 * SUM(m)) // SUM(n) AS BIGINT) AS moved_bp,
+       |  CAST((10000 * MAX(n)) // SUM(n) AS BIGINT) AS max_shard_bp
+       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q56_bucketed_join", bucketedOrderRevenue, Some(bucketedOrderRevenueSql)),
     QueryDef("q72_partition_pruned", partitionPrunedRevenue, Some(partitionPrunedRevenueSql)),
     QueryDef("q123_schema_evolution", schemaEvolvedCensus, Some(schemaEvolvedCensusSql)),
     QueryDef("q125_dataset_manifest", datasetManifest, Some(datasetManifestSql)),
     QueryDef("q126_zorder_curve", zorderCurve, Some(zorderCurveSql)),
-    QueryDef("q128_cdc_merge_apply", cdcMergeApply, Some(cdcMergeApplySql)))
+    QueryDef("q128_cdc_merge_apply", cdcMergeApply, Some(cdcMergeApplySql)),
+    QueryDef("q179_rendezvous_resharding", rendezvousResharding,
+      Some(rendezvousReshardingSql)))
 }

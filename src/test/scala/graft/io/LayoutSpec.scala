@@ -252,4 +252,45 @@ class LayoutSpec extends SparkSpec {
       case _ => false
     }, "base side must not shuffle for the anti join")
   }
+
+  test("q179 rendezvous re-sharding matches a Scala model; moves go only INTO the new shard") {
+    val S = Layout.RdvOldShards
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val ids = graft.Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0))
+    // per-doc model: argmax over (weight, shard) pairs — lexicographic,
+    // exactly the struct order both engines compare by
+    case class A(oldRdv: Int, newRdv: Int, oldMod: Long, newMod: Long)
+    val model = ids.map { id =>
+      val ws = (0 to S).map(s => (h60(s"rdv:$id:$s"), s))
+      val h = h60(s"shmod:$id")
+      id -> A(ws.take(S).max._2, ws.max._2, h % S, h % (S + 1))
+    }.toMap
+
+    // invariant: a rendezvous move is always INTO the new shard S —
+    // old shards never exchange docs among themselves
+    model.values.filter(a => a.oldRdv != a.newRdv).foreach { a =>
+      assert(a.newRdv == S, s"moved doc landed on old shard ${a.newRdv}")
+    }
+    val rdvMoved = model.values.count(a => a.oldRdv != a.newRdv).toLong
+    val modMoved = model.values.count(a => a.oldMod != a.newMod).toLong
+    assert(rdvMoved <= modMoved,
+      s"rendezvous moved $rdvMoved >= mod's $modMoved — minimal-movement lost")
+
+    // census from the model ≡ the query's output
+    val out = Layout.rendezvousResharding(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val n = ids.length.toLong
+    def maxShard(f: A => Long): Long =
+      model.values.groupBy(f).values.map(_.size.toLong).max
+    assert(out("rendezvous") == ((n, rdvMoved, 10000 * rdvMoved / n,
+      10000 * maxShard(_.newRdv.toLong) / n)), s"rendezvous row: ${out("rendezvous")}")
+    assert(out("mod") == ((n, modMoved, 10000 * modMoved / n,
+      10000 * maxShard(_.newMod) / n)), s"mod row: ${out("mod")}")
+  }
 }
