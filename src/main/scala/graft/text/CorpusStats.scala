@@ -2163,6 +2163,122 @@ object CorpusStats {
       |    // CAST(SUM(x) AS BIGINT) AS BIGINT) AS top_half_share_bp
       |FROM r""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q180: mojibake (encoding-damage) audit + repair
+  // ---------------------------------------------------------------------
+
+  /** CP1252/UTF-8 double-encode victims: each true char's UTF-8 byte
+    * sequence re-decoded as CP1252 (the classic "Ã©" corruption a
+    * web crawl accumulates when a downstream stage guesses Latin-1 for
+    * UTF-8 bytes — what ftfy repairs). Only chars whose corrupted form
+    * is fully printable CP1252 are modeled (0x9D-class bytes are
+    * undefined there and need sloppy-1252 semantics; out of scope).
+    * Left = true char, right = its mojibake. */
+  val MojibakePairs: Seq[(String, String)] = Seq(
+    "é" -> "Ã©", // é  (C3 A9)
+    "ï" -> "Ã¯", // ï  (C3 AF)
+    "ç" -> "Ã§", // ç  (C3 A7)
+    "ü" -> "Ã¼", // ü  (C3 BC)
+    "ñ" -> "Ã±", // ñ  (C3 B1)
+    "“" -> "â€œ", // “ (E2 80 9C; 0x9C ↦ U+0153)
+    "’" -> "â€™", // ’ (E2 80 99; 0x99 ↦ U+2122)
+    "–" -> "â€“") // – (E2 80 93; 0x93 ↦ U+201C)
+
+  /** Apply the double-encode damage (test-harness side of the audit):
+    * a SINGLE pass over characters, like the byte-level re-decode it
+    * models. (A sequential replace chain would be wrong here: '–'s
+    * mojibake "â€“" CONTAINS the true char '“', so a later '“' pass
+    * would corrupt the corruption — caught when n_repair_ok first ran
+    * exactly n_docs − n_flagged.) The repair chain in
+    * [[mojibakeRepair]] runs in REVERSE pair order for the same
+    * reason, so the 3-char artifacts are consumed before any shorter
+    * pattern could see their tails. */
+  def mojibakeCorrupt(s: String): String = {
+    val m = MojibakePairs.map { case (g, b) => g.charAt(0) -> b }.toMap
+    s.flatMap(c => m.getOrElse(c, c.toString))
+  }
+
+  /** Artifact detector: a mojibake LEAD ('Ã' before a Latin-1 symbol
+    * byte, or the 'â€' digram) never occurs in healthy text — accented
+    * TRUE characters ('é' itself) do NOT match, so the detector flags
+    * double-encoding, not non-ASCII. Same RE2/Java-portable construct
+    * class as q61's patterns. */
+  val MojibakeRe: String = "Ã[ -¿]|â€."
+
+  /** Accented suffix planted on every doc; contains every mapped char
+    * (10 artifact sites when corrupted). */
+  val MojiTrueSuffix: String =
+    " résumé naïve façade – café’s “señor menü"
+
+  /** q180: encoding-damage audit + repair — the ftfy stage of web-corpus
+    * hygiene. The harness corpus is clean ASCII, so the query plants an
+    * accented suffix on every doc and DOUBLE-ENCODES it (CP1252-decoded
+    * UTF-8, the dominant real-world damage class) on a deterministic
+    * ~20% of docs, then (a) flags damaged docs by artifact digrams,
+    * (b) repairs them with the inverse mapping, and (c) proves IN-ENGINE
+    * that every repaired doc equals its undamaged twin (`n_repair_ok`),
+    * with a bit_xor content fingerprint over the repaired corpus so the
+    * hash gate certifies the repaired BYTES, not just counts. Both the
+    * planting and the repair are recomputed independently by the DuckDB
+    * oracle (q61's discipline: the operator — detector + repair chain —
+    * is the deliverable; the enrichment is the verification harness).
+    *
+    * 100 TB shape: narrow per-row string kernels only (no UDF, no
+    * shuffle until the ≤|sources| census aggregate); the repair chain is
+    * 8 literal `replace` passes, whole-stage codegen end to end. */
+  def mojibakeRepair(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity.hash60
+    val planted = pmod(hash60(concat(lit("moj:"), col("doc_id").cast("string"))),
+      lit(100L)) < 20
+    val trueText = concat(col("text"), lit(MojiTrueSuffix))
+    val observed = when(planted,
+      concat(col("text"), lit(mojibakeCorrupt(MojiTrueSuffix))))
+      .otherwise(trueText)
+    val repaired = MojibakePairs.reverse.foldLeft(col("observed")) {
+      case (c, (good, bad)) => replace(c, lit(bad), lit(good))
+    }
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), observed.as("observed"),
+        trueText.as("true_text"))
+      .withColumn("n_art",
+        size(regexp_extract_all(col("observed"), lit(MojibakeRe), lit(0)))
+          .cast("long"))
+      .withColumn("repaired", repaired)
+      .withColumn("fp", hash60(concat_ws("\u001f", col("doc_id"), col("repaired"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_art") > 0).cast("long")).as("n_flagged"),
+        sum(col("n_art")).as("n_artifacts"),
+        sum((col("repaired") === col("true_text")).cast("long")).as("n_repair_ok"),
+        expr("bit_xor(fp)").cast("long").as("repaired_fp"))
+      .orderBy(col("source"))
+  }
+
+  val mojibakeRepairSql: String = {
+    val repairChain = MojibakePairs.reverse.foldLeft("observed") {
+      case (e, (good, bad)) => s"replace($e, '$bad', '$good')"
+    }
+    s"""WITH o AS (
+       |  SELECT doc_id, source,
+       |    CASE WHEN CAST(concat('0x', substr(md5('moj:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 20
+       |      THEN text || '${mojibakeCorrupt(MojiTrueSuffix)}'
+       |      ELSE text || '$MojiTrueSuffix' END AS observed,
+       |    text || '$MojiTrueSuffix' AS true_text
+       |  FROM documents
+       |), r AS (
+       |  SELECT doc_id, source, observed, true_text,
+       |    len(regexp_extract_all(observed, '$MojibakeRe')) AS n_art,
+       |    $repairChain AS repaired
+       |  FROM o
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_art > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(SUM(n_art) AS BIGINT) AS n_artifacts,
+       |  CAST(SUM(CASE WHEN repaired = true_text THEN 1 ELSE 0 END) AS BIGINT) AS n_repair_ok,
+       |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(31), doc_id, repaired)), 1, 15)) AS BIGINT)) AS BIGINT) AS repaired_fp
+       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q58_repetition_signals", repetitionSignals, Some(repetitionSignalsSql)),
     QueryDef("q59_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
@@ -2202,6 +2318,7 @@ object CorpusStats {
     QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),
     QueryDef("q176_padding_waste", paddingWaste, Some(paddingWasteSql)),
     QueryDef("q177_source_concentration", sourceConcentration,
-      Some(sourceConcentrationSql))
+      Some(sourceConcentrationSql)),
+    QueryDef("q180_mojibake_repair", mojibakeRepair, Some(mojibakeRepairSql))
   )
 }

@@ -819,4 +819,46 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == model && got.nonEmpty)
     assert(got.forall(r => r._4 >= 0 && r._4 <= 10000), "TV is a probability distance")
   }
+
+  test("q180 mojibake: repair inverts the damage, detector flags exactly the planted docs") {
+    import CorpusStats.{MojibakePairs, MojiTrueSuffix, mojibakeCorrupt}
+    // the repair chain as the engine runs it: reverse pair order so the
+    // 3-char artifacts are consumed before any pattern could see their tails
+    def repair(s: String): String =
+      MojibakePairs.reverse.foldLeft(s) { case (acc, (g, b)) => acc.replace(b, g) }
+    // round-trip on the suffix itself (this is what first failed: a
+    // sequential corrupt chain corrupted '–'s own artifact via '“')
+    assert(repair(mojibakeCorrupt(MojiTrueSuffix)) == MojiTrueSuffix)
+    // the TRUE accented suffix carries zero artifacts — the detector
+    // flags double-encoding, not non-ASCII
+    val re = CorpusStats.MojibakeRe.r
+    assert(re.findAllIn(MojiTrueSuffix).isEmpty)
+    val artifactsPerDoc = re.findAllIn(mojibakeCorrupt(MojiTrueSuffix)).size
+    assert(artifactsPerDoc == MojibakePairs.map(p =>
+      MojiTrueSuffix.count(_ == p._1.charAt(0))).sum, "every damaged char detected")
+
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val planted = docs.filter { case (id, _) => h60(s"moj:$id") % 100 < 20 }.map(_._1).toSet
+    assert(planted.nonEmpty && planted.size < docs.length, "plant rate must split the corpus")
+
+    val got = CorpusStats.mojibakeRepair(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val bySource = docs.groupBy(_._2)
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, ds) =>
+      val nPlanted = ds.count(d => planted(d._1)).toLong
+      val (nDocs, nFlagged, nArt, nOk) = got(src)
+      assert(nDocs == ds.length.toLong, s"$src n_docs")
+      assert(nFlagged == nPlanted, s"$src flags exactly the planted docs")
+      assert(nArt == nPlanted * artifactsPerDoc, s"$src artifact count")
+      assert(nOk == nDocs, s"$src every doc repairs to its undamaged twin")
+    }
+  }
 }
