@@ -518,6 +518,121 @@ object Layout {
        |GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // -------------------------------------------- q181 snapshot diff
+
+  /** q181: snapshot DIFF — the inverse of q128's CDC apply, and the
+    * release-notes primitive behind every dataset version bump: given
+    * two landed snapshots (v_t and v_{t+1}), recover WHAT CHANGED —
+    * adds, removes, content changes, per source, with membership
+    * fingerprints over each change class. q128 proves Δ can be APPLIED
+    * without rescanning history; this proves Δ can be RECOVERED from
+    * two snapshots when the upstream never shipped one (the common case:
+    * a vendor re-delivers the whole corpus and the pipeline must diff it
+    * against the landed version to re-run ONLY affected downstream
+    * work). The spec closes the loop: diff(base, apply(base, Δ)) ≡ Δ.
+    *
+    * Shape: ONE full outer join on doc_id classifies every row —
+    * B-only = added, A-only = removed, content-differing = changed —
+    * then one hash(source) census with null-skipping conditional
+    * `bit_xor` fingerprints (q125's order-independent membership idiom)
+    * over the post-state of added/changed and the pre-state of removed.
+    * At 100 TB both snapshots are q56-bucketed on doc_id, so the full
+    * outer join is exchange-free and the diff costs one co-located scan
+    * of each version — never a shuffle of either corpus. The v_{t+1}
+    * side here is derived in-plan from the same deterministic md5-bucket
+    * deltas as q128 (deletes <3%, updates <6%, inserts <2%), so both
+    * engines diff identical snapshot pairs. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity.hash60
+    def bucket(prefix: String) =
+      pmod(hash60(concat(lit(prefix), col("doc_id").cast("string"))), lit(100L))
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+    // v_{t+1}: q128's deterministic deltas applied to the base
+    val dels = base.filter(bucket("cdc-d:") < 3).select(col("doc_id"))
+    val upds = base.filter(bucket("cdc-d:") >= 3 && bucket("cdc-u:") < 6)
+      .select(col("doc_id"), lit("xx").as("lang"), col("source"),
+        (col("n_chars") + 100L).as("n_chars"))
+    val ins = base.filter(bucket("cdc-i:") < 2)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("source"), (col("n_chars") + 1L).as("n_chars"))
+    val touched = dels.union(upds.select(col("doc_id")))
+    val next = base.join(broadcast(touched), Seq("doc_id"), "left_anti")
+      .unionByName(upds).unionByName(ins)
+
+    val us = ""
+    val a = base.select(col("doc_id"), col("lang").as("a_lang"),
+      col("source").as("a_source"), col("n_chars").as("a_n"))
+    val b = next.select(col("doc_id"), col("lang").as("b_lang"),
+      col("source").as("b_source"), col("n_chars").as("b_n"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(
+        coalesce(col("a_source"), col("b_source")).as("source"),
+        when(col("a_lang").isNull, lit("added"))
+          .when(col("b_lang").isNull, lit("removed"))
+          .when(col("a_lang") =!= col("b_lang") || col("a_n") =!= col("b_n"),
+            lit("changed"))
+          .otherwise(lit("unchanged")).as("cls"),
+        hash60(concat_ws(us, col("doc_id"), col("a_lang"), col("a_n"))).as("fp_a"),
+        hash60(concat_ws(us, col("doc_id"), col("b_lang"), col("b_n"))).as("fp_b"))
+      .groupBy(col("source"))
+      .agg(
+        sum((col("cls") === "added").cast("long")).as("n_added"),
+        sum((col("cls") === "removed").cast("long")).as("n_removed"),
+        sum((col("cls") === "changed").cast("long")).as("n_changed"),
+        sum((col("cls") === "unchanged").cast("long")).as("n_unchanged"),
+        expr("bit_xor(CASE WHEN cls = 'added' THEN fp_b END)")
+          .cast("long").as("added_fp"),
+        expr("bit_xor(CASE WHEN cls = 'removed' THEN fp_a END)")
+          .cast("long").as("removed_fp"),
+        expr("bit_xor(CASE WHEN cls = 'changed' THEN fp_b END)")
+          .cast("long").as("changed_fp"))
+      .select(col("source"), col("n_added"), col("n_removed"),
+        col("n_changed"), col("n_unchanged"),
+        coalesce(col("added_fp"), lit(0L)).as("added_fp"),
+        coalesce(col("removed_fp"), lit(0L)).as("removed_fp"),
+        coalesce(col("changed_fp"), lit(0L)).as("changed_fp"))
+      .orderBy(col("source"))
+  }
+
+  val snapshotDiffSql: String = {
+    def h60(key: String) =
+      s"CAST(concat('0x', substr(md5($key), 1, 15)) AS BIGINT)"
+    def bucket(prefix: String) =
+      s"${h60(s"'$prefix' || CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH base AS (SELECT doc_id, lang, source, n_chars FROM documents),
+       |del AS (SELECT doc_id FROM base WHERE ${bucket("cdc-d:")} < 3),
+       |upd AS (SELECT doc_id, 'xx' AS lang, source, n_chars + 100 AS n_chars
+       |        FROM base WHERE ${bucket("cdc-d:")} >= 3 AND ${bucket("cdc-u:")} < 6),
+       |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars + 1 AS n_chars
+       |        FROM base WHERE ${bucket("cdc-i:")} < 2),
+       |nxt AS (
+       |  SELECT b.doc_id, b.lang, b.source, b.n_chars FROM base b
+       |  WHERE NOT EXISTS (SELECT 1 FROM del x WHERE x.doc_id = b.doc_id)
+       |    AND NOT EXISTS (SELECT 1 FROM upd x WHERE x.doc_id = b.doc_id)
+       |  UNION ALL SELECT doc_id, lang, source, n_chars FROM upd
+       |  UNION ALL SELECT doc_id, lang, source, n_chars FROM ins
+       |), j AS (
+       |  SELECT COALESCE(a.source, b.source) AS source,
+       |    CASE WHEN a.doc_id IS NULL THEN 'added'
+       |         WHEN b.doc_id IS NULL THEN 'removed'
+       |         WHEN a.lang <> b.lang OR a.n_chars <> b.n_chars THEN 'changed'
+       |         ELSE 'unchanged' END AS cls,
+       |    ${h60("concat_ws(chr(31), a.doc_id, a.lang, a.n_chars)")} AS fp_a,
+       |    ${h60("concat_ws(chr(31), b.doc_id, b.lang, b.n_chars)")} AS fp_b
+       |  FROM base a FULL JOIN nxt b ON a.doc_id = b.doc_id
+       |)
+       |SELECT source,
+       |  CAST(SUM(CASE WHEN cls = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+       |  CAST(SUM(CASE WHEN cls = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       |  CAST(SUM(CASE WHEN cls = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  CAST(SUM(CASE WHEN cls = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+       |  CAST(COALESCE(bit_xor(CASE WHEN cls = 'added' THEN fp_b END), 0) AS BIGINT) AS added_fp,
+       |  CAST(COALESCE(bit_xor(CASE WHEN cls = 'removed' THEN fp_a END), 0) AS BIGINT) AS removed_fp,
+       |  CAST(COALESCE(bit_xor(CASE WHEN cls = 'changed' THEN fp_b END), 0) AS BIGINT) AS changed_fp
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ---------------------------------------- q179 rendezvous re-sharding
 
   /** Shard count before the expansion audited by [[rendezvousResharding]]. */
@@ -629,5 +744,6 @@ object Layout {
     QueryDef("q126_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("q128_cdc_merge_apply", cdcMergeApply, Some(cdcMergeApplySql)),
     QueryDef("q179_rendezvous_resharding", rendezvousResharding,
-      Some(rendezvousReshardingSql)))
+      Some(rendezvousReshardingSql)),
+    QueryDef("q181_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)))
 }

@@ -253,6 +253,45 @@ class LayoutSpec extends SparkSpec {
     }, "base side must not shuffle for the anti join")
   }
 
+  test("q181 snapshot diff recovers exactly the planted CDC delta (closure with q128)") {
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val rows = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "source", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    def bucket(p: String, id: Long): Long = h60(s"$p$id") % 100
+    // the planted delta, from q128's bucket definitions
+    val dels = rows.filter(r => bucket("cdc-d:", r._1) < 3)
+    val upds = rows.filter(r => bucket("cdc-d:", r._1) >= 3 && bucket("cdc-u:", r._1) < 6)
+    val ins = rows.filter(r => bucket("cdc-i:", r._1) < 2)
+
+    val got = Layout.snapshotDiff(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    assert(got.keySet == rows.map(_._3).toSet)
+    val U = ""
+    def xor(fps: Seq[Long]): Long = fps.foldLeft(0L)(_ ^ _)
+    rows.groupBy(_._3).foreach { case (src, rs) =>
+      val (nA, nR, nC, nU, fpA, fpR, fpC) = got(src)
+      val d = dels.filter(_._3 == src); val u = upds.filter(_._3 == src)
+      val i = ins.filter(_._3 == src)
+      assert(nA == i.size.toLong, s"$src added = planted inserts")
+      assert(nR == d.size.toLong, s"$src removed = planted deletes")
+      assert(nC == u.size.toLong, s"$src changed = planted updates")
+      assert(nU == rs.size.toLong - d.size - u.size, s"$src unchanged telescopes")
+      // fingerprints certify the recovered rows' CONTENT, not just counts
+      assert(fpA == xor(i.map(r => h60(s"${r._1 + 1000000}$U${r._2}$U${r._4 + 1}"))),
+        s"$src added_fp")
+      assert(fpR == xor(d.map(r => h60(s"${r._1}$U${r._2}$U${r._4}"))), s"$src removed_fp")
+      assert(fpC == xor(u.map(r => h60(s"${r._1}${U}xx$U${r._4 + 100}"))), s"$src changed_fp")
+    }
+  }
+
   test("q179 rendezvous re-sharding matches a Scala model; moves go only INTO the new shard") {
     val S = Layout.RdvOldShards
     def h60(s: String): Long = {
