@@ -815,6 +815,115 @@ object CorpusStats {
        |ORDER BY span_md5""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q182: duplicated-span excision (the ACT to q94's measure)
+  // ---------------------------------------------------------------------
+
+  /** q182: duplicated-span EXCISION — q94 detects cross-document
+    * duplicated [[SpanW]]-token spans (boilerplate headers, license
+    * blocks, quoted passages); this REMOVES them and certifies the
+    * repaired corpus, the way q151 enforces what q135 measures and q128
+    * applies what q181 recovers. A token position is covered when any
+    * duplicated span overlaps it; the repaired doc is the uncovered
+    * tokens in original order [the excision step of Lee et al.,
+    * arXiv:2107.06499 — their suffix-array substring dedup cuts the
+    * duplicated bytes out of the training text, not just the census].
+    * Output: per-source census — docs touched, token counts before/after
+    * (conservation: kept + removed = original by construction), and a
+    * bit_xor content fingerprint of every repaired doc, so the hash gate
+    * certifies the repaired TEXT, not just counts.
+    *
+    * 100 TB shape: the span frame (one 16-byte digest + int offset per
+    * corpus token) is RE-DERIVED on each of its two uses rather than
+    * materialized — landing 10^13 narrow rows costs more than a second
+    * map-only scan, so the plan is three scans (dup census, hit
+    * collection, rebuild), each narrow and shuffle-light: the dup
+    * decision exchanges one digest row per distinct (span, doc); hit
+    * starts come back as (doc_id, int) pairs collapsed to one int-array
+    * row per TOUCHED doc; the rebuild joins that slim frame to the
+    * corpus on doc_id and excises row-locally (`filter` over positions ×
+    * `exists` over the doc's hit list — no token ever shuffles). No
+    * window, no self-join, no distinct-expand. */
+  def spanExcision(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity.hash60
+    val n = size(col("toks"))
+    // fanOut: the harness parquet is one row group → one task; per-row
+    // work here (tokenize + one md5 per token, then the excision filter)
+    // is exactly the compute ≫ row-bytes regime where the extra exchange
+    // pays (sf0.1 min-of-3: 2.74 → 1.52 s; q41's codegen kernels don't)
+    def base = graft.Dist.fanOut(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("source"), tokens(lower(col("text"))).as("toks"))
+    def spanStarts = base.filter(n >= SpanW)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), n - (SpanW - 1)), k =>
+          struct(k.as("k"),
+            md5(array_join(slice(col("toks"), k, lit(SpanW)), " ")).as("span")))).as("s"))
+      .select(col("doc_id"), col("s.k").as("k"), col("s.span").as("span"))
+    val dup = spanStarts
+      .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("n"))
+      .groupBy(col("span")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("span"))
+    val hits = spanStarts.join(dup, "span")
+      .groupBy(col("doc_id")).agg(collect_set(col("k")).as("hit_ks"))
+    val positions = when(n >= 1, sequence(lit(1), n))
+      .otherwise(array().cast("array<int>"))
+    base.join(hits, Seq("doc_id"), "left")
+      .withColumn("hit_ks", coalesce(col("hit_ks"), array().cast("array<int>")))
+      .withColumn("kept", filter(positions, p =>
+        !exists(col("hit_ks"), h => p >= h && p <= h + lit(SpanW - 1))))
+      .select(col("doc_id"), col("source"),
+        n.cast("long").as("tok_before"),
+        size(col("kept")).cast("long").as("tok_after"),
+        array_join(transform(col("kept"), p => element_at(col("toks"), p)), " ")
+          .as("rep"))
+      .withColumn("fp", hash60(concat_ws("\u001f", col("doc_id"), col("rep"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("tok_after") < col("tok_before")).cast("long")).as("n_touched"),
+        sum(col("tok_before")).cast("long").as("n_tok_before"),
+        sum(col("tok_after")).cast("long").as("n_tok_after"),
+        expr("bit_xor(fp)").cast("long").as("repaired_fp"))
+      .orderBy(col("source"))
+  }
+
+  val spanExcisionSql: String =
+    s"""WITH t AS MATERIALIZED (
+       |  SELECT doc_id, source,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents
+       |), sh AS MATERIALIZED (
+       |  SELECT doc_id, k, md5(array_to_string(toks[k : k + ${SpanW - 1}], ' ')) AS span
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(generate_series(1, len(toks) - ${SpanW - 1})) AS k
+       |        FROM t WHERE len(toks) >= $SpanW)
+       |), dup AS (
+       |  SELECT span FROM (SELECT span, doc_id FROM sh GROUP BY 1, 2)
+       |  GROUP BY span HAVING COUNT(*) >= 2
+       |), hit AS MATERIALIZED (
+       |  SELECT DISTINCT sh.doc_id, sh.k FROM sh JOIN dup USING (span)
+       |), pos AS (
+       |  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS p
+       |  FROM t WHERE len(toks) >= 1
+       |), kept AS (
+       |  SELECT pos.doc_id, pos.p, pos.toks[pos.p] AS tok
+       |  FROM pos WHERE NOT EXISTS (
+       |    SELECT 1 FROM hit h
+       |    WHERE h.doc_id = pos.doc_id AND pos.p BETWEEN h.k AND h.k + ${SpanW - 1})
+       |), rep AS (
+       |  SELECT t.doc_id, t.source, len(t.toks) AS tok_before,
+       |    COALESCE(r.n_kept, 0) AS tok_after, COALESCE(r.rep, '') AS rep
+       |  FROM t LEFT JOIN (
+       |    SELECT doc_id, COUNT(*) AS n_kept,
+       |      string_agg(tok, ' ' ORDER BY p) AS rep
+       |    FROM kept GROUP BY doc_id) r USING (doc_id)
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN tok_after < tok_before THEN 1 ELSE 0 END) AS BIGINT) AS n_touched,
+       |  CAST(SUM(tok_before) AS BIGINT) AS n_tok_before,
+       |  CAST(SUM(tok_after) AS BIGINT) AS n_tok_after,
+       |  CAST(bit_xor(CAST(concat('0x', substr(md5(concat_ws(chr(31), doc_id, rep)), 1, 15)) AS BIGINT)) AS BIGINT) AS repaired_fp
+       |FROM rep GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q95: inverted index (posting lists with bounded truncation)
   // ---------------------------------------------------------------------
 
@@ -2291,6 +2400,7 @@ object CorpusStats {
     QueryDef("q90_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q91_fuzzy_name_join", fuzzyNameJoin, Some(fuzzyNameJoinSql)),
     QueryDef("q94_span_dedup", spanDedup, Some(spanDedupSql)),
+    QueryDef("q182_span_excision", spanExcision, Some(spanExcisionSql)),
     QueryDef("q95_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("q103_pps_sample", ppsSample, Some(ppsSampleSql)),
     QueryDef("q104_pmi_pairs", pmiPairs, Some(pmiPairsSql)),

@@ -861,4 +861,57 @@ class CorpusStatsSpec extends SparkSpec {
       assert(nOk == nDocs, s"$src every doc repairs to its undamaged twin")
     }
   }
+
+  test("q182 span excision equals a Scala model; conservation and <12-token docs untouched") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String =
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h60(s: String): Long = java.lang.Long.parseLong(md5hex(s).take(15), 16)
+    val W = CorpusStats.SpanW
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), scalaTokens(r.getString(2).toLowerCase)))
+
+    // duplicated spans: md5 of each W-token window, present in >= 2 docs
+    val spanDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+    docs.foreach { case (id, _, toks) =>
+      toks.sliding(W).filter(_.size == W).foreach { w =>
+        val h = md5hex(w.mkString(" "))
+        spanDocs(h) = spanDocs.getOrElse(h, Set.empty) + id
+      }
+    }
+    val dup = spanDocs.filter(_._2.size >= 2).keySet
+    // repaired doc = tokens at positions not covered by any duplicated span
+    val model = docs.map { case (id, src, toks) =>
+      val covered = Array.fill(toks.size)(false)
+      toks.sliding(W).zipWithIndex.foreach { case (w, i) =>
+        if (w.size == W && dup(md5hex(w.mkString(" "))))
+          (i until i + W).foreach(covered(_) = true)
+      }
+      val kept = toks.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+      (id, src, toks.size.toLong, kept.size.toLong, kept.mkString(" "))
+    }
+    assert(model.exists { case (_, _, b, a, _) => a < b },
+      "fixture must exercise the excision path (some doc touched)")
+    assert(model.filter(_._3 < W).forall { case (_, _, b, a, _) => a == b },
+      "docs shorter than one span are never touched")
+
+    val got = CorpusStats.spanExcision(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val bySource = model.groupBy(_._2)
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, ms) =>
+      val (nDocs, nTouched, tokB, tokA, fp) = got(src)
+      assert(nDocs == ms.length.toLong, s"$src n_docs")
+      assert(nTouched == ms.count { case (_, _, b, a, _) => a < b }.toLong, s"$src n_touched")
+      assert(tokB == ms.map(_._3).sum, s"$src tokens before")
+      assert(tokA == ms.map(_._4).sum, s"$src tokens after (conservation)")
+      val expFp = ms.map { case (id, _, _, _, rep) => h60(s"$id\u001f$rep") }
+        .foldLeft(0L)(_ ^ _)
+      assert(fp == expFp, s"$src repaired-content fingerprint")
+    }
+  }
 }
