@@ -735,6 +735,157 @@ object Similarity {
       |SELECT probe_id, neighbor_id, CAST(cell AS INT) AS cell, cos, CAST(rnk AS INT) AS rnk
       |FROM ranked WHERE rnk <= 3 ORDER BY probe_id, rnk""".stripMargin
 
+  // ---------------------------------------------- q183 product-quantized ANN
+
+  /** Subspace count (4 × 16 dims) and per-subspace codebook size for q183.
+    * 4 codes × 4 bits of codebook id ≈ 4 bytes per vector vs 256 bytes of
+    * float32 — the 64× compression that lets a billion-vector index live
+    * in memory. */
+  val PqM = 4
+  val PqSubDim = 16
+  val PqK = 16
+
+  /** q183: PRODUCT-QUANTIZATION ANN (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011) — the third classic ANN
+    * scale path beside hyperplane LSH (q46) and IVF (q49), and the
+    * missing member of this engine's quantization family (int8 ANN q70
+    * compresses 4×; PQ compresses 64×). The vector is split into
+    * [[PqM]] orthogonal subspaces; each subspace trains its own
+    * [[PqK]]-centroid codebook (one integer Lloyd iteration, the q75
+    * idiom); a vector's index entry is just its 4 subspace code ids.
+    * A probe never decodes anything: it builds a 4×16 lookup table of
+    * exact subspace distances to every centroid once, and each
+    * candidate's approximate squared L2 distance is the SUM OF 4 TABLE
+    * LOOKUPS (asymmetric distance computation).
+    *
+    * Cross-engine exactness (the q75 discipline, per subspace): all
+    * distances are ‖a‖² − 2a·b + ‖b‖² over exact 64-bit ints
+    * (|q| ≤ 2²⁰, 16-dim dots ≤ 2⁴⁴; ADC sums of 4 fit trivially),
+    * argmin ties break on the lowest code via `min(struct)`, centroid
+    * updates are floor(sum/count) with one correctly-rounded double
+    * division, and an empty cell drops out of the codebook identically
+    * in both engines — so codebooks, codes, LUTs and the final ADC
+    * ranking are all bit-identical and the oracle gates them exactly.
+    *
+    * 100 TB shape: training = two assigns + one update over the
+    * checkpointed subvector frame (at scale you'd train the ≤64-row
+    * codebook on a sample and only ENCODE the full corpus — one
+    * broadcast-join pass); the index is 4 small ints per vector; the
+    * ADC scan is MAP-ONLY (per-probe LUTs broadcast as maps, the
+    * distance is 4 `element_at`s — no join, no decode, no shuffle), and
+    * the top-5 uses the mergeable bounded [[graft.functions.TopK]]
+    * aggregate, so each probe ships 5 rows per partition instead of
+    * sorting the corpus through an 8-partition window exchange. */
+  def pqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // subvector frame (vec_id, m, qs): feeds c0, both assigns, the
+    // update and the probe LUTs — checkpoint once
+    val sub = e.select(col("vec_id"), explode(
+        transform(sequence(lit(0), lit(PqM - 1)), m =>
+          struct(m.as("m"),
+            slice(col("q"), m * lit(PqSubDim) + lit(1), lit(PqSubDim)).as("qs")))).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.qs").as("qs"))
+      .transform(Dist.durableCkpt)
+    def dist2(a: Column, b: Column): Column =
+      dotQ(a, a) - lit(2L) * dotQ(a, b) + dotQ(b, b)
+    // one Lloyd iteration per subspace, keyed by m throughout
+    def assign(cents: DataFrame): DataFrame =
+      sub.join(broadcast(cents), Seq("m"))
+        .withColumn("d", dist2(col("qs"), col("qc")))
+        .groupBy(col("vec_id"), col("m"))
+        .agg(min(struct(col("d"), col("code"))).as("mn"))
+        .select(col("vec_id"), col("m"), col("mn").getField("code").as("code"))
+    def update(assigned: DataFrame): DataFrame =
+      assigned.join(sub, Seq("vec_id", "m"))
+        .select(col("m"), col("code"), posexplode(col("qs")))
+        .groupBy(col("m"), col("code"), col("pos"))
+        .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+        .withColumn("v", floor(col("s").cast("double") / col("n")).cast("long"))
+        .groupBy(col("m"), col("code"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("v")))),
+          x => x.getField("v")).as("qc"))
+        .transform(Dist.durableCkpt) // ≤ M·K = 64 rows; truncates lineage
+    val c0 = sub.filter(col("vec_id") < PqK)
+      .select(col("m"), col("vec_id").cast("int").as("code"), col("qs").as("qc"))
+    val c1 = update(assign(c0))
+    // the index: 4 codes per vector, in subspace order
+    val codeArr = assign(c1).groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
+        x => x.getField("code")).as("codes"))
+    // per-probe ADC lookup table: exact distance to every surviving
+    // centroid, keyed m·K + code (codes only ever reference survivors)
+    val lut = sub.filter(col("vec_id") < 8)
+      .withColumnRenamed("vec_id", "probe_id")
+      .join(c1, Seq("m"))
+      .withColumn("d", dist2(col("qs"), col("qc")))
+      .groupBy(col("probe_id"))
+      .agg(map_from_entries(collect_list(
+        struct(col("m") * lit(PqK) + col("code"), col("d")))).as("lut"))
+    val adc = codeArr.crossJoin(broadcast(lut))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("adc_dist", (0 until PqM).map(m =>
+        element_at(col("lut"), lit(m * PqK) + element_at(col("codes"), m + 1)))
+        .reduce(_ + _))
+    adc.groupBy(col("probe_id"))
+      .agg(graft.functions.TopK.decimalTopK(
+        (-col("adc_dist")).cast("decimal(20,0)"), col("vec_id"), 5).as("top"))
+      .select(col("probe_id"), posexplode(col("top")))
+      .select(col("probe_id"), col("col").getField("id").as("neighbor_id"),
+        (-col("col").getField("score")).cast("long").as("adc_dist"),
+        (col("pos") + 1).cast("int").as("rnk"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
+  val pqAnnSql: String = {
+    def d2(a: String, b: String): String =
+      s"""CAST(list_sum([$a[i] * $a[i] for i in range(1, ${PqSubDim + 1})]) AS BIGINT)
+         |      - 2 * CAST(list_sum([$a[i] * $b[i] for i in range(1, ${PqSubDim + 1})]) AS BIGINT)
+         |      + CAST(list_sum([$b[i] * $b[i] for i in range(1, ${PqSubDim + 1})]) AS BIGINT)""".stripMargin
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT vec_id, [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+       |  FROM embeddings
+       |), sub AS MATERIALIZED (
+       |  SELECT vec_id, m, q[m * $PqSubDim + 1 : m * $PqSubDim + $PqSubDim] AS qs
+       |  FROM (SELECT vec_id, q, unnest(generate_series(0, ${PqM - 1})) AS m FROM q)
+       |), c0 AS (
+       |  SELECT m, CAST(vec_id AS INT) AS code, qs AS qc FROM sub WHERE vec_id < $PqK
+       |), a1 AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${d2("s.qs", "c.qc")}, c.code) AS r
+       |    FROM sub s JOIN c0 c ON s.m = c.m) WHERE r = 1
+       |), c1 AS MATERIALIZED (
+       |  SELECT m, code, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS qc
+       |  FROM (SELECT a.m, a.code, sv.pos, SUM(sv.v) AS s, COUNT(*) AS n
+       |        FROM a1 a JOIN (SELECT vec_id, m, unnest(qs) AS v,
+       |                          unnest(range(1, ${PqSubDim + 1})) AS pos FROM sub) sv
+       |          ON a.vec_id = sv.vec_id AND a.m = sv.m
+       |        GROUP BY 1, 2, 3)
+       |  GROUP BY m, code
+       |), codes AS MATERIALIZED (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT s.vec_id, s.m, c.code, ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+       |      ORDER BY ${d2("s.qs", "c.qc")}, c.code) AS r
+       |    FROM sub s JOIN c1 c ON s.m = c.m) WHERE r = 1
+       |), lut AS MATERIALIZED (
+       |  SELECT p.vec_id AS probe_id, c.m, c.code, ${d2("p.qs", "c.qc")} AS d
+       |  FROM sub p JOIN c1 c ON p.m = c.m WHERE p.vec_id < 8
+       |), adc AS (
+       |  SELECT l.probe_id, co.vec_id, SUM(l.d) AS adc_dist
+       |  FROM codes co JOIN lut l ON l.m = co.m AND l.code = co.code
+       |  WHERE co.vec_id <> l.probe_id
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT probe_id, vec_id AS neighbor_id, adc_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY adc_dist, vec_id) AS rnk
+       |  FROM adc
+       |)
+       |SELECT probe_id, neighbor_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+       |  CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  }
+
   // -------------------------------------- q75 k-means (Lloyd) over embeddings
 
   /** Distributed k-means (Lloyd's algorithm, k = 8, two iterations) — the
@@ -2895,6 +3046,7 @@ object Similarity {
     QueryDef("q47_label_centroids", labelCentroids, Some(labelCentroidsSql)),
     QueryDef("q48_cosine_neardup", cosineNearDup, Some(cosineNearDupSql)),
     QueryDef("q49_ann_ivf_topk", annIvfTopk, Some(annIvfTopkSql)),
+    QueryDef("q183_pq_ann", pqAnn, Some(pqAnnSql)),
     QueryDef("q50_pipeline_stats", pipelineStats, Some(pipelineStatsSql)),
     QueryDef("q53_simhash_neardup", simhashNearDup, Some(simhashNearDupSql)),
     QueryDef("q55_neardup_clusters", nearDupClusters, Some(nearDupClustersSql)),

@@ -18,8 +18,9 @@ import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExe
   *    queries, fails on a CartesianProduct — so if a broadcast hint is
   *    ever dropped and the planner falls back to a shuffled cross
   *    product, the sweep still catches it.
-  *  - BROADCAST nested-loop allowed additionally for q44/q49/q70/q99
-  *    (tiny probe/centroid side broadcast against the streamed corpus),
+  *  - BROADCAST nested-loop allowed additionally for q44/q49/q70/q99/
+  *    q183 (tiny probe/centroid/LUT side broadcast against the streamed
+  *    corpus),
   *    q66/q71/q83/q104/q109/q110 (a broadcast ONE-ROW aggregate attached
   *    to bounded rows — the scalar-subquery shape; q71's is the N-total
   *    exactness guard) and q75 (k = 8 broadcast centroids per
@@ -52,7 +53,8 @@ class PlanHygieneSpec extends SparkSpec {
   private val cartesianBaselines = Set("q42_ngram_jaccard_topk", "q48_cosine_neardup")
   private val broadcastLoopAllowed = cartesianBaselines ++ Set(
     "q44_cosine_topk", "q49_ann_ivf_topk", "q59_vocab_coverage",
-    "q70_int8_ann_topk",
+    "q70_int8_ann_topk", "q183_pq_ann", // 8 broadcast probe-LUT maps × streamed codes
+
     "q66_tfidf_terms", "q71_heavy_hitters", "q75_kmeans", "q83_quality_audit",
     "q99_rrf_fusion", "q104_pmi_pairs", "q109_mixture_plan",
     "q110_triangle_count", "q115_equidepth_histogram", "q116_cluster_top_terms",
