@@ -1803,6 +1803,132 @@ object Relational {
        |ORDER BY tier""".stripMargin
   }
 
+  // ----------------------------------- q184 keyed deterministic pseudonyms
+
+  /** q184: KEYED DETERMINISTIC PSEUDONYMIZATION — the governance tier's
+    * tokenization primitive next to q151's k-anonymity generalization:
+    * direct identifiers (name, phone) are replaced with a keyed-PRF
+    * pseudonym of the stable key, so the released table stays JOINABLE
+    * (same key + same epoch secret → same token, referential integrity
+    * preserved) while unlinkable ACROSS epochs (a new secret re-keys the
+    * whole universe — the classic data-escrow rotation). Phone keeps only
+    * its 2-digit country prefix (utility-preserving partial masking).
+    *
+    * The census CERTIFIES the release per market segment, all under the
+    * driver hash gate:
+    *  - `n_pseudo` = `n_cust`: the PRF is injective on this universe
+    *    (a collision would silently merge customers downstream);
+    *  - `n_xkey` = 0: epoch-1 and epoch-2 token spaces are disjoint
+    *    (cross-epoch linkability would defeat the rotation) — computed
+    *    with the one-generator explode union, no self-join;
+    *  - `n_orders` = `n_linked`: every order still joins through the
+    *    pseudonym map — referential integrity, proven on the FACT table;
+    *  - `rev_cents`: segment revenue computed THROUGH the pseudonymized
+    *    path (orders → token map → group by token), equal to the direct
+    *    grouping iff the linkage is lossless;
+    *  - `pseudo_fp`: bit_xor fingerprint of every released row's full
+    *    content — the gate certifies the released TABLE, not counts.
+    *
+    * 100 TB shape: pseudonymization is MAP-ONLY (one keyed md5 per row,
+    * no shuffle); the fact-table proof is one broadcast map join (dim
+    * side) + one hash agg; the cross-key audit is a single count-distinct
+    * aggregate over the exploded token pairs. Nothing is quadratic,
+    * nothing windows, nothing lands. */
+  def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.Similarity.hash60
+    def prf(epoch: String, k: Column): Column =
+      hash60(concat(lit(s"pii:$epoch:"), k.cast("string")))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        prf("epoch1", col("c_custkey")).as("p1"),
+        prf("epoch2", col("c_custkey")).as("p2"),
+        concat(substring(col("c_phone"), 1, 2), lit("-***")).as("phone_m"),
+        cents(col("c_acctbal")).as("bal_c"))
+      .withColumn("row_fp", hash60(concat_ws("\u001f",
+        concat(lit("cust_"), col("p1").cast("string")), col("phone_m"),
+        col("seg"), col("bal_c").cast("string"))))
+      .transform(Dist.durableCkpt) // feeds census, xkey audit, both joins
+    // cross-epoch disjointness: one generator, one agg — no self-join
+    val xkey = c.select(col("seg"), explode(array(
+        struct(lit(1).as("e"), col("p1").as("p")),
+        struct(lit(2).as("e"), col("p2").as("p")))).as("t"))
+      .groupBy(col("seg"), col("t.p"))
+      .agg(countDistinct(col("t.e")).as("ne"))
+      .groupBy(col("seg"))
+      .agg(sum((col("ne") === 2).cast("long")).as("n_xkey"))
+    // referential integrity proven on the fact table: orders join the
+    // token map, revenue flows THROUGH the pseudonym grouping
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), cents(col("o_totalprice")).as("rev_c"))
+    val linked = o.join(broadcast(c.select(col("c_custkey"), col("seg"),
+        col("p1"))), o("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("seg"), col("p1"))
+      .agg(count(lit(1)).as("n_o"), sum(col("rev_c")).as("rev"))
+    val ordersCensus = linked
+      .groupBy(col("seg"))
+      .agg(sum(col("n_o")).cast("long").as("n_orders_seg"),
+        sum(when(col("p1").isNotNull, col("n_o")).otherwise(lit(0)))
+          .cast("long").as("n_linked"),
+        sum(when(col("p1").isNotNull, col("rev")).otherwise(lit(0)))
+          .cast("long").as("rev_cents"))
+      .filter(col("seg").isNotNull)
+    c.groupBy(col("seg"))
+      .agg(count(lit(1)).cast("long").as("n_cust"),
+        countDistinct(col("p1")).cast("long").as("n_pseudo"),
+        expr("bit_xor(row_fp)").cast("long").as("pseudo_fp"))
+      .join(xkey, Seq("seg"))
+      .join(ordersCensus, Seq("seg"))
+      .select(col("seg"), col("n_cust"), col("n_pseudo"), col("n_xkey"),
+        col("n_linked").as("n_orders"), col("n_linked"), col("rev_cents"),
+        col("pseudo_fp"))
+      .orderBy(col("seg"))
+  }
+
+  val pseudonymizeSql: String = {
+    def prf(epoch: String, k: String): String =
+      s"CAST(concat('0x', substr(md5(concat('pii:$epoch:', CAST($k AS VARCHAR))), 1, 15)) AS BIGINT)"
+    s"""WITH c AS MATERIALIZED (
+       |  SELECT c_custkey, c_mktsegment AS seg,
+       |    ${prf("epoch1", "c_custkey")} AS p1,
+       |    ${prf("epoch2", "c_custkey")} AS p2,
+       |    concat(substr(c_phone, 1, 2), '-***') AS phone_m,
+       |    CAST(CAST(c_acctbal AS DECIMAL(14,4)) * 100 AS BIGINT) AS bal_c
+       |  FROM customer
+       |), fp AS (
+       |  SELECT seg, c_custkey, p1,
+       |    CAST(concat('0x', substr(md5(concat_ws(chr(31),
+       |      concat('cust_', CAST(p1 AS VARCHAR)), phone_m, seg,
+       |      CAST(bal_c AS VARCHAR))), 1, 15)) AS BIGINT) AS row_fp
+       |  FROM c
+       |), xkey AS (
+       |  SELECT seg, SUM(CASE WHEN ne = 2 THEN 1 ELSE 0 END) AS n_xkey
+       |  FROM (SELECT seg, p, COUNT(DISTINCT e) AS ne FROM (
+       |          SELECT seg, 1 AS e, p1 AS p FROM c
+       |          UNION ALL SELECT seg, 2 AS e, p2 AS p FROM c)
+       |        GROUP BY seg, p)
+       |  GROUP BY seg
+       |), linked AS (
+       |  SELECT c.seg, c.p1, COUNT(*) AS n_o, SUM(
+       |    CAST(CAST(o.o_totalprice AS DECIMAL(14,4)) * 100 AS BIGINT)) AS rev
+       |  FROM orders o LEFT JOIN c ON o.o_custkey = c.c_custkey
+       |  GROUP BY c.seg, c.p1
+       |), oc AS (
+       |  SELECT seg,
+       |    CAST(SUM(CASE WHEN p1 IS NOT NULL THEN n_o ELSE 0 END) AS BIGINT) AS n_linked,
+       |    CAST(SUM(CASE WHEN p1 IS NOT NULL THEN rev ELSE 0 END) AS BIGINT) AS rev_cents
+       |  FROM linked WHERE seg IS NOT NULL GROUP BY seg
+       |)
+       |SELECT f.seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
+       |  CAST(COUNT(DISTINCT f.p1) AS BIGINT) AS n_pseudo,
+       |  CAST(MIN(x.n_xkey) AS BIGINT) AS n_xkey,
+       |  CAST(MIN(oc.n_linked) AS BIGINT) AS n_orders,
+       |  CAST(MIN(oc.n_linked) AS BIGINT) AS n_linked,
+       |  CAST(MIN(oc.rev_cents) AS BIGINT) AS rev_cents,
+       |  CAST(bit_xor(f.row_fp) AS BIGINT) AS pseudo_fp
+       |FROM fp f JOIN xkey x USING (seg) JOIN oc USING (seg)
+       |GROUP BY f.seg ORDER BY f.seg""".stripMargin
+  }
+
   // ------------------------------------------------ q158 Benford audit
 
   /** q158: Benford first-digit audit over `o_totalprice` — the standard
