@@ -2,7 +2,7 @@ package graft.relational
 
 import graft.{Dist, QueryDef, Tables}
 import graft.Exact._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -1811,8 +1811,8 @@ object Relational {
     * pseudonym of the stable key, so the released table stays JOINABLE
     * (same key + same epoch secret → same token, referential integrity
     * preserved) while unlinkable ACROSS epochs (a new secret re-keys the
-    * whole universe — the classic data-escrow rotation). Phone keeps only
-    * its 2-digit country prefix (utility-preserving partial masking).
+    * whole universe — the classic data-escrow rotation). The name keeps
+    * only its 3-char numeric suffix (utility-preserving partial masking).
     *
     * The census CERTIFIES the release per market segment, all under the
     * driver hash gate:
@@ -1821,8 +1821,11 @@ object Relational {
     *  - `n_xkey` = 0: epoch-1 and epoch-2 token spaces are disjoint
     *    (cross-epoch linkability would defeat the rotation) — computed
     *    with the one-generator explode union, no self-join;
-    *  - `n_orders` = `n_linked`: every order still joins through the
-    *    pseudonym map — referential integrity, proven on the FACT table;
+    *  - `n_unlinked` = 0 (global, broadcast to every row): no order fell
+    *    out of the release when joining through the pseudonym map —
+    *    referential integrity, proven on the FACT table (per-segment
+    *    totals are definitionally linked because the segment itself comes
+    *    from the customer side, so the unlinked count must be global);
     *  - `rev_cents`: segment revenue computed THROUGH the pseudonymized
     *    path (orders → token map → group by token), equal to the direct
     *    grouping iff the linkage is lossless;
@@ -1842,10 +1845,10 @@ object Relational {
       .select(col("c_custkey"), col("c_mktsegment").as("seg"),
         prf("epoch1", col("c_custkey")).as("p1"),
         prf("epoch2", col("c_custkey")).as("p2"),
-        concat(substring(col("c_phone"), 1, 2), lit("-***")).as("phone_m"),
+        concat(lit("***"), expr("right(c_name, 3)")).as("name_m"),
         cents(col("c_acctbal")).as("bal_c"))
       .withColumn("row_fp", hash60(concat_ws("\u001f",
-        concat(lit("cust_"), col("p1").cast("string")), col("phone_m"),
+        concat(lit("cust_"), col("p1").cast("string")), col("name_m"),
         col("seg"), col("bal_c").cast("string"))))
       .transform(Dist.durableCkpt) // feeds census, xkey audit, both joins
     // cross-epoch disjointness: one generator, one agg — no self-join
@@ -1866,20 +1869,23 @@ object Relational {
       .agg(count(lit(1)).as("n_o"), sum(col("rev_c")).as("rev"))
     val ordersCensus = linked
       .groupBy(col("seg"))
-      .agg(sum(col("n_o")).cast("long").as("n_orders_seg"),
-        sum(when(col("p1").isNotNull, col("n_o")).otherwise(lit(0)))
-          .cast("long").as("n_linked"),
-        sum(when(col("p1").isNotNull, col("rev")).otherwise(lit(0)))
-          .cast("long").as("rev_cents"))
+      .agg(sum(col("n_o")).cast("long").as("n_orders"),
+        sum(col("rev")).cast("long").as("rev_cents"))
       .filter(col("seg").isNotNull)
+    // one-row global audit: orders that found no pseudonym (seg IS NULL
+    // iff the left join missed) — broadcast scalar, certifies the fact
+    // table shed nothing
+    val unlinked = linked.filter(col("p1").isNull)
+      .agg(coalesce(sum(col("n_o")), lit(0L)).cast("long").as("n_unlinked"))
     c.groupBy(col("seg"))
       .agg(count(lit(1)).cast("long").as("n_cust"),
         countDistinct(col("p1")).cast("long").as("n_pseudo"),
         expr("bit_xor(row_fp)").cast("long").as("pseudo_fp"))
       .join(xkey, Seq("seg"))
       .join(ordersCensus, Seq("seg"))
+      .crossJoin(broadcast(unlinked)) // one-row frame
       .select(col("seg"), col("n_cust"), col("n_pseudo"), col("n_xkey"),
-        col("n_linked").as("n_orders"), col("n_linked"), col("rev_cents"),
+        col("n_orders"), col("n_unlinked"), col("rev_cents"),
         col("pseudo_fp"))
       .orderBy(col("seg"))
   }
@@ -1891,13 +1897,13 @@ object Relational {
        |  SELECT c_custkey, c_mktsegment AS seg,
        |    ${prf("epoch1", "c_custkey")} AS p1,
        |    ${prf("epoch2", "c_custkey")} AS p2,
-       |    concat(substr(c_phone, 1, 2), '-***') AS phone_m,
+       |    concat('***', right(c_name, 3)) AS name_m,
        |    CAST(CAST(c_acctbal AS DECIMAL(14,4)) * 100 AS BIGINT) AS bal_c
        |  FROM customer
        |), fp AS (
        |  SELECT seg, c_custkey, p1,
        |    CAST(concat('0x', substr(md5(concat_ws(chr(31),
-       |      concat('cust_', CAST(p1 AS VARCHAR)), phone_m, seg,
+       |      concat('cust_', CAST(p1 AS VARCHAR)), name_m, seg,
        |      CAST(bal_c AS VARCHAR))), 1, 15)) AS BIGINT) AS row_fp
        |  FROM c
        |), xkey AS (
@@ -1914,18 +1920,21 @@ object Relational {
        |  GROUP BY c.seg, c.p1
        |), oc AS (
        |  SELECT seg,
-       |    CAST(SUM(CASE WHEN p1 IS NOT NULL THEN n_o ELSE 0 END) AS BIGINT) AS n_linked,
-       |    CAST(SUM(CASE WHEN p1 IS NOT NULL THEN rev ELSE 0 END) AS BIGINT) AS rev_cents
+       |    CAST(SUM(n_o) AS BIGINT) AS n_orders,
+       |    CAST(SUM(rev) AS BIGINT) AS rev_cents
        |  FROM linked WHERE seg IS NOT NULL GROUP BY seg
+       |), unl AS (
+       |  SELECT CAST(COALESCE(SUM(n_o), 0) AS BIGINT) AS n_unlinked
+       |  FROM linked WHERE p1 IS NULL
        |)
        |SELECT f.seg, CAST(COUNT(*) AS BIGINT) AS n_cust,
        |  CAST(COUNT(DISTINCT f.p1) AS BIGINT) AS n_pseudo,
        |  CAST(MIN(x.n_xkey) AS BIGINT) AS n_xkey,
-       |  CAST(MIN(oc.n_linked) AS BIGINT) AS n_orders,
-       |  CAST(MIN(oc.n_linked) AS BIGINT) AS n_linked,
+       |  CAST(MIN(oc.n_orders) AS BIGINT) AS n_orders,
+       |  CAST(MIN(unl.n_unlinked) AS BIGINT) AS n_unlinked,
        |  CAST(MIN(oc.rev_cents) AS BIGINT) AS rev_cents,
        |  CAST(bit_xor(f.row_fp) AS BIGINT) AS pseudo_fp
-       |FROM fp f JOIN xkey x USING (seg) JOIN oc USING (seg)
+       |FROM fp f JOIN xkey x USING (seg) JOIN oc USING (seg) CROSS JOIN unl
        |GROUP BY f.seg ORDER BY f.seg""".stripMargin
   }
 
@@ -2164,6 +2173,7 @@ object Relational {
     QueryDef("q135_k_anonymity", kAnonymity, Some(kAnonymitySql)),
     QueryDef("q157_l_diversity", lDiversity, Some(lDiversitySql)),
     QueryDef("q158_benford_audit", benfordAudit, Some(benfordAuditSql)),
-    QueryDef("q162_distribution_drift", distributionDrift, Some(distributionDriftSql))
+    QueryDef("q162_distribution_drift", distributionDrift, Some(distributionDriftSql)),
+    QueryDef("q184_pseudonymize", pseudonymize, Some(pseudonymizeSql))
   )
 }

@@ -67,7 +67,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q167_session_depth",
     // q175: the one-row grand total attaches to the |sources|-row frame
     // (never the corpus-sized join) before broadcasting
-    "q175_source_divergence")
+    "q175_source_divergence",
+    // q184: the one-row global n_unlinked audit attaches to the
+    // |segments|-row census frame
+    "q184_pseudonymize")
 
   /** Queries whose unpartitioned windows run over a DOMAIN-bounded
     * aggregated census frame (value = the bound, stated for the audit

@@ -1345,4 +1345,39 @@ class RelationalSpec extends SparkSpec {
     assert(rows(0).getLong(2) >= rows(1).getLong(2))
     assert(rows(1).getLong(2) >= rows(2).getLong(2))
   }
+
+  test("q184 pseudonymize census: injective, epoch-disjoint, linkage lossless") {
+    import org.apache.spark.sql.functions._
+    // independent sequential model from collected base tables
+    val segOf = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val segCust = segOf.values.groupBy(identity).map { case (s, xs) => s -> xs.size.toLong }
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigDecimal(r.getDouble(1)).setScale(4).*(100).toLongExact))
+    val segOrders = orders.groupBy(o => segOf.get(o._1)).collect {
+      case (Some(s), xs) => s -> (xs.length.toLong, xs.map(_._2).sum)
+    }
+    val modelUnlinked = orders.count(o => !segOf.contains(o._1)).toLong
+
+    val got = Relational.pseudonymize(spark, sfDir).collect()
+    assert(got.nonEmpty && got.map(_.getString(0)).toSeq == got.map(_.getString(0)).toSeq.sorted)
+    for (r <- got) {
+      val seg = r.getString(0)
+      // counts come from the model, not the query under test
+      assert(r.getLong(1) == segCust(seg), s"$seg n_cust")
+      // PRF injective on this universe: every customer a distinct token
+      assert(r.getLong(2) == r.getLong(1), s"$seg n_pseudo")
+      // epoch-1 and epoch-2 token spaces disjoint (rotation unlinkable)
+      assert(r.getLong(3) == 0L, s"$seg n_xkey")
+      assert(r.getLong(4) == segOrders(seg)._1, s"$seg n_orders")
+      // referential integrity: no order fell out of the release
+      assert(r.getLong(5) == modelUnlinked && modelUnlinked == 0L, s"$seg n_unlinked")
+      // revenue conserved THROUGH the pseudonym grouping
+      assert(r.getLong(6) == segOrders(seg)._2, s"$seg rev_cents")
+      assert(r.getLong(7) != 0L, s"$seg pseudo_fp")
+    }
+    assert(got.map(_.getString(0)).toSet == segCust.keySet)
+  }
 }
