@@ -38,6 +38,18 @@ object Scaling {
   def scaleDocuments(docs: DataFrame, factor: Int): DataFrame = {
     require(factor >= 1, s"factor must be >= 1: $factor")
     requireIdsBelowStride(docs, "doc_id")
+    // the isomorphism claim (no cross-copy shingle collisions) requires
+    // that NO base token already looks like a copy-c marker: copy 0 keeps
+    // such a token verbatim while copy c would manufacture the identical
+    // token. Fail loudly (one bounded one-row action) instead of silently
+    // deflating candidate counts.
+    if (factor > 1) {
+      val clashes = docs
+        .filter(col("text").rlike("(^|\\s)c[0-9]+x\\S")).count()
+      require(clashes == 0L,
+        s"$clashes base docs contain tokens of the copy-marker form " +
+          "c<digits>x…: scaled copies would collide with copy 0")
+    }
     docs
       .withColumn("c", explode(sequence(lit(0), lit(factor - 1), lit(1))))
       .select(
@@ -45,8 +57,11 @@ object Scaling {
         when(col("c") === 0, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(\\S+)"),
             concat(lit("c"), col("c"), lit("x$1")))).as("text"),
-        col("lang"), col("source"))
-      .withColumn("n_chars", length(col("text")).cast("long"))
+        col("lang"), col("source"),
+        // copy 0 is the identity: keep the base n_chars verbatim (the
+        // harness value may legitimately differ from length(text))
+        when(col("c") === 0, col("n_chars"))
+          .otherwise(length(col("text"))).cast("long").as("n_chars"))
   }
 
   def scaleEmbeddings(embs: DataFrame, factor: Int): DataFrame = {

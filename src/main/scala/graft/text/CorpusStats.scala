@@ -153,6 +153,9 @@ object CorpusStats {
     val counts = Tables.documents(spark, dir)
       .select(explode(tokens(lower(col("text")))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      // both the top-50 take and the grand total read this frame: cut the
+      // lineage so the corpus-sized tokenize+agg runs once, not per branch
+      .transform(graft.Dist.durableCkpt)
     val total = counts.agg(sum(col("n")).as("total_n"))
     val order = Window.orderBy(col("n").desc, col("w"))
     counts
