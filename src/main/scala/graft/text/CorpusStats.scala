@@ -1859,6 +1859,111 @@ object CorpusStats {
       |SELECT pair, CAST(SUM(wn) AS BIGINT) AS n
       |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
 
+  // q185: multi-round BPE training
+
+  /** Fixed unroll depth (the q114/q169 fixed-rounds discipline): both the
+    * Spark trainer and the DuckDB oracle run exactly this many merges. */
+  val BpeRounds = 10
+
+  /** q185: MULTI-ROUND BPE TRAINING — the full tokenizer-training loop
+    * that q163 computes one step of (Sennrich et al., ACL 2016):
+    * initialize every distinct word as its character sequence, then
+    * repeat K times: count adjacent symbol pairs weighted by word
+    * frequency, MERGE the most frequent pair everywhere (leftmost-greedy,
+    * non-overlapping), re-count over the merged segmentation. The output
+    * is the learned merge list — the artifact a BPE tokenizer ships.
+    *
+    * Segmentations live as space-joined symbol strings; the merge is a
+    * row-local fold over the symbol array with a string accumulator:
+    * append `r` WITHOUT a separator when the accumulator's last token is
+    * `l` (so the trailing `l` becomes `lr`), else append ` x`. The fold
+    * is leftmost-greedy and non-overlapping by construction — a
+    * just-merged `lr` never equals the single token `l` again (r is
+    * non-empty), exactly the reference BPE semantics. The identical
+    * lambda runs on both engines (Spark `aggregate`, DuckDB
+    * `list_reduce`), so the merge list hash-gates.
+    *
+    * 100 TB shape: the ONLY corpus-sized step is the one word-frequency
+    * hash aggregate (q163's observation: distinct words grow
+    * Heaps-sublinearly — millions of rows where the token stream is
+    * trillions). Every training round then runs on the checkpointed
+    * vocab frame: pair counting is one explode + hash agg over distinct
+    * words, the argmax is a 1-row TakeOrderedAndProject (the bounded
+    * per-round collect that also materializes the round's lazy
+    * checkpoint, q169's discipline), and the merge itself is row-local —
+    * no joins, no windows, no shuffle beyond the small pair agg. */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    var segs = Tables.documents(spark, dir)
+      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("w"))
+      .filter(length(col("w")) > 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seg"), col("wn"))
+      .transform(graft.Dist.durableCkpt)
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (k <- 1 to BpeRounds) {
+      val top = segs
+        .select(col("wn"), split(col("seg"), " ").as("ss"))
+        .select(col("wn"), explode(expr(
+          "transform(sequence(1, size(ss) - 1), i -> " +
+            "struct(element_at(ss, i) AS l, element_at(ss, i + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("wn")).as("n"))
+        .orderBy(col("n").desc, col("l"), col("r"))
+        .limit(1).collect()(0) // bounded 1-row action per round
+      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((k.toLong, l, r, l + r, n))
+      // symbols are [a-z]+ only, safe to inline as literals
+      segs = segs
+        .select(expr(
+          s"aggregate(slice(split(seg, ' '), 2, size(split(seg, ' ')) - 1), " +
+            s"element_at(split(seg, ' '), 1), (acc, x) -> " +
+            s"CASE WHEN (acc = '$l' OR endswith(acc, ' $l')) AND x = '$r' " +
+            s"THEN concat(acc, '$r') ELSE concat(acc, ' ', x) END)").as("seg"),
+          col("wn"))
+        .transform(graft.Dist.durableCkpt)
+    }
+    merges.result().toDF("merge_no", "lhs", "rhs", "merged", "n")
+      .orderBy(col("merge_no"))
+  }
+
+  /** Unrolled K-round oracle: each round's vocab CTE is referenced twice
+    * (next round's pair counts + next merge) and MUST be MATERIALIZED or
+    * DuckDB's CTE inlining goes exponential in K. */
+  val bpeTrainSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH v0 AS MATERIALIZED (
+        |  SELECT trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg, wn FROM (
+        |    SELECT w, COUNT(*) AS wn FROM (
+        |      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |      FROM documents)
+        |    WHERE strlen(w) > 1 GROUP BY 1))""".stripMargin)
+    for (k <- 1 to BpeRounds) {
+      sb.append(s""",
+        |p$k AS (
+        |  SELECT ss[i] AS lhs, ss[i+1] AS rhs, SUM(wn) AS n FROM (
+        |    SELECT string_split(seg, ' ') AS ss, wn,
+        |      unnest(generate_series(1, len(string_split(seg, ' ')) - 1)) AS i
+        |    FROM v${k - 1})
+        |  GROUP BY 1, 2),
+        |m$k AS MATERIALIZED (
+        |  SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin)
+      if (k < BpeRounds) sb.append(s""",
+        |v$k AS MATERIALIZED (
+        |  SELECT list_reduce(string_split(seg, ' '), (acc, x) ->
+        |    CASE WHEN (acc = m.lhs OR ends_with(acc, ' ' || m.lhs)) AND x = m.rhs
+        |    THEN acc || m.rhs ELSE acc || ' ' || x END) AS seg, wn
+        |  FROM v${k - 1}, m$k m)""".stripMargin)
+    }
+    sb.append((1 to BpeRounds).map(k =>
+      s"\nSELECT CAST($k AS BIGINT) AS merge_no, lhs, rhs, " +
+        s"lhs || rhs AS merged, CAST(n AS BIGINT) AS n FROM m$k")
+      .mkString("", "\nUNION ALL", "\nORDER BY merge_no"))
+    sb.toString
+  }
+
   // q149: tokenizer fertility per language
   // ---------------------------------------------------------------------
 
@@ -2426,6 +2531,7 @@ object CorpusStats {
     QueryDef("q155_dataset_card", datasetCard, Some(datasetCardSql)),
     QueryDef("q163_bpe_merge_candidates", bpeMergeCandidates,
       Some(bpeMergeCandidatesSql)),
+    QueryDef("q185_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q174_entropy_quality", entropyQuality, Some(entropyQualitySql)),
     QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),

@@ -612,6 +612,38 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.forall(_._1.matches("[a-z]{2}")))
   }
 
+  test("q185 multi-round BPE training equals a sequential greedy-merge model") {
+    val texts = graft.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    var vocab: Seq[(Vector[String], Long)] = texts.toSeq
+      .flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase).toSeq)
+      .filter(_.length > 1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (w, n) => (w.map(_.toString).toVector, n) }
+    // sequential reference trainer: K rounds of count-argmax-merge with
+    // leftmost-greedy non-overlapping replacement
+    def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    val model = (1 to graft.text.CorpusStats.BpeRounds).map { k =>
+      val counts = vocab.flatMap { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).map(p => ((p(0), p(1)), n))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((l, r), n) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (syms, wn) => (mergeWord(syms, l, r), wn) }
+      (k.toLong, l, r, l + r, n)
+    }
+    val got = graft.text.CorpusStats.bpeTrain(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.size == graft.text.CorpusStats.BpeRounds)
+    // merged symbols accumulate: a later merge may consume an earlier one,
+    // and every merge count is positive
+    assert(got.forall(_._5 > 0L))
+  }
+
   test("plan locks: chunking is shuffle-free, sampling/packing/redaction one-shuffle") {
     // the documented 100 TB shapes, made checkable: q62's only exchange is
     // the presentation sort; q60 adds its audit aggregation, q63 its
