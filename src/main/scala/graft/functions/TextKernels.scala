@@ -30,6 +30,63 @@ object TextKernels {
   def digramSelfInfo(c: Column): Column =
     ColumnBridge.column(DigramSelfInfo(ColumnBridge.expression(c)))
 
+  /** ARRAY<STRING>: the doc's top-k code-point TRIGRAMS in rank order
+    * (count desc, gram asc — gram order on packed code points equals
+    * UTF-8 binary string order, Spark's comparison). The Cavnar-Trenkle
+    * document profile as one compiled pass — no per-doc explode, no
+    * (doc, gram) shuffle; only k strings per doc leave the map side. */
+  def triProfile(c: Column, k: Int): Column =
+    ColumnBridge.column(TriProfile(ColumnBridge.expression(c), k))
+
+  // static entry point referenced from generated code
+  def triProfile(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length - 2
+    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    // open-addressed map: key = (cp1<<42 | cp2<<21 | cp3) + 1 (code
+    // points <= 0x10FFFF < 2^21, so the pack is injective and < 2^63;
+    // +1 keeps 0 = empty). Numeric key order = (cp1, cp2, cp3)
+    // lexicographic = UTF-8 string order of the gram.
+    val cap = Integer.highestOneBit(math.max(4, n * 2) - 1) << 1
+    val keys = new Array[Long](cap)
+    val counts = new Array[Long](cap)
+    val mask = cap - 1
+    var i = 0
+    while (i < n) {
+      val key = (cps(i).toLong << 42 | cps(i + 1).toLong << 21 | cps(i + 2).toLong) + 1
+      var slot = java.lang.Long.hashCode(key * 0x9e3779b97f4a7c15L) & mask
+      while (keys(slot) != 0 && keys(slot) != key) slot = (slot + 1) & mask
+      keys(slot) = key
+      counts(slot) += 1
+      i += 1
+    }
+    var m = 0
+    var j = 0
+    while (j < cap) { if (keys(j) != 0) m += 1; j += 1 }
+    val ks = new Array[Long](m); val cs = new Array[Long](m)
+    var p = 0; j = 0
+    while (j < cap) {
+      if (keys(j) != 0) { ks(p) = keys(j); cs(p) = counts(j); p += 1 }
+      j += 1
+    }
+    val idx = Array.range(0, m).sortWith { (a, b) =>
+      cs(a) > cs(b) || (cs(a) == cs(b) && ks(a) < ks(b))
+    }
+    val out = new Array[Any](math.min(k, m))
+    var r = 0
+    while (r < out.length) {
+      val key = idx(r) match { case q => ks(q) - 1 }
+      val sb = new java.lang.StringBuilder(6)
+      sb.appendCodePoint(((key >> 42) & 0x1FFFFF).toInt)
+      sb.appendCodePoint(((key >> 21) & 0x1FFFFF).toInt)
+      sb.appendCodePoint((key & 0x1FFFFF).toInt)
+      out(r) = UTF8String.fromString(sb.toString)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
   @inline private def bits(x: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(x)
 
   // static entry point referenced from generated code
@@ -65,6 +122,26 @@ object TextKernels {
     }
     InternalRow(n.toLong, ent)
   }
+}
+
+case class TriProfile(child: Expression, k: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "tri_profile"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.triProfile(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.triProfile($c, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): TriProfile =
+    copy(child = newChild)
 }
 
 case class DigramSelfInfo(child: Expression) extends UnaryExpression {

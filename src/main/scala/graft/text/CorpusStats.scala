@@ -1964,6 +1964,133 @@ object CorpusStats {
     sb.toString
   }
 
+  // q186: trained language-ID audit (Cavnar-Trenkle)
+
+  /** Category-profile depth (top trigrams per language). */
+  val LangProfK = 100
+  /** Document-profile depth. */
+  val DocProfK = 20
+
+  private def loweredText: Column = lower(coalesce(col("text"), lit("")))
+
+  /** Train the per-language category profiles: top-[[LangProfK]] character
+    * trigrams by corpus frequency, ranked (count desc, gram asc). One
+    * corpus-sized explode + (lang, gram) hash aggregate — map-side combine
+    * collapses each partition to its distinct grams — then ranks over the
+    * DOMAIN-bounded (lang, gram) frame (≤ charset³·|langs| rows, not
+    * corpus-growing). Returned collected: ≤ |langs|·K rows. */
+  def langTrigramProfiles(docs: DataFrame): Map[String, Map[String, Int]] =
+    docs
+      .select(col("lang"), loweredText.as("t"))
+      .filter(length(col("t")) >= 3)
+      .select(col("lang"), explode_outer(expr(
+        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n").desc, col("gram"))))
+      .filter(col("rk") <= LangProfK)
+      .select(col("lang"), col("gram"), col("rk"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.map(r => r.getString(1) -> r.getInt(2)).toMap
+      }
+
+  /** Score every doc against every candidate language by Cavnar-Trenkle
+    * OUT-OF-PLACE distance: Σ over the doc's top-[[DocProfK]] trigrams of
+    * |doc_rank − lang_rank|, with [[LangProfK]] for grams absent from the
+    * category profile; predict the argmin (ties → lang asc). MAP-ONLY:
+    * the doc profile is one compiled kernel pass ([[graft.functions
+    * .TextKernels.triProfile]]), the category profiles ride along as
+    * broadcast literal MAPS (the q183 LUT discipline), the argmin is a
+    * row-local `array_min` over |langs| structs. All-integer — no
+    * transcendental ever enters the plan (q90's discipline). */
+  def langIdScored(docs: DataFrame, langs: Seq[String],
+                   profiles: Map[String, Map[String, Int]]): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      graft.functions.TextKernels.triProfile(loweredText, DocProfK).as("prof"))
+    val withMaps = langs.zipWithIndex.foldLeft(base) { case (df, (l, i)) =>
+      val m = profiles.getOrElse(l, Map.empty)
+      val mapCol =
+        if (m.isEmpty) typedLit(Map.empty[String, Int])
+        else map(m.toSeq.sorted.flatMap { case (g, r) => Seq(lit(g), lit(r)) }: _*)
+      df.withColumn(s"lp_$i", mapCol)
+        .withColumn(s"dist_$i", expr(
+          s"aggregate(transform(prof, (g, j) -> " +
+            s"CAST(coalesce(abs(j + 1 - element_at(lp_$i, g)), $LangProfK) AS BIGINT)), " +
+            s"CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    }
+    withMaps
+      .withColumn("best", array_min(array(langs.zipWithIndex.map { case (l, i) =>
+        struct(col(s"dist_$i").as("dist"), lit(l).as("lang"))
+      }: _*)))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("best.lang").as("pred_lang"), col("best.dist").as("dist"))
+  }
+
+  /** q186: TRAINED LANGUAGE-ID AUDIT — the pipeline TRUSTS the corpus's
+    * `lang` column (mixture planning q109, fertility q149 and the
+    * stratified samplers all key on it); this closes the measure-before-
+    * act loop (q131/q147's discipline) by auditing the labels with a
+    * classifier TRAINED ON THE CORPUS ITSELF: Cavnar-Trenkle character-
+    * trigram rank profiles (n-gram text categorization — the integer
+    * ancestor of fastText's char-n-gram scorer), scored by out-of-place
+    * distance, reported as the per-source label-vs-prediction confusion
+    * census. A source whose disagreement rate spikes is mislabeled or
+    * mis-ingested BEFORE the mixture planner trusts it.
+    *
+    * 100 TB shape: training is ONE corpus-sized explode + hash aggregate
+    * (map-side combined; the ranked frame is domain-bounded at
+    * charset³·|langs|); two bounded driver actions collect |langs| and
+    * the ≤ |langs|·100-row profiles; scoring is map-only (compiled
+    * trigram-profile kernel + broadcast literal maps + row-local argmin);
+    * the census aggregate is bounded by |sources|·|langs|². */
+  def langIdAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq // bounded: |langs|
+    val profiles = langTrigramProfiles(docs)
+    langIdScored(docs, langs, profiles)
+      .groupBy(col("source"), col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy(col("source"), col("lang"), col("pred_lang"))
+  }
+
+  val langIdAuditSql: String =
+    s"""WITH tri AS MATERIALIZED (
+       |  SELECT doc_id, lang, substr(t, CAST(i AS INTEGER), 3) AS gram FROM (
+       |    SELECT doc_id, lang, lower(coalesce(text, '')) AS t,
+       |      unnest(generate_series(1, length(coalesce(text, '')) - 2)) AS i
+       |    FROM documents)
+       |), lp AS MATERIALIZED (
+       |  SELECT lang, gram,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS lrk
+       |  FROM (SELECT lang, gram, COUNT(*) AS n FROM tri GROUP BY 1, 2)
+       |  QUALIFY lrk <= $LangProfK
+       |), dp AS MATERIALIZED (
+       |  SELECT doc_id, gram,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, gram) AS drk
+       |  FROM (SELECT doc_id, gram, COUNT(*) AS n FROM tri GROUP BY 1, 2)
+       |  QUALIFY drk <= $DocProfK
+       |), langs AS MATERIALIZED (SELECT DISTINCT lang FROM documents),
+       |scored AS (
+       |  SELECT dp.doc_id, l.lang AS cand,
+       |    SUM(COALESCE(ABS(dp.drk - lp.lrk), $LangProfK)) AS dist
+       |  FROM dp CROSS JOIN langs l
+       |  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = dp.gram
+       |  GROUP BY 1, 2
+       |), pred AS (
+       |  SELECT doc_id, cand AS pred_lang,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dist, cand) AS rn
+       |  FROM scored QUALIFY rn = 1
+       |), base AS (
+       |  SELECT d.source, d.lang,
+       |    COALESCE(p.pred_lang, (SELECT MIN(lang) FROM langs)) AS pred_lang
+       |  FROM documents d LEFT JOIN pred p USING (doc_id)
+       |)
+       |SELECT source, lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM base GROUP BY 1, 2, 3 ORDER BY source, lang, pred_lang""".stripMargin
+
   // q149: tokenizer fertility per language
   // ---------------------------------------------------------------------
 
@@ -2532,6 +2659,7 @@ object CorpusStats {
     QueryDef("q163_bpe_merge_candidates", bpeMergeCandidates,
       Some(bpeMergeCandidatesSql)),
     QueryDef("q185_bpe_train", bpeTrain, Some(bpeTrainSql)),
+    QueryDef("q186_langid_audit", langIdAudit, Some(langIdAuditSql)),
     QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q174_entropy_quality", entropyQuality, Some(entropyQualitySql)),
     QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),

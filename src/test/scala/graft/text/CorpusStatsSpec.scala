@@ -644,6 +644,50 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.forall(_._5 > 0L))
   }
 
+  test("q186 trigram-profile kernel equals a hand-computed Cavnar-Trenkle profile") {
+    import spark.implicits._
+    val df = Seq("ababab", "xy", "").toDF("text")
+      .select(graft.functions.TextKernels
+        .triProfile(lower(col("text")), 20).as("p"))
+    val got = df.collect().map(_.getSeq[String](0).toSeq).toSeq
+    // "ababab": trigrams aba(2) bab(2) — ties break gram-asc; "xy"/"" too short
+    assert(got == Seq(Seq("aba", "bab"), Seq(), Seq()))
+  }
+
+  test("q186 recovers planted mislabeled docs exactly on a separable corpus") {
+    import spark.implicits._
+    // three synthetic languages with disjoint alphabets; 5 of the 60 docs
+    // are PLANTED with a wrong label (content from another language)
+    val words = Map("aa" -> Seq("aba", "bac", "cab"), "bb" -> Seq("xyx", "yzx", "zxy"),
+      "cc" -> Seq("mnm", "nom", "omn"))
+    def text(trueLang: String, seed: Int): String =
+      (0 until 12).map(i => words(trueLang)((seed + i) % 3)).mkString(" ")
+    val rows = (for {
+      (l, li) <- Seq("aa", "bb", "cc").zipWithIndex
+      i <- 0 until 20
+    } yield {
+      val id = (li * 20 + i).toLong
+      val planted = id % 12 == 7 // 5 of 60
+      val label = if (planted) Seq("aa", "bb", "cc")((li + 1) % 3) else l
+      (id, text(l, i), label, s"src${id % 3}", planted, l)
+    })
+    val docs = rows.map(t => (t._1, t._2, t._3, t._4))
+      .toDF("doc_id", "text", "lang", "source")
+    val langs = Seq("aa", "bb", "cc")
+    val profiles = graft.text.CorpusStats.langTrigramProfiles(docs)
+    val scored = graft.text.CorpusStats.langIdScored(docs, langs, profiles)
+      .select(col("doc_id"), col("lang"), col("pred_lang")).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    for ((id, _, label, _, planted, trueLang) <- rows) {
+      val (gotLabel, pred) = scored(id)
+      assert(gotLabel == label)
+      // the classifier recovers the CONTENT language for every doc, so
+      // disagreement flags exactly the planted set
+      assert(pred == trueLang, s"doc $id: pred $pred != true $trueLang")
+      assert((pred != gotLabel) == planted, s"doc $id planted=$planted")
+    }
+  }
+
   test("plan locks: chunking is shuffle-free, sampling/packing/redaction one-shuffle") {
     // the documented 100 TB shapes, made checkable: q62's only exchange is
     // the presentation sort; q60 adds its audit aggregation, q63 its
