@@ -603,36 +603,112 @@ object Streaming {
               .select(lit(0L).as("user_id"), lit(0L).as("n_events"),
                 lit(null).cast("decimal(14,4)").as("total_dec"),
                 lit(0).as("pid")).limit(0)
-          // STAGING write, then partition-directory swap: the merged plan
-          // reads the live state files, so it must never write over them
-          // — not even "after" an eager localCheckpoint, whose blocks
-          // live on executors only: losing one mid-write would recompute
-          // from lineage against a partially-overwritten path. Writing
-          // the merge to a separate staging path makes the read side
-          // immutable for the whole job (a failed/retried task recomputes
-          // against intact live files); only once the data is durably on
-          // the FS do the affected partition dirs swap in via renames.
-          val staging = new org.apache.hadoop.fs.Path(
-            statePath + s".staging-$batchId")
-          if (fs.exists(staging)) fs.delete(staging, true)
-          existing.unionByName(delta)
+          val merged = existing.unionByName(delta)
             .groupBy(col("user_id"), col("pid"))
             .agg(sum(col("n_events")).as("n_events"),
               sum(col("total_dec")).cast("decimal(14,4)").as("total_dec"))
-            .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
-            .partitionBy("pid").parquet(staging.toString)
-          fs.mkdirs(root)
-          affected.foreach { pid =>
-            val src = new org.apache.hadoop.fs.Path(staging, s"pid=$pid")
-            val dst = new org.apache.hadoop.fs.Path(root, s"pid=$pid")
-            if (fs.exists(dst)) fs.delete(dst, true)
-            fs.rename(src, dst)
-          }
-          fs.delete(staging, true)
-          ()
+          swapMergedPartitions(statePath, batchId, affected, merged)
         }
       }
       .start()
+  }
+
+  /** STAGING write, then partition-directory swap: the merged plan
+    * reads the live state files, so it must never write over them
+    * — not even "after" an eager localCheckpoint, whose blocks
+    * live on executors only: losing one mid-write would recompute
+    * from lineage against a partially-overwritten path. Writing
+    * the merge to a separate staging path makes the read side
+    * immutable for the whole job (a failed/retried task recomputes
+    * against intact live files); only once the data is durably on
+    * the FS do the affected partition dirs swap in via renames. */
+  private def swapMergedPartitions(statePath: String, batchId: Long,
+                                   affected: Seq[Int], merged: DataFrame): Unit = {
+    val spark = merged.sparkSession
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(statePath + s".staging-$batchId")
+    if (fs.exists(staging)) fs.delete(staging, true)
+    merged.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .partitionBy("pid").parquet(staging.toString)
+    fs.mkdirs(root)
+    affected.foreach { pid =>
+      val src = new org.apache.hadoop.fs.Path(staging, s"pid=$pid")
+      val dst = new org.apache.hadoop.fs.Path(root, s"pid=$pid")
+      if (fs.exists(dst)) fs.delete(dst, true)
+      fs.rename(src, dst)
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Streaming CDC APPLY — the streaming twin of the governance tier's
+    * batch pair (q128 applies a shipped Δ, q181 recovers one): a change
+    * FEED of inserts/updates/deletes
+    * `(seq LONG, op STRING in {I,U,D}, doc_id LONG, lang, source,
+    * n_chars)` continuously upserted into the landed hash-partitioned
+    * snapshot table via foreachBatch. This completes
+    * measure → recover → apply under streaming: the snapshot stays a
+    * queryable parquet table while the feed runs.
+    *
+    * Semantics: within a micro-batch the LAST change per doc_id by `seq`
+    * wins (CDC feeds are ordered; a reduce to net effect first makes the
+    * merge one pass); `I` and `U` both upsert, `D` deletes. The merge is
+    * IDEMPOTENT — re-applying a batch to an already-merged snapshot is a
+    * no-op (upserts overwrite with identical rows, deletes miss) — which
+    * is exactly what makes foreachBatch's at-least-once redelivery after
+    * a crash EXACTLY-ONCE on the table (the restart spec proves it).
+    *
+    * Scale (the [[maintainUserTotals]] idiom): the snapshot is
+    * partitioned by `pmod(doc_id, nParts)`; a batch touching k docs
+    * reads and rewrites ≤ min(k, nParts) partitions through a broadcast
+    * anti-join — the untouched snapshot is never scanned. The staged
+    * write + rename swap keeps the read side immutable for the whole
+    * job. On Delta/Iceberg the merge step becomes MERGE INTO. */
+  def applyCdcStream(changes: DataFrame, snapshotPath: String,
+                     checkpoint: String, nParts: Int = 8)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyCdcBatch(batch, snapshotPath, batchId, nParts)
+      }
+      .start()
+
+  /** One idempotent net-effect merge of a change micro-batch (also the
+    * batch-side entry the stream≡batch spec replays). */
+  def applyCdcBatch(batch: DataFrame, snapshotPath: String, batchId: Long,
+                    nParts: Int): Unit = {
+    val spark = batch.sparkSession
+    // net op per doc: the LAST change by seq wins
+    val net = batch
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("seq"), col("op"), col("lang"), col("source"),
+        col("n_chars"))).as("m"))
+      .select(col("doc_id"), col("m.op").as("op"), col("m.lang").as("lang"),
+        col("m.source").as("source"), col("m.n_chars").as("n_chars"))
+      .withColumn("pid", pmod(col("doc_id"), lit(nParts)).cast("int"))
+      .transform(graft.Dist.durableCkpt) // feeds pid census, anti-join, upserts
+    val affected = net.select("pid").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nParts
+    if (affected.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(snapshotPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val existing =
+        if (fs.exists(root))
+          spark.read.parquet(snapshotPath)
+            .filter(col("pid").isin(affected: _*))
+        else
+          spark.emptyDataFrame
+            .select(lit(0L).as("doc_id"), lit("").as("lang"),
+              lit("").as("source"), lit(0L).as("n_chars"),
+              lit(0).as("pid")).limit(0)
+      val merged = existing
+        .join(broadcast(net.select(col("doc_id"))), Seq("doc_id"), "left_anti")
+        .unionByName(net.filter(col("op") =!= "D")
+          .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+            col("pid")))
+      swapMergedPartitions(snapshotPath, batchId, affected, merged)
+    }
   }
 
   /** Drive a streaming DataFrame to a named in-memory table and block until
