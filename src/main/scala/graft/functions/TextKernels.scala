@@ -38,12 +38,21 @@ object TextKernels {
   def triProfile(c: Column, k: Int): Column =
     ColumnBridge.column(TriProfile(ColumnBridge.expression(c), k))
 
-  // static entry point referenced from generated code
-  def triProfile(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
-    import org.apache.spark.sql.catalyst.util.GenericArrayData
+  /** ARRAY<STRUCT<gram STRING, n BIGINT>>: every distinct code-point
+    * trigram with its in-doc count, gram-ascending — the compiled
+    * replacement for `explode(transform(sequence...substring...))` when a
+    * downstream aggregate only needs per-doc COUNTS (q186 training):
+    * rows leaving the map side drop from one-per-occurrence to
+    * one-per-distinct-gram, and the hot loop is compiled, not an
+    * interpreted HOF chain. */
+  def triCounts(c: Column): Column =
+    ColumnBridge.column(TriCounts(ColumnBridge.expression(c)))
+
+  /** (packed keys, counts) of every distinct trigram, unsorted. */
+  private def triCountMap(s: UTF8String): (Array[Long], Array[Long]) = {
     val cps = s.toString.codePoints().toArray
     val n = cps.length - 2
-    if (n < 1) return new GenericArrayData(Array.empty[Any])
+    if (n < 1) return (Array.emptyLongArray, Array.emptyLongArray)
     // open-addressed map: key = (cp1<<42 | cp2<<21 | cp3) + 1 (code
     // points <= 0x10FFFF < 2^21, so the pack is injective and < 2^63;
     // +1 keeps 0 = empty). Numeric key order = (cp1, cp2, cp3)
@@ -70,18 +79,47 @@ object TextKernels {
       if (keys(j) != 0) { ks(p) = keys(j); cs(p) = counts(j); p += 1 }
       j += 1
     }
+    (ks, cs)
+  }
+
+  private def unpackGram(packed: Long): UTF8String = {
+    val key = packed - 1
+    val sb = new java.lang.StringBuilder(6)
+    sb.appendCodePoint(((key >> 42) & 0x1FFFFF).toInt)
+    sb.appendCodePoint(((key >> 21) & 0x1FFFFF).toInt)
+    sb.appendCodePoint((key & 0x1FFFFF).toInt)
+    UTF8String.fromString(sb.toString)
+  }
+
+  // static entry point referenced from generated code
+  def triProfile(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val (ks, cs) = triCountMap(s)
+    val m = ks.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
     val idx = Array.range(0, m).sortWith { (a, b) =>
       cs(a) > cs(b) || (cs(a) == cs(b) && ks(a) < ks(b))
     }
     val out = new Array[Any](math.min(k, m))
     var r = 0
     while (r < out.length) {
-      val key = idx(r) match { case q => ks(q) - 1 }
-      val sb = new java.lang.StringBuilder(6)
-      sb.appendCodePoint(((key >> 42) & 0x1FFFFF).toInt)
-      sb.appendCodePoint(((key >> 21) & 0x1FFFFF).toInt)
-      sb.appendCodePoint((key & 0x1FFFFF).toInt)
-      out(r) = UTF8String.fromString(sb.toString)
+      out(r) = unpackGram(ks(idx(r)))
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  // static entry point referenced from generated code
+  def triCounts(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val (ks, cs) = triCountMap(s)
+    val m = ks.length
+    if (m == 0) return new GenericArrayData(Array.empty[Any])
+    val idx = Array.range(0, m).sortWith((a, b) => ks(a) < ks(b))
+    val out = new Array[Any](m)
+    var r = 0
+    while (r < m) {
+      out(r) = InternalRow(unpackGram(ks(idx(r))), cs(idx(r)))
       r += 1
     }
     new GenericArrayData(out)
@@ -122,6 +160,28 @@ object TextKernels {
     }
     InternalRow(n.toLong, ent)
   }
+}
+
+case class TriCounts(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("n", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "tri_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.triCounts(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.triCounts($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TriCounts =
+    copy(child = newChild)
 }
 
 case class TriProfile(child: Expression, k: Int) extends UnaryExpression {

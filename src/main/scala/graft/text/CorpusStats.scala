@@ -1892,39 +1892,60 @@ object CorpusStats {
     * per-round collect that also materializes the round's lazy
     * checkpoint, q169's discipline), and the merge itself is row-local —
     * no joins, no windows, no shuffle beyond the small pair agg. */
+  /** The leftmost-greedy merge of pair (l, r) as a SQL fold over the
+    * space-joined segmentation in column `segCol` — shared by the trainer
+    * rounds and the q187 apply chain. Symbols are [a-z]+ only, safe to
+    * inline as literals. */
+  private def bpeMergeExpr(segCol: String, l: String, r: String): Column = expr(
+    s"aggregate(slice(split($segCol, ' '), 2, size(split($segCol, ' ')) - 1), " +
+      s"element_at(split($segCol, ' '), 1), (acc, x) -> " +
+      s"CASE WHEN (acc = '$l' OR endswith(acc, ' $l')) AND x = '$r' " +
+      s"THEN concat(acc, '$r') ELSE concat(acc, ' ', x) END)")
+
+  // training is consumed by BOTH q185 (the merge list) and q187 (the
+  // apply/fertility report): land the K bounded-collect rounds once per
+  // session (the copurchaseMemo discipline; process-lifetime retention is
+  // intended for the one-session Verify/Bench/test hosts)
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Option[String]), Seq[(String, String, Long)]]()
+
+  /** Run the K training rounds; returns the ordered merge list (l, r, n). */
+  def bpeTrainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
+    bpeMemo.computeIfAbsent(
+      (spark, dir, spark.sparkContext.getCheckpointDir),
+      { _ =>
+        var segs = Tables.documents(spark, dir)
+          .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+            .as("w"))
+          .filter(length(col("w")) > 1)
+          .groupBy(col("w")).agg(count(lit(1)).as("wn"))
+          .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seg"), col("wn"))
+          .transform(graft.Dist.durableCkpt)
+        val merges = Seq.newBuilder[(String, String, Long)]
+        for (_ <- 1 to BpeRounds) {
+          val top = segs
+            .select(col("wn"), split(col("seg"), " ").as("ss"))
+            .select(col("wn"), explode(expr(
+              "transform(sequence(1, size(ss) - 1), i -> " +
+                "struct(element_at(ss, i) AS l, element_at(ss, i + 1) AS r))")).as("p"))
+            .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+            .agg(sum(col("wn")).as("n"))
+            .orderBy(col("n").desc, col("l"), col("r"))
+            .limit(1).collect()(0) // bounded 1-row action per round
+          val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
+          merges += ((l, r, n))
+          segs = segs
+            .select(bpeMergeExpr("seg", l, r).as("seg"), col("wn"))
+            .transform(graft.Dist.durableCkpt)
+        }
+        merges.result()
+      })
+
   def bpeTrain(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    var segs = Tables.documents(spark, dir)
-      .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
-        .as("w"))
-      .filter(length(col("w")) > 1)
-      .groupBy(col("w")).agg(count(lit(1)).as("wn"))
-      .select(trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seg"), col("wn"))
-      .transform(graft.Dist.durableCkpt)
-    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
-    for (k <- 1 to BpeRounds) {
-      val top = segs
-        .select(col("wn"), split(col("seg"), " ").as("ss"))
-        .select(col("wn"), explode(expr(
-          "transform(sequence(1, size(ss) - 1), i -> " +
-            "struct(element_at(ss, i) AS l, element_at(ss, i + 1) AS r))")).as("p"))
-        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-        .agg(sum(col("wn")).as("n"))
-        .orderBy(col("n").desc, col("l"), col("r"))
-        .limit(1).collect()(0) // bounded 1-row action per round
-      val (l, r, n) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((k.toLong, l, r, l + r, n))
-      // symbols are [a-z]+ only, safe to inline as literals
-      segs = segs
-        .select(expr(
-          s"aggregate(slice(split(seg, ' '), 2, size(split(seg, ' ')) - 1), " +
-            s"element_at(split(seg, ' '), 1), (acc, x) -> " +
-            s"CASE WHEN (acc = '$l' OR endswith(acc, ' $l')) AND x = '$r' " +
-            s"THEN concat(acc, '$r') ELSE concat(acc, ' ', x) END)").as("seg"),
-          col("wn"))
-        .transform(graft.Dist.durableCkpt)
-    }
-    merges.result().toDF("merge_no", "lhs", "rhs", "merged", "n")
+    bpeTrainMerges(spark, dir).zipWithIndex
+      .map { case ((l, r, n), i) => ((i + 1).toLong, l, r, l + r, n) }
+      .toDF("merge_no", "lhs", "rhs", "merged", "n")
       .orderBy(col("merge_no"))
   }
 
@@ -1964,6 +1985,202 @@ object CorpusStats {
     sb.toString
   }
 
+  // q187: trained-BPE apply + fertility report
+
+  /** q187: APPLY THE TRAINED TOKENIZER — closes q185's train loop the way
+    * q151 closes q135's measure (the measure→act discipline): the K
+    * learned merges are applied IN TRAINING ORDER to every word of the
+    * corpus (all words this time, including single-letter ones the
+    * trainer's pair counts never see), and the result is the per-language
+    * fertility report a tokenizer review actually reads — how many pieces
+    * per word the LEARNED vocab costs each language, next to q149's
+    * fixed-regex fertility.
+    *
+    * The apply runs on the DISTINCT-WORD frame (the q163/q185
+    * observation: Heaps-sublinear where the token stream is trillions):
+    * all K merge folds chain in ONE row-local projection per distinct
+    * word, then piece counts join back to the (lang, word) occurrence
+    * table — two vocab-sized frames, never the token stream. Training
+    * itself lands once per session ([[bpeTrainMerges]]'s memo), so q185
+    * and q187 share the K bounded collects.
+    *
+    * All-integer ratios (basis points, `div`): fertility_bp = pieces per
+    * 100·100 words, compression_bp = chars per 100·100 pieces. */
+  def bpeApplyFertility(spark: SparkSession, dir: String): DataFrame = {
+    val merges = bpeTrainMerges(spark, dir)
+    val words = Tables.documents(spark, dir)
+      .select(col("lang"),
+        explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+          .as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wn"))
+      .transform(graft.Dist.durableCkpt) // feeds the apply AND the join
+    val vocab0 = words.select(col("w")).distinct()
+      .withColumn("seg", trim(regexp_replace(col("w"), "(.)", "$1 ")))
+    val segged = merges.foldLeft(vocab0) { case (df, (l, r, _)) =>
+      df.withColumn("seg", bpeMergeExpr("seg", l, r))
+    }
+    val pieces = segged
+      .select(col("w"), size(split(col("seg"), " ")).cast("long").as("pieces"))
+    words.join(pieces, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(sum(col("wn")).cast("long").as("n_words"),
+        sum(col("wn") * length(col("w"))).cast("long").as("n_chars"),
+        sum(col("wn") * col("pieces")).cast("long").as("n_pieces"))
+      .withColumn("fertility_bp", expr("10000 * n_pieces div n_words"))
+      .withColumn("compression_bp", expr("10000 * n_chars div n_pieces"))
+      .orderBy(col("lang"))
+  }
+
+  /** Oracle: the q185 chain re-derived CARRYING the word column (and
+    * without the length>1 filter — single-letter words contribute no
+    * pairs, so every argmax is provably identical), through all K
+    * applications, then the fertility aggregate. Multi-referenced CTEs
+    * MATERIALIZED as ever. */
+  val bpeApplyFertilitySql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH wf AS MATERIALIZED (
+        |  SELECT lang, w, COUNT(*) AS wn FROM (
+        |    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |    FROM documents)
+        |  GROUP BY 1, 2),
+        |v0 AS MATERIALIZED (
+        |  SELECT w, trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seg,
+        |    SUM(wn) AS wn
+        |  FROM wf GROUP BY 1)""".stripMargin)
+    for (k <- 1 to BpeRounds) {
+      sb.append(s""",
+        |p$k AS (
+        |  SELECT ss[i] AS lhs, ss[i+1] AS rhs, SUM(wn) AS n FROM (
+        |    SELECT string_split(seg, ' ') AS ss, wn,
+        |      unnest(generate_series(1, len(string_split(seg, ' ')) - 1)) AS i
+        |    FROM v${k - 1})
+        |  GROUP BY 1, 2),
+        |m$k AS MATERIALIZED (
+        |  SELECT lhs, rhs, n FROM p$k ORDER BY n DESC, lhs, rhs LIMIT 1),
+        |v$k AS MATERIALIZED (
+        |  SELECT w, list_reduce(string_split(seg, ' '), (acc, x) ->
+        |    CASE WHEN (acc = m.lhs OR ends_with(acc, ' ' || m.lhs)) AND x = m.rhs
+        |    THEN acc || m.rhs ELSE acc || ' ' || x END) AS seg, wn
+        |  FROM v${k - 1}, m$k m)""".stripMargin)
+    }
+    sb.append(s"""
+        |SELECT lang, n_words, n_chars, n_pieces,
+        |  10000 * n_pieces // n_words AS fertility_bp,
+        |  10000 * n_chars // n_pieces AS compression_bp
+        |FROM (
+        |  SELECT lang, CAST(SUM(wf.wn) AS BIGINT) AS n_words,
+        |    CAST(SUM(wf.wn * length(w)) AS BIGINT) AS n_chars,
+        |    CAST(SUM(wf.wn * len(string_split(v.seg, ' '))) AS BIGINT) AS n_pieces
+        |  FROM wf JOIN v$BpeRounds v USING (w) GROUP BY 1)
+        |ORDER BY lang""".stripMargin)
+    sb.toString
+  }
+
+  // q188: DSIR importance-resampling selection
+
+  /** Hashed-feature bucket count. */
+  val DsirBuckets = 4096
+  /** The target-domain exemplar source. */
+  val DsirTarget = "src0"
+  /** Docs selected. */
+  val DsirN = 100
+
+  /** q188: DATA SELECTION VIA IMPORTANCE RESAMPLING (DSIR, Xie et al.,
+    * NeurIPS 2023) — the modern pretraining-data selection step: score
+    * every document by how much more likely its hashed-n-gram features
+    * are under a TARGET domain (here the `src0` exemplar source) than
+    * under the raw corpus, and keep the top-N. The published method uses
+    * hashed word-bigram unigram-LM log-ratios; this keeps the exact
+    * integer discipline (q174): log₂ in WHOLE BITS via binary digit
+    * count, and the ratio in the overflow-free SUM-OF-BITS form
+    * bits(n_t+1) − bits(n_r+1) + bits(R+B) − bits(T+B) per gram
+    * occurrence (never a count PRODUCT, so the arithmetic survives
+    * 100 TB-scale counts where bits(a·b) would need int128; the form
+    * differs from bits-of-product by ≤1 unit, a constant the ranking is
+    * insensitive to).
+    *
+    * 100 TB shape: two corpus-sized explode+hash aggregates build the
+    * B=4096-bucket count tables (map-side combined to ≤B rows per
+    * partition); the per-gram weight frame is ≤B rows — its grand totals
+    * attach via an unpartitioned window over that bounded frame (the
+    * q168 idiom) and it BROADCASTS into the scoring join; scoring is one
+    * more explode + per-doc sum (combine collapses to 1 row/doc before
+    * the exchange); the top-N is a TakeOrderedAndProject; the census is
+    * over N rows. Nothing lands, nothing windows over a corpus-growing
+    * frame. */
+  def dsirSelection(spark: SparkSession, dir: String): DataFrame = {
+    val h = "CAST(conv(substring(md5(concat(element_at(toks, i), ' ', " +
+      "element_at(toks, i + 1))), 1, 15), 16, 10) AS BIGINT)"
+    val gramsOf = s"CASE WHEN size(toks) >= 2 THEN " +
+      s"transform(sequence(1, size(toks) - 1), i -> pmod($h, $DsirBuckets)) " +
+      s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("source"), tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("source"),
+        explode_outer(expr(gramsOf)).as("g"))
+      .filter(col("g").isNotNull)
+    // ONE corpus-sized aggregate yields both count tables (the target is
+    // a conditional sum, not a second scan)
+    val counts = grams(Tables.documents(spark, dir))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("nr"),
+        sum(when(col("source") === DsirTarget, 1L).otherwise(0L)).as("nt"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val weights = counts
+      // grand totals over the ≤B-row bucket frame: bounded unpartitioned
+      // window (PlanHygieneSpec census, bound = DsirBuckets)
+      .withColumn("bits_r1",
+        length(bin(sum(col("nr")).over(tot) + DsirBuckets)).cast("long"))
+      .withColumn("bits_t1",
+        length(bin(sum(col("nt")).over(tot) + DsirBuckets)).cast("long"))
+      .select(col("g"),
+        (length(bin(col("nt") + 1)).cast("long") - length(bin(col("nr") + 1))
+          + col("bits_r1") - col("bits_t1")).as("wu"))
+    val selected = grams(Tables.documents(spark, dir))
+      .join(broadcast(weights), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("source")).as("source"), sum(col("wu")).as("w"))
+      .orderBy(col("w").desc, col("doc_id"))
+      .limit(DsirN)
+    selected
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_selected"),
+        sum(col("w")).cast("long").as("w_units"),
+        expr("bit_xor(doc_id)").cast("long").as("sel_fp"))
+      .orderBy(col("source"))
+  }
+
+  val dsirSelectionSql: String = {
+    val h60 = "CAST(concat('0x', substr(md5(concat(ws[i], ' ', ws[i+1])), 1, 15)) AS BIGINT)"
+    s"""WITH grams AS MATERIALIZED (
+       |  SELECT doc_id, source, $h60 % $DsirBuckets AS g FROM (
+       |    SELECT doc_id, source,
+       |      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws,
+       |      unnest(generate_series(1,
+       |        len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) - 1)) AS i
+       |    FROM documents)
+       |), cnt AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS nr,
+       |    CAST(SUM(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS nt
+       |  FROM grams GROUP BY 1
+       |), w AS MATERIALIZED (
+       |  SELECT g,
+       |    length(format('{:b}', nt + 1))
+       |      - length(format('{:b}', nr + 1))
+       |      + length(format('{:b}', CAST(SUM(nr) OVER () AS BIGINT) + $DsirBuckets))
+       |      - length(format('{:b}', CAST(SUM(nt) OVER () AS BIGINT) + $DsirBuckets)) AS wu
+       |  FROM cnt
+       |), sc AS (
+       |  SELECT g2.doc_id, MIN(g2.source) AS source, SUM(w.wu) AS w
+       |  FROM grams g2 JOIN w USING (g) GROUP BY 1
+       |), sel AS (SELECT * FROM sc ORDER BY w DESC, doc_id LIMIT $DsirN)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected,
+       |  CAST(SUM(w) AS BIGINT) AS w_units,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS sel_fp
+       |FROM sel GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   // q186: trained language-ID audit (Cavnar-Trenkle)
 
   /** Category-profile depth (top trigrams per language). */
@@ -1980,12 +2197,15 @@ object CorpusStats {
     * DOMAIN-bounded (lang, gram) frame (≤ charset³·|langs| rows, not
     * corpus-growing). Returned collected: ≤ |langs|·K rows. */
   def langTrigramProfiles(docs: DataFrame): Map[String, Map[String, Int]] =
-    docs
-      .select(col("lang"), loweredText.as("t"))
-      .filter(length(col("t")) >= 3)
-      .select(col("lang"), explode_outer(expr(
-        "transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")).as("gram"))
-      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("n"))
+    graft.Dist.fanOut(docs.select(col("lang"), loweredText.as("t")))
+      // compiled per-doc distinct-gram counts: rows leaving the map side
+      // drop from one-per-occurrence to one-per-distinct-gram, and the
+      // kernel pass is the compute≫bytes regime fanOut pays in (q174)
+      .select(col("lang"),
+        explode_outer(graft.functions.TextKernels.triCounts(col("t"))).as("e"))
+      .filter(col("e").isNotNull) // short docs explode_outer to a null row
+      .groupBy(col("lang"), col("e.gram").as("gram"))
+      .agg(sum(col("e.n")).as("n"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("n").desc, col("gram"))))
       .filter(col("rk") <= LangProfK)
@@ -2007,8 +2227,10 @@ object CorpusStats {
     * transcendental ever enters the plan (q90's discipline). */
   def langIdScored(docs: DataFrame, langs: Seq[String],
                    profiles: Map[String, Map[String, Int]]): DataFrame = {
-    val base = docs.select(col("doc_id"), col("lang"), col("source"),
-      graft.functions.TextKernels.triProfile(loweredText, DocProfK).as("prof"))
+    val base = graft.Dist.fanOut(
+        docs.select(col("doc_id"), col("lang"), col("source"), loweredText.as("t")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        graft.functions.TextKernels.triProfile(col("t"), DocProfK).as("prof"))
     val withMaps = langs.zipWithIndex.foldLeft(base) { case (df, (l, i)) =>
       val m = profiles.getOrElse(l, Map.empty)
       val mapCol =
@@ -2660,6 +2882,9 @@ object CorpusStats {
       Some(bpeMergeCandidatesSql)),
     QueryDef("q185_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("q186_langid_audit", langIdAudit, Some(langIdAuditSql)),
+    QueryDef("q187_bpe_apply_fertility", bpeApplyFertility,
+      Some(bpeApplyFertilitySql)),
+    QueryDef("q188_dsir_selection", dsirSelection, Some(dsirSelectionSql)),
     QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q174_entropy_quality", entropyQuality, Some(entropyQualitySql)),
     QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),

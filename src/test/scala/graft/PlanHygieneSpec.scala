@@ -86,7 +86,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q168_burst_census" -> "census total over <=|distinct peak values| rows",
     "q171_temperature_mixture" -> "apportionment over the <=|langs| frame",
     "q173_gap_spectrum" -> "shares over the <=64-row log2 bucket spectrum",
-    "q177_source_concentration" -> "Gini rank over the <=|sources| mass frame")
+    "q177_source_concentration" -> "Gini rank over the <=|sources| mass frame",
+    "q188_dsir_selection" -> "grand totals over the <=4096-row hashed-bucket frame")
 
   // name -> every node in the executed plan (AQE-unwrapped, subqueries
   // included), built ONCE and shared by both sweeps below.

@@ -644,6 +644,89 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got.forall(_._5 > 0L))
   }
 
+  test("q187 trained-BPE apply fertility equals the sequential model end-to-end") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("lang"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val allWords = docs.flatMap { case (l, t) =>
+      "[a-z]+".r.findAllIn(t.toLowerCase).map(w => (l, w))
+    }
+    // train on the length>1 global frequency table (the q185 model)
+    var vocab: Seq[(Vector[String], Long)] = allWords.map(_._2).filter(_.length > 1)
+      .groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case (w, n) => (w.map(_.toString).toVector, n) }
+    def mergeWord(syms: Vector[String], l: String, r: String): Vector[String] =
+      syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+        if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+        else acc :+ s
+      }
+    val merges = (1 to graft.text.CorpusStats.BpeRounds).map { _ =>
+      val counts = vocab.flatMap { case (syms, n) =>
+        syms.sliding(2).filter(_.size == 2).map(p => ((p(0), p(1)), n))
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+      val ((l, r), _) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      vocab = vocab.map { case (syms, wn) => (mergeWord(syms, l, r), wn) }
+      (l, r)
+    }
+    // apply to ALL words (single-letter ones included)
+    def pieces(w: String): Long =
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (l, r)) => mergeWord(syms, l, r)
+      }.size.toLong
+    val pieceOf = allWords.map(_._2).distinct.map(w => w -> pieces(w)).toMap
+    val model = allWords.groupBy(_._1).toSeq.map { case (lang, ws) =>
+      val nw = ws.length.toLong
+      val nc = ws.map(_._2.length.toLong).sum
+      val np = ws.map(w => pieceOf(w._2)).sum
+      (lang, nw, nc, np, 10000L * np / nw, 10000L * nc / np)
+    }.sortBy(_._1)
+    val got = graft.text.CorpusStats.bpeApplyFertility(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model && got.nonEmpty)
+    // the learned vocab can only help: fertility strictly below the
+    // character baseline (10000 * n_chars / n_words)
+    for ((_, nw, nc, _, fert, _) <- got) assert(fert < 10000L * nc / nw)
+  }
+
+  test("q188 DSIR selection equals the sequential importance-weight model") {
+    import graft.text.CorpusStats.{DsirBuckets, DsirN, DsirTarget}
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val docGrams = docs.map { case (id, src, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (id, src, ws.sliding(2).filter(_.length == 2)
+        .map(p => h60(p(0) + " " + p(1)) % DsirBuckets).toSeq)
+    }
+    val nr = docGrams.flatMap(_._3).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nt = docGrams.filter(_._2 == DsirTarget).flatMap(_._3)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bitsR1 = bits(nr.values.sum + DsirBuckets)
+    val bitsT1 = bits(nt.values.sum + DsirBuckets)
+    def wu(g: Long): Long =
+      bits(nt.getOrElse(g, 0L) + 1) - bits(nr(g) + 1) + bitsR1 - bitsT1
+    val scored = docGrams.filter(_._3.nonEmpty)
+      .map { case (id, src, gs) => (id, src, gs.map(wu).sum) }
+    val sel = scored.sortBy { case (id, _, w) => (-w, id) }.take(DsirN)
+    val model = sel.groupBy(_._2).toSeq.map { case (src, xs) =>
+      (src, xs.length.toLong, xs.map(_._3).sum,
+        xs.map(_._1).foldLeft(0L)(_ ^ _))
+    }.sortBy(_._1)
+    val got = graft.text.CorpusStats.dsirSelection(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == model && got.map(_._2).sum == DsirN.toLong)
+    // selection is target-seeking: the mean selected weight exceeds the
+    // corpus mean weight
+    val meanAll = scored.map(_._3).sum.toDouble / scored.length
+    val meanSel = sel.map(_._3).sum.toDouble / sel.length
+    assert(meanSel > meanAll)
+  }
+
   test("q186 trigram-profile kernel equals a hand-computed Cavnar-Trenkle profile") {
     import spark.implicits._
     val df = Seq("ababab", "xy", "").toDF("text")
