@@ -43,13 +43,15 @@ object ImageCodec {
 
   // ----------------------------------------------------------------- decode
 
-  private def decode(bytes: Array[Byte]): Option[BufferedImage] =
+  private[images] def decode(bytes: Array[Byte]): Option[BufferedImage] =
     (try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
      catch { case _: Exception => None })
       // no ImageIO reader claims WebP in this JVM: lossless (VP8L) files
-      // decode through the pure-JVM bitstream decoder (golden-pixel
-      // validated against libwebp); lossy VP8 stays quarantined as None
+      // decode through the pure-JVM bitstream decoder, and lossy (VP8)
+      // keyframes through the RFC 6386 decoder (both golden-pixel
+      // validated against libwebp, r7/r8)
       .orElse(Vp8l.decode(bytes))
+      .orElse(Vp8.decode(bytes))
 
   /** (width, height) from the image header only — no pixel decode.
     * Formats without an ImageIO reader in this JVM (WebP, HEIC/AVIF)
