@@ -2181,6 +2181,120 @@ object CorpusStats {
        |FROM sel GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  // q189: Gopher quality-rule battery
+
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** q189: the GOPHER QUALITY-RULE BATTERY (Rae et al. 2021, §A1.1) —
+    * the published heuristic filter set most pretraining pipelines start
+    * from, reported with PER-RULE failure attribution per source (a
+    * source failing mostly the stopword rule is a different problem from
+    * one failing the repetition rule). Rules, each exact-integer
+    * (cross-multiplied rationals, no division):
+    *  - word count in [50, 100000];
+    *  - mean word length in [3, 10]  (3·nw ≤ chars ≤ 10·nw);
+    *  - symbol-to-word ratio ≤ 0.1 ('#'/'…' words; 10·n_sym ≤ nw);
+    *  - ≥80% of words alphabetic  (5·n_alpha ≥ 4·nw);
+    *  - ≥2 of the 8 Gopher stopwords present;
+    *  - top word-bigram character fraction ≤ 0.2 (5·top_chars ≤ chars)
+    *    — the repetition screen; the line-based bullet/ellipsis rules are
+    *    inapplicable to this corpus's flat one-line documents.
+    *
+    * 100 TB shape: everything per-doc is ROW-LOCAL (tokenize once into a
+    * column, HOF filters/folds over it; the top-bigram screen is the
+    * sorted-runs array kernel — no per-doc explode, no (doc, gram)
+    * shuffle); the only aggregate is the ≤|sources| census. */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val base = graft.Dist.fanOut(
+        Tables.documents(spark, dir).select(col("source"), col("text")))
+      .select(col("source"), tokens(lower(col("text"))).as("ws"))
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("chars", expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))"))
+      .withColumn("n_alpha", expr(
+        "CAST(size(filter(ws, w -> w rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("n_sym", expr(
+        "CAST(size(filter(ws, w -> w LIKE '%#%' OR w LIKE '%…%')) AS BIGINT)"))
+      .withColumn("n_stop", expr(
+        s"CAST(size(filter(array(${GopherStops.map(s => s"'$s'").mkString(",")}), " +
+          "s -> array_contains(ws, s))) AS BIGINT)"))
+      // top word-bigram by (count desc, gram asc): sorted-runs kernel
+      .withColumn("sbg", expr(
+        "array_sort(CASE WHEN size(ws) >= 2 THEN transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END)"))
+      .withColumn("starts", expr(
+        "CASE WHEN size(sbg) = 0 THEN CAST(array() AS ARRAY<INT>) " +
+          "ELSE filter(sequence(1, size(sbg)), " +
+          "i -> i = 1 OR element_at(sbg, i) <> element_at(sbg, i - 1)) END"))
+      .withColumn("top", expr(
+        "array_min(transform(starts, (p, j) -> struct(" +
+          "CAST(p - (CASE WHEN j + 2 <= size(starts) THEN element_at(starts, j + 2) " +
+          "ELSE size(sbg) + 1 END) AS BIGINT) AS negc, element_at(sbg, p) AS gram)))"))
+      .withColumn("top_chars", expr(
+        "CASE WHEN top IS NULL THEN CAST(0 AS BIGINT) " +
+          "ELSE (-top.negc) * (length(top.gram) - 1) END"))
+    val flags = base.select(col("source"),
+      (col("nw") >= 50 && col("nw") <= 100000).as("r_wc"),
+      (lit(3) * col("nw") <= col("chars") && col("chars") <= lit(10) * col("nw")).as("r_mwl"),
+      (lit(10) * col("n_sym") <= col("nw")).as("r_sym"),
+      (lit(5) * col("n_alpha") >= lit(4) * col("nw")).as("r_alpha"),
+      (col("n_stop") >= 2).as("r_stop"),
+      (col("nw") < 2 || lit(5) * col("top_chars") <= col("chars")).as("r_rep"))
+    def fails(c: String) = sum(when(!col(c), 1L).otherwise(0L)).cast("long").as(s"f_${c.stripPrefix("r_")}")
+    flags
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        fails("r_wc"), fails("r_mwl"), fails("r_sym"), fails("r_alpha"),
+        fails("r_stop"), fails("r_rep"),
+        sum(when(col("r_wc") && col("r_mwl") && col("r_sym") && col("r_alpha") &&
+          col("r_stop") && col("r_rep"), 1L).otherwise(0L)).cast("long").as("n_pass"))
+      .orderBy(col("source"))
+  }
+
+  val gopherRulesSql: String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT source, ROW_NUMBER() OVER (ORDER BY doc_id) AS rid,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), m AS (
+       |  SELECT rid, source, CAST(len(ws) AS BIGINT) AS nw,
+       |    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS chars,
+       |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(ws, w -> w LIKE '%#%' OR w LIKE '%…%')) AS BIGINT) AS n_sym,
+       |    CAST(len(list_filter([$stops], s -> list_contains(ws, s))) AS BIGINT) AS n_stop
+       |  FROM d
+       |), bg AS (
+       |  SELECT rid, ws[i] || ' ' || ws[i+1] AS g FROM (
+       |    SELECT rid, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d)
+       |), top AS (
+       |  SELECT rid, CAST(c * (length(g) - 1) AS BIGINT) AS top_chars FROM (
+       |    SELECT rid, g, c, ROW_NUMBER() OVER (PARTITION BY rid ORDER BY c DESC, g) AS rn
+       |    FROM (SELECT rid, g, COUNT(*) AS c FROM bg GROUP BY 1, 2))
+       |  WHERE rn = 1
+       |), f AS (
+       |  SELECT m.source,
+       |    m.nw >= 50 AND m.nw <= 100000 AS r_wc,
+       |    3 * m.nw <= m.chars AND m.chars <= 10 * m.nw AS r_mwl,
+       |    10 * m.n_sym <= m.nw AS r_sym,
+       |    5 * m.n_alpha >= 4 * m.nw AS r_alpha,
+       |    m.n_stop >= 2 AS r_stop,
+       |    m.nw < 2 OR 5 * COALESCE(t.top_chars, 0) <= m.chars AS r_rep
+       |  FROM m LEFT JOIN top t USING (rid)
+       |)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN NOT r_wc THEN 1 ELSE 0 END) AS BIGINT) AS f_wc,
+       |  CAST(SUM(CASE WHEN NOT r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS f_mwl,
+       |  CAST(SUM(CASE WHEN NOT r_sym THEN 1 ELSE 0 END) AS BIGINT) AS f_sym,
+       |  CAST(SUM(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS f_alpha,
+       |  CAST(SUM(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+       |  CAST(SUM(CASE WHEN NOT r_rep THEN 1 ELSE 0 END) AS BIGINT) AS f_rep,
+       |  CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_sym AND r_alpha AND r_stop AND r_rep
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+       |FROM f GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   // q186: trained language-ID audit (Cavnar-Trenkle)
 
   /** Category-profile depth (top trigrams per language). */
@@ -2885,6 +2999,7 @@ object CorpusStats {
     QueryDef("q187_bpe_apply_fertility", bpeApplyFertility,
       Some(bpeApplyFertilitySql)),
     QueryDef("q188_dsir_selection", dsirSelection, Some(dsirSelectionSql)),
+    QueryDef("q189_gopher_rules", gopherRules, Some(gopherRulesSql)),
     QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q174_entropy_quality", entropyQuality, Some(entropyQualitySql)),
     QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),

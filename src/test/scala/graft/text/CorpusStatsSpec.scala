@@ -727,6 +727,47 @@ class CorpusStatsSpec extends SparkSpec {
     assert(meanSel > meanAll)
   }
 
+  test("q189 Gopher rule battery equals a sequential per-doc model") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val perDoc = docs.map { case (src, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      val nw = ws.size.toLong
+      val chars = ws.map(_.length.toLong).sum
+      val nAlpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+      val nSym = ws.count(w => w.contains("#") || w.contains("…")).toLong
+      val nStop = stops.count(ws.contains).toLong
+      val topChars =
+        if (nw < 2) 0L
+        else {
+          val bgs = ws.sliding(2).map(_.mkString(" ")).toSeq
+          val (g, c) = bgs.groupBy(identity).view.mapValues(_.size).toSeq
+            .minBy { case (g, c) => (-c, g) }
+          c.toLong * (g.length - 1)
+        }
+      (src, Seq(
+        nw >= 50 && nw <= 100000,
+        3 * nw <= chars && chars <= 10 * nw,
+        10 * nSym <= nw,
+        5 * nAlpha >= 4 * nw,
+        nStop >= 2,
+        nw < 2 || 5 * topChars <= chars))
+    }
+    val model = perDoc.groupBy(_._1).toSeq.map { case (src, xs) =>
+      val fs = (0 until 6).map(k => xs.count(x => !x._2(k)).toLong)
+      (src, xs.length.toLong, fs(0), fs(1), fs(2), fs(3), fs(4), fs(5),
+        xs.count(_._2.forall(identity)).toLong)
+    }.sortBy(_._1)
+    val got = graft.text.CorpusStats.gopherRules(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))).toSeq
+    assert(got == model && got.nonEmpty)
+    // conservation: pass + at-least-one-failure = docs
+    for (r <- got) assert(r._9 <= r._2)
+  }
+
   test("q186 trigram-profile kernel equals a hand-computed Cavnar-Trenkle profile") {
     import spark.implicits._
     val df = Seq("ababab", "xy", "").toDF("text")
