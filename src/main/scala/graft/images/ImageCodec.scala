@@ -83,10 +83,15 @@ object ImageCodec {
       case "jpg" | "jpeg" => "jpeg"
       case f => f
     }
-    // webp writes LOSSLESS VP8L via the pure-JVM coder (quality ignored,
-    // like PNG) — the write side of the reference's conversion matrix
+    // webp: quality > 0 writes LOSSY VP8 (PIL's default for .webp saves is
+    // lossy with a quality knob — the reference's conversion matrix cell);
+    // quality 0 writes LOSSLESS VP8L (the PNG-like path). Both coders are
+    // pure-JVM and validated against the system libwebp.
     if (norm == "webp")
-      return try Some(Vp8l.encode(img)) catch { case _: Exception => None }
+      return try Some(
+        if (quality > 0) Vp8Encoder.encode(img, math.min(quality, 100))
+        else Vp8l.encode(img)
+      ) catch { case _: Exception => None }
     // JPEG cannot carry alpha: force RGB like the reference's convert("RGB")
     val src = if (norm == "jpeg" && img.getType != BufferedImage.TYPE_INT_RGB) {
       val rgb = new BufferedImage(img.getWidth, img.getHeight, BufferedImage.TYPE_INT_RGB)

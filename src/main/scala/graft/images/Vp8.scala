@@ -78,7 +78,7 @@ object Vp8 {
   // ------------------------------------------------ boolean decoder
 
   /** RFC 6386 §7 boolean arithmetic decoder. */
-  private final class Bool(buf: Array[Byte], var pos: Int, end: Int) {
+  private[images] final class Bool(buf: Array[Byte], var pos: Int, end: Int) {
     private var range = 255
     private var value = (next() << 8) | next()
     private var bitCount = 0
@@ -151,7 +151,7 @@ object Vp8 {
     val uvdq = Array.ofDim[Int](NumSegments, 2)
   }
 
-  private def clip(v: Int, max: Int): Int = if (v < 0) 0 else if (v > max) max else v
+  private[images] def clip(v: Int, max: Int): Int = if (v < 0) 0 else if (v > max) max else v
 
   // ------------------------------------------------ frame decode
 
@@ -427,8 +427,8 @@ object Vp8 {
 
   // libwebp enum order (context + tree leaves use this numbering; the
   // extracted KfBModesProba rows are laid out for it)
-  private val BDc = 0; private val BTm = 1; private val BVe = 2
-  private val BHe = 3; private val BRd = 4; private val BVr = 5
+  private[images] val BDc = 0; private[images] val BTm = 1; private[images] val BVe = 2
+  private[images] val BHe = 3; private val BRd = 4; private val BVr = 5
   private val BLd = 6; private val BVl = 7; private val BHd = 8
   private val BHu = 9
 
@@ -593,7 +593,7 @@ object Vp8 {
 
   /** RFC 6386 §14.3 inverse 4x4 DCT, adding into nothing (coeffs buffer
     * in/out as residual values). in/out at `off`, row-major 4x4. */
-  private def idct4x4(c: Array[Int], off: Int, res: Array[Int]): Unit = {
+  private[images] def idct4x4(c: Array[Int], off: Int, res: Array[Int]): Unit = {
     def mul1(a: Int): Int = ((a * 20091) >> 16) + a
     def mul2(a: Int): Int = (a * 35468) >> 16
     val tmp = new Array[Int](16)
@@ -622,7 +622,7 @@ object Vp8 {
 
   /** RFC 6386 §14.3 inverse Walsh-Hadamard; scatters each output into
     * the DC slot of the corresponding luma block. */
-  private def inverseWht(in: Array[Int], coeffs: Array[Int]): Unit = {
+  private[images] def inverseWht(in: Array[Int], coeffs: Array[Int]): Unit = {
     val tmp = new Array[Int](16)
     var i = 0
     while (i < 4) {
@@ -647,7 +647,7 @@ object Vp8 {
 
   // ------------------------------------------------ reconstruction
 
-  private def initBorders(y: Array[Byte], ys: Int, u: Array[Byte],
+  private[images] def initBorders(y: Array[Byte], ys: Int, u: Array[Byte],
                           v: Array[Byte], cs: Int): Unit = {
     // virtual above row = 127 (incl. corner); virtual left column = 129
     java.util.Arrays.fill(y, 0, ys, 127.toByte)
@@ -659,10 +659,10 @@ object Vp8 {
     while (r * cs < u.length) { u(r * cs) = 129.toByte; v(r * cs) = 129.toByte; r += 1 }
   }
 
-  private def px(p: Array[Byte], s: Int, x: Int, y: Int): Int =
+  private[images] def px(p: Array[Byte], s: Int, x: Int, y: Int): Int =
     p((y + 1) * s + (x + 1)) & 0xff
 
-  private def setPx(p: Array[Byte], s: Int, x: Int, y: Int, v: Int): Unit =
+  private[images] def setPx(p: Array[Byte], s: Int, x: Int, y: Int, v: Int): Unit =
     p((y + 1) * s + (x + 1)) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
 
   private def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
@@ -682,7 +682,7 @@ object Vp8 {
   }
 
   /** Block-size-generic DC/V/H/TM predictors (n = 16 luma or 8 chroma). */
-  private def predictBlock(p: Array[Byte], s: Int, x0: Int, y0: Int, n: Int,
+  private[images] def predictBlock(p: Array[Byte], s: Int, x0: Int, y0: Int, n: Int,
                            mode: Int, hasTop: Boolean, hasLeft: Boolean): Unit = {
     mode match {
       case BDc =>
@@ -823,7 +823,7 @@ object Vp8 {
     }
   }
 
-  private def reconstructMb(mbX: Int, mbY: Int, mbW: Int, i4: Boolean,
+  private[images] def reconstructMb(mbX: Int, mbY: Int, mbW: Int, i4: Boolean,
                             ymode: Int, uvmode: Int, bmodes: Array[Int],
                             coeffs: Array[Int], yP: Array[Byte], ys: Int,
                             uP: Array[Byte], vP: Array[Byte], cs: Int): Unit = {

@@ -158,6 +158,25 @@ class TilingSpec extends SparkSpec {
         s"pixel ($x,$y)")
   }
 
+  test("convertImages with quality > 0 writes LOSSY webp (VP8 keyframe)") {
+    // quality engages the r8 VP8 lossy coder — the other half of the webp
+    // cell (PIL saves .webp lossy by default); smooth content survives
+    // within a tight per-pixel band
+    val in = tmpDirWith("c.png" -> gradientPng(80, 60))
+    val out = Files.createTempDirectory("graft-conv-webpq")
+    val n = Tiling.convertImages(spark, in.toString, out.toString, "webp", quality = 85)
+    assert(n == 1)
+    val bytes = Files.readAllBytes(out.resolve("c.webp"))
+    assert(Vp8l.decode(bytes).isEmpty) // not the lossless coder's output
+    val img = Vp8.decode(bytes).getOrElse(fail("lossy webp output did not decode"))
+    val src = ImageIO.read(new java.io.ByteArrayInputStream(gradientPng(80, 60)))
+    assert(img.getWidth == 80 && img.getHeight == 60)
+    for (y <- 0 until 60; x <- 0 until 80; shift <- Seq(16, 8, 0)) {
+      val d = ((img.getRGB(x, y) >> shift) & 0xff) - ((src.getRGB(x, y) >> shift) & 0xff)
+      assert(math.abs(d) <= 24, s"pixel ($x,$y) channel $shift off by $d")
+    }
+  }
+
   test("resize: exact dims, solid color preserved, 2x downscale averages gradient") {
     import spark.implicits._
     // solid-color image: any interpolation must return the same color
