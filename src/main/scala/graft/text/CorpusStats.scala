@@ -2295,6 +2295,222 @@ object CorpusStats {
        |FROM f GROUP BY 1 ORDER BY source""".stripMargin
   }
 
+  // q190: benchmark-contamination screen (n-gram decontamination)
+
+  /** Contamination n-gram width (published pipelines use 8–13-word
+    * grams; GPT-3 App. C used 13-grams, PaLM 8-grams). */
+  val ContamN = 8
+  /** Deterministic eval-slice selector modulus/residue: doc_id % 101 == 7. */
+  val ContamMod = 101
+  val ContamRes = 7
+
+  /** Core of [[contaminationScreen]] over an explicit documents frame —
+    * factored so the spec can plant a KNOWN contaminated train doc in a
+    * synthetic corpus and assert it (and only it) is flagged. */
+  private[graft] def contaminationOf(docs: DataFrame): DataFrame = {
+    val h = s"CAST(conv(substring(md5(array_join(slice(toks, i, $ContamN), ' ')), " +
+      "1, 15), 16, 10) AS BIGINT)"
+    val gramsOf = s"CASE WHEN size(toks) >= $ContamN THEN " +
+      s"transform(sequence(1, size(toks) - ${ContamN - 1}), i -> $h) " +
+      "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    val base = docs.select(col("doc_id"), col("source"),
+      (pmod(col("doc_id"), lit(ContamMod)) === ContamRes).as("is_eval"),
+      tokens(lower(col("text"))).as("toks"))
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("source"),
+          explode_outer(expr(gramsOf)).as("g"))
+        .filter(col("g").isNotNull)
+    // the eval slice is SMALL by construction (benchmarks are): its
+    // distinct gram-hash set broadcasts
+    val evalGrams = grams(base.filter(col("is_eval"))).select(col("g")).distinct()
+    val perDoc = grams(base.filter(!col("is_eval")))
+      .join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(min(col("source")).as("source"), count(lit(1)).cast("long").as("n_hits"))
+    val totals = base.filter(!col("is_eval"))
+      .groupBy(col("source")).agg(count(lit(1)).cast("long").as("n_train"))
+    val census = perDoc.groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_contam"),
+        sum(col("n_hits")).cast("long").as("hit_occurrences"),
+        expr("bit_xor(doc_id)").cast("long").as("contam_fp"))
+    totals.join(census, Seq("source"), "left_outer")
+      .select(col("source"), col("n_train"),
+        coalesce(col("n_contam"), lit(0L)).as("n_contam"),
+        coalesce(col("hit_occurrences"), lit(0L)).as("hit_occurrences"),
+        coalesce(col("contam_fp"), lit(0L)).as("contam_fp"))
+      .orderBy(col("source"))
+  }
+
+  /** q190: BENCHMARK-CONTAMINATION SCREEN — the decontamination step
+    * every published pretraining pipeline runs before training (GPT-3
+    * App. C; PaLM; Llama): flag every training document that shares at
+    * least one word-[[ContamN]]-gram with the held-out evaluation set,
+    * so eval numbers aren't inflated by memorized training text. The
+    * eval set here is the deterministic doc_id % [[ContamMod]] ==
+    * [[ContamRes]] slice (a benchmark is just a fixed small doc set);
+    * grams are md5-60-bit hashes of the space-joined 8 words — the SAME
+    * hash on both engines, so the comparison is exact (60-bit collisions
+    * are deterministic and shared).
+    *
+    * 100 TB shape: gram expansion is ROW-LOCAL (transform over the token
+    * array — no (doc, gram) shuffle before the join); the eval gram set
+    * is benchmark-sized and BROADCASTS into a left-semi join that prunes
+    * the corpus to matched occurrences before the per-doc combine; the
+    * per-source census and the n_train branch (a column-pruned
+    * doc_id/source scan) are ≤|sources| rows. Nothing corpus-sized
+    * shuffles except the matched remnant. */
+  def contaminationScreen(spark: SparkSession, dir: String): DataFrame =
+    contaminationOf(Tables.documents(spark, dir))
+
+  val contaminationScreenSql: String = {
+    val h60 = "CAST(concat('0x', substr(md5(array_to_string(ws[i:i+" +
+      s"${ContamN - 1}], ' ')), 1, 15)) AS BIGINT)"
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, source, doc_id % $ContamMod = $ContamRes AS is_eval,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS ws
+       |  FROM documents
+       |), g AS MATERIALIZED (
+       |  SELECT doc_id, source, is_eval, $h60 AS g FROM (
+       |    SELECT doc_id, source, is_eval, ws,
+       |      unnest(generate_series(1, len(ws) - ${ContamN - 1})) AS i
+       |    FROM d)
+       |), ev AS (SELECT DISTINCT g FROM g WHERE is_eval
+       |), hits AS (
+       |  SELECT doc_id, MIN(source) AS source, CAST(COUNT(*) AS BIGINT) AS n_hits
+       |  FROM g JOIN ev USING (g) WHERE NOT is_eval GROUP BY 1
+       |), tot AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_train
+       |  FROM d WHERE NOT is_eval GROUP BY 1
+       |)
+       |SELECT t.source, t.n_train,
+       |  CAST(COUNT(h.doc_id) AS BIGINT) AS n_contam,
+       |  CAST(COALESCE(SUM(h.n_hits), 0) AS BIGINT) AS hit_occurrences,
+       |  CAST(COALESCE(bit_xor(h.doc_id), 0) AS BIGINT) AS contam_fp
+       |FROM tot t LEFT JOIN hits h USING (source)
+       |GROUP BY 1, 2 ORDER BY source""".stripMargin
+  }
+
+  // q191: CCNet-style perplexity bucketing
+
+  /** Hashed char-trigram LM bucket count. */
+  val PpxBuckets = 4096
+  /** The clean target domain the LM is trained on (CCNet: Wikipedia). */
+  val PpxTarget = "src0"
+  /** Equi-depth quality tiers (CCNet: head / middle / tail). */
+  val PpxTiles = 3
+
+  /** Core of [[perplexityBuckets]] over an explicit documents frame —
+    * factored so the spec can plant a corpus with a KNOWN
+    * target-trigram-poor outlier and assert it lands in the tail tier. */
+  private[graft] def perplexityOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val h = "CAST(conv(substring(md5(substring(t, i, 3)), 1, 15), 16, 10) AS BIGINT)"
+    val gramsOf = s"CASE WHEN length(t) >= 3 THEN " +
+      s"transform(sequence(1, length(t) - 2), i -> pmod($h, $PpxBuckets)) " +
+      "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    val base = docs.select(col("doc_id"), col("lang"), col("source"),
+      lower(col("text")).as("t"))
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), col("lang"), explode_outer(expr(gramsOf)).as("g"))
+        .filter(col("g").isNotNull)
+    val target = grams(base.filter(col("source") === PpxTarget))
+      .groupBy(col("g")).agg(count(lit(1)).as("nt"))
+    // complete the B-row bucket table so unseen buckets carry the
+    // add-one default weight (no scalar side-channel needed)
+    val full = spark.range(PpxBuckets).select(col("id").as("g"))
+      .join(target, Seq("g"), "left_outer")
+      .select(col("g"), coalesce(col("nt"), lit(0L)).as("nt"))
+    val tot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val weights = full
+      // grand total over the B-row bucket frame: bounded unpartitioned
+      // window (PlanHygieneSpec census, bound = PpxBuckets)
+      .withColumn("bits_t1",
+        length(bin(sum(col("nt")).over(tot) + PpxBuckets)).cast("long"))
+      .select(col("g"),
+        (col("bits_t1") - length(bin(col("nt") + 1)).cast("long")).as("wu"))
+    val scored = grams(base)
+      .join(broadcast(weights), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(min(col("lang")).as("lang"), sum(col("wu")).as("s"),
+        count(lit(1)).as("ng"))
+      .withColumn("cb", expr("(100 * s) div ng"))
+      // feeds the global rank AND the totals — one materialization
+      .transform(graft.Dist.durableCkpt)
+    val totals = scored.agg(count(lit(1)).as("n"))
+    graft.Dist.globalRowNumber(scored, struct(col("cb"), col("doc_id")))
+      .crossJoin(broadcast(totals))
+      .withColumn("bucket", expr(s"((rn - 1) * $PpxTiles) div n + 1"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("cb")).cast("long").as("cb_sum"),
+        expr("bit_xor(doc_id)").cast("long").as("fp"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  /** q191: CCNet-STYLE PERPLEXITY BUCKETING (Wenzek et al., LREC 2020) —
+    * the other published quality-screen family beside Gopher's rules
+    * (q189): score every document by its perplexity under a language
+    * model trained on a CLEAN target domain (CCNet: Wikipedia; here the
+    * [[PpxTarget]] source), then cut the corpus into equal-count head /
+    * middle / tail tiers — head reads like the target, tail is the
+    * noise most pipelines drop or down-weight. The LM is the hashed
+    * char-trigram add-one model ([[PpxBuckets]] buckets, the q188
+    * feature discipline); surprisal stays EXACT-integer in whole bits
+    * (bits(T+B) − bits(n_t+1) per trigram occurrence, the q174 binary
+    * digit count), and the per-doc score normalizes to centi-bits per
+    * trigram by integer division — so ranks, tier cuts and fingerprints
+    * hash-gate where a float log-perplexity never could.
+    *
+    * 100 TB shape: the trigram LM is ONE filtered corpus scan collapsing
+    * to ≤[[PpxBuckets]] rows (map-side combined); its grand total rides
+    * an unpartitioned window over that bounded frame (q168 idiom) and
+    * the completed weight table BROADCASTS into the scoring join;
+    * scoring collapses to one row per doc before any exchange; the
+    * equal-count tiers come from [[graft.Dist.globalRowNumber]] (range
+    * partition + broadcast offsets — never a single-partition rank over
+    * the corpus, the q117 idiom); the census is ≤|langs|·[[PpxTiles]]
+    * rows. */
+  def perplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    perplexityOf(spark, Tables.documents(spark, dir))
+
+  val perplexityBucketsSql: String = {
+    val h60 = "CAST(concat('0x', substr(md5(substr(t, i, 3)), 1, 15)) AS BIGINT)"
+    s"""WITH d AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, lower(text) AS t FROM documents
+       |), g AS MATERIALIZED (
+       |  SELECT doc_id, lang, source, $h60 % $PpxBuckets AS g FROM (
+       |    SELECT doc_id, lang, source, t,
+       |      unnest(generate_series(1, length(t) - 2)) AS i
+       |    FROM d)
+       |), cnt AS (
+       |  SELECT g, CAST(COUNT(*) AS BIGINT) AS nt FROM g
+       |  WHERE source = '$PpxTarget' GROUP BY 1
+       |), b AS MATERIALIZED (
+       |  SELECT r.range AS g, COALESCE(cnt.nt, 0) AS nt
+       |  FROM range(0, $PpxBuckets) r LEFT JOIN cnt ON r.range = cnt.g
+       |), w AS MATERIALIZED (
+       |  SELECT g,
+       |    length(format('{:b}', CAST(SUM(nt) OVER () AS BIGINT) + $PpxBuckets))
+       |      - length(format('{:b}', nt + 1)) AS wu
+       |  FROM b
+       |), sc AS MATERIALIZED (
+       |  SELECT g2.doc_id, MIN(g2.lang) AS lang,
+       |    CAST(100 * SUM(w.wu) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS cb
+       |  FROM g g2 JOIN w USING (g) GROUP BY 1
+       |), rk AS (
+       |  SELECT doc_id, lang, cb,
+       |    ROW_NUMBER() OVER (ORDER BY cb, doc_id) AS rn,
+       |    COUNT(*) OVER () AS n
+       |  FROM sc
+       |)
+       |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(cb) AS BIGINT) AS cb_sum,
+       |  CAST(bit_xor(doc_id) AS BIGINT) AS fp
+       |FROM (SELECT lang, doc_id, cb,
+       |        CAST(((rn - 1) * $PpxTiles) // n + 1 AS BIGINT) AS bucket
+       |      FROM rk)
+       |GROUP BY 1, 2 ORDER BY lang, bucket""".stripMargin
+  }
+
   // q186: trained language-ID audit (Cavnar-Trenkle)
 
   /** Category-profile depth (top trigrams per language). */
@@ -3000,6 +3216,10 @@ object CorpusStats {
       Some(bpeApplyFertilitySql)),
     QueryDef("q188_dsir_selection", dsirSelection, Some(dsirSelectionSql)),
     QueryDef("q189_gopher_rules", gopherRules, Some(gopherRulesSql)),
+    QueryDef("q190_contamination_screen", contaminationScreen,
+      Some(contaminationScreenSql)),
+    QueryDef("q191_perplexity_buckets", perplexityBuckets,
+      Some(perplexityBucketsSql)),
     QueryDef("q166_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("q174_entropy_quality", entropyQuality, Some(entropyQualitySql)),
     QueryDef("q175_source_divergence", sourceDivergence, Some(sourceDivergenceSql)),

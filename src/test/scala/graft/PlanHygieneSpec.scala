@@ -70,7 +70,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q175_source_divergence",
     // q184: the one-row global n_unlinked audit attaches to the
     // |segments|-row census frame
-    "q184_pseudonymize")
+    "q184_pseudonymize",
+    // q191: the one-row doc-count total attaches to the tier cut
+    // (q117's spendDeciles shape)
+    "q191_perplexity_buckets")
 
   /** Queries whose unpartitioned windows run over a DOMAIN-bounded
     * aggregated census frame (value = the bound, stated for the audit
@@ -87,7 +90,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q171_temperature_mixture" -> "apportionment over the <=|langs| frame",
     "q173_gap_spectrum" -> "shares over the <=64-row log2 bucket spectrum",
     "q177_source_concentration" -> "Gini rank over the <=|sources| mass frame",
-    "q188_dsir_selection" -> "grand totals over the <=4096-row hashed-bucket frame")
+    "q188_dsir_selection" -> "grand totals over the <=4096-row hashed-bucket frame",
+    "q191_perplexity_buckets" -> "LM grand total over the <=4096-row hashed-bucket frame")
 
   // name -> every node in the executed plan (AQE-unwrapped, subqueries
   // included), built ONCE and shared by both sweeps below.

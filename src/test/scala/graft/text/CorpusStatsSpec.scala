@@ -768,6 +768,105 @@ class CorpusStatsSpec extends SparkSpec {
     for (r <- got) assert(r._9 <= r._2)
   }
 
+  test("q190 contamination screen equals a sequential n-gram overlap model") {
+    import graft.text.CorpusStats.{ContamMod, ContamN, ContamRes}
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Seq[Long] = {
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.length < ContamN) Seq()
+      else ws.sliding(ContamN).map(g => h60(g.mkString(" "))).toSeq
+    }
+    val (ev, tr) = docs.partition(_._1 % ContamMod == ContamRes)
+    val evSet = ev.flatMap(d => grams(d._3)).toSet
+    val perDoc = tr.map { case (id, src, t) => (id, src, grams(t).count(evSet)) }
+    val model = tr.groupBy(_._2).toSeq.map { case (src, xs) =>
+      val hit = perDoc.filter(d => d._2 == src && d._3 > 0)
+      (src, xs.length.toLong, hit.length.toLong, hit.map(_._3.toLong).sum,
+        hit.map(_._1).foldLeft(0L)(_ ^ _))
+    }.sortBy(_._1)
+    val got = graft.text.CorpusStats.contaminationScreen(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.nonEmpty)
+  }
+
+  test("q190 flags exactly the planted eval-copying train doc") {
+    import spark.implicits._
+    // eval doc 7 (7 % 101 == 7); train doc 100 copies an 8-word span of
+    // it, train doc 101 shares only shorter overlaps
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val rows = Seq(
+      (7L, evalText, "en", "srcE", evalText.length.toLong),
+      (100L, "x y " + evalText.split(" ").take(8).mkString(" ") + " z", "en", "srcA", 10L),
+      (101L, "alpha beta gamma delta epsilon zeta eta unrelated words here", "en", "srcA", 10L),
+      (102L, "completely different content with no overlap at all whatsoever now", "en", "srcB", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.text.CorpusStats.contaminationOf(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("srcA", 2L, 1L, 1L, 100L), ("srcB", 1L, 0L, 0L, 0L)))
+  }
+
+  test("q191 perplexity buckets equal the sequential trigram-LM model") {
+    import graft.text.CorpusStats.{PpxBuckets, PpxTarget, PpxTiles}
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    def bits(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3)))
+    def grams(t: String): Seq[Long] = {
+      val s = t.toLowerCase
+      if (s.length < 3) Seq()
+      else (0 to s.length - 3).map(i => h60(s.substring(i, i + 3)) % PpxBuckets)
+    }
+    val nt = docs.filter(_._3 == PpxTarget).flatMap(d => grams(d._4))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bitsT1 = bits(nt.values.sum + PpxBuckets)
+    def wu(g: Long): Long = bitsT1 - bits(nt.getOrElse(g, 0L) + 1)
+    val scored = docs.map { case (id, lang, _, t) => (id, lang, grams(t)) }
+      .filter(_._3.nonEmpty)
+      .map { case (id, lang, gs) => (id, lang, 100L * gs.map(wu).sum / gs.size) }
+    val n = scored.size.toLong
+    val ranked = scored.sortBy { case (id, _, cb) => (cb, id) }.zipWithIndex
+      .map { case ((id, lang, cb), i) => (id, lang, cb, i.toLong * PpxTiles / n + 1) }
+    val model = ranked.groupBy(x => (x._2, x._4)).toSeq.map { case ((lang, b), xs) =>
+      (lang, b, xs.length.toLong, xs.map(_._3).sum, xs.map(_._1).foldLeft(0L)(_ ^ _))
+    }.sortBy(x => (x._1, x._2))
+    val got = graft.text.CorpusStats.perplexityBuckets(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.nonEmpty)
+    // equal-depth: bucket sizes differ by at most 1 per lang-marginal sum
+    val sizes = (1 to PpxTiles).map(b => got.filter(_._2 == b).map(_._3).sum)
+    assert(sizes.max - sizes.min <= 1)
+  }
+
+  test("q191 sends a target-trigram-poor outlier to the tail tier") {
+    import spark.implicits._
+    // target (src0) docs establish the LM; nine lookalikes score low,
+    // the digit-soup outlier (doc 99) must land in bucket 3
+    val like = "the quick brown fox jumps over the lazy dog again and again"
+    val rows = (0L until 9L).map(i => (i, like + " run " + like, "en",
+        if (i < 4) "src0" else "srcX", 10L)) :+
+      (99L, "09182 73645 56473 82910 47382 91827 36455 64738 29104 73829", "en", "srcX", 10L)
+    val got = graft.text.CorpusStats
+      .perplexityOf(spark, rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(4))).toSeq
+    // 10 docs -> tiers of 4/3/3 (rn 1-4, 5-7, 8-10). Docs 0-8 share one
+    // text (equal scores, doc_id tie-break), the outlier has the unique
+    // max score -> tail = {7, 8, 99}: membership pinned by the xor
+    // fingerprint, head/middle sizes by the census counts.
+    assert(got.map(x => (x._2, x._3)) == Seq((1L, 4L), (2L, 3L), (3L, 3L)))
+    assert(got.find(_._2 == 3L).get._4 == (7L ^ 8L ^ 99L))
+  }
+
   test("q186 trigram-profile kernel equals a hand-computed Cavnar-Trenkle profile") {
     import spark.implicits._
     val df = Seq("ababab", "xy", "").toDF("text")
