@@ -2929,6 +2929,145 @@ object Similarity {
        |  10000 * ivf_hits // n_exact AS ivf_recall_bp
        |FROM agg ORDER BY probe_id""".stripMargin
 
+  // ----------------------------------- q194 quantization recall audit
+
+  /** q194: recall audit for the QUANTIZATION tiers — the q139 evaluation
+    * harness (which measures the LSH/IVF *index structures*) applied to
+    * the two compressed-*representation* paths: does int8 scalar
+    * quantization (q70, 8× smaller scan) or 4-byte product quantization
+    * (q183, 64× smaller scan) change WHICH neighbors come back, relative
+    * to the exact long-quantized baseline (q44)? Per probe: how many of
+    * the exact cosine top-3 survive in the int8 top-3, and how many in
+    * the PQ-ADC top-5 (recall@3-in-5, the standard re-ranking budget).
+    * Recall in integer basis points (`10000·hits div 3`), so the audit
+    * hash-gates with no floats.
+    *
+    * Together q139+q194 calibrate the full ANN family: q44 ground truth,
+    * q46/q49 index-structure error, q70/q183 representation error. A
+    * deployment picks the cheapest tier whose measured recall clears its
+    * bar — this query is the number that decision reads.
+    *
+    * Scale shape: identical to q139 — the cost is the three underlying
+    * searches (each a broadcast-probe streamed scan); the audit's own
+    * joins see only k·|probes| rows. */
+  def quantRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopk(spark, dir).filter(col("rnk") <= 3)
+      .select(col("probe_id"), col("neighbor_id"))
+    val i8 = int8AnnTopk(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("i8hit"))
+    val pq = pqAnn(spark, dir)
+      .select(col("probe_id"), col("neighbor_id"), lit(1L).as("pqhit"))
+    exact
+      .join(i8, Seq("probe_id", "neighbor_id"), "left")
+      .join(pq, Seq("probe_id", "neighbor_id"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        sum(coalesce(col("i8hit"), lit(0L))).cast("long").as("int8_hits"),
+        sum(coalesce(col("pqhit"), lit(0L))).cast("long").as("pq_hits"))
+      .withColumn("int8_recall_bp", expr("10000 * int8_hits div n_exact"))
+      .withColumn("pq_recall_bp", expr("10000 * pq_hits div n_exact"))
+      .orderBy(col("probe_id"))
+  }
+
+  val quantRecallAuditSql: String =
+    s"""WITH exact AS (
+       |  SELECT probe_id, neighbor_id FROM ($cosineTopkSql) x WHERE rnk <= 3
+       |), i8 AS (
+       |  SELECT probe_id, neighbor_id FROM ($int8AnnTopkSql) l
+       |), pq AS (
+       |  SELECT probe_id, neighbor_id FROM ($pqAnnSql) v
+       |), joined AS (
+       |  SELECT e.probe_id,
+       |    CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS ihit,
+       |    CASE WHEN v.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS phit
+       |  FROM exact e
+       |  LEFT JOIN i8 l ON l.probe_id = e.probe_id AND l.neighbor_id = e.neighbor_id
+       |  LEFT JOIN pq v ON v.probe_id = e.probe_id AND v.neighbor_id = e.neighbor_id
+       |), agg AS (
+       |  SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |    CAST(SUM(ihit) AS BIGINT) AS int8_hits, CAST(SUM(phit) AS BIGINT) AS pq_hits
+       |  FROM joined GROUP BY 1
+       |)
+       |SELECT probe_id, n_exact, int8_hits, pq_hits,
+       |  10000 * int8_hits // n_exact AS int8_recall_bp,
+       |  10000 * pq_hits // n_exact AS pq_recall_bp
+       |FROM agg ORDER BY probe_id""".stripMargin
+
+  // ----------------------------------- q192 centroid domain selection
+
+  /** q192: embedding-centroid domain selection — the DCLM/"quality via
+    * proximity to a trusted seed set" selection step (Li et al. 2024;
+    * the embedding-space sibling of q188's DSIR n-gram importance
+    * weights): vectors labeled 0 are the trusted target-domain
+    * exemplars; every other vector is scored by cosine to the seed
+    * CENTROID and the top-64 are selected for training.
+    *
+    * Exactness: the centroid is the integer mean `floor(Σq_j / n)` of
+    * the long-quantized vectors (floor via one double division — seed
+    * sums stay < 2^53 up to ~8·10^12 seed vectors, far past 100 TB, and
+    * the per-dim mean is ≤ 2^20 so every dot product stays ≤ 2^46 —
+    * int64-safe at any corpus size, the same overflow discipline as
+    * q183's codebooks). The cosine itself is the q44 contract: exact
+    * integer dots, then the identical three IEEE double ops in both
+    * engines. The OUTPUT is all-integer (vec_id, label, rank) — ties
+    * broken by vec_id — so the hash gate certifies the selected set.
+    *
+    * Scale shape: one seed-filtered (pos → sum) aggregate collapses to a
+    * single 64-long centroid row that BROADCASTS into the map-only
+    * scoring pass; selection is orderBy.limit → TakeOrderedAndProject
+    * (per-partition top-64 + driver merge, never a global sort); the
+    * final rank window runs over the already-limited 64-row frame. */
+  val CentroidSelectK = 64
+
+  def centroidSelection(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("q"))
+    val cent = q.filter(col("label") === 0)
+      .select(posexplode(col("q")))
+      .groupBy(col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .select(col("pos"),
+        floor(col("s").cast("double") / col("n")).cast("long").as("c"))
+      .groupBy()
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)")
+        .as("c"))
+    val scored = q.filter(col("label") =!= 0)
+      .crossJoin(broadcast(cent))
+      .withColumn("cos", dotQ(col("q"), col("c")) /
+        (sqrt(dotQ(col("q"), col("q"))) * sqrt(dotQ(col("c"), col("c")))))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(CentroidSelectK)
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.orderBy(col("cos").desc, col("vec_id"))).cast("int"))
+      .select(col("vec_id"), col("label"), col("rnk"))
+      .orderBy(col("rnk"))
+  }
+
+  val centroidSelectionSql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) for x in embedding] AS q
+       |  FROM embeddings
+       |), dims AS (
+       |  SELECT unnest(q) AS v, unnest(range(1, 65)) AS pos FROM q WHERE label = 0
+       |), cent AS (
+       |  SELECT list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY pos) AS c
+       |  FROM (SELECT pos, SUM(v) AS s, COUNT(*) AS n FROM dims GROUP BY pos)
+       |), scored AS (
+       |  SELECT vec_id, label,
+       |    CAST(list_sum([q[i] * c[i] for i in range(1, 65)]) AS DOUBLE)
+       |      / (sqrt(CAST(list_sum([x * x for x in q]) AS DOUBLE))
+       |         * sqrt(CAST(list_sum([x * x for x in c]) AS DOUBLE))) AS cos
+       |  FROM q, cent WHERE label <> 0
+       |), ranked AS (
+       |  SELECT vec_id, label,
+       |    ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS rnk
+       |  FROM scored
+       |)
+       |SELECT vec_id, label, CAST(rnk AS INT) AS rnk
+       |FROM ranked WHERE rnk <= $CentroidSelectK ORDER BY rnk""".stripMargin
+
   // ------------------------------------------ q178 containment ingest
 
   /** q178: INCREMENTAL containment probe — the q68/q152 land-once
@@ -3068,6 +3207,8 @@ object Similarity {
     QueryDef("q134_embedding_outliers", embeddingOutliers, Some(embeddingOutliersSql)),
     QueryDef("q136_license_propagation", licensePropagation, Some(licensePropagationSql)),
     QueryDef("q139_ann_recall_audit", annRecallAudit, Some(annRecallAuditSql)),
+    QueryDef("q194_quant_recall_audit", quantRecallAudit, Some(quantRecallAuditSql)),
+    QueryDef("q192_centroid_selection", centroidSelection, Some(centroidSelectionSql)),
     QueryDef("q143_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     QueryDef("q178_containment_ingest", containmentIngest, Some(containmentIngestSql)),
     QueryDef("q145_crossmodal_purity", crossmodalPurity, Some(crossmodalPuritySql)),

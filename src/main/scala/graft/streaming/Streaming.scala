@@ -718,6 +718,47 @@ object Streaming {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  // ---------------------------------- streaming contamination screen
+
+  /** One document arriving on the ingest stream. */
+  final case class DocIngestRow(doc_id: Long, ts: java.sql.Timestamp,
+    source: String, text: String)
+
+  /** Streaming twin of q190's benchmark-contamination screen: documents
+    * are screened AT INGEST against the static eval-benchmark gram set,
+    * and each contaminated doc is emitted EXACTLY ONCE with its matched
+    * 8-gram occurrence count — so decontamination happens before a doc
+    * ever lands in the training corpus, instead of as a batch sweep
+    * after the fact.
+    *
+    * Dataflow: gram expansion is ROW-LOCAL (q190's shared
+    * [[graft.text.CorpusStats.ContamGramArraySql]] kernel — the stream
+    * and the batch screen flag the IDENTICAL gram space); the
+    * benchmark-sized static gram set broadcasts into a stateless
+    * stream-static left-semi join that prunes each micro-batch to
+    * matched occurrences only; the per-doc count is a watermark-bounded
+    * windowed aggregation (each doc has ONE event time, so its (window,
+    * doc) group finalizes exactly once when the watermark passes the
+    * window — append mode emits it once, under any trigger slicing).
+    *
+    * State is bounded by construction: only contaminated docs' groups
+    * exist (the semi-join drops clean docs before the aggregation), and
+    * each group evicts at watermark + 1 hour. Expects `(doc_id, ts,
+    * source, text)`; `evalGrams` is the landed
+    * [[graft.text.CorpusStats.evalGramSet]] frame (benchmarks change
+    * rarely — rebuild it batch-side when they do). */
+  def contaminationStream(docs: DataFrame, evalGrams: DataFrame): DataFrame =
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"), col("source"),
+        graft.text.TextOps.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("ts"), col("source"),
+        explode(expr(graft.text.CorpusStats.ContamGramArraySql)).as("g"))
+      .join(broadcast(evalGrams.select(col("g"))), Seq("g"), "left_semi")
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_hits"))
+      .select(col("doc_id"), col("source"), col("n_hits"))
+
   // --------------------------------------- streaming daily theta sketches
 
   /** Keyed state for [[dailyUserSketches]]: the day's COMPACT Theta

@@ -2307,12 +2307,31 @@ object CorpusStats {
   /** Core of [[contaminationScreen]] over an explicit documents frame —
     * factored so the spec can plant a KNOWN contaminated train doc in a
     * synthetic corpus and assert it (and only it) is flagged. */
-  private[graft] def contaminationOf(docs: DataFrame): DataFrame = {
+  /** Row-local [[ContamN]]-gram md5-60-bit hash array of a `toks`
+    * token-array column — q190's expansion kernel, shared with the
+    * streaming screen ([[graft.streaming.Streaming.contaminationStream]])
+    * so stream and batch flag the IDENTICAL gram space. */
+  private[graft] val ContamGramArraySql: String = {
     val h = s"CAST(conv(substring(md5(array_join(slice(toks, i, $ContamN), ' ')), " +
       "1, 15), 16, 10) AS BIGINT)"
-    val gramsOf = s"CASE WHEN size(toks) >= $ContamN THEN " +
+    s"CASE WHEN size(toks) >= $ContamN THEN " +
       s"transform(sequence(1, size(toks) - ${ContamN - 1}), i -> $h) " +
       "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+  }
+
+  /** The distinct gram-hash set of the eval slice — the benchmark-sized
+    * static frame the streaming screen joins against (batch-landed once;
+    * benchmarks change rarely). */
+  def evalGramSet(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(pmod(col("doc_id"), lit(ContamMod)) === ContamRes)
+      .select(tokens(lower(col("text"))).as("toks"))
+      .select(explode_outer(expr(ContamGramArraySql)).as("g"))
+      .filter(col("g").isNotNull)
+      .distinct()
+
+  private[graft] def contaminationOf(docs: DataFrame): DataFrame = {
+    val gramsOf = ContamGramArraySql
     val base = docs.select(col("doc_id"), col("source"),
       (pmod(col("doc_id"), lit(ContamMod)) === ContamRes).as("is_eval"),
       tokens(lower(col("text"))).as("toks"))
@@ -3060,6 +3079,301 @@ object CorpusStats {
       |FROM r""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q193: data-constrained epoch plan (repeats under a token budget)
+  // ---------------------------------------------------------------------
+
+  /** q193: the "Scaling Data-Constrained Language Models" planning step
+    * (Muennighoff et al., NeurIPS 2023): when the training token budget
+    * exceeds what the corpus supplies fresh, sources get REPEATED — but a
+    * repeated token is worth less each epoch (their R* ≈ 4: beyond four
+    * repeats the marginal value is ≈ 0). This emits the per-(source,
+    * epoch) allocation plan for a budget of HALF the corpus token mass:
+    *
+    *  - per-source token mass Tₛ and integer quality weight
+    *    qₛ = 1000·distinct_words div words (lexical diversity per mille —
+    *    the q59/q166 vocabulary signal) from ONE (source, word) hash
+    *    aggregate;
+    *  - epoch increments (s, e ∈ 1..4) carry density d = qₛ·wₑ with
+    *    geometric repeat-decay weights w = (100, 50, 25, 12);
+    *  - the exact greedy (fractional-knapsack) fill: increments sorted by
+    *    density take their Tₛ tokens until the budget cuts off; the
+    *    straddling increment takes the exact remainder; later ones take 0.
+    *
+    * Within a source the decay makes densities STRICTLY decreasing, so the
+    * greedy order can never take epoch e+1 before epoch e — the plan is
+    * epoch-consistent by construction, no constraint join needed. This is
+    * the repeats-aware completion of the mixture tier: q109 plans rates,
+    * q144 selects one pass under a budget, q193 decides how many PASSES
+    * each source earns.
+    *
+    * Scale shape: the corpus is touched by one tokenize-once explode +
+    * (source, word) hash aggregate (map-side combined, the q59 class);
+    * everything downstream — budget total, cumulative cut — runs over the
+    * 4·|sources| increment frame (domain-bounded census windows,
+    * hygiene-whitelisted). All-integer output under the hash gate. */
+  val EpochWeights: Seq[(Int, Int)] = Seq(1 -> 100, 2 -> 50, 3 -> 25, 4 -> 12)
+
+  def epochMixture(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(lower(col("text")))).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).cast("long").as("tokens"),
+        count(lit(1)).cast("long").as("distinct_words"))
+      .withColumn("quality_pm", expr("1000 * distinct_words div tokens"))
+    val eps = EpochWeights.map { case (e, w) =>
+      struct(lit(e).as("epoch"), lit(w).as("w")) }
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val greedy = Window.orderBy(col("density").desc, col("source"), col("epoch"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bySource
+      .select(col("source"), col("tokens"), col("quality_pm"),
+        explode(array(eps: _*)).as("ew"))
+      .select(col("source"), col("tokens"), col("quality_pm"),
+        col("ew.epoch").cast("int").as("epoch"),
+        (col("quality_pm") * col("ew.w")).cast("long").as("density"))
+      .withColumn("total",
+        sum(when(col("epoch") === 1, col("tokens")).otherwise(0L)).over(all))
+      .withColumn("budget", expr("total div 2"))
+      .withColumn("cum_before",
+        coalesce(sum(col("tokens")).over(greedy), lit(0L)))
+      .withColumn("allocated", greatest(lit(0L),
+        least(col("tokens"), col("budget") - col("cum_before"))))
+      .withColumn("status",
+        when(col("allocated") === col("tokens"), lit("full"))
+          .when(col("allocated") > 0L, lit("partial"))
+          .otherwise(lit("skipped")))
+      .select(col("source"), col("epoch"), col("quality_pm"), col("density"),
+        col("tokens"), col("allocated"), col("status"))
+      .orderBy(col("density").desc, col("source"), col("epoch"))
+  }
+
+  val epochMixtureSql: String = {
+    val vals = EpochWeights.map { case (e, w) => s"($e, $w)" }.mkString(", ")
+    s"""WITH wcount AS (
+       |  SELECT source, w, COUNT(*) AS n FROM (
+       |    SELECT source,
+       |      unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w
+       |    FROM documents) GROUP BY 1, 2
+       |), q AS (
+       |  SELECT source, CAST(SUM(n) AS BIGINT) AS tokens,
+       |    1000 * CAST(COUNT(*) AS BIGINT) // CAST(SUM(n) AS BIGINT) AS quality_pm
+       |  FROM wcount GROUP BY 1
+       |), incr AS (
+       |  SELECT source, tokens, quality_pm, e.epoch,
+       |    CAST(quality_pm * e.w AS BIGINT) AS density
+       |  FROM q, (VALUES $vals) e(epoch, w)
+       |), cut AS (
+       |  SELECT *,
+       |    CAST(SUM(CASE WHEN epoch = 1 THEN tokens ELSE 0 END) OVER () AS BIGINT) // 2 AS budget,
+       |    CAST(COALESCE(SUM(tokens) OVER (ORDER BY density DESC, source, epoch
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |  FROM incr
+       |)
+       |SELECT source, CAST(epoch AS INT) AS epoch, quality_pm, density, tokens,
+       |  GREATEST(0, LEAST(tokens, budget - cum_before)) AS allocated,
+       |  CASE WHEN GREATEST(0, LEAST(tokens, budget - cum_before)) = tokens THEN 'full'
+       |       WHEN GREATEST(0, LEAST(tokens, budget - cum_before)) > 0 THEN 'partial'
+       |       ELSE 'skipped' END AS status
+       |FROM cut ORDER BY density DESC, source, epoch""".stripMargin
+  }
+
+  // ---------------------------------------------------------------------
+  // q195: trained quality classifier (integer batch perceptron)
+  // ---------------------------------------------------------------------
+
+  /** q195: TRAIN the quality classifier instead of shipping fixed
+    * weights — the fastText-style seed-vs-crawl filter GPT-3 (App. A),
+    * CCNet and DCLM actually run: label the trusted domain ([[
+    * PerceptronTarget]]) +1 and the rest −1, train a linear separator on
+    * integer text-quality features, then score the whole corpus with the
+    * learned weights. q90 applies a FIXED linear scorer; q195 closes the
+    * loop by LEARNING one from the corpus itself (the q185/q186
+    * train-on-the-data discipline).
+    *
+    * Algorithm: batch perceptron, [[PerceptronEpochs]] fixed rounds (the
+    * q114/q169/q185 fixed-rounds discipline — determinism over
+    * convergence): round k adds Σ y·x over currently-misclassified docs
+    * (margin y·(w·x) ≤ 0) to the weight vector. Everything is integer —
+    * features are the q189 signal family (bias, word count, centi mean
+    * word length, stopword-occurrence per-mille, alphabetic-word
+    * per-mille), updates are exact sums, so weights and margins
+    * hash-gate. Overflow: |feature| ≤ ~10⁵, so |w_j| after K epochs is ≤
+    * K·N·10⁵ and the margin ≤ 5·10⁵·|w| — int64-safe past 10⁹ training
+    * docs; at larger N, train on a fixed-size sample (the classifier is
+    * benchmark-sized either way).
+    *
+    * Scale shape: features land ONCE (durable checkpoint), then each
+    * round is one map-side-combined 5-column aggregate with a bounded
+    * ONE-ROW collect (the q169/q185 per-round driver action); scoring is
+    * map-only with the 5-long broadcast literal; the census is
+    * ≤|sources| rows with an xor fingerprint certifying the predicted
+    * SET. */
+  val PerceptronEpochs = 6
+  val PerceptronTarget = "src0"
+
+  private[graft] def perceptronOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val stops = GopherStops.map(s => s"'$s'").mkString(",")
+    val feats = docs
+      .select(col("doc_id"), col("source"), tokens(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .withColumn("nw", size(col("ws")).cast("long"))
+      .withColumn("chars", expr(
+        "aggregate(ws, CAST(0 AS BIGINT), (a, w) -> a + length(w))"))
+      .withColumn("n_alpha", expr(
+        "CAST(size(filter(ws, w -> w rlike '[a-z]')) AS BIGINT)"))
+      .withColumn("n_stop", expr(
+        s"CAST(size(filter(ws, w -> w IN ($stops))) AS BIGINT)"))
+      .select(col("doc_id"), col("source"),
+        array(lit(1L), col("nw"), expr("100 * chars div nw"),
+          expr("1000 * n_stop div nw"), expr("1000 * n_alpha div nw")).as("x"),
+        when(col("source") === PerceptronTarget, 1L).otherwise(-1L).as("y"))
+      .transform(graft.Dist.durableCkpt)
+    var w = Array.fill(5)(0L)
+    for (_ <- 1 to PerceptronEpochs) {
+      val upd = feats
+        .withColumn("m", col("y") *
+          graft.functions.ArrayKernels.dotLong(col("x"), typedLit(w.toSeq)))
+        .filter(col("m") <= 0L)
+        .select((0 until 5).map(j =>
+          sum(col("y") * element_at(col("x"), j + 1)).as(s"d$j")): _*)
+        .collect()(0) // bounded one-row driver action per round
+      w = w.zipWithIndex.map { case (wj, j) =>
+        wj + (if (upd.isNullAt(j)) 0L else upd.getLong(j)) }
+    }
+    feats
+      .withColumn("s", graft.functions.ArrayKernels.dotLong(col("x"), typedLit(w.toSeq)))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("s") > 0L, 1L).otherwise(0L)).cast("long").as("n_pred_target"),
+        expr("bit_xor(CASE WHEN s > 0 THEN doc_id ELSE 0 END)")
+          .cast("long").as("pred_fp"))
+      .withColumn("pred_bp", expr("10000 * n_pred_target div n_docs"))
+      .select(col("source"), col("n_docs"), col("n_pred_target"),
+        col("pred_bp"), col("pred_fp"))
+      .orderBy(col("source"))
+  }
+
+  def qualityPerceptron(spark: SparkSession, dir: String): DataFrame =
+    perceptronOf(spark, Tables.documents(spark, dir))
+
+  /** Unrolled K-round oracle; each weight CTE is MATERIALIZED (it is
+    * referenced by the next round's margin filter — the q185 rule). */
+  val qualityPerceptronSql: String = {
+    val stops = GopherStops.map(s => s"'$s'").mkString(", ")
+    def dot(wRef: String) = s"list_sum([x[i] * $wRef[i] for i in range(1, 6)])"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT doc_id, source,
+         |    [CAST(1 AS BIGINT), nw, 100 * chars // nw, 1000 * n_stop // nw,
+         |     1000 * n_alpha // nw] AS x,
+         |    CASE WHEN source = '$PerceptronTarget' THEN CAST(1 AS BIGINT)
+         |      ELSE CAST(-1 AS BIGINT) END AS y
+         |  FROM (
+         |    SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS nw,
+         |      CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0) AS BIGINT) AS chars,
+         |      CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |      CAST(len(list_filter(ws, w -> list_contains([$stops], w))) AS BIGINT) AS n_stop
+         |    FROM (SELECT doc_id, source,
+         |      list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ws
+         |      FROM documents))
+         |  WHERE nw > 0
+         |), w0 AS (SELECT [CAST(0 AS BIGINT), 0, 0, 0, 0] AS w)""".stripMargin)
+    for (k <- 1 to PerceptronEpochs) {
+      val upd = (1 to 5).map(j =>
+        s"w[$j] + CAST(COALESCE(SUM(CASE WHEN y * ${dot("w")} <= 0 " +
+          s"THEN y * x[$j] ELSE 0 END), 0) AS BIGINT)").mkString(",\n        ")
+      sb.append(s""",
+         |w$k AS MATERIALIZED (
+         |  SELECT [$upd] AS w
+         |  FROM f, w${k - 1} GROUP BY w)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |scored AS (
+         |  SELECT source, doc_id, ${dot("w")} AS s FROM f, w$PerceptronEpochs
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_target,
+         |  10000 * CAST(SUM(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT) // COUNT(*) AS pred_bp,
+         |  CAST(COALESCE(bit_xor(CASE WHEN s > 0 THEN doc_id ELSE 0 END), 0) AS BIGINT) AS pred_fp
+         |FROM scored GROUP BY 1 ORDER BY source""".stripMargin)
+    sb.toString
+  }
+
+  // ---------------------------------------------------------------------
+  // q196: exact-duplication scaling curve
+  // ---------------------------------------------------------------------
+
+  /** q196: HOW FAST DOES DUPLICATION GROW WITH CRAWL SIZE — the planning
+    * number behind Lee et al. (2022)'s observation that duplicate rate
+    * rises with corpus size (dup pairs grow ~quadratically in the number
+    * of copies), so a dedup budget tuned on a pilot crawl undershoots at
+    * full scale. Measures the EXACT-duplicate rate at three NESTED
+    * corpus prefixes — 25 %, 50 %, 100 % by the deterministic
+    * doc_id % 4 slice (nested: r < 1 ⊂ r < 2 ⊂ all) — so the curve is
+    * apples-to-apples the way a growing crawl is.
+    *
+    * ONE corpus scan: per md5(text) group, conditional counts per tier;
+    * per-tier duplicates = n_docs − n_distinct_hashes. The scaling
+    * readout: if dup_bp grows from 25 % → 100 %, duplication is
+    * super-linear in crawl size and full-corpus dedup (q20/q55) is
+    * mandatory, not optional.
+    *
+    * Scale shape: one hash-keyed aggregate (map-side combined; the same
+    * shuffle q20's dedup already pays), then a 3-row census via a
+    * single-row global aggregate + row-local stack. */
+  private[graft] def dedupScalingOf(docs: DataFrame): DataFrame = {
+    val counts = docs
+      .select(pmod(col("doc_id"), lit(4)).as("r"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(sum(when(col("r") < 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("r") < 2, 1L).otherwise(0L)).as("c2"),
+        count(lit(1)).as("c4"))
+    counts
+      .agg(
+        sum(col("c1")).cast("long").as("d1"),
+        sum(when(col("c1") > 0, 1L).otherwise(0L)).cast("long").as("u1"),
+        sum(col("c2")).cast("long").as("d2"),
+        sum(when(col("c2") > 0, 1L).otherwise(0L)).cast("long").as("u2"),
+        sum(col("c4")).cast("long").as("d4"),
+        sum(when(col("c4") > 0, 1L).otherwise(0L)).cast("long").as("u4"))
+      .selectExpr(
+        "stack(3, 25, d1, u1, 50, d2, u2, 100, d4, u4) AS (pct, n_docs, n_distinct)")
+      .withColumn("n_dup", (col("n_docs") - col("n_distinct")).cast("long"))
+      .withColumn("dup_bp", expr("10000 * n_dup div n_docs"))
+      .orderBy(col("pct"))
+  }
+
+  def dedupScaling(spark: SparkSession, dir: String): DataFrame =
+    dedupScalingOf(Tables.documents(spark, dir))
+
+  val dedupScalingSql: String =
+    """WITH h AS (
+      |  SELECT doc_id % 4 AS r, md5(text) AS h FROM documents
+      |), c AS (
+      |  SELECT h,
+      |    CAST(SUM(CASE WHEN r < 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |    CAST(SUM(CASE WHEN r < 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+      |    CAST(COUNT(*) AS BIGINT) AS c4
+      |  FROM h GROUP BY 1
+      |), t AS (
+      |  SELECT 25 AS pct, CAST(SUM(c1) AS BIGINT) AS n_docs,
+      |    CAST(SUM(CASE WHEN c1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct FROM c
+      |  UNION ALL SELECT 50, CAST(SUM(c2) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c2 > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+      |  UNION ALL SELECT 100, CAST(SUM(c4) AS BIGINT),
+      |    CAST(SUM(CASE WHEN c4 > 0 THEN 1 ELSE 0 END) AS BIGINT) FROM c
+      |)
+      |SELECT CAST(pct AS INT) AS pct, n_docs, n_distinct,
+      |  n_docs - n_distinct AS n_dup,
+      |  10000 * (n_docs - n_distinct) // n_docs AS dup_bp
+      |FROM t ORDER BY pct""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q180: mojibake (encoding-damage) audit + repair
   // ---------------------------------------------------------------------
 
@@ -3226,6 +3540,10 @@ object CorpusStats {
     QueryDef("q176_padding_waste", paddingWaste, Some(paddingWasteSql)),
     QueryDef("q177_source_concentration", sourceConcentration,
       Some(sourceConcentrationSql)),
-    QueryDef("q180_mojibake_repair", mojibakeRepair, Some(mojibakeRepairSql))
+    QueryDef("q180_mojibake_repair", mojibakeRepair, Some(mojibakeRepairSql)),
+    QueryDef("q193_epoch_mixture", epochMixture, Some(epochMixtureSql)),
+    QueryDef("q195_quality_perceptron", qualityPerceptron,
+      Some(qualityPerceptronSql)),
+    QueryDef("q196_dedup_scaling", dedupScaling, Some(dedupScalingSql))
   )
 }

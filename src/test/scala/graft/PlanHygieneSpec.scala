@@ -54,6 +54,9 @@ class PlanHygieneSpec extends SparkSpec {
   private val broadcastLoopAllowed = cartesianBaselines ++ Set(
     "q44_cosine_topk", "q49_ann_ivf_topk", "q59_vocab_coverage",
     "q70_int8_ann_topk", "q183_pq_ann", // 8 broadcast probe-LUT maps × streamed codes
+    // q194 composes q44+q70+q183 (their broadcast-probe scans); q192
+    // attaches the broadcast ONE-ROW centroid to the streamed corpus
+    "q194_quant_recall_audit", "q192_centroid_selection",
 
     "q66_tfidf_terms", "q71_heavy_hitters", "q75_kmeans", "q83_quality_audit",
     "q99_rrf_fusion", "q104_pmi_pairs", "q109_mixture_plan",
@@ -91,7 +94,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q173_gap_spectrum" -> "shares over the <=64-row log2 bucket spectrum",
     "q177_source_concentration" -> "Gini rank over the <=|sources| mass frame",
     "q188_dsir_selection" -> "grand totals over the <=4096-row hashed-bucket frame",
-    "q191_perplexity_buckets" -> "LM grand total over the <=4096-row hashed-bucket frame")
+    "q191_perplexity_buckets" -> "LM grand total over the <=4096-row hashed-bucket frame",
+    "q193_epoch_mixture" -> "greedy budget cut over the 4*|sources| increment frame")
 
   // name -> every node in the executed plan (AQE-unwrapped, subqueries
   // included), built ONCE and shared by both sweeps below.

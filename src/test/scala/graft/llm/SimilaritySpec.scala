@@ -663,6 +663,62 @@ class SimilaritySpec extends SparkSpec {
       "expected at least one imperfect recall row on the synthetic corpus")
   }
 
+  test("q194 quantization recall audit equals set intersection; bp math exact") {
+    val exact = Similarity.cosineTopk(spark, sfDir).collect()
+      .filter(_.getAs[Int]("rnk") <= 3)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val i8 = Similarity.int8AnnTopk(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqAnn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probes = exact.map(_._1).toSeq.sorted
+    val model = probes.map { p =>
+      val ex = exact.filter(_._1 == p)
+      val ih = ex.count(i8.contains).toLong
+      val ph = ex.count(pq.contains).toLong
+      (p, ex.size.toLong, ih, ph, 10000 * ih / ex.size, 10000 * ph / ex.size)
+    }
+    val got = Similarity.quantRecallAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model && got.nonEmpty)
+    assert(got.forall(r => r._5 >= 0 && r._5 <= 10000 && r._6 >= 0 && r._6 <= 10000))
+    // int8 keeps per-vector scale so it should be NEAR-exact here; the
+    // 64x-compressed PQ codes are the lossy tier the audit exists to
+    // measure — require the ordering that makes the comparison readable
+    val meanI8 = got.map(_._5).sum / got.size
+    val meanPq = got.map(_._6).sum / got.size
+    assert(meanI8 >= meanPq, s"int8 mean recall $meanI8 below PQ $meanPq")
+  }
+
+  test("q192 centroid selection matches a sequential model; selection is target-seeking") {
+    val rows = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray))
+    val seed = rows.filter(_._2 == 0).map(_._3)
+    val n = seed.length
+    val cent = (0 until 64).map { j =>
+      math.floor(seed.map(_(j)).sum.toDouble / n).toLong }.toArray
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cn = math.sqrt(dot(cent, cent).toDouble)
+    val scored = rows.filter(_._2 != 0).map { case (id, lbl, q) =>
+      (id, lbl, dot(q, cent).toDouble / (math.sqrt(dot(q, q).toDouble) * cn))
+    }
+    val model = scored.sortBy { case (id, _, c) => (-c, id) }
+      .take(Similarity.CentroidSelectK)
+      .zipWithIndex.map { case ((id, lbl, _), i) => (id, lbl, i + 1) }.toSeq
+    val got = Similarity.centroidSelection(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == model && got.nonEmpty)
+    // non-vacuous: the selected set's mean cosine strictly beats the
+    // population mean, i.e. the selection actually seeks the target
+    val byId = scored.map(s => s._1 -> s._3).toMap
+    val selMean = got.map(g => byId(g._1)).sum / got.size
+    val allMean = scored.map(_._3).sum / scored.length
+    assert(selMean > allMean, s"selected mean $selMean not above population $allMean")
+  }
+
   test("q129 MMR: trajectory matches an independent greedy Scala model; selection is diverse") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.mmrSelection(spark, sfDir).collect()

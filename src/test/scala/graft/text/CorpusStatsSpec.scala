@@ -727,6 +727,139 @@ class CorpusStatsSpec extends SparkSpec {
     assert(meanSel > meanAll)
   }
 
+  test("q193 epoch mixture equals the sequential greedy-knapsack model") {
+    import graft.text.CorpusStats.EpochWeights
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val bySource = docs.groupBy(_._1).view.mapValues { ds =>
+      val ws = ds.flatMap(_._2.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      (ws.size.toLong, ws.distinct.size.toLong)
+    }.toMap
+    val incr = bySource.toSeq.flatMap { case (src, (tok, dw)) =>
+      val q = 1000L * dw / tok
+      EpochWeights.map { case (e, w) => (src, e, q, q * w, tok) }
+    }.sortBy { case (src, e, _, d, _) => (-d, src, e) }
+    val budget = bySource.values.map(_._1).sum / 2
+    var cum = 0L
+    val model = incr.map { case (src, e, q, d, tok) =>
+      val alloc = math.max(0L, math.min(tok, budget - cum))
+      cum += tok
+      val status = if (alloc == tok) "full" else if (alloc > 0) "partial" else "skipped"
+      (src, e, q, d, tok, alloc, status)
+    }
+    val got = graft.text.CorpusStats.epochMixture(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toSeq
+    assert(got == model && got.nonEmpty)
+    // the plan must exercise all three outcomes on this corpus, or the
+    // greedy cut is vacuous at this budget
+    assert(Set("full", "partial", "skipped").subsetOf(got.map(_._7).toSet))
+    // epoch-consistency: a taken epoch e+1 implies epoch e fully taken
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val byEpoch = rows.map(r => r._2 -> r._6).toMap
+      EpochWeights.map(_._1).sliding(2).foreach {
+        case Seq(a, b) =>
+          if (byEpoch(b) > 0L)
+            assert(byEpoch(a) == rows.head._5, s"$src epoch $b taken before $a full")
+        case _ =>
+      }
+    }
+    // conservation: total allocated equals the budget exactly (the
+    // straddling increment takes the remainder) unless supply ran out
+    val totalAlloc = got.map(_._6).sum
+    val supply = incr.map(_._5).sum
+    assert(totalAlloc == math.min(budget, supply))
+  }
+
+  test("q195 quality perceptron equals the sequential training model") {
+    import graft.text.CorpusStats.{PerceptronEpochs, PerceptronTarget}
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val feats = docs.flatMap { case (id, src, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (ws.isEmpty) None else {
+        val nw = ws.length.toLong
+        val chars = ws.map(_.length.toLong).sum
+        val nAlpha = ws.count(_.exists(c => c >= 'a' && c <= 'z')).toLong
+        val nStop = ws.count(stops.contains).toLong
+        val x = Array(1L, nw, 100 * chars / nw, 1000 * nStop / nw, 1000 * nAlpha / nw)
+        val y = if (src == PerceptronTarget) 1L else -1L
+        Some((id, src, x, y))
+      }
+    }
+    var w = Array.fill(5)(0L)
+    for (_ <- 1 to PerceptronEpochs) {
+      val mis = feats.filter { case (_, _, x, y) =>
+        y * x.zip(w).map { case (a, b) => a * b }.sum <= 0 }
+      w = w.indices.map(j => w(j) + mis.map { case (_, _, x, y) => y * x(j) }.sum).toArray
+    }
+    val scored = feats.map { case (id, src, x, _) =>
+      (id, src, x.zip(w).map { case (a, b) => a * b }.sum) }
+    val model = scored.groupBy(_._2).toSeq.map { case (src, xs) =>
+      val pred = xs.filter(_._3 > 0)
+      (src, xs.length.toLong, pred.length.toLong,
+        10000 * pred.length / xs.length,
+        pred.map(_._1).foldLeft(0L)(_ ^ _))
+    }.sortBy(_._1)
+    val got = graft.text.CorpusStats.qualityPerceptron(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.nonEmpty)
+    // the learned weights must be non-trivial: at least one epoch moved them
+    assert(w.exists(_ != 0L), "perceptron never updated — training is vacuous")
+  }
+
+  test("q195 perceptron separates a separable planted corpus exactly") {
+    import spark.implicits._
+    import graft.text.CorpusStats.PerceptronTarget
+    // target docs: long, stopword-rich; crawl docs: short symbol soup —
+    // linearly separable in the feature space, so the trained weights
+    // must classify every doc correctly
+    val target = (0L until 8L).map(i => (i, PerceptronTarget,
+      ("the be to of and that have with " * 8) + s"alpha$i beta gamma"))
+    val crawl = (100L until 108L).map(i => (i, "crawl", s"## ### #### v$i"))
+    val df = (target ++ crawl).toDF("doc_id", "source", "text")
+    val got = graft.text.CorpusStats.perceptronOf(spark, df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(PerceptronTarget)._2 == 8L,
+      s"all target docs must score positive: $got")
+    assert(got("crawl")._2 == 0L,
+      s"no crawl doc may score positive: $got")
+  }
+
+  test("q196 dedup scaling curve equals the sequential model; planted growth detected") {
+    // real corpus: exact model equality
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def model(ds: Seq[(Long, String)]): Seq[(Int, Long, Long, Long, Long)] =
+      Seq(1, 2, 4).map { t =>
+        val tier = ds.filter(_._1 % 4 < t)
+        val nd = tier.size.toLong
+        val u = tier.map(_._2).distinct.size.toLong
+        (if (t == 4) 100 else t * 25, nd, u, nd - u, 10000 * (nd - u) / nd)
+      }
+    val got = graft.text.CorpusStats.dedupScaling(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == model(docs.toSeq))
+
+    // planted corpus where duplication concentrates in the LATE slice:
+    // the 100% tier's dup rate must exceed the 25% tier's (the curve the
+    // query exists to expose)
+    import spark.implicits._
+    val uniq = (0L until 40L).map(i => (i * 4, s"unique text number $i"))
+    val dups = (0L until 30L).map(i => (i * 4 + 3, "the repeated crawl boilerplate page"))
+    val planted = (uniq ++ dups).toDF("doc_id", "text")
+    val curve = graft.text.CorpusStats.dedupScalingOf(planted).collect()
+      .map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(curve(100) > curve(25),
+      s"planted late-slice duplication must bend the curve upward: $curve")
+  }
+
   test("q189 Gopher rule battery equals a sequential per-doc model") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("source"), col("text")).collect()
