@@ -67,6 +67,19 @@ object SketchKernels {
   def tokensHash60(text: Column, mod: Long, distinctSorted: Boolean): Column =
     ColumnBridge.column(TokensHash60Expr(ColumnBridge.expression(text), mod, distinctSorted))
 
+  /** Fused char-n-gram bucket kernel: array of `hash60(substr(t, i, n))
+    * % mod` over every CODE-POINT position i of `t` — one compiled pass
+    * per row, drop-in for the HOF form `transform(sequence(1,
+    * length(t) - n + 1), i -> pmod(conv(substring(md5(substring(t, i,
+    * n)), 1, 15), 16, 10), mod))`, which evaluates a digest, a hex
+    * string, a substring and a base-16 parse as four interpreted
+    * expression nodes per POSITION (q191's trigram scoring scan was the
+    * suite's slowest query on exactly this shape). hash60 is
+    * non-negative, so `%` equals `pmod`. Text shorter than n → empty
+    * array. NULL-propagating. */
+  def charGramBuckets(text: Column, n: Int, mod: Long): Column =
+    ColumnBridge.column(CharGramBucketsExpr(ColumnBridge.expression(text), n, mod))
+
   /** Fused winnowing kernel: hash every k-CODEPOINT gram of the (already
     * normalized) text to the 60-bit md5 prefix mod `mod`, take the
     * minimum of each w-wide window, return the DISTINCT minima sorted
@@ -250,6 +263,64 @@ object WinnowFps {
     val out = if (n != nWins) java.util.Arrays.copyOf(mins, n) else mins
     org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
+}
+
+object CharGramBuckets {
+  /** Static entry the generated code calls. Substrings are taken by CODE
+    * POINT (Spark `substring`/DuckDB `substr` semantics) and hashed as
+    * UTF-8 bytes — exactly what `md5(substring(t, i, n))` hashes. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String,
+              n: Int, mod: Long): ArrayData = {
+    val s = text.toString
+    val nChars = s.length
+    var cps = 0
+    val cpStart = new Array[Int](nChars + 1)
+    var ci = 0
+    while (ci < nChars) {
+      cpStart(cps) = ci
+      cps += 1
+      ci += Character.charCount(s.codePointAt(ci))
+    }
+    cpStart(cps) = nChars
+    val nGrams = cps - (n - 1)
+    if (nGrams <= 0)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    val out = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val bytes = s.substring(cpStart(i), cpStart(i + n))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(i) = TokensHash60.hash60(bytes) % mod
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+case class CharGramBucketsExpr(child: Expression, n: Int, mod: Long)
+    extends UnaryExpression {
+  require(n > 0 && mod > 0, "gram width and modulus must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramBuckets.compute(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.CharGramBuckets.compute($s, $n, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): CharGramBucketsExpr =
+    copy(child = newChild)
 }
 
 case class WinnowFpsExpr(child: Expression, k: Int, w: Int, mod: Long)
