@@ -37,6 +37,18 @@ object Formats {
       .option("escape", "\"")
       .csv(outDir)
 
+  /** ORC: the OTHER columnar interchange beside parquet — corpora arrive
+    * in it from Hive-era warehouses. Spark's native orc source gives the
+    * same scale machinery parquet gets: predicate pushdown + column
+    * pruning reach the scan (FormatsSpec locks `PushedFilters` on the
+    * plan), splittable stripes, zstd compression. Lossless for arbitrary
+    * text (binary-safe strings, no quoting layer to get wrong). */
+  def writeOrc(df: DataFrame, outDir: String): Unit =
+    df.write.mode("errorifexists").option("compression", "zstd").orc(outDir)
+
+  def readOrc(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(dir)
+
   /** emptyValue "" is load-bearing: without it Spark's CSV reader maps a
     * quoted empty field to NULL (its default nullValue is the empty
     * string), so `""` does not round-trip. With it, empty strings

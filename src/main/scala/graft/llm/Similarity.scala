@@ -3068,6 +3068,117 @@ object Similarity {
        |SELECT vec_id, label, CAST(rnk AS INT) AS rnk
        |FROM ranked WHERE rnk <= $CentroidSelectK ORDER BY rnk""".stripMargin
 
+  // ----------------------------------- q197 contrastive pair mining
+
+  /** q197: CONTRASTIVE TRAINING-PAIR MINING — the dataset-construction
+    * step for embedding-model training (SimCSE/E5-style): for every
+    * document with a verified near-duplicate, emit ONE positive (its
+    * most-similar verified partner) and the [[ContrastiveNegK]] HARDEST
+    * negatives — documents that collided with it in an LSH band (so the
+    * index considers them confusable) yet verified BELOW the near-dup
+    * threshold. Random negatives are easy; band-collision negatives are
+    * precisely the confusables a contrastive objective needs.
+    *
+    * Similarity is exact integer basis points `(10⁴·|A∩B|) div |A∪B|`
+    * over the hashed-shingle sets — `bp ≥ 9000 ⟺ jaccard ≥ 0.9`
+    * exactly (cross-multiplication), so the pos/neg split is the same
+    * cut q41 verifies and the whole output hash-gates with no floats.
+    *
+    * Scale shape: ONE scoring pass in REP space over the deduped band
+    * candidates (no size-ratio prefilter — mining needs the
+    * sub-threshold pairs q41's prefilter exists to discard), landed
+    * SLIM (gid, gid, bp — never the expanded doc pairs) so the pos and
+    * neg branches read one materialization; doc-space expansion and
+    * both rank windows are partitioned by anchor. An anchor-restricted
+    * two-pass variant (positives via q41's prefiltered pipeline,
+    * negatives via an asymmetric anchor-band probe) was measured SLOWER
+    * at sf0.1 (7.2 s vs 6.7 s vs this form's 2.9 s, min-of-3,
+    * 2026-08-15): near-dup anchors
+    * cover most groups here, so the second band join paid more than
+    * the skipped verifications saved. */
+  val ContrastiveNegK = 2
+
+  def contrastivePairs(spark: SparkSession, dir: String): DataFrame = {
+    val grps = landedShingleGroups(spark, dir)
+    val sets = grps.filter(size(col("hs")) > 0)
+    val slim = sets.select(col("gid"), col("members"))
+    val banded = bandKeys(sets.select(col("gid"), col("hs")), "gid")
+    // one exact scoring pass over the deduped candidates, landed slim
+    val scored = banded.select(col("bkey"), col("gid").as("gid_a"))
+      .join(banded.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
+      .filter(col("gid_a") < col("gid_b"))
+      .select(col("gid_a"), col("gid_b")).distinct()
+      .join(broadcast(sets.select(col("gid").as("gid_a"), col("hs").as("hs_a"))), Seq("gid_a"))
+      .join(broadcast(sets.select(col("gid").as("gid_b"), col("hs").as("hs_b"))), Seq("gid_b"))
+      .withColumn("n", graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("bp", expr(
+        "(10000 * n) div CAST(size(hs_a) + size(hs_b) - n AS BIGINT)"))
+      .select(col("gid_a"), col("gid_b"), col("bp"))
+      .transform(Dist.durableCkpt)
+    // ---- doc-space expansion (both directions through ONE generator)
+    def expand(repPairs: DataFrame): DataFrame = repPairs
+      .join(broadcast(slim.select(col("gid").as("gid_a"), col("members").as("ma"))), Seq("gid_a"))
+      .join(broadcast(slim.select(col("gid").as("gid_b"), col("members").as("mb"))), Seq("gid_b"))
+      .select(explode(expr(
+        "array(struct(ma AS anch, mb AS part), struct(mb AS anch, ma AS part))")).as("d"),
+        col("bp"))
+      .select(explode(col("d.anch")).as("anchor"), col("d.part").as("part"), col("bp"))
+      .select(col("anchor"), explode(col("part")).as("partner"), col("bp"))
+    val within = sets.filter(size(col("members")) > 1)
+      .select(explode(col("members")).as("anchor"), col("members"))
+      .select(col("anchor"),
+        explode(filter(col("members"), m => m =!= col("anchor"))).as("partner"),
+        lit(10000L).as("bp"))
+    val byAnchor = Window.partitionBy(col("anchor"))
+      .orderBy(col("bp").desc, col("partner"))
+    val pos = expand(scored.filter(col("bp") >= 9000)).union(within)
+      .withColumn("rnk", row_number().over(byAnchor)).filter(col("rnk") === 1)
+      .select(col("anchor"), lit("pos").as("role"), col("partner"),
+        col("rnk").cast("int").as("rnk"), col("bp"))
+      .transform(Dist.durableCkpt) // feeds the output AND the neg semi-join
+    val neg = expand(scored.filter(col("bp") < 9000))
+      .join(pos.select(col("anchor")), Seq("anchor"), "left_semi")
+      .withColumn("rnk", row_number().over(byAnchor))
+      .filter(col("rnk") <= ContrastiveNegK)
+      .select(col("anchor"), lit("neg").as("role"), col("partner"),
+        col("rnk").cast("int").as("rnk"), col("bp"))
+    pos.union(neg).orderBy(col("anchor"), col("role"), col("rnk"))
+  }
+
+  val contrastivePairsSql: String =
+    s"""WITH $sigCteSql,
+       |bands AS (
+       |  SELECT doc_id, i // $RowsPerBand AS band, list(sig ORDER BY i) AS bsig
+       |  FROM sigs GROUP BY doc_id, i // $RowsPerBand
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig
+       |  WHERE a.doc_id < b.doc_id
+       |), scored AS MATERIALIZED (
+       |  SELECT id_a, id_b,
+       |    (10000 * len(list_intersect(sa.hs, sb.hs)))
+       |      // (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS bp
+       |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+       |), sym AS MATERIALIZED (
+       |  SELECT id_a AS anchor, id_b AS partner, bp FROM scored
+       |  UNION ALL SELECT id_b, id_a, bp FROM scored
+       |), pos AS MATERIALIZED (
+       |  SELECT anchor, partner, bp,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY bp DESC, partner) AS rnk
+       |  FROM sym WHERE bp >= 9000
+       |), neg AS (
+       |  SELECT anchor, partner, bp,
+       |    ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY bp DESC, partner) AS rnk
+       |  FROM sym WHERE bp < 9000 AND anchor IN (SELECT anchor FROM pos WHERE rnk = 1)
+       |)
+       |SELECT anchor, 'pos' AS role, partner, CAST(rnk AS INT) AS rnk,
+       |  CAST(bp AS BIGINT) AS bp
+       |FROM pos WHERE rnk = 1
+       |UNION ALL
+       |SELECT anchor, 'neg', partner, CAST(rnk AS INT), CAST(bp AS BIGINT)
+       |FROM neg WHERE rnk <= $ContrastiveNegK
+       |ORDER BY anchor, role, rnk""".stripMargin
+
   // ------------------------------------------ q178 containment ingest
 
   /** q178: INCREMENTAL containment probe — the q68/q152 land-once
@@ -3212,6 +3323,7 @@ object Similarity {
     QueryDef("q143_containment_pairs", containmentPairs, Some(containmentPairsSql)),
     QueryDef("q178_containment_ingest", containmentIngest, Some(containmentIngestSql)),
     QueryDef("q145_crossmodal_purity", crossmodalPurity, Some(crossmodalPuritySql)),
-    QueryDef("q147_lsh_tuning_curve", lshTuningCurve, Some(lshTuningCurveSql))
+    QueryDef("q147_lsh_tuning_curve", lshTuningCurve, Some(lshTuningCurveSql)),
+    QueryDef("q197_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql))
   )
 }

@@ -41,6 +41,25 @@ class FormatsSpec extends SparkSpec {
     assert(b == a, s"CSV round-trip mutated text: ${b.toSet -- a.toSet}")
   }
 
+  test("ORC round-trip is lossless; filter pushdown reaches the ORC scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/docs"
+    val in = adversarial
+    Formats.writeOrc(in, dir)
+    val back = Formats.readOrc(spark, dir, in.schema)
+    val a = in.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = back.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(b == a, s"ORC round-trip mutated text: ${b.toSet -- a.toSet}")
+    // the scale contract: a filtered projection must reach the scan as
+    // PushedFilters + a pruned read schema, exactly like parquet
+    val q = Formats.readOrc(spark, dir, in.schema)
+      .filter(col("doc_id") > 3L).select("doc_id")
+    val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,3)]"),
+      s"ORC scan lost the pushed filter:\n$scan")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"ORC scan did not prune to the projected column:\n$scan")
+  }
+
   test("JSONL round-trips the real documents table unchanged") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-corpus").toString + "/docs"
     val in = graft.Tables.documents(spark, sfDir)

@@ -719,6 +719,46 @@ class SimilaritySpec extends SparkSpec {
     assert(selMean > allMean, s"selected mean $selMean not above population $allMean")
   }
 
+  test("q197 contrastive mining equals a sequential band+rank model") {
+    import graft.llm.Similarity.{Bands, RowsPerBand, ContrastiveNegK}
+    val rows = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Similarity.hashedShingles(col("text")).as("hs"),
+        Similarity.minhashSignature(Similarity.hashedShingles(col("text"))).as("sig"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSet, r.getSeq[Long](2).toVector))
+      .filter(_._2.nonEmpty)
+    def bandsOf(sig: Vector[Long]): Seq[Vector[Long]] =
+      (0 until Bands).map(b => sig.slice(b * RowsPerBand, (b + 1) * RowsPerBand))
+    val sym = (for {
+      (a, ha, sa) <- rows; (b, hb, sb) <- rows
+      if a != b && bandsOf(sa).zip(bandsOf(sb)).exists { case (x, y) => x == y }
+    } yield {
+      val n = ha.intersect(hb).size.toLong
+      (a, b, 10000L * n / (ha.size + hb.size - n))
+    }).toSeq
+    def top(xs: Seq[(Long, Long, Long)], k: Int) =
+      xs.sortBy { case (_, p, bp) => (-bp, p) }.take(k).zipWithIndex
+        .map { case ((a, p, bp), i) => (a, p, i + 1, bp) }
+    val byAnchor = sym.groupBy(_._1)
+    val model = byAnchor.toSeq.flatMap { case (a, xs) =>
+      val pos = top(xs.filter(_._3 >= 9000), 1)
+      val neg = if (pos.isEmpty) Nil else top(xs.filter(_._3 < 9000), ContrastiveNegK)
+      pos.map { case (an, p, r, bp) => (an, "pos", p, r, bp) } ++
+        neg.map { case (an, p, r, bp) => (an, "neg", p, r, bp) }
+    }.sortBy { case (a, role, _, r, _) => (a, role, r) }
+    val got = Similarity.contrastivePairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+      .toSeq
+    assert(got == model && got.nonEmpty)
+    // structure: every anchor has exactly one positive; negatives only
+    // for anchors with a positive and all strictly below the cut
+    val byA = got.groupBy(_._1)
+    assert(byA.values.forall(_.count(_._2 == "pos") == 1))
+    assert(got.filter(_._2 == "neg").forall(_._5 < 9000))
+    assert(got.filter(_._2 == "pos").forall(_._5 >= 9000))
+  }
+
   test("q129 MMR: trajectory matches an independent greedy Scala model; selection is diverse") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.mmrSelection(spark, sfDir).collect()
