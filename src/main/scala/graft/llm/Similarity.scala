@@ -204,6 +204,12 @@ object Similarity {
         b => slice(col("sig"), b * RowsPerBand + 1, lit(RowsPerBand)))))
     .select(col(idCol), xxhash64(col("pos"), col("col")).as("bkey"))
 
+  /** Public band-key entry for cross-module consumers (the streaming
+    * near-dup ingest gate): the SAME definition as the q41 pipeline —
+    * one source of truth for the banding, so batch and stream cannot
+    * silently disagree. Expects `(idCol, hs)`. */
+  def bandKeysFor(df: DataFrame, idCol: String): DataFrame = bandKeys(df, idCol)
+
   /** The band/verify pipeline over an explicit (gid, hs, …) groups frame —
     * shared so q55 can checkpoint the groups once and reuse them.
     * Explicit `broadcast` on the attach joins is load-bearing: the groups

@@ -759,6 +759,64 @@ object Streaming {
       .agg(count(lit(1)).cast("long").as("n_hits"))
       .select(col("doc_id"), col("source"), col("n_hits"))
 
+  // ------------------------------------ streaming near-dup ingest gate
+
+  /** Streaming twin of q68's NEAR-DUP leg: each arriving document is
+    * probed against the LANDED corpus's LSH band postings and — when a
+    * band collision VERIFIES at the q41 cut (integer bp ≥ 9000 ⟺
+    * jaccard ≥ 0.9) — emitted exactly once with its best corpus match,
+    * so near-duplicate re-crawls are rejected AT INGEST rather than by
+    * a later batch sweep. [[ingestDedup]] is the exact-hash gate; this
+    * is the similarity gate beside it, completing the streaming ingest
+    * tier (exact / near-dup / the q178-class containment gate stays
+    * batch).
+    *
+    * Dataflow: signature + band keys are ROW-LOCAL on the stream side
+    * (the q40 codegen kernels — no state); the probe is a stateless
+    * stream-static equi-join against the corpus postings (landed small
+    * here; at 100 TB a bucketed table the planner shuffles against);
+    * the corpus shingle-set attach joins only the CANDIDATE ids (never
+    * the corpus); verification is the shared q41 contract — size-ratio
+    * prefilter (lossless at 0.9) + exact merge-intersect kernel +
+    * cross-multiplied integer cut. Best match per doc = one min(struct)
+    * aggregate under the watermark window (one event time per doc → one
+    * final emission, append mode). Only flagged docs carry state, and
+    * each group evicts at watermark + 1 hour.
+    *
+    * Expects `(doc_id, ts, source, text)` streaming and `(doc_id,
+    * text)`-shaped landed corpus; emits `(doc_id, best_match, bp)`. */
+  def nearDupIngestStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.llm.Similarity
+    val corpusSets = corpus
+      .select(col("doc_id").as("cor_id"), Similarity.hashedShingles(col("text")).as("hs_c"))
+      .filter(size(col("hs_c")) > 0)
+    val postings = Similarity.bandKeysFor(
+      corpusSets.select(col("cor_id").as("id"), col("hs_c").as("hs")), "id")
+      .select(col("id").as("cor_id"), col("bkey"))
+    val probes = docs
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"), Similarity.hashedShingles(col("text")).as("hs_i"))
+      .filter(size(col("hs_i")) > 0)
+    val cand = Similarity.bandKeysFor(
+        probes.select(col("doc_id").as("id"), col("hs_i").as("hs")), "id")
+      .select(col("id").as("doc_id"), col("bkey"))
+      .join(postings, Seq("bkey"))
+      .select(col("doc_id"), col("cor_id"))
+    cand
+      .join(probes.select(col("doc_id"), col("ts"), col("hs_i")), Seq("doc_id"))
+      .join(corpusSets, Seq("cor_id"))
+      .withColumn("sz_i", size(col("hs_i"))).withColumn("sz_c", size(col("hs_c")))
+      .filter(least(col("sz_i"), col("sz_c")) * 10 >= greatest(col("sz_i"), col("sz_c")) * 9)
+      .withColumn("n", graft.functions.ArrayKernels.sortedIntersectCount(col("hs_i"), col("hs_c")))
+      .withColumn("bp", expr(
+        "(10000 * n) div CAST(sz_i + sz_c - n AS BIGINT)"))
+      .filter(col("bp") >= 9000)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(min(struct((-col("bp")).as("nbp"), col("cor_id"))).as("best"))
+      .select(col("doc_id"), col("best.cor_id").as("best_match"),
+        (-col("best.nbp")).as("bp"))
+  }
+
   // --------------------------------------- streaming daily theta sketches
 
   /** Keyed state for [[dailyUserSketches]]: the day's COMPACT Theta
