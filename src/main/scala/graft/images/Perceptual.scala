@@ -139,7 +139,25 @@ object Perceptual {
     * the ingest decode (it needs an interpolation choice that a
     * cross-engine oracle cannot pin), so the hash is defined on
     * grid-divisible inputs. */
-  def dhashOf(bytes: Array[Byte]): Option[Long] = {
+  def dhashOf(bytes: Array[Byte]): Option[Long] =
+    grayBlocksOf(bytes).map { gray =>
+      var hash = 0L
+      var by = 0
+      while (by < BlocksY) {
+        var bx = 0
+        while (bx < BlocksX - 1) {
+          if (gray(bx)(by) < gray(bx + 1)(by)) hash |= 1L << (by * 8 + bx)
+          bx += 1
+        }
+        by += 1
+      }
+      hash
+    }
+
+  /** Exact 9×8 block-mean gray grid of an image, or None when the image
+    * fails decode or its dims don't divide into the grid (the quarantine
+    * contract). Shared front-end of dHash and pHash. */
+  private def grayBlocksOf(bytes: Array[Byte]): Option[Array[Array[Int]]] = {
     if (bytes == null) return None
     val img =
       try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
@@ -178,19 +196,65 @@ object Perceptual {
           }
           bx += 1
         }
-        var hash = 0L
-        var by = 0
-        while (by < BlocksY) {
-          var bx = 0
-          while (bx < BlocksX - 1) {
-            if (gray(bx)(by) < gray(bx + 1)(by)) hash |= 1L << (by * 8 + bx)
-            bx += 1
-          }
-          by += 1
-        }
-        Some(hash)
+        Some(gray)
       }
     }
+  }
+
+  // ----------------------------------------------------------------- pHash
+
+  /** Scaled integer DCT-II basis: `round(cos(π·(2x+1)·k / (2n)) · 2^20)`,
+    * generated with StrictMath (bit-reproducible across JVMs) and BAKED
+    * into both the Scala kernel and the SQL oracle as the same literal
+    * table — the cross-engine contract is integer from here on. */
+  val DctScale = 1L << 20
+  private def dctTable(n: Int, ks: Int): Array[Array[Long]] =
+    Array.tabulate(ks, n) { (k, x) =>
+      Math.round(StrictMath.cos(StrictMath.PI * (2 * x + 1) * k / (2.0 * n)) *
+        DctScale)
+    }
+  /** 9-point (x) and 8-point (y) bases, 8 frequencies each. */
+  private[images] val DctCx: Array[Array[Long]] = dctTable(BlocksX, 8)
+  private[images] val DctCy: Array[Array[Long]] = dctTable(BlocksY, 8)
+
+  /** 63-bit pHash: exact block means → integer DCT-II over the 9×8 grid →
+    * top-left 8×8 coefficients → each AC bit set iff its coefficient
+    * exceeds the MEDIAN AC coefficient (the standard pHash cut; the DC
+    * term — overall brightness — is excluded, which is exactly what makes
+    * pHash robust to global brightness shifts where dHash's row gradients
+    * already are). All arithmetic int64-exact: |P(u,v)| ≤ 72·255·2^40 <
+    * 2^63, and the median of 63 exact integers is an exact integer. */
+  def phashOf(bytes: Array[Byte]): Option[Long] =
+    grayBlocksOf(bytes).map(phashOfGrid)
+
+  private[images] def phashOfGrid(gray: Array[Array[Int]]): Long = {
+    val p = Array.ofDim[Long](8, 8)
+    var u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        var s = 0L
+        var bx = 0
+        while (bx < BlocksX) {
+          var by = 0
+          while (by < BlocksY) {
+            s += gray(bx)(by) * DctCx(u)(bx) * DctCy(v)(by)
+            by += 1
+          }
+          bx += 1
+        }
+        p(u)(v) = s
+        v += 1
+      }
+      u += 1
+    }
+    val acs = (for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
+      yield p(u)(v)).sorted
+    val med = acs(31) // 32nd smallest of the 63 AC terms
+    var hash = 0L
+    for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 }
+      if (p(u)(v) > med) hash |= 1L << (v * 8 + u)
+    hash
   }
 
   private val dhashUdf = udf { (bytes: Array[Byte]) => dhashOf(bytes) }
@@ -218,8 +282,9 @@ object Perceptual {
       .orderBy(col("img_id"))
   }
 
-  /** Shared oracle front-end: hashes derived from the formula alone. */
-  private val hashesCte: String =
+  /** Formula-derived block values — the shared oracle front-end of both
+    * perceptual hashes. */
+  private val bvalCte: String =
     s"""ids AS (SELECT i FROM generate_series(0, ${NumImages - 1}) t(i)),
        |grid AS (
        |  SELECT i,
@@ -233,7 +298,11 @@ object Perceptual {
        |         THEN (CASE WHEN ($blockGraySql) < 120 THEN 232 ELSE 8 END)
        |         ELSE ($blockGraySql) END AS b
        |  FROM grid
-       |), bits AS (
+       |)""".stripMargin
+
+  /** Shared oracle front-end: hashes derived from the formula alone. */
+  private val hashesCte: String =
+    s"""$bvalCte, bits AS (
        |  SELECT l.i,
        |    CASE WHEN l.b < r.b THEN
        |      (CASE WHEN l.by * 8 + l.bx = 63 THEN -9223372036854775807 - 1
@@ -254,6 +323,77 @@ object Perceptual {
        |)
        |SELECT h.img_id, h.dhash, f.family_id, f.family_size
        |FROM hashes h JOIN fams f USING (dhash) ORDER BY h.img_id""".stripMargin
+
+  // ------------------------------------------------- q198 pHash families
+
+  private val phashUdf = udf { (bytes: Array[Byte]) => phashOf(bytes) }
+
+  /** q198: DCT perceptual hash (pHash) families — the industry's OTHER
+    * standard perceptual fingerprint beside dHash (q140): dHash reads
+    * local row gradients, pHash reads the GLOBAL low-frequency spectrum,
+    * so a retouch that flips a couple of local gradients (the q140
+    * retouched cohort trips ~3 dHash bits) barely moves the low
+    * frequencies, while a global re-texture that preserves block means
+    * fools neither. Families group identical pHashes exactly like q140,
+    * so the two queries side by side show WHICH perceptual notion each
+    * duplicate family satisfies.
+    *
+    * Correctness story: same two independent derivations as q140 — Spark
+    * decodes the fixture PNGs and runs the integer DCT kernel on the
+    * exact block means; the DuckDB oracle re-derives the hash FROM THE
+    * GENERATION FORMULA (block values → the SAME literal scaled-cosine
+    * tables → median cut → bits). Integer end-to-end: coefficients are
+    * exact int64 (≤ 72·255·2^40), the median of 63 exact integers is
+    * exact, so the 64-bit hashes meet bit-for-bit under the hash gate.
+    *
+    * Scale shape: identical to q140 — decode parallelism from the
+    * many-files layout, only (id, hash) shuffles, one hash-aggregate. */
+  def imagePhash(spark: SparkSession, dir: String): DataFrame = {
+    val hs = spark.read.format("binaryFile").load(dhashFolder(spark, dir))
+      .select(regexp_extract(col("path"), "img(\\d+)\\.png$", 1)
+        .cast("long").as("img_id"),
+        phashUdf(col("content")).as("phash"))
+    val fams = hs.groupBy(col("phash"))
+      .agg(min(col("img_id")).as("family_id"),
+        count(lit(1)).cast("long").as("family_size"))
+    hs.join(fams, Seq("phash"))
+      .select(col("img_id"), col("phash"), col("family_id"), col("family_size"))
+      .orderBy(col("img_id"))
+  }
+
+  val imagePhashSql: String = {
+    val cxRows = (for { u <- 0 until 8; x <- 0 until BlocksX }
+      yield s"($u, $x, ${DctCx(u)(x)})").mkString(", ")
+    val cyRows = (for { v <- 0 until 8; y <- 0 until BlocksY }
+      yield s"($v, $y, ${DctCy(v)(y)})").mkString(", ")
+    s"""WITH $bvalCte,
+       |cx(u, x, c) AS (VALUES $cxRows),
+       |cy(v, y, c) AS (VALUES $cyRows),
+       |pc AS MATERIALIZED (
+       |  SELECT bval.i, cx.u, cy.v,
+       |    CAST(SUM(CAST(bval.b AS BIGINT) * cx.c * cy.c) AS BIGINT) AS p
+       |  FROM bval JOIN cx ON cx.x = bval.bx JOIN cy ON cy.y = bval.by
+       |  GROUP BY 1, 2, 3
+       |), med AS (
+       |  SELECT i, p AS m FROM (
+       |    SELECT i, p, ROW_NUMBER() OVER (PARTITION BY i ORDER BY p) AS rn
+       |    FROM pc WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32
+       |), phashes AS MATERIALIZED (
+       |  SELECT CAST(pc.i AS BIGINT) AS img_id,
+       |    CAST(SUM(CASE WHEN pc.p > med.m THEN
+       |      (CASE WHEN pc.v * 8 + pc.u = 63 THEN -9223372036854775807 - 1
+       |            ELSE CAST(1 AS BIGINT) << (pc.v * 8 + pc.u) END)
+       |      ELSE 0 END) AS BIGINT) AS phash
+       |  FROM pc JOIN med USING (i) WHERE NOT (pc.u = 0 AND pc.v = 0)
+       |  GROUP BY 1
+       |), fams AS (
+       |  SELECT phash, MIN(img_id) AS family_id,
+       |    CAST(COUNT(*) AS BIGINT) AS family_size
+       |  FROM phashes GROUP BY 1
+       |)
+       |SELECT h.img_id, h.phash, f.family_id, f.family_size
+       |FROM phashes h JOIN fams f USING (phash) ORDER BY h.img_id""".stripMargin
+  }
 
   // ------------------------------------------------- q141 banded near pairs
 
@@ -413,5 +553,6 @@ object Perceptual {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q140_image_dhash", imageDhash, Some(imageDhashSql)),
     QueryDef("q141_dhash_near_pairs", dhashNearPairs, Some(dhashNearPairsSql)),
-    QueryDef("q152_dhash_ingest", dhashIngest, Some(dhashIngestSql)))
+    QueryDef("q152_dhash_ingest", dhashIngest, Some(dhashIngestSql)),
+    QueryDef("q198_image_phash", imagePhash, Some(imagePhashSql)))
 }

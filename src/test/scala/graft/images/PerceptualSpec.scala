@@ -72,6 +72,50 @@ class PerceptualSpec extends SparkSpec {
     assert(Perceptual.dhashOf(baos.toByteArray).isEmpty)
   }
 
+  private def formulaPhash(i: Int): Long = {
+    // independent re-derivation: BigInt DCT over the formula's block
+    // values with the shared literal cosine tables, median cut, bits
+    val acs = for { u <- 0 until 8; v <- 0 until 8; if u != 0 || v != 0 } yield {
+      val s = (for {
+        bx <- 0 until Perceptual.BlocksX; by <- 0 until Perceptual.BlocksY
+      } yield BigInt(Perceptual.blockGray(bx, by, i)) *
+        Perceptual.DctCx(u)(bx) * Perceptual.DctCy(v)(by)).sum
+      ((u, v), s)
+    }
+    val med = acs.map(_._2).sorted.apply(31)
+    acs.foldLeft(0L) { case (h, ((u, v), p)) =>
+      if (p > med) h | (1L << (v * 8 + u)) else h
+    }
+  }
+
+  test("q198 phashOf(imageBytes(i)) equals the BigInt formula model; cohorts behave") {
+    val hs = (0 until Perceptual.NumImages).map(formulaPhash)
+    (0 until Perceptual.NumImages).foreach { i =>
+      assert(Perceptual.phashOf(Perceptual.imageBytes(i)).contains(hs(i)),
+        s"pixel-derived pHash diverged from formula model for image $i")
+    }
+    // byte twins preserve block means → identical pHash
+    (16 to 19).foreach(i => assert(hs(i) == hs(i - 16), s"twin $i must collide"))
+    // the 16 base patterns stay distinct under pHash too
+    assert(hs.take(16).distinct.size == 16, "base patterns must have distinct pHashes")
+    // retouch robustness: two flipped blocks move the low-frequency
+    // spectrum LESS than they move local gradients — pHash distance for
+    // the retouched cohort stays below dHash's designed hamming of 3 + a
+    // couple of median-shift bits (it must NOT explode to half the bits)
+    (20 to 23).foreach { i =>
+      val d = java.lang.Long.bitCount(hs(i) ^ hs(i - 20))
+      assert(d <= 16, s"retouched $i pHash distance $d unexpectedly large")
+    }
+    // integer-exactness headroom: every coefficient must fit int64
+    for (i <- 0 until Perceptual.NumImages; u <- 0 until 8; v <- 0 until 8) {
+      val s = (for {
+        bx <- 0 until Perceptual.BlocksX; by <- 0 until Perceptual.BlocksY
+      } yield BigInt(Perceptual.blockGray(bx, by, i)) *
+        Perceptual.DctCx(u)(bx) * Perceptual.DctCy(v)(by)).sum
+      assert(s.isValidLong, s"coefficient overflow at i=$i u=$u v=$v")
+    }
+  }
+
   test("q140/q141: families and near pairs match the formula-level model") {
     val hs = (0 until Perceptual.NumImages).map(formulaHash)
     val gotFams = Perceptual.imageDhash(spark, sfDir).collect()
