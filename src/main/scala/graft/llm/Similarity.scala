@@ -3074,6 +3074,64 @@ object Similarity {
        |SELECT vec_id, label, CAST(rnk AS INT) AS rnk
        |FROM ranked WHERE rnk <= $CentroidSelectK ORDER BY rnk""".stripMargin
 
+  // ----------------------------------- q199 inter-source duplication flow
+
+  /** q199: INTER-SOURCE DUPLICATION MATRIX — the provenance number a
+    * dataset card publishes next to q177's concentration: near-duplicate
+    * mass broken down by WHICH source pairs share it. Within-source
+    * duplication means re-crawls/boilerplate; heavy cross-source cells
+    * mean mirrored content (the same article syndicated everywhere) —
+    * two different curation actions, indistinguishable in q41's flat
+    * pair list.
+    *
+    * One row per unordered source pair that shares ≥ 1 verified near-dup
+    * pair (the q41 cut): pair count, docs involved on each side, and an
+    * xor fingerprint of the pair keys so the hash gate certifies the
+    * exact pair SET, not just its size.
+    *
+    * Scale shape: the verified pairs are the q41 pipeline (session-landed
+    * shingle groups); the only additions are two broadcast joins against
+    * the slim (doc_id, source) projection and a ≤|sources|² census
+    * aggregate. */
+  def dupFlowMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = lshVerifiedPairs(spark, dir)
+      .select(col("id_a"), col("id_b"))
+      .join(broadcast(src.select(col("doc_id").as("id_a"), col("source").as("s_a"))), Seq("id_a"))
+      .join(broadcast(src.select(col("doc_id").as("id_b"), col("source").as("s_b"))), Seq("id_b"))
+      .select(least(col("s_a"), col("s_b")).as("src_lo"),
+        greatest(col("s_a"), col("s_b")).as("src_hi"),
+        col("id_a"), col("id_b"))
+    pairs
+      .groupBy(col("src_lo"), col("src_hi"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        countDistinct(col("id_a")).cast("long").as("n_docs_a"),
+        countDistinct(col("id_b")).cast("long").as("n_docs_b"),
+        // md5-60 of the pair key (the q190 idiom) — xor-folding a product
+        // of raw ids would overflow int64 at large id ranges
+        expr("bit_xor(CAST(conv(substring(md5(concat(CAST(id_a AS STRING), ',', " +
+          "CAST(id_b AS STRING))), 1, 15), 16, 10) AS BIGINT))")
+          .cast("long").as("pair_fp"))
+      .orderBy(col("src_lo"), col("src_hi"))
+  }
+
+  val dupFlowMatrixSql: String =
+    s"""WITH pairs AS ($minhashLshPairsSql),
+       |flows AS (
+       |  SELECT least(da.source, db.source) AS src_lo,
+       |    greatest(da.source, db.source) AS src_hi,
+       |    p.id_a, p.id_b
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.id_a
+       |  JOIN documents db ON db.doc_id = p.id_b
+       |)
+       |SELECT src_lo, src_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(COUNT(DISTINCT id_a) AS BIGINT) AS n_docs_a,
+       |  CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_docs_b,
+       |  CAST(bit_xor(CAST(concat('0x', substr(md5(
+       |    CAST(id_a AS VARCHAR) || ',' || CAST(id_b AS VARCHAR)), 1, 15)) AS BIGINT)) AS BIGINT) AS pair_fp
+       |FROM flows GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ----------------------------------- q197 contrastive pair mining
 
   /** q197: CONTRASTIVE TRAINING-PAIR MINING — the dataset-construction
@@ -3330,6 +3388,7 @@ object Similarity {
     QueryDef("q178_containment_ingest", containmentIngest, Some(containmentIngestSql)),
     QueryDef("q145_crossmodal_purity", crossmodalPurity, Some(crossmodalPuritySql)),
     QueryDef("q147_lsh_tuning_curve", lshTuningCurve, Some(lshTuningCurveSql)),
-    QueryDef("q197_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql))
+    QueryDef("q197_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
+    QueryDef("q199_dup_flow_matrix", dupFlowMatrix, Some(dupFlowMatrixSql))
   )
 }

@@ -759,6 +759,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got.filter(_._2 == "pos").forall(_._5 >= 9000))
   }
 
+  test("q199 dup-flow matrix equals the pair-level census of q41's verified pairs") {
+    def h60(s: String): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val srcOf = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = Similarity.lshVerifiedPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val model = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (srcOf(a), srcOf(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.toSeq.map { case ((lo, hi), xs) =>
+      (lo, hi, xs.length.toLong,
+        xs.map(_._1).distinct.length.toLong, xs.map(_._2).distinct.length.toLong,
+        xs.map { case (a, b) => h60(s"$a,$b") }.foldLeft(0L)(_ ^ _))
+    }.sortBy(x => (x._1, x._2))
+    val got = Similarity.dupFlowMatrix(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model && got.nonEmpty)
+    // the matrix must separate within-source from cross-source mass
+    assert(got.exists(r => r._1 == r._2) || got.exists(r => r._1 != r._2))
+  }
+
   test("q129 MMR: trajectory matches an independent greedy Scala model; selection is diverse") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.mmrSelection(spark, sfDir).collect()
