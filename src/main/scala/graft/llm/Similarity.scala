@@ -1348,6 +1348,54 @@ object Similarity {
       .orderBy(col("cluster_rep"))
   }
 
+  // --------------------------------- q200 near-dup cluster-size census
+
+  /** q200: CLUSTER-SIZE SPECTRUM of the near-dup graph — the sanity
+    * readout a dedup pipeline checks BEFORE acting on q55/q67: a healthy
+    * corpus clusters into small families, while a GIANT component
+    * (boilerplate webs and template chains bridging unrelated docs
+    * transitively) means "drop everything but the rep" would delete half
+    * the corpus in one action. Lee et al. (2022) flag exactly this
+    * failure mode for aggressive near-dedup; the spectrum is the number
+    * that catches it before the delete.
+    *
+    * Sizes land in log2 buckets (binary digit count — the q173 idiom,
+    * structurally ≤ 64 rows at ANY corpus size, so the share window is
+    * bounded by construction of the key, not by data): per bucket the
+    * cluster count, clustered-doc count, exact size extremes, and the
+    * bucket's share of all clustered docs in basis points.
+    *
+    * Scale shape: everything downstream of q55's cluster frame (already
+    * measured sub-quadratic, SCALING.md) — one ≤64-key aggregate. */
+  def clusterSizeCensus(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(spark, dir)
+      .select(col("n_docs").cast("long").as("sz"))
+      .groupBy(length(bin(col("sz"))).cast("long").as("size_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("sz")).cast("long").as("n_docs"),
+        min(col("sz")).cast("long").as("min_size"),
+        max(col("sz")).cast("long").as("max_size"))
+      .withColumn("share_bp", expr(
+        "10000 * n_docs div sum(n_docs) over ()").cast("long"))
+      .orderBy(col("size_bucket"))
+
+  lazy val clusterSizeCensusSql: String =
+    s"""WITH clusters AS ($nearDupClustersSql),
+       |b AS (
+       |  SELECT CAST(length(format('{:b}', n_docs)) AS BIGINT) AS size_bucket,
+       |    n_docs AS sz
+       |  FROM clusters
+       |), c AS (
+       |  SELECT size_bucket, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |    CAST(SUM(sz) AS BIGINT) AS n_docs,
+       |    CAST(MIN(sz) AS BIGINT) AS min_size,
+       |    CAST(MAX(sz) AS BIGINT) AS max_size
+       |  FROM b GROUP BY 1
+       |)
+       |SELECT size_bucket, n_clusters, n_docs, min_size, max_size,
+       |  CAST(10000 * n_docs // SUM(n_docs) OVER () AS BIGINT) AS share_bp
+       |FROM c ORDER BY size_bucket""".stripMargin
+
   // --------------------------------- q67 per-cluster representative selection
 
   /** The step that turns clusters into a deduplicated corpus: for each
@@ -3389,6 +3437,8 @@ object Similarity {
     QueryDef("q145_crossmodal_purity", crossmodalPurity, Some(crossmodalPuritySql)),
     QueryDef("q147_lsh_tuning_curve", lshTuningCurve, Some(lshTuningCurveSql)),
     QueryDef("q197_contrastive_pairs", contrastivePairs, Some(contrastivePairsSql)),
-    QueryDef("q199_dup_flow_matrix", dupFlowMatrix, Some(dupFlowMatrixSql))
+    QueryDef("q199_dup_flow_matrix", dupFlowMatrix, Some(dupFlowMatrixSql)),
+    QueryDef("q200_cluster_size_census", clusterSizeCensus,
+      Some(clusterSizeCensusSql))
   )
 }

@@ -95,7 +95,8 @@ class PlanHygieneSpec extends SparkSpec {
     "q177_source_concentration" -> "Gini rank over the <=|sources| mass frame",
     "q188_dsir_selection" -> "grand totals over the <=4096-row hashed-bucket frame",
     "q191_perplexity_buckets" -> "LM grand total over the <=4096-row hashed-bucket frame",
-    "q193_epoch_mixture" -> "greedy budget cut over the 4*|sources| increment frame")
+    "q193_epoch_mixture" -> "greedy budget cut over the 4*|sources| increment frame",
+    "q200_cluster_size_census" -> "shares over the <=64-row log2 size spectrum")
 
   // name -> every node in the executed plan (AQE-unwrapped, subqueries
   // included), built ONCE and shared by both sweeps below.

@@ -784,6 +784,23 @@ class SimilaritySpec extends SparkSpec {
     assert(got.exists(r => r._1 == r._2) || got.exists(r => r._1 != r._2))
   }
 
+  test("q200 cluster-size census equals the log2-bucket model over q55's clusters") {
+    val sizes = Similarity.nearDupClusters(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_docs"))
+    val total = sizes.sum
+    val model = sizes.groupBy(s => 64L - java.lang.Long.numberOfLeadingZeros(s))
+      .toSeq.map { case (b, xs) =>
+        (b, xs.length.toLong, xs.sum, xs.min, xs.max, 10000 * xs.sum / total)
+      }.sortBy(_._1)
+    val got = Similarity.clusterSizeCensus(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model && got.nonEmpty)
+    // conservation: bucket doc counts partition the clustered docs
+    assert(got.map(_._3).sum == total)
+    assert(got.map(_._6).sum <= 10000)
+  }
+
   test("q129 MMR: trajectory matches an independent greedy Scala model; selection is diverse") {
     import org.apache.spark.sql.functions._
     val rows = Similarity.mmrSelection(spark, sfDir).collect()
