@@ -78,4 +78,55 @@ class ContaminationStreamSpec extends SparkSpec {
       s"streamed flags ${got.length} vs model ${model.length}")
     assert(got.exists(_._1 == plantedId), "planted doc not flagged by the stream")
   }
+
+  test("contamination screen: checkpointed restart emits a pre-stop doc exactly once") {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    import org.apache.spark.sql.types.StructType
+    val spark0 = spark
+    import spark0.implicits._
+    def deleteRecursively(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+
+    val base = Files.createTempDirectory("graft-contam-restart")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    try {
+      // a synthetic eval gram set: the 8-gram of words e1..e8
+      val evalText = (1 to 8).map(i => s"e$i").mkString(" ")
+      val evalGrams = Seq((0L, evalText)).toDF("doc_id", "text")
+        .select(graft.text.TextOps.tokens(lower(col("text"))).as("toks"))
+        .select(explode(expr(CorpusStats.ContamGramArraySql)).as("g"))
+      val contaminated = s"pre $evalText post pad pad pad"
+      val schema = StructType.fromDDL(
+        "doc_id BIGINT, ts TIMESTAMP, source STRING, text STRING")
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+      def start() = Streaming.contaminationStream(
+          spark.readStream.schema(schema).parquet(in), evalGrams)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      Seq((1L, ts(10), "s", contaminated),
+          (2L, ts(10), "s", "clean words only here nothing shared at all"))
+        .toDF("doc_id", "ts", "source", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      val q1 = start(); q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+      assert(spark.read.schema("doc_id BIGINT, source STRING, n_hits BIGINT")
+        .parquet(out).count() == 0, "window emitted before finality")
+
+      Seq((3L, ts(12), "s", contaminated), (4L, ts(20), "s", "zz zz"))
+        .toDF("doc_id", "ts", "source", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      val q2 = start(); q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == Set((1L, "s", 1L), (3L, "s", 1L)),
+        s"expected docs 1 and 3 flagged exactly once with one matched gram, got $got")
+      assert(spark.read.parquet(out).count() == 2)
+    } finally deleteRecursively(base)
+  }
 }

@@ -92,4 +92,59 @@ class NearDupStreamSpec extends SparkSpec {
     assert(got.map(_._1).distinct.length == got.length, "a doc emitted twice")
     assert(got == model, s"streamed verdicts ${got.length} vs model ${model.length}")
   }
+
+  test("near-dup gate: checkpointed restart emits a pre-stop doc exactly once") {
+    import java.nio.file.{Files, Path}
+    import java.util.Comparator
+    import org.apache.spark.sql.types.StructType
+    val spark0 = spark
+    import spark0.implicits._
+    def deleteRecursively(p: Path): Unit =
+      if (Files.exists(p))
+        Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+
+    val base = Files.createTempDirectory("graft-neardup-restart")
+    val in = s"$base/in"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(in).mkdirs()
+    try {
+      val corpusText = (1 to 20).map(i => s"w$i").mkString(" ")
+      val nearText = (1 to 20).map(i => s"w$i").mkString(" ") + " extra"
+      val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+      // sanity: the planted pair must clear the 0.9 cut (20 shared of 21)
+      assert(10000L * 20 / 21 >= 9000)
+      val schema = StructType.fromDDL(
+        "doc_id BIGINT, ts TIMESTAMP, source STRING, text STRING")
+      def ts(h: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:30:00")
+      def start() = Streaming.nearDupIngestStream(
+          spark.readStream.schema(schema).parquet(in), corpus)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+
+      // batch 1: a near-dup and a clean doc; their 1-hour windows are NOT
+      // final when the query stops (watermark hasn't passed them)
+      Seq((1L, ts(10), "s", nearText), (2L, ts(10), "s", "totally different words"))
+        .toDF("doc_id", "ts", "source", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      val q1 = start(); q1.processAllAvailable(); q1.stop(); q1.awaitTermination()
+      assert(spark.read.schema("doc_id BIGINT, best_match BIGINT, bp BIGINT")
+        .parquet(out).count() == 0, "window emitted before finality")
+
+      // while DOWN: another near-dup lands, plus a far-future clean doc
+      // that advances the watermark past every earlier window
+      Seq((3L, ts(12), "s", nearText), (4L, ts(20), "s", "zz zz"))
+        .toDF("doc_id", "ts", "source", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      val q2 = start(); q2.processAllAvailable(); q2.stop(); q2.awaitTermination()
+
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val bp = 10000L * 20 / 21
+      assert(got == Set((1L, 100L, bp), (3L, 100L, bp)),
+        s"expected docs 1 and 3 flagged exactly once against corpus 100, got $got")
+      // exactly-once: the restarted query must not have replayed batch 1
+      assert(spark.read.parquet(out).count() == 2)
+    } finally deleteRecursively(base)
+  }
 }
