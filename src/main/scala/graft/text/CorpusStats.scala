@@ -3375,6 +3375,85 @@ object CorpusStats {
       |FROM t ORDER BY pct""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q201: crawl-order quality-drift deciles
+  // ---------------------------------------------------------------------
+
+  /** q201: ORDERING-BIAS audit — does data quality DRIFT along the crawl
+    * order? doc_id is the ingest sequence; if a pipeline trains in (or
+    * stratifies by) that order, a quality trend across it biases the
+    * curriculum and silently shifts every "first N tokens" ablation.
+    * Common Crawl dumps show exactly this (later segments skew toward
+    * recently-discovered, lower-quality hosts), which is why published
+    * pipelines shuffle (q119) — this query is the measurement that says
+    * whether they had to.
+    *
+    * The corpus is cut into 10 equal-count CRAWL-ORDER deciles (rank by
+    * doc_id via [[graft.Dist.globalRowNumber]] — the q117 idiom, range
+    * partition + broadcast offsets, never a single-partition window);
+    * each decile reports mean document length, mean lexical diversity
+    * (per-mille distinct tokens, the q193 quality signal), and its
+    * exact-duplicate share — three drift axes in one 10-row table, all
+    * integer (mean = sum div n).
+    *
+    * Scale shape: one row-local per-doc feature pass; duplicate
+    * membership is the q20-class md5 hash aggregate joined back slim;
+    * the rank is distributed; the census is 10 rows. */
+  def crawlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), md5(col("text")).as("h"),
+        tokens(lower(col("text"))).as("ws"))
+      .filter(size(col("ws")) > 0) // token-free docs have no diversity signal
+      .select(col("doc_id"), col("h"),
+        size(col("ws")).cast("long").as("words"),
+        size(array_distinct(col("ws"))).cast("long").as("dwords"),
+        length(concat_ws(" ", col("ws"))).cast("long").as("len"))
+      .transform(graft.Dist.durableCkpt) // feeds dup counts, rank, totals
+    val dupHashes = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1).select(col("h"))
+    val flagged = perDoc
+      .join(broadcast(dupHashes.withColumn("is_dup", lit(1L))), Seq("h"), "left")
+      .select(col("doc_id"), col("words"), col("dwords"), col("len"),
+        coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    val totals = flagged.agg(count(lit(1)).as("n"))
+    graft.Dist.globalRowNumber(flagged, col("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("decile", expr("((rn - 1) * 10) div n + 1").cast("int"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        expr("sum(len) div count(1)").cast("long").as("mean_len"),
+        expr("sum(1000 * dwords div words) div count(1)")
+          .cast("long").as("mean_diversity_pm"),
+        expr("10000 * sum(is_dup) div count(1)").cast("long").as("dup_bp"))
+      .orderBy(col("decile"))
+  }
+
+  val crawlDriftSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, md5(text) AS h,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+      |  FROM documents
+      |), f AS (
+      |  SELECT doc_id, h, CAST(len(ws) AS BIGINT) AS words,
+      |    CAST(len(list_distinct(ws)) AS BIGINT) AS dwords,
+      |    CAST(strlen(array_to_string(ws, ' ')) AS BIGINT) AS len
+      |  FROM d WHERE len(ws) > 0
+      |), dup AS (
+      |  SELECT h FROM f GROUP BY h HAVING COUNT(*) > 1
+      |), g AS (
+      |  SELECT f.doc_id, f.words, f.dwords, f.len,
+      |    CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+      |    ROW_NUMBER() OVER (ORDER BY f.doc_id) AS rn,
+      |    COUNT(*) OVER () AS n
+      |  FROM f LEFT JOIN dup USING (h)
+      |)
+      |SELECT CAST((rn - 1) * 10 // n + 1 AS INT) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len) // COUNT(*) AS BIGINT) AS mean_len,
+      |  CAST(SUM(1000 * dwords // words) // COUNT(*) AS BIGINT) AS mean_diversity_pm,
+      |  CAST(10000 * SUM(is_dup) // COUNT(*) AS BIGINT) AS dup_bp
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q180: mojibake (encoding-damage) audit + repair
   // ---------------------------------------------------------------------
 
@@ -3545,6 +3624,7 @@ object CorpusStats {
     QueryDef("q193_epoch_mixture", epochMixture, Some(epochMixtureSql)),
     QueryDef("q195_quality_perceptron", qualityPerceptron,
       Some(qualityPerceptronSql)),
-    QueryDef("q196_dedup_scaling", dedupScaling, Some(dedupScalingSql))
+    QueryDef("q196_dedup_scaling", dedupScaling, Some(dedupScalingSql)),
+    QueryDef("q201_crawl_drift", crawlDrift, Some(crawlDriftSql))
   )
 }

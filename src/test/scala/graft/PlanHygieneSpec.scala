@@ -76,7 +76,10 @@ class PlanHygieneSpec extends SparkSpec {
     "q184_pseudonymize",
     // q191: the one-row doc-count total attaches to the tier cut
     // (q117's spendDeciles shape)
-    "q191_perplexity_buckets")
+    "q191_perplexity_buckets",
+    // q201: the one-row doc-count total attaches to the decile cut
+    // (the same q117 shape)
+    "q201_crawl_drift")
 
   /** Queries whose unpartitioned windows run over a DOMAIN-bounded
     * aggregated census frame (value = the bound, stated for the audit

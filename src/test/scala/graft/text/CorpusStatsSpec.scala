@@ -860,6 +860,38 @@ class CorpusStatsSpec extends SparkSpec {
       s"planted late-slice duplication must bend the curve upward: $curve")
   }
 
+  test("q201 crawl-drift deciles equal the sequential model; deciles are equal-count") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val feats = docs.map { case (id, t) =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (id, ws, t)
+    }.filter(_._2.nonEmpty).map { case (id, ws, t) =>
+      // dup membership is on the RAW text (the query hashes md5(text))
+      (id, ws.length.toLong, ws.distinct.length.toLong,
+        ws.mkString(" ").length.toLong, t)
+    }
+    val dupTexts = feats.groupBy(_._5).filter(_._2.length > 1).keySet
+    val n = feats.length
+    val model = feats.sortBy(_._1).zipWithIndex.map { case ((id, w, dw, len, norm), i) =>
+      (((i.toLong) * 10 / n + 1).toInt, w, dw, len,
+        if (dupTexts(norm)) 1L else 0L)
+    }.groupBy(_._1).toSeq.map { case (dec, xs) =>
+      (dec, xs.length.toLong,
+        xs.map(_._4).sum / xs.length,
+        xs.map(x => 1000 * x._3 / x._2).sum / xs.length,
+        10000 * xs.map(_._5).sum / xs.length)
+    }.sortBy(_._1)
+    val got = graft.text.CorpusStats.crawlDrift(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == model && got.size == 10)
+    // equal-count: decile sizes differ by at most one
+    val sizes = got.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: $sizes")
+  }
+
   test("q189 Gopher rule battery equals a sequential per-doc model") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("source"), col("text")).collect()
