@@ -3454,6 +3454,84 @@ object CorpusStats {
       |FROM g GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ---------------------------------------------------------------------
+  // q202: vocabulary churn between crawl halves (tokenizer staleness)
+  // ---------------------------------------------------------------------
+
+  /** q202: VOCABULARY CHURN — how much of each source's vocabulary turns
+    * over between the first and second half of its crawl order. This is
+    * the tokenizer-STALENESS audit beside q201's quality drift: a BPE
+    * tokenizer trained on the early crawl (q185) fragments words it
+    * never saw, so a high new-vocab share in the late half says the
+    * tokenizer (and every fertility number derived from it, q187/q149)
+    * is measured against data it wasn't trained for. q166 measures how
+    * vocabulary GROWS; this measures how it is REPLACED.
+    *
+    * Per source: docs split into equal-count crawl-order halves (rank
+    * within source — a source-partitioned window, never global), word
+    * SETS per half, then the census: shared vocab, retired (first-half
+    * only), new (second-half only), half-overlap Jaccard in basis
+    * points and the new-vocab share of the late half. All integer.
+    *
+    * Scale shape: one tokenize pass, one distinct on (source, half,
+    * word) — the q59-class vocabulary shuffle, Heaps-sublinear in the
+    * token stream — one (source, word) aggregate, and a ≤|sources|
+    * census. */
+  def vocabChurn(spark: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val halves = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), tokens(lower(col("text"))).as("ws"))
+      .withColumn("rn", row_number().over(bySrc))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("source"))))
+      .withColumn("h", when(col("rn") * 2 <= col("n"), 1L).otherwise(2L))
+      .select(col("source"), col("h"), explode(col("ws")).as("w"))
+      .distinct()
+    halves
+      .groupBy(col("source"), col("w"))
+      .agg(max(when(col("h") === 1L, 1L).otherwise(0L)).as("in1"),
+        max(when(col("h") === 2L, 1L).otherwise(0L)).as("in2"))
+      .groupBy(col("source"))
+      .agg(sum(when(col("in1") === 1L && col("in2") === 1L, 1L).otherwise(0L))
+          .cast("long").as("n_shared"),
+        sum(when(col("in1") === 1L && col("in2") === 0L, 1L).otherwise(0L))
+          .cast("long").as("n_retired"),
+        sum(when(col("in1") === 0L && col("in2") === 1L, 1L).otherwise(0L))
+          .cast("long").as("n_new"))
+      .withColumn("overlap_bp", expr(
+        "10000 * n_shared div (n_shared + n_retired + n_new)"))
+      .withColumn("new_share_bp", expr(
+        "10000 * n_new div (n_shared + n_new)"))
+      .orderBy(col("source"))
+  }
+
+  val vocabChurnSql: String =
+    """WITH r AS (
+      |  SELECT source, doc_id,
+      |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY source) AS n
+      |  FROM documents
+      |), hw AS (
+      |  SELECT DISTINCT source,
+      |    CASE WHEN rn * 2 <= n THEN 1 ELSE 2 END AS h, unnest(ws) AS w
+      |  FROM r
+      |), m AS (
+      |  SELECT source, w,
+      |    MAX(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS in1,
+      |    MAX(CASE WHEN h = 2 THEN 1 ELSE 0 END) AS in2
+      |  FROM hw GROUP BY 1, 2
+      |), c AS (
+      |  SELECT source,
+      |    CAST(SUM(CASE WHEN in1 = 1 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+      |    CAST(SUM(CASE WHEN in1 = 1 AND in2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_retired,
+      |    CAST(SUM(CASE WHEN in1 = 0 AND in2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+      |  FROM m GROUP BY 1
+      |)
+      |SELECT source, n_shared, n_retired, n_new,
+      |  10000 * n_shared // (n_shared + n_retired + n_new) AS overlap_bp,
+      |  10000 * n_new // (n_shared + n_new) AS new_share_bp
+      |FROM c ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------------
   // q180: mojibake (encoding-damage) audit + repair
   // ---------------------------------------------------------------------
 
@@ -3625,6 +3703,7 @@ object CorpusStats {
     QueryDef("q195_quality_perceptron", qualityPerceptron,
       Some(qualityPerceptronSql)),
     QueryDef("q196_dedup_scaling", dedupScaling, Some(dedupScalingSql)),
-    QueryDef("q201_crawl_drift", crawlDrift, Some(crawlDriftSql))
+    QueryDef("q201_crawl_drift", crawlDrift, Some(crawlDriftSql)),
+    QueryDef("q202_vocab_churn", vocabChurn, Some(vocabChurnSql))
   )
 }

@@ -892,6 +892,33 @@ class CorpusStatsSpec extends SparkSpec {
     assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: $sizes")
   }
 
+  test("q202 vocabulary churn equals the sequential half-split model") {
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val model = docs.groupBy(_._1).toSeq.map { case (src, ds) =>
+      val ordered = ds.sortBy(_._2)
+      val n = ordered.length
+      def vocab(xs: Seq[(String, Long, String)]): Set[String] =
+        xs.flatMap(_._3.toLowerCase.split("\\s+").filter(_.nonEmpty)).toSet
+      val (a, b) = ordered.splitAt(n / 2) // rn*2 <= n ⟺ rn <= n/2
+      val (v1, v2) = (vocab(a.toSeq), vocab(b.toSeq))
+      val shared = (v1 & v2).size.toLong
+      val retired = (v1 -- v2).size.toLong
+      val fresh = (v2 -- v1).size.toLong
+      (src, shared, retired, fresh,
+        10000 * shared / (shared + retired + fresh),
+        10000 * fresh / (shared + fresh))
+    }.sortBy(_._1)
+    val got = graft.text.CorpusStats.vocabChurn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == model && got.nonEmpty)
+    // bounds: shares are basis points; both halves contribute vocabulary
+    assert(got.forall(r => r._5 <= 10000 && r._6 <= 10000))
+    assert(got.forall(r => r._2 + r._4 > 0), "second half must have vocabulary")
+  }
+
   test("q189 Gopher rule battery equals a sequential per-doc model") {
     val docs = graft.Tables.documents(spark, sfDir)
       .select(col("source"), col("text")).collect()
