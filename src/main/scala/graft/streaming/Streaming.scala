@@ -772,16 +772,25 @@ object Streaming {
     * batch).
     *
     * Dataflow: signature + band keys are ROW-LOCAL on the stream side
-    * (the q40 codegen kernels — no state); the probe is a stateless
-    * stream-static equi-join against the corpus postings (landed small
-    * here; at 100 TB a bucketed table the planner shuffles against);
-    * the corpus shingle-set attach joins only the CANDIDATE ids (never
-    * the corpus); verification is the shared q41 contract — size-ratio
-    * prefilter (lossless at 0.9) + exact merge-intersect kernel +
+    * (the q40 codegen kernels — no state), with `ts` and the
+    * hashed-shingle array carried THROUGH the band expansion
+    * ([[graft.llm.Similarity.bandKeysKeepingFor]]) so EVERY join below
+    * is stream-static: the probe is a stateless equi-join against the
+    * corpus postings (landed small here; at 100 TB a bucketed table the
+    * planner shuffles against), and the corpus shingle-set attach joins
+    * only the CANDIDATE rows (never the corpus). No stream-stream join
+    * exists, so NO join state exists — a slim band expansion re-joined
+    * to the probe stream to recover ts/hs_i would be a self-join whose
+    * buffers the watermark never evicts, and a redelivered doc_id could
+    * pair with stale buffered band rows. The payload replication
+    * (×Bands, micro-batch-local) is the price of that boundedness.
+    * Verification is the shared q41 contract — size-ratio prefilter
+    * (lossless at 0.9) + exact merge-intersect kernel +
     * cross-multiplied integer cut. Best match per doc = one min(struct)
     * aggregate under the watermark window (one event time per doc → one
-    * final emission, append mode). Only flagged docs carry state, and
-    * each group evicts at watermark + 1 hour.
+    * final emission, append mode). Only flagged docs carry state — the
+    * aggregation's, the job's ONLY state — and each group evicts at
+    * watermark + 1 hour.
     *
     * Expects `(doc_id, ts, source, text)` streaming and `(doc_id,
     * text)`-shaped landed corpus; emits `(doc_id, best_match, bp)`. */
@@ -795,15 +804,13 @@ object Streaming {
       .select(col("id").as("cor_id"), col("bkey"))
     val probes = docs
       .withWatermark("ts", "1 hour")
-      .select(col("doc_id"), col("ts"), Similarity.hashedShingles(col("text")).as("hs_i"))
-      .filter(size(col("hs_i")) > 0)
-    val cand = Similarity.bandKeysFor(
-        probes.select(col("doc_id").as("id"), col("hs_i").as("hs")), "id")
-      .select(col("id").as("doc_id"), col("bkey"))
+      .select(col("doc_id"), col("ts"), Similarity.hashedShingles(col("text")).as("hs"))
+      .filter(size(col("hs")) > 0)
+    Similarity.bandKeysKeepingFor(
+        probes.select(col("doc_id").as("id"), col("ts"), col("hs")),
+        "id", Seq("ts", "hs"))
+      .select(col("id").as("doc_id"), col("ts"), col("hs").as("hs_i"), col("bkey"))
       .join(postings, Seq("bkey"))
-      .select(col("doc_id"), col("cor_id"))
-    cand
-      .join(probes.select(col("doc_id"), col("ts"), col("hs_i")), Seq("doc_id"))
       .join(corpusSets, Seq("cor_id"))
       .withColumn("sz_i", size(col("hs_i"))).withColumn("sz_c", size(col("hs_c")))
       .filter(least(col("sz_i"), col("sz_c")) * 10 >= greatest(col("sz_i"), col("sz_c")) * 9)

@@ -3315,8 +3315,11 @@ object CorpusStats {
     * of copies), so a dedup budget tuned on a pilot crawl undershoots at
     * full scale. Measures the EXACT-duplicate rate at three NESTED
     * corpus prefixes — 25 %, 50 %, 100 % by the deterministic
-    * doc_id % 4 slice (nested: r < 1 ⊂ r < 2 ⊂ all) — so the curve is
-    * apples-to-apples the way a growing crawl is.
+    * pmod(doc_id, 4) slice (nested: r < 1 ⊂ r < 2 ⊂ all) — so the curve
+    * is apples-to-apples the way a growing crawl is. FLOOR-mod on both
+    * engines (`pmod` here, `((doc_id % 4) + 4) % 4` in the oracle): the
+    * residue is non-negative for negative ids too, so the three tiers
+    * stay nested prefixes of the id space under any id signing.
     *
     * ONE corpus scan: per md5(text) group, conditional counts per tier;
     * per-tier duplicates = n_docs − n_distinct_hashes. The scaling
@@ -3354,7 +3357,7 @@ object CorpusStats {
 
   val dedupScalingSql: String =
     """WITH h AS (
-      |  SELECT doc_id % 4 AS r, md5(text) AS h FROM documents
+      |  SELECT ((doc_id % 4) + 4) % 4 AS r, md5(text) AS h FROM documents
       |), c AS (
       |  SELECT h,
       |    CAST(SUM(CASE WHEN r < 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,

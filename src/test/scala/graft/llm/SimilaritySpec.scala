@@ -772,8 +772,12 @@ class SimilaritySpec extends SparkSpec {
       val (sa, sb) = (srcOf(a), srcOf(b))
       (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
     }.toSeq.map { case ((lo, hi), xs) =>
+      // per-SOURCE-side doc counts: the doc on the lo source side of each
+      // pair, and its hi twin (id order only when the sources tie)
+      val loDocs = xs.map { case (a, b) => if (srcOf(a) <= srcOf(b)) a else b }
+      val hiDocs = xs.map { case (a, b) => if (srcOf(a) <= srcOf(b)) b else a }
       (lo, hi, xs.length.toLong,
-        xs.map(_._1).distinct.length.toLong, xs.map(_._2).distinct.length.toLong,
+        loDocs.distinct.length.toLong, hiDocs.distinct.length.toLong,
         xs.map { case (a, b) => h60(s"$a,$b") }.foldLeft(0L)(_ ^ _))
     }.sortBy(x => (x._1, x._2))
     val got = Similarity.dupFlowMatrix(spark, sfDir).collect()

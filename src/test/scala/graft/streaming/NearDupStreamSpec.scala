@@ -85,6 +85,13 @@ class NearDupStreamSpec extends SparkSpec {
         new java.sql.Timestamp(rows.last.ts.getTime + 48L * 3600 * 1000),
         "zz", "zz zz"))
       q.processAllAvailable()
+      // the job's ONLY state is the watermark-evicted best-match
+      // aggregation: a stream-stream self-join (the slim-bands +
+      // re-join-for-payload shape) would surface here as join state
+      // whose buffers never evict
+      val ops = q.recentProgress.flatMap(_.stateOperators).map(_.operatorName).distinct.toSeq
+      assert(ops.nonEmpty && ops.forall(o => !o.toLowerCase.contains("join")),
+        s"near-dup gate must hold no join state, found operators: $ops")
     } finally q.stop()
 
     val got = spark.table("neardup_stream").collect()

@@ -837,7 +837,7 @@ class CorpusStatsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1)))
     def model(ds: Seq[(Long, String)]): Seq[(Int, Long, Long, Long, Long)] =
       Seq(1, 2, 4).map { t =>
-        val tier = ds.filter(_._1 % 4 < t)
+        val tier = ds.filter(d => java.lang.Math.floorMod(d._1, 4L) < t)
         val nd = tier.size.toLong
         val u = tier.map(_._2).distinct.size.toLong
         (if (t == 4) 100 else t * 25, nd, u, nd - u, 10000 * (nd - u) / nd)
