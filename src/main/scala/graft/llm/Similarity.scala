@@ -1987,6 +1987,93 @@ object Similarity {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------- q203 bucketed-groups near-dup pairs (catalog path)
+
+  /** q203: the q41 near-dup pair pipeline with the shingle-groups frame as
+    * a LANDED BUCKETED catalog table — the deployment shape the
+    * [[landedShingleGroups]] scaladoc promises ("at 100 TB this is a landed
+    * bucketed catalog table, not a session memo") made real and
+    * plan-asserted, removing BOTH corpus-growing driver broadcasts from
+    * the dedup tier:
+    *
+    *  - the groups frame lands bucketed on `gid` and its band table lands
+    *    bucketed on `bkey` ([[graft.io.Layout.ensureBucketed]], the q87
+    *    discipline — one-time landing, content-fingerprint-guarded reuse);
+    *  - the band self-join reads the SAME bkey-bucketed table on both
+    *    sides → bucket-aligned sort-merge join with ZERO exchange on
+    *    either side (the 2.47M-candidate shuffle q41's in-session variant
+    *    pays simply does not exist here);
+    *  - every groups attach (hs for the verify, members for the
+    *    expansion) is a bucket-aligned SMJ on `gid`: the groups side
+    *    reads its buckets with no exchange and no driver broadcast —
+    *    only the candidate/verified-pair side (∝ true duplicate density,
+    *    never ∝ corpus) shuffles into the bucket layout. `merge` hints
+    *    are load-bearing twice over: without them the planner would
+    *    broadcast the stats-known catalog table (the exact corpus-growing
+    *    pattern this query exists to retire), and AQE could demote the
+    *    SMJ back to a broadcast at runtime.
+    *
+    * Answers are bit-identical to q41 (same banding, same verify contract,
+    * same expansion algebra), so the oracle is shared — layout changes the
+    * plan, not the result. BucketedGroupsSpec walks the executed plan:
+    * no groups/bands catalog scan may feed a ShuffleExchange OR a
+    * BroadcastExchange. */
+  def bucketedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val grpsT = s"graft_groups_$suffix"
+    val gbandsT = s"graft_group_bands_$suffix"
+    graft.io.Layout.ensureBucketed(spark, grpsT, "gid", 16)(
+      shingleGroups(spark, dir))
+    graft.io.Layout.ensureBucketed(spark, gbandsT, "bkey", 16)(
+      bandKeys(spark.table(grpsT).select(col("gid"), col("hs")), "gid"))
+    val grps = spark.table(grpsT)
+    val bands = spark.table(gbandsT)
+    // band self-join: two bucket-aligned scans of one table, no exchange
+    val cand = bands.select(col("bkey"), col("gid").as("gid_a"))
+      .join(bands.select(col("bkey"), col("gid").as("gid_b")).hint("merge"),
+        Seq("bkey"))
+      .filter(col("gid_a") < col("gid_b"))
+      .select(col("gid_a"), col("gid_b"))
+    // verify attaches: slim hs only — dedup-after-verify exactly as
+    // repPairsFromGroups (same re-measured tradeoff), with the distinct
+    // running on slim survivors before the members attach
+    val verified = cand
+      .join(grps.select(col("gid").as("gid_a"), col("hs").as("hs_a")).hint("merge"),
+        Seq("gid_a"))
+      .join(grps.select(col("gid").as("gid_b"), col("hs").as("hs_b")).hint("merge"),
+        Seq("gid_b"))
+      .withColumn("sz_a", size(col("hs_a"))).withColumn("sz_b", size(col("hs_b")))
+      .filter(least(col("sz_a"), col("sz_b")) * 10 >= greatest(col("sz_a"), col("sz_b")) * 9)
+      .withColumn("n_shared",
+        graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("jaccard", col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
+      .filter(col("jaccard") >= 0.9)
+      .select(col("gid_a"), col("gid_b"), col("n_shared"), col("jaccard"))
+      .distinct()
+    // doc-space expansion: same algebra as lshVerifiedPairs, members
+    // attached via two more bucket-aligned joins (pair side is the
+    // verified set — slim) instead of driver broadcasts
+    val within = grps.filter(size(col("members")) > 1 && size(col("hs")) > 0)
+      .select(size(col("hs")).cast("long").as("n_shared"), col("members"))
+      .select(col("n_shared"), explode(col("members")).as("id_a"), col("members"))
+      .select(col("id_a"),
+        explode(filter(col("members"), m => m > col("id_a"))).as("id_b"),
+        col("n_shared"), lit(1.0).as("jaccard"))
+    val cross = verified
+      .join(grps.select(col("gid").as("gid_a"), col("members").as("ma")).hint("merge"),
+        Seq("gid_a"))
+      .join(grps.select(col("gid").as("gid_b"), col("members").as("mb")).hint("merge"),
+        Seq("gid_b"))
+      .select(explode(col("ma")).as("x"), col("mb"), col("n_shared"), col("jaccard"))
+      .select(col("x"), explode(col("mb")).as("y"), col("n_shared"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("id_a"),
+        greatest(col("x"), col("y")).as("id_b"), col("n_shared"), col("jaccard"))
+    within.select(col("id_a"), col("id_b"), col("n_shared"), col("jaccard"))
+      .union(cross)
+      .repartition(1).sortWithinPartitions(col("id_a"), col("id_b"))
+  }
+
   // --------------------------------------- q50 composite training-data pipeline
 
   /** The flagship composite: the full training-data curation funnel as ONE
@@ -3467,6 +3554,10 @@ object Similarity {
     // same answer as q68 by construction — the layout changes the plan,
     // not the result, so the oracle is shared
     QueryDef("q87_bucketed_incremental_dedup", bucketedIncrementalDedup, Some(incrementalDedupSql)),
+    // same answer as q41 by construction — the bucketed-catalog layout
+    // changes the plan (zero corpus-side exchange, zero groups
+    // broadcast), not the result, so the oracle is shared
+    QueryDef("q203_bucketed_neardup_pairs", bucketedNearDupPairs, Some(minhashLshPairsSql)),
     QueryDef("q93_leakage_safe_split", leakageSafeSplit, Some(leakageSafeSplitSql)),
     QueryDef("q70_int8_ann_topk", int8AnnTopk, Some(int8AnnTopkSql)),
     QueryDef("q75_kmeans", kmeans, Some(kmeansSql)),

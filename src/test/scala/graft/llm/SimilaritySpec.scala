@@ -152,6 +152,58 @@ class SimilaritySpec extends SparkSpec {
       s"corpus scan feeds a shuffle exchange:\n${offenders.map(_.nodeName).mkString("\n")}")
   }
 
+  test("q203 bucketed groups: answers equal q41; groups never shuffle nor broadcast") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeExec}
+    val q41 = Similarity.minhashLshPairs(spark, sfDir).collect().toSeq
+    val got = Similarity.bucketedNearDupPairs(spark, sfDir).collect().toSeq
+    assert(got == q41, "layout must change the plan, not the answer")
+    val plan = executedPlanOf(Similarity.bucketedNearDupPairs(spark, sfDir))
+    def isGroupsScan(p: SparkPlan): Boolean = p match {
+      case f: FileSourceScanExec =>
+        f.relation.location.rootPaths.exists(r =>
+          r.toString.contains("graft_groups_") ||
+          r.toString.contains("graft_group_bands_"))
+      case _ => false
+    }
+    assert(allPlanNodes(plan).exists(isGroupsScan), "catalog tables not read at all?")
+    // The bucket-alignment invariant: RAW catalog rows never enter an
+    // exchange. A groups/bands scan is "directly" under an exchange if it
+    // is reachable without crossing a join (rows become join output), an
+    // aggregate (rows are reduced) or a generate (rows become the
+    // expanded RESULT set, which may legitimately pass the presentation
+    // sort). Any such exchange means the catalog side of a join was
+    // re-shuffled (bucketing broken) or driver-broadcast (the
+    // corpus-growing pattern this query exists to retire).
+    import org.apache.spark.sql.execution.GenerateExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, ShuffledJoin}
+    def directScan(p: SparkPlan): Boolean = p match {
+      case f if isGroupsScan(f) => true
+      case _: BaseJoinExec => false
+      case _: BaseAggregateExec => false
+      case _: GenerateExec => false
+      case a: AdaptiveSparkPlanExec => directScan(a.executedPlan)
+      case s: QueryStageExec => directScan(s.plan)
+      case other => other.children.exists(directScan)
+    }
+    val offenders = allPlanNodes(plan).filter {
+      case s: ShuffleExchangeExec => s.children.exists(directScan)
+      case b: BroadcastExchangeLike => b.children.exists(directScan)
+      case _ => false
+    }
+    assert(offenders.isEmpty,
+      s"raw catalog rows enter an exchange:\n${offenders.map(_.nodeName).mkString("\n")}")
+    // and the self-join + 4 attaches really are sort-merge on the
+    // bucketed side (no silent broadcast demotion)
+    val smjWithScan = allPlanNodes(plan).collect {
+      case j: ShuffledJoin if j.children.exists(directScan) => j
+    }
+    assert(smjWithScan.size >= 5,
+      s"expected >=5 bucket-aligned joins reading the catalog, got ${smjWithScan.size}")
+  }
+
   test("q93: no verified near-dup pair straddles splits; census is a corpus partition") {
     // rebuild the per-doc split assignment with the query's own pieces
     val (grps, groupLabels) = Similarity.clusterGroupLabels(spark, sfDir)
