@@ -2770,8 +2770,10 @@ object Similarity {
     * an inline tokens(...) expression: the lambda references it per
     * element, and an un-aliased expression would re-tokenize per trigram
     * (the nested-HOF re-evaluation trap). The sequence bound is guarded —
-    * `sequence(1, n)` with n < 1 descends or throws. */
-  private def gram3Hashed(t: Column): Column =
+    * `sequence(1, n)` with n < 1 descends or throws. Public for the
+    * streaming containment gate: one shingling definition, so batch and
+    * stream cannot silently disagree. */
+  def gram3Hashed(t: Column): Column =
     when(size(t) >= 3,
       array_sort(array_distinct(transform(
         sequence(lit(1), size(t) - 2),

@@ -824,6 +824,69 @@ object Streaming {
         (-col("best.nbp")).as("bp"))
   }
 
+  // ------------------------------------ streaming containment ingest gate
+
+  /** Streaming twin of q178's CONTAINMENT leg — the third door of the
+    * ingest tier beside exact hash ([[ingestDedup]]) and near-dup
+    * ([[nearDupIngestStream]]): each arriving document is probed against
+    * the LANDED corpus's trigram postings, and when ≥ 90 % of its
+    * trigram-shingle set verifies inside some corpus doc it is emitted
+    * exactly once with its best container — truncated re-crawls and
+    * quote-wrapper pages rejected AT INGEST, the redundancy class exact
+    * and Jaccard gates both miss.
+    *
+    * EXACTNESS: if ≥ 0.9·|A| of A's shingles are in B, any
+    * (⌊0.1·|A|⌋+1)-subset of A's shingles hits B (pigeonhole) — the
+    * probe loses nothing regardless of WHICH subset probes. q178's batch
+    * probe ranks by landed document frequency to minimize candidates;
+    * that ranking needs a per-doc row_number over a df join, which
+    * streaming cannot express statelessly — so the stream probes the
+    * FIRST k of the (sorted) shingle set, a ROW-LOCAL slice. Same
+    * verdicts (the verify is the arbiter either way); the only cost is
+    * more candidates per probe, still ∝ batch × posting multiplicity,
+    * never ∝ corpus. At 100 TB the postings table is landed and bucketed
+    * on `h` (the q87 deployment) and this plan reads it unchanged.
+    *
+    * Dataflow discipline is [[nearDupIngestStream]]'s: ts and the full
+    * shingle array are carried THROUGH the row-local prefix explode, so
+    * every join is stream-static and the job's ONLY state is the final
+    * watermark-evicted best-match aggregation (one event time per doc →
+    * one final emission, append mode; only contained docs carry state).
+    *
+    * Expects `(doc_id, ts, source, text)` streaming and `(doc_id, text)`
+    * landed corpus; emits `(doc_id, best_match, containment_bp)`. */
+  def containmentIngestStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.llm.Similarity
+    val corpusSets = corpus
+      .select(col("doc_id").as("cor_id"), Similarity.tokens(col("text")).as("t"))
+      .select(col("cor_id"), Similarity.gram3Hashed(col("t")).as("hs_c"))
+      .select(col("cor_id"), col("hs_c"), size(col("hs_c")).cast("long").as("sz_c"))
+      .filter(col("sz_c") > 0)
+    val postings = corpusSets.select(col("cor_id"), explode(col("hs_c")).as("h"))
+    docs
+      .withWatermark("ts", "1 hour")
+      .select(col("doc_id"), col("ts"), Similarity.tokens(col("text")).as("t"))
+      .select(col("doc_id"), col("ts"), Similarity.gram3Hashed(col("t")).as("hs_i"))
+      .withColumn("sz_i", size(col("hs_i")).cast("long"))
+      .filter(col("sz_i") > 0)
+      // k = sz − ⌈0.9(sz+1)⌉ + 1 = ⌊0.1·sz⌋ + 1, q178's exact formula
+      .select(col("doc_id"), col("ts"), col("hs_i"), col("sz_i"),
+        explode(slice(col("hs_i"), lit(1),
+          col("sz_i") - expr("(9 * sz_i + 9) div 10") + 1)).as("h"))
+      .join(postings, Seq("h"))
+      .join(corpusSets, Seq("cor_id"))
+      .filter(lit(10) * col("sz_c") >= lit(9) * col("sz_i"))
+      .withColumn("n_shared", graft.functions.ArrayKernels
+        .sortedIntersectCount(col("hs_i"), col("hs_c")).cast("long"))
+      .filter(lit(10) * col("n_shared") >= lit(9) * col("sz_i"))
+      .withColumn("cont_bp", expr("10000 * n_shared div sz_i"))
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(min(struct((lit(10000L) - col("cont_bp")).as("neg"),
+        col("cor_id"), col("cont_bp"))).as("b"))
+      .select(col("doc_id"), col("b.cor_id").as("best_match"),
+        col("b.cont_bp").as("containment_bp"))
+  }
+
   // --------------------------------------- streaming daily theta sketches
 
   /** Keyed state for [[dailyUserSketches]]: the day's COMPACT Theta
