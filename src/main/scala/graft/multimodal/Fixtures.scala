@@ -308,6 +308,14 @@ object Fixtures {
   /** (name, bytes) for every fixture file. Properties here are the SOURCE
     * of the oracle's VALUES — change one and the oracle must change with
     * it. */
+  /** Committed binary fixture from the main-resources classpath (the
+    * FLAC reference-encoder outputs — see tools/gen_flac_fixtures.py). */
+  private def resourceBytes(path: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing fixture resource $path")
+    try in.readAllBytes() finally in.close()
+  }
+
   def fixtureFiles(): Seq[(String, Array[Byte])] = Seq(
     // 8000 Hz mono, 4000 frames → 500 ms
     "clip_a.wav" -> wavBytes(8000, 1, 4000),
@@ -330,6 +338,12 @@ object Fixtures {
     "tune_j.flac" -> flacBytes(22050, 2, 11025),
     // 48000 Hz mono Ogg/Vorbis, granule 24000 → 500 ms
     "voice_k.ogg" -> oggBytes(48000, 1, 24000),
+    // full FLAC streams (frames, not just STREAMINFO) from the committed
+    // reference-encoder fixtures — 22050 Hz stereo 4410 samples → 200 ms
+    // and 8000 Hz mono 24-bit 2000 samples → 250 ms; q88 reads their
+    // metadata tier, q204 decodes their PCM (FlacDecode)
+    "tune_n.flac" -> resourceBytes("/flac/tune_n.flac"),
+    "tune_o.flac" -> resourceBytes("/flac/tune_o.flac"),
     // CR2 RAW: IFD0 thumbnail 160×120, primary IFD 5760×3840 wins
     "photo_l.cr2" -> rawTiffBytes(Seq((160, 120), (5760, 3840)), "cr2"),
     // DNG RAW: DNGVersion-tagged IFD0 thumbnail, 6000×4000 primary
@@ -426,11 +440,59 @@ object Fixtures {
       |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('tune_j.flac', 'audio',      CAST(22050 AS INT), CAST(2 AS INT),  CAST(500 AS BIGINT),
       |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('tune_n.flac', 'audio',      CAST(22050 AS INT), CAST(2 AS INT),  CAST(200 AS BIGINT),
+      |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
+      |  ('tune_o.flac', 'audio',      CAST(8000 AS INT),  CAST(1 AS INT),  CAST(250 AS BIGINT),
+      |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('voice_k.ogg', 'audio',      CAST(48000 AS INT), CAST(1 AS INT),  CAST(500 AS BIGINT),
       |     CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS BIGINT)),
       |  ('vid_e.avi',   'video',      CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS BIGINT),
       |     CAST(32 AS INT),  CAST(24 AS INT),   CAST(4.0 AS DOUBLE),  CAST(1500 AS BIGINT))
       |) AS t(file, kind, sample_rate, channels, audio_ms, width, height, fps, video_ms)
+      |ORDER BY file""".stripMargin
+
+  // ------------------------------------------------ q204 exact PCM decode
+
+  /** q204: SAMPLE-EXACT audio decode through the oracle gate — the
+    * companion to q88's metadata tier. Every audio fixture whose payload
+    * decodes to integer PCM (FLAC frames via the pure-JVM
+    * [[FlacDecode]]; WAV via the JDK codec) emits its stream params,
+    * frame count and a positional FNV fold of the interleaved samples;
+    * the oracle VALUES hold the fingerprints the independent reference
+    * encoder computed over the PCM it ENCODED (tools/
+    * gen_flac_fixtures.py prints them), so a reconstruction error
+    * anywhere — predictor, Rice decode, stereo undo, channel order —
+    * breaks the correctness gate, not just a spec. Metadata-only audio
+    * (MP3/OGG/the frameless tune_j.flac) quarantines out of this tier
+    * and stays q88's. Scale shape: binaryFile parallelizes per file,
+    * decode is a per-row kernel, and only the slim summary struct
+    * survives the scan. */
+  def audioPcm(spark: SparkSession, dir: String): DataFrame = {
+    val folder = mediaFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        Multimodal.decodePcmInfo(col("content")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("file"), col("p.sample_rate").as("sample_rate"),
+        col("p.channels").as("channels"), col("p.bits").as("bits"),
+        col("p.n_samples").as("n_samples"), col("p.pcm_fp").as("pcm_fp"))
+      .orderBy(col("file"))
+  }
+
+  /** Ground truth printed by tools/gen_flac_fixtures.py (FLAC rows: the
+    * fold over the encoder's input PCM; WAV rows: the fold over the
+    * wavBytes i % 251 pattern). */
+  val audioPcmSql: String =
+    """SELECT * FROM (VALUES
+      |  ('clip_a.wav',  CAST(8000 AS INT),  CAST(1 AS INT), CAST(16 AS INT),
+      |     CAST(4000 AS BIGINT),  CAST(-3287603897166183003 AS BIGINT)),
+      |  ('clip_b.wav',  CAST(16000 AS INT), CAST(2 AS INT), CAST(16 AS INT),
+      |     CAST(12000 AS BIGINT), CAST(5295057861643737189 AS BIGINT)),
+      |  ('tune_n.flac', CAST(22050 AS INT), CAST(2 AS INT), CAST(16 AS INT),
+      |     CAST(4410 AS BIGINT),  CAST(6305629066899487131 AS BIGINT)),
+      |  ('tune_o.flac', CAST(8000 AS INT),  CAST(1 AS INT), CAST(24 AS INT),
+      |     CAST(2000 AS BIGINT),  CAST(-981229707724273998 AS BIGINT))
+      |) AS t(file, sample_rate, channels, bits, n_samples, pcm_fp)
       |ORDER BY file""".stripMargin
 
   // ------------------------------------------------ q159 frame-sample plan
@@ -587,5 +649,6 @@ object Fixtures {
     QueryDef("q88_media_metadata", mediaMetadata, Some(mediaMetadataSql)),
     QueryDef("q154_exif_orientation", exifOrientationAudit,
       Some(exifOrientationAuditSql)),
-    QueryDef("q159_frame_sample_plan", frameSamplePlan, Some(frameSamplePlanSql)))
+    QueryDef("q159_frame_sample_plan", frameSamplePlan, Some(frameSamplePlanSql)),
+    QueryDef("q204_audio_pcm", audioPcm, Some(audioPcmSql)))
 }

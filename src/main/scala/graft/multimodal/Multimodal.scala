@@ -136,18 +136,37 @@ object Multimodal {
       else payload.map(b => b.toFloat / 128.0f)
     }
 
-  /** REAL audio decode for the containers the JDK ships codecs for
-    * (WAV/AIFF/AU, PCM and a-law/µ-law via javax.sound.sampled — fully
-    * offline). Bytes → mono float samples in [-1, 1): the stream is
-    * converted to 16-bit signed PCM at its native rate, channels averaged.
-    * Payloads AudioSystem cannot parse (MP3, AAC, OGG, truncated headers)
-    * return null — the same quarantine contract as image decode; route
-    * those to [[decodeAudioStub]] or a real codec in deployments that
-    * carry one. */
+  /** REAL audio decode: FLAC via the pure-JVM frame decoder
+    * ([[FlacDecode]] — CONSTANT/VERBATIM/FIXED/LPC subframes, Rice
+    * residuals, stereo decorrelation, CRC-8/CRC-16/MD5-verified), plus
+    * the containers the JDK ships codecs for (WAV/AIFF/AU, PCM and
+    * a-law/µ-law via javax.sound.sampled — fully offline). Bytes → mono
+    * float samples in [-1, 1): FLAC samples scale by 2^(bps−1) at native
+    * depth; JDK streams are converted to 16-bit signed PCM at their
+    * native rate; channels averaged either way. Payloads neither path
+    * parses (MP3, AAC, OGG, truncated headers) return null — the same
+    * quarantine contract as image decode; route those to
+    * [[decodeAudioStub]] or a real codec in deployments that carry
+    * one. */
   val decodeAudioPcm: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>
       if (payload == null) null
-      else {
+      else FlacDecode.decode(payload) match {
+        case Some(d) =>
+          val ch = d.channels
+          val scale = (1L << (d.bitsPerSample - 1)).toFloat
+          val nFrames = d.samples.length / ch
+          val out = new Array[Float](nFrames)
+          var i = 0
+          while (i < nFrames) {
+            var s = 0.0f
+            var c = 0
+            while (c < ch) { s += d.samples(i * ch + c) / scale; c += 1 }
+            out(i) = s / ch
+            i += 1
+          }
+          out
+        case None =>
         import javax.sound.sampled.{AudioFormat, AudioSystem}
         try {
           val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
@@ -177,6 +196,63 @@ object Multimodal {
             out
           } finally in.close()
         } catch { case _: Exception => null }
+      }
+    }
+
+  /** Positional FNV-1a fold over interleaved integer samples — the
+    * exact-PCM fingerprint q204 hash-gates. The committed reference
+    * encoder (tools/gen_flac_fixtures.py) computes the identical fold
+    * over the PCM it encoded, so the oracle literal certifies the whole
+    * decode chain sample-exactly, order included. */
+  private[multimodal] def pcmFnv(samples: Array[Int]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < samples.length) {
+      h = (h ^ samples(i).toLong) * 0x100000001B3L
+      i += 1
+    }
+    h
+  }
+
+  /** Typed integer-PCM summary for q204: stream params + frame count +
+    * the positional sample fingerprint. */
+  final case class PcmInfo(sample_rate: Int, channels: Int, bits: Int,
+                           n_samples: Long, pcm_fp: Long)
+
+  /** EXACT integer-PCM decode summary: FLAC frames via [[FlacDecode]]
+    * (native bit depth), else JDK-parseable PCM containers read as
+    * 16-bit signed little-endian at native rate/channels. Unparseable →
+    * null (quarantine). The fingerprint is over interleaved samples, so
+    * channel order and frame order are both certified. */
+  val decodePcmInfo: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      if (payload == null) null
+      else FlacDecode.decode(payload) match {
+        case Some(d) =>
+          PcmInfo(d.sampleRate, d.channels, d.bitsPerSample,
+            (d.samples.length / d.channels).toLong, pcmFnv(d.samples))
+        case None =>
+          import javax.sound.sampled.{AudioFormat, AudioSystem}
+          try {
+            val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+            try {
+              val src = in.getFormat
+              val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+                src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+                src.getSampleRate, false)
+              val pcm = AudioSystem.getAudioInputStream(target, in)
+              val bytes = pcm.readAllBytes()
+              val ch = target.getChannels
+              val n = bytes.length / 2
+              val samples = new Array[Int](n)
+              var i = 0
+              while (i < n) {
+                samples(i) = (((bytes(2 * i + 1): Int) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+                i += 1
+              }
+              PcmInfo(src.getSampleRate.toInt, ch, 16, (n / ch).toLong, pcmFnv(samples))
+            } finally in.close()
+          } catch { case _: Exception => null }
       }
     }
 
