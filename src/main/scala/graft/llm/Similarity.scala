@@ -275,7 +275,7 @@ object Similarity {
     * exactly one of those cases, so no final distinct is needed — the
     * 958k-row doc-pair set never passes through a dedup exchange. */
   private val groupsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
 
   /** [[shingleGroups]] landed ONCE per (session, dir, durability regime)
     * — the d7258c8 front-end idiom (kmeans assignment, co-purchase
@@ -289,11 +289,11 @@ object Similarity {
     * memo. Lineage is cut by the checkpoint, so every consumer must
     * hint `broadcast()` on small attaches (stats-less LogicalRDD). */
   private[llm] def landedShingleGroups(spark: SparkSession, dir: String): DataFrame =
-    groupsMemo.computeIfAbsent(memoKey(spark, dir),
-      { _ => shingleGroups(spark, dir).transform(Dist.durableCkpt) })
+    groupsMemo.getOrCompute(memoKey(spark, dir))(
+      _ => shingleGroups(spark, dir).transform(Dist.durableCkpt))
 
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
 
   /** The VERIFIED rep-space pair frame ([[repPairsFromGroups]] over the
     * landed groups) landed ONCE per (session, dir, durability regime) —
@@ -309,9 +309,9 @@ object Similarity {
     * eviction note there); at 100 TB this lands beside the groups table
     * in the bucketed catalog, keyed by the same content fingerprint. */
   private[llm] def landedRepPairs(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.computeIfAbsent(memoKey(spark, dir),
-      { _ => repPairsFromGroups(landedShingleGroups(spark, dir))
-        .transform(Dist.durableCkpt) })
+    pairsMemo.getOrCompute(memoKey(spark, dir))(
+      _ => repPairsFromGroups(landedShingleGroups(spark, dir))
+        .transform(Dist.durableCkpt))
 
   def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     // ONE materialization of the groups aggregate: grps feeds the within
@@ -971,7 +971,7 @@ object Similarity {
     (spark, dir, spark.sparkContext.getCheckpointDir)
 
   private val kmeansMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
 
   /** Final Lloyd-iteration state: (`a2` = (vec_id, cid) assignment,
     * `c2` = (cid, qc) centroids), both reading checkpointed frames.
@@ -983,7 +983,7 @@ object Similarity {
     * mixed with a scaled-k measurement run. */
   private[llm] def kmeansAssignment(spark: SparkSession, dir: String,
       k: Int = 8): (DataFrame, DataFrame) =
-    kmeansMemo.computeIfAbsent(memoKey(spark, s"$dir#k=$k"), { _ =>
+    kmeansMemo.getOrCompute(memoKey(spark, s"$dir#k=$k"))({ _ =>
       val e = Tables.embeddings(spark, dir)
         .select(col("vec_id"), quantize(col("embedding")).as("q"))
         .transform(Dist.durableCkpt) // reused by every assign/update pass
@@ -1273,10 +1273,10 @@ object Similarity {
     * .ensureBucketed]] with its content fingerprint) rather than a
     * session memo. */
   private val cglMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
 
   private[llm] def clusterGroupLabels(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
-    cglMemo.computeIfAbsent(memoKey(spark, dir), { _ =>
+    cglMemo.getOrCompute(memoKey(spark, dir))({ _ =>
       val (grps, labels) = buildClusterGroupLabels(spark, dir)
       (grps, labels.transform(Dist.durableCkpt))
     })

@@ -1050,17 +1050,16 @@ object Relational {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("n"))
 
-  // NOTE process-lifetime retention: entries (and the SparkSession in the
-  // key) are never evicted — the same idiom as Similarity's landed-frame
-  // memos, fine for the one-session Verify/Bench/test hosts this runs in,
-  // but a leak in a long-lived multi-session host. Such a host should
-  // clear entries on session stop (or key on session id with a listener).
+  // Retention is the graft.SessionMemo contract: bounded at MaxEntries
+  // keys (wholesale clear at the cap — entries are caches of
+  // deterministic builds), and long-lived multi-session hosts call
+  // SessionMemos.clearAll() on session stop.
   private val copurchaseMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Option[String]), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
 
   private def copurchaseCounts(spark: SparkSession, dir: String): DataFrame =
-    copurchaseMemo.computeIfAbsent(
-      (spark, dir, spark.sparkContext.getCheckpointDir),
+    copurchaseMemo.getOrCompute(
+      (spark, dir, spark.sparkContext.getCheckpointDir))(
       { _ => buildCopurchaseCounts(spark, dir).transform(graft.Dist.durableCkpt) })
 
   def copurchasePairs(spark: SparkSession, dir: String): DataFrame =

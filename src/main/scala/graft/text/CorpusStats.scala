@@ -1906,13 +1906,13 @@ object CorpusStats {
   // apply/fertility report): land the K bounded-collect rounds once per
   // session (the copurchaseMemo discipline; process-lifetime retention is
   // intended for the one-session Verify/Bench/test hosts)
-  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+  private val bpeMemo = new graft.SessionMemo[
     (SparkSession, String, Option[String]), Seq[(String, String, Long)]]()
 
   /** Run the K training rounds; returns the ordered merge list (l, r, n). */
   def bpeTrainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
-    bpeMemo.computeIfAbsent(
-      (spark, dir, spark.sparkContext.getCheckpointDir),
+    bpeMemo.getOrCompute(
+      (spark, dir, spark.sparkContext.getCheckpointDir))(
       { _ =>
         var segs = Tables.documents(spark, dir)
           .select(explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
