@@ -83,10 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           graft.llm.Similarity.permA, graft.llm.Similarity.permB, graft.llm.Similarity.P)
       }))
     ext.injectFunction((
-      new FunctionIdentifier("simhash32"),
-      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash32"),
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimhashExpr].getName, "simhash60"),
       (args: Seq[Expression]) => {
-        require(args.length == 1, "simhash32(hashes) takes 1 argument")
+        require(args.length == 1, "simhash60(hashes) takes 1 argument")
         SimhashExpr(args.head, graft.llm.Similarity.SimhashBits)
       }))
   }

@@ -417,12 +417,19 @@ object Similarity {
 
   // ------------------------------------------------------------ q43 simhash
 
-  // 32 bits: at 16 bits a 5k-doc corpus collides so densely that hamming
-  // radius 3 admits ~20% of all pairs; at 32 the random-collision floor is
-  // ~1e-6 and surviving pairs are genuine near-dups.
-  val SimhashBits = 32
+  // 60 bits (widened from 32 in r9): the sketch width bounds BOTH the
+  // random-collision floor of the verify AND — through the 4-band index
+  // q53 builds on it — the candidate volume. With 8-bit bands (32-bit
+  // sketch) a band has only 256 buckets, so banding collapses to
+  // ~n²/1024 candidate growth: the BENCH_SF1 10× sweep measured q53 at
+  // 17.7× wall (quadratic shape) and flagged it. 15-bit bands (60-bit
+  // sketch, 32768 buckets per band) push the per-band random-collision
+  // floor to ~n²/131072 — candidates return to ∝ true near-dup density
+  // at any realistic shard size, and 60 stays sign-safe as a positive
+  // BIGINT in both engines (the token hash is already 60-bit).
+  val SimhashBits = 60
 
-  /** 32-bit SimHash over (multiset) tokens: bit k set iff the sum over
+  /** 60-bit SimHash over (multiset) tokens: bit k set iff the sum over
     * tokens of ±1 (sign = bit k of the token hash) is positive. Computed by
     * the codegen'd kernel (SketchKernels.simhash) — one pass over the
     * token-hash array with a local counter array, replacing the round-1
@@ -462,9 +469,12 @@ object Similarity {
   // ----------------------------------------- q53 simhash near-dup (hamming)
 
   /** SimHash near-duplicate pairs: candidates share at least one of four
-    * 8-bit bands of the 32-bit simhash (a pair within hamming distance 3
+    * 15-bit bands of the 60-bit simhash (a pair within hamming distance 3
     * must agree on ≥1 band — pigeonhole, so banding misses nothing at this
     * radius), verified by exact hamming distance ≤ 3 via xor + bit_count.
+    * Band width is the scale lever (see the [[SimhashBits]] note): 8-bit
+    * bands measured quadratic at the 10× sweep; 15-bit bands keep the
+    * candidate stream ∝ near-dup density.
     * Same slim-join shape as MinHash-LSH (q41) but the "signature" is one
     * 64-bit integer — the cheapest near-dup tier of the cascade. */
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
@@ -472,7 +482,7 @@ object Similarity {
       .select(col("doc_id"), simhashOf(col("text")).as("sh"))
     // band value b of a 32-bit hash: (sh div 256^b) % 256 — exact integer math
     val keyed = docs.select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 3), b -> (sh div CAST(pow(256, b) AS BIGINT)) % 256)")))
+        posexplode(expr("transform(sequence(0, 3), b -> (sh div CAST(pow(32768, b) AS BIGINT)) % 32768)")))
       .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bkey"))
     val cand = keyed.select(col("bkey"), col("doc_id").as("id_a"))
       .join(keyed.select(col("bkey"), col("doc_id").as("id_b")), Seq("bkey"))
@@ -1954,11 +1964,17 @@ object Similarity {
       .join(broadcast(bandKeys(incoming, "doc_id").withColumnRenamed("doc_id", "inc_id")),
         Seq("bkey"))
       .select(col("inc_id"), col("cor_id"))
-    val candWithInc = cand
+    // Broadcast the SLIM candidate pairs into the corpus-signature
+    // stream, then attach the batch shingle arrays from the batch-sized
+    // incoming frame: the r8 shape broadcast (candidates × attached hs_i
+    // arrays), whose bytes grow with candidate volume × document length —
+    // the BENCH_SF1 10× sweep blew the driver's broadcast budget exactly
+    // there. Both build sides are now bounded: pairs are two longs per
+    // candidate, and the hs_i attach is the incoming batch itself.
+    val nearRaw = corSigs.select(col("doc_id").as("cor_id"), col("hs").as("hs_c"))
+      .join(broadcast(cand), Seq("cor_id"))
       .join(broadcast(incoming.select(col("doc_id").as("inc_id"), col("hs").as("hs_i"))),
         Seq("inc_id"))
-    val nearRaw = corSigs.select(col("doc_id").as("cor_id"), col("hs").as("hs_c"))
-      .join(broadcast(candWithInc), Seq("cor_id"))
       .withColumn("sz_i", size(col("hs_i"))).withColumn("sz_c", size(col("hs_c")))
       .filter(least(col("sz_i"), col("sz_c")) * 10 >= greatest(col("sz_i"), col("sz_c")) * 9)
       .withColumn("n_shared",

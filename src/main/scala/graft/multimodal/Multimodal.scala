@@ -103,8 +103,14 @@ object Multimodal {
     * both land in the shared [[VideoFrame]] schema, with per-frame
     * presentation timestamps (GIF: cumulative GCE delays; AVI: frame
     * index at the stream's exact scale/rate). Unrecognized payloads →
-    * null. MP4/AVC remains the one declared stub (no offline JVM codec);
-    * everything downstream of THIS column is container-independent. */
+    * null. MP4/AVC is PERMANENTLY closed at the metadata tier (SURVEY
+    * §7.4, decided r9): no offline validation oracle for H.264 exists
+    * here — no ffmpeg/x264, and unlike FLAC's CRC/MD5 ladder or VP8's
+    * libwebp goldens, an AVC bitstream carries no in-format check over
+    * decoded output, so a cleanroom decoder would be unverifiable by
+    * construction; deployments plug a real codec behind this same
+    * schema. Everything downstream of THIS column is
+    * container-independent. */
   val decodeVideoFrames: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>
       if (payload == null) null
@@ -125,10 +131,12 @@ object Multimodal {
 
   /** STUB audio decode: bytes → Array[Float] "PCM". Deterministic fake —
     * each payload byte becomes one centered sample b/128f ∈ [-1, 1). Kept
-    * for formats the JVM cannot parse (MP3/AAC/OGG — see
-    * [[decodeAudioPcm]] for the real WAV/AIFF path) and for plumbing
-    * tests that need payload-independent determinism. Kept as a scalar
-    * UDF: decode is inherently a black-box byte kernel, exactly like
+    * for the formats PERMANENTLY closed at the metadata tier (MP3/AAC/
+    * Vorbis — SURVEY §7.4: psychoacoustic reconstruction with no offline
+    * reference oracle and no in-format checksum; see [[decodeAudioPcm]]
+    * for the real FLAC/WAV/AIFF/AU paths) and for plumbing tests that
+    * need payload-independent determinism. Kept as a scalar UDF: decode
+    * is inherently a black-box byte kernel, exactly like
     * images/ImageCodec. */
   val decodeAudioStub: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>

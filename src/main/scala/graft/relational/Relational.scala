@@ -1268,8 +1268,13 @@ object Relational {
       // keep the decimal column instead.
       .agg(sum(discMicros(col("l_extendedprice"), col("l_discount"))
           .cast(DecimalType(38, 0))).cast("long").as("rev_micro"))
-    rev.withColumn("share_bp", expr("(10000 * rev_micro) div " +
-        "sum(rev_micro) over (partition by region, yr)"))
+    // The share multiply stays in DECIMAL(38,0): at 10× the harness data
+    // (BENCH_SF1 sweep) 10⁴ · Σmicro-dollars already passes 2⁶³ — the
+    // int64 form threw ARITHMETIC_OVERFLOW exactly where a 100 TB run
+    // would. `div` (IntegralDivide) on decimals floors to BIGINT, so the
+    // result column and its hash are unchanged where int64 sufficed.
+    rev.withColumn("share_bp", expr("(10000 * cast(rev_micro as decimal(38,0))) div " +
+        "sum(cast(rev_micro as decimal(38,0))) over (partition by region, yr)"))
       .select(col("region"), col("nation"), col("yr"), col("rev_micro"),
         col("share_bp"))
       .orderBy(col("yr"), col("nation"))
@@ -1289,7 +1294,7 @@ object Relational {
       |  GROUP BY 1, 2, 3
       |)
       |SELECT region, nation, CAST(yr AS BIGINT) AS yr, rev_micro,
-      |  CAST((10000 * rev_micro) // SUM(rev_micro) OVER (PARTITION BY region, yr) AS BIGINT) AS share_bp
+      |  CAST((CAST(10000 AS HUGEINT) * rev_micro) // SUM(CAST(rev_micro AS HUGEINT)) OVER (PARTITION BY region, yr) AS BIGINT) AS share_bp
       |FROM rev ORDER BY yr, nation""".stripMargin
 
   /** q114: two unrolled rounds of PageRank on the symmetric co-purchase

@@ -25,7 +25,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 5L, 7L)) AS k,
           |       dot_long(array(1L, 2L), array(10L, 20L)) AS d,
           |       minhash_sig(array(7L)) AS sig,
-          |       simhash32(array(7L)) AS sh""".stripMargin)
+          |       simhash60(array(7L)) AS sh""".stripMargin)
         .collect().head
       assert(row.getLong(0) == 2L)
       assert(row.getLong(1) == 50L)

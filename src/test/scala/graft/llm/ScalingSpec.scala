@@ -51,5 +51,25 @@ class ScalingSpec extends SparkSpec {
     val ppj10 = Scaling.containmentCandidateCount(spark, big)
     assert(ppj1 > 0 && ppj10 >= 5 * ppj1 && ppj10 <= 20 * ppj1,
       s"q143 candidates not ~linear at 10x: $ppj1 -> $ppj10")
+
+    // q71 heavy hitters with the production scaling k ∝ flatness: the
+    // isomorphic copies hold every per-token count CONSTANT while N
+    // grows 10×, so the registered k = 64 certificate must REFUSE on the
+    // scaled corpus (the BENCH_SF1 finding — a wrong "exact" top-20 may
+    // never ship silently), while k = 640 re-certifies and returns the
+    // true brute-force top-20.
+    import org.apache.spark.sql.functions._
+    intercept[Exception] {
+      graft.text.CorpusStats.heavyHittersAt(spark, big, 64).collect()
+    }
+    val hh = graft.text.CorpusStats.heavyHittersAt(spark, big, 640).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val brute = graft.Tables.documents(spark, big)
+      .select(explode(graft.text.TextOps.tokens(lower(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(20).collect()
+      .zipWithIndex.map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
+      .toSeq
+    assert(hh == brute, s"k-scaled q71 must equal brute force at 10x")
   }
 }
