@@ -495,6 +495,29 @@ object Fixtures {
       |) AS t(file, sample_rate, channels, bits, n_samples, pcm_fp)
       |ORDER BY file""".stripMargin
 
+  // ------------------------------------------------ q205 FLAC round-trip
+
+  /** q205: the WRITE half of the audio conversion tier under the oracle
+    * gate — every decodable audio fixture is decoded, RE-ENCODED with the
+    * pure-JVM [[FlacEncode]], decoded again by [[FlacDecode]] (which
+    * re-verifies the CRC-8/CRC-16/MD5 ladder the encoder wrote), and the
+    * summary must hash-match q204's ground-truth literals EXACTLY: the
+    * encoder is thereby proven lossless at native bit depth AND
+    * integrity-correct, against fingerprints that predate it (computed by
+    * the independent reference encoder over the original PCM). WAV rows
+    * additionally prove the cross-format WAV→FLAC conversion path. */
+  def audioRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val folder = mediaFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        Multimodal.pcmRoundtripInfo(col("content")).as("p"))
+      .filter(col("p").isNotNull)
+      .select(col("file"), col("p.sample_rate").as("sample_rate"),
+        col("p.channels").as("channels"), col("p.bits").as("bits"),
+        col("p.n_samples").as("n_samples"), col("p.pcm_fp").as("pcm_fp"))
+      .orderBy(col("file"))
+  }
+
   // ------------------------------------------------ q159 frame-sample plan
 
   /** q159: deterministic frame-sampling PLAN from container metadata —
@@ -650,5 +673,8 @@ object Fixtures {
     QueryDef("q154_exif_orientation", exifOrientationAudit,
       Some(exifOrientationAuditSql)),
     QueryDef("q159_frame_sample_plan", frameSamplePlan, Some(frameSamplePlanSql)),
-    QueryDef("q204_audio_pcm", audioPcm, Some(audioPcmSql)))
+    QueryDef("q204_audio_pcm", audioPcm, Some(audioPcmSql)),
+    // the round-trip must reproduce q204's ground truth bit-exactly —
+    // the oracle is shared by construction (lossless encode contract)
+    QueryDef("q205_audio_roundtrip", audioRoundtrip, Some(audioPcmSql)))
 }

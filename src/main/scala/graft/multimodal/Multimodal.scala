@@ -227,41 +227,62 @@ object Multimodal {
   final case class PcmInfo(sample_rate: Int, channels: Int, bits: Int,
                            n_samples: Long, pcm_fp: Long)
 
-  /** EXACT integer-PCM decode summary: FLAC frames via [[FlacDecode]]
-    * (native bit depth), else JDK-parseable PCM containers read as
-    * 16-bit signed little-endian at native rate/channels. Unparseable →
-    * null (quarantine). The fingerprint is over interleaved samples, so
-    * channel order and frame order are both certified. */
+  /** Exact integer PCM from any decodable audio payload: FLAC frames via
+    * [[FlacDecode]] (native bit depth), else JDK-parseable containers
+    * read as 16-bit signed little-endian at native rate/channels.
+    * Returns (sampleRate, channels, bits, interleaved samples); None =
+    * quarantine. */
+  private[multimodal] def decodeToPcm(payload: Array[Byte]): Option[(Int, Int, Int, Array[Int])] =
+    FlacDecode.decode(payload) match {
+      case Some(d) => Some((d.sampleRate, d.channels, d.bitsPerSample, d.samples))
+      case None =>
+        import javax.sound.sampled.{AudioFormat, AudioSystem}
+        try {
+          val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+          try {
+            val src = in.getFormat
+            val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+              src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
+              src.getSampleRate, false)
+            val pcm = AudioSystem.getAudioInputStream(target, in)
+            val bytes = pcm.readAllBytes()
+            val ch = target.getChannels
+            val n = bytes.length / 2
+            val samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (((bytes(2 * i + 1): Int) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+              i += 1
+            }
+            Some((src.getSampleRate.toInt, ch, 16, samples))
+          } finally in.close()
+        } catch { case _: Exception => None }
+    }
+
+  /** EXACT integer-PCM decode summary ([[decodeToPcm]] → [[PcmInfo]]).
+    * Unparseable → null (quarantine). The fingerprint is over
+    * interleaved samples, so channel order and frame order are both
+    * certified. */
   val decodePcmInfo: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { (payload: Array[Byte]) =>
-      if (payload == null) null
-      else FlacDecode.decode(payload) match {
-        case Some(d) =>
+      decodeToPcm(payload).map { case (sr, ch, bits, s) =>
+        PcmInfo(sr, ch, bits, (s.length / ch).toLong, pcmFnv(s))
+      }.orNull
+    }
+
+  /** The q205 round-trip kernel: decode → re-encode with the pure-JVM
+    * [[FlacEncode]] → decode the re-encoded stream with [[FlacDecode]]
+    * (which re-verifies CRC-8/CRC-16 and the STREAMINFO MD5 the encoder
+    * wrote) → summarize. Equal to [[decodePcmInfo]] iff the encoder is
+    * lossless AND its integrity metadata is correct — one column, both
+    * properties. */
+  val pcmRoundtripInfo: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (payload: Array[Byte]) =>
+      decodeToPcm(payload).flatMap { case (sr, ch, bits, s) =>
+        FlacDecode.decode(FlacEncode.encode(s, sr, ch, bits)).map(d =>
           PcmInfo(d.sampleRate, d.channels, d.bitsPerSample,
-            (d.samples.length / d.channels).toLong, pcmFnv(d.samples))
-        case None =>
-          import javax.sound.sampled.{AudioFormat, AudioSystem}
-          try {
-            val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
-            try {
-              val src = in.getFormat
-              val target = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
-                src.getSampleRate, 16, src.getChannels, 2 * src.getChannels,
-                src.getSampleRate, false)
-              val pcm = AudioSystem.getAudioInputStream(target, in)
-              val bytes = pcm.readAllBytes()
-              val ch = target.getChannels
-              val n = bytes.length / 2
-              val samples = new Array[Int](n)
-              var i = 0
-              while (i < n) {
-                samples(i) = (((bytes(2 * i + 1): Int) << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
-                i += 1
-              }
-              PcmInfo(src.getSampleRate.toInt, ch, 16, (n / ch).toLong, pcmFnv(samples))
-            } finally in.close()
-          } catch { case _: Exception => null }
-      }
+            (d.samples.length / d.channels).toLong, pcmFnv(d.samples)))
+      }.orNull
     }
 
   // ------------------------------------------------------------ features

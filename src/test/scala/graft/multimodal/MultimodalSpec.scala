@@ -568,4 +568,14 @@ class MultimodalSpec extends SparkSpec {
       Flac.parse(mut); Ogg.parse(mut)
     }
   }
+
+  test("q205 round-trip reproduces q204's ground truth row-for-row") {
+    // the driver's gate in miniature: q205 shares q204's oracle literals,
+    // so encode→decode must reproduce the ORIGINAL fingerprints exactly
+    val truth = Fixtures.audioPcm(spark, sfDir).collect().toSeq
+    val rt = Fixtures.audioRoundtrip(spark, sfDir).collect().toSeq
+    assert(rt == truth && truth.nonEmpty)
+    // the WAV rows prove the cross-format WAV→FLAC conversion leg
+    assert(rt.count(_.getString(0).endsWith(".wav")) == 2)
+  }
 }
