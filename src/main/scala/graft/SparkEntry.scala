@@ -20,7 +20,8 @@ object SparkEntry {
       llm.Similarity.defs ++
       io.Layout.defs ++
       multimodal.Fixtures.defs ++
-      images.Perceptual.defs
+      images.Perceptual.defs ++
+      web.Web.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

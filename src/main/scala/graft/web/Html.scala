@@ -1,0 +1,145 @@
+package graft.web
+
+/** Pure-JVM HTML→text extraction — the step between a crawl's HTTP
+  * payloads and every text operator in this engine (dedup, quality,
+  * tokenization). Same tier as the reference's caption/text readers
+  * (modules/other_tasks.py reads text payloads as-is); a web pipeline
+  * needs the markup stripped first.
+  *
+  * The extraction contract (deterministic, documented, spec-locked —
+  * the jusText/trafilatura family's pre-segmentation step):
+  *  1. `<!-- comments -->`, `<!DOCTYPE ...>`, and the full element
+  *     content of `<script>`, `<style>`, `<noscript>` are dropped;
+  *  2. inline phrase tags (a, b, i, em, strong, span, code, u, s,
+  *     small, sub, sup, abbr, mark, time, wbr) are removed in place —
+  *     `foo<b>bar</b>` reads "foobar";
+  *  3. every other tag is a LINE BREAK (block elements, br, td, li, …
+  *     all segment text; over-segmenting is harmless because empty
+  *     lines collapse, under-segmenting would glue paragraphs);
+  *  4. character entities decode after tag removal: the common named
+  *     set plus numeric `&#NNN;` / `&#xHH;` (nbsp → plain space);
+  *  5. whitespace normalizes per line (runs → one space, trim), empty
+  *     lines drop, lines join with '\n'.
+  */
+object Html {
+
+  private val Inline = Set("a", "b", "i", "em", "strong", "span", "code",
+    "u", "s", "small", "sub", "sup", "abbr", "mark", "time", "wbr")
+
+  private val Named = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "nbsp" -> " ", "mdash" -> "\u2014",
+    "ndash" -> "\u2013", "hellip" -> "\u2026", "copy" -> "\u00a9",
+    "reg" -> "\u00ae", "trade" -> "\u2122", "laquo" -> "\u00ab",
+    "raquo" -> "\u00bb", "rsquo" -> "\u2019", "lsquo" -> "\u2018",
+    "rdquo" -> "\u201d", "ldquo" -> "\u201c")
+
+  /** Decode one entity starting at `i` (which points at '&').
+    * Returns (decoded text, chars consumed) — ("&", 1) when it isn't a
+    * well-formed entity, so stray ampersands survive verbatim. */
+  private def entityAt(s: String, i: Int): (String, Int) = {
+    val semi = s.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ("&", 1)
+    val body = s.substring(i + 1, semi)
+    val dec: Option[String] =
+      if (body.startsWith("#x") || body.startsWith("#X"))
+        scala.util.Try(Integer.parseInt(body.drop(2), 16)).toOption
+          .filter(c => c > 0 && c <= 0x10ffff).map(c => new String(Character.toChars(c)))
+      else if (body.startsWith("#"))
+        body.drop(1).toIntOption
+          .filter(c => c > 0 && c <= 0x10ffff).map(c => new String(Character.toChars(c)))
+      else Named.get(body)
+    dec.map((_, semi - i + 1)).getOrElse(("&", 1))
+  }
+
+  private def decodeEntities(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '&') { val (t, n) = entityAt(s, i); sb ++= t; i += n }
+      else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Lower-cased tag name at `i` (after "<" / "</"); empty if none. */
+  private def tagNameAt(s: String, i: Int): String = {
+    var j = i
+    while (j < s.length && (s.charAt(j).isLetterOrDigit)) j += 1
+    s.substring(i, j).toLowerCase
+  }
+
+  /** Raw text with tags resolved per the contract (rules 1–3): one
+    * linear scan, no backtracking — a per-row kernel that stays O(n)
+    * on adversarial crawl bytes. */
+  private def stripTags(html: String): String = {
+    val sb = new StringBuilder(html.length)
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val e = html.indexOf("-->", i + 4)
+          i = if (e < 0) n else e + 3
+        } else if (i + 1 < n && html.charAt(i + 1) == '!') {
+          val e = html.indexOf('>', i)
+          i = if (e < 0) n else e + 1
+          sb += '\n'
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          val name = tagNameAt(html, if (closing) i + 2 else i + 1)
+          val gt = html.indexOf('>', i)
+          if (gt < 0) i = n
+          else if (!closing && (name == "script" || name == "style" || name == "noscript")) {
+            val e = html.toLowerCase.indexOf(s"</$name", gt)
+            if (e < 0) i = n
+            else { val g2 = html.indexOf('>', e); i = if (g2 < 0) n else g2 + 1 }
+            sb += '\n'
+          } else {
+            if (!Inline.contains(name)) sb += '\n'
+            i = gt + 1
+          }
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Full extraction per the 5-rule contract. */
+  def extractText(html: String): String = {
+    if (html == null) return null
+    decodeEntities(stripTags(html))
+      .split('\n')
+      .iterator
+      .map(_.replaceAll("[\\s\u00a0]+", " ").trim)
+      .filter(_.nonEmpty)
+      .mkString("\n")
+  }
+
+  private val TitleRe =
+    java.util.regex.Pattern.compile("(?is)<title[^>]*>(.*?)</title>")
+  private val HrefRe = java.util.regex.Pattern.compile(
+    "(?is)<a\\b[^>]*?href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))")
+
+  /** `<title>` content, entity-decoded and whitespace-collapsed. */
+  def title(html: String): Option[String] = {
+    val m = TitleRe.matcher(html)
+    if (m.find())
+      Some(decodeEntities(m.group(1)).replaceAll("[\\s\u00a0]+", " ").trim)
+        .filter(_.nonEmpty)
+    else None
+  }
+
+  /** href values of anchor tags, document order, entity-decoded. */
+  def links(html: String): Seq[String] = {
+    val m = HrefRe.matcher(html)
+    val out = Seq.newBuilder[String]
+    while (m.find()) {
+      val raw = Option(m.group(1)).orElse(Option(m.group(2)))
+        .getOrElse(m.group(3))
+      out += decodeEntities(raw)
+    }
+    out.result()
+  }
+}

@@ -1,0 +1,151 @@
+package graft.web
+
+/** One parsed WARC record (ISO 28500 / WARC-1.1), with its HTTP message
+  * head already split off when the block carries one.
+  *
+  * `payload` is the HTTP message body for `application/http` blocks and
+  * the raw record block otherwise — i.e. always "the bytes a pipeline
+  * consumes next" (HTML for a response, nothing for a request head).
+  */
+final case class WarcRecord(
+    warcType: String,
+    targetUri: Option[String],
+    contentType: Option[String],
+    httpStatus: Option[Int],
+    httpContentType: Option[String],
+    payload: Array[Byte])
+
+/** Pure-JVM WARC reader — the ingest format of web-crawl training-data
+  * pipelines (Common Crawl ships ~100 TB/month of exactly these files).
+  *
+  * Reference behavior anchor: the reference engine's scan tier reads
+  * whole files and quarantines unparseable ones per item
+  * (modules/tiling.py:87 ext-whitelist scan; batch_processor.py decode
+  * `continue` on failure); this extends the same contract to the crawl
+  * container: total parsing, malformed tail → keep the prefix, junk →
+  * zero records (the caller emits a quarantine row, q88 discipline).
+  *
+  * Format facts used (public WARC spec + gzip RFC 1952):
+  *  - a WARC file is a sequence of records; each record is a header
+  *    block (`WARC/1.x` version line, then `Name: value` lines, CRLF
+  *    line ends) terminated by an empty line, followed by exactly
+  *    `Content-Length` block bytes, followed by two CRLFs;
+  *  - `.warc.gz` files store each record (or run of records) as an
+  *    independent gzip MEMBER, concatenated — which is what makes the
+  *    format splittable at scale: a cluster reader can seek to any
+  *    member boundary and start clean. Single-JVM shape here: one file
+  *    = one task (binaryFile), members inflated in sequence
+  *    (GZIPInputStream consumes concatenated members natively);
+  *  - records whose Content-Type is `application/http` carry an HTTP
+  *    message: status/request line, header lines, empty line, body.
+  */
+object Warc {
+
+  /** Inflate a (possibly multi-member) gzip stream. Returns the bytes
+    * successfully inflated plus a truncation flag: a corrupt or
+    * truncated member keeps every fully-read earlier byte (records
+    * already inflated stay parseable — the per-item isolation
+    * contract). Non-gzip input passes through unchanged. */
+  def gunzipAll(bytes: Array[Byte]): (Array[Byte], Boolean) = {
+    if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
+      return (bytes, false)
+    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      (out.toByteArray, false)
+    } catch {
+      case _: java.io.IOException => (out.toByteArray, true)
+    }
+  }
+
+  private val Crlf = "\r\n"
+
+  /** Find `\r\n\r\n` from `from`; -1 if absent. */
+  private def headerEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i + 3 < b.length) {
+      if (b(i) == '\r' && b(i + 1) == '\n' && b(i + 2) == '\r' && b(i + 3) == '\n')
+        return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse `Name: value` lines (names case-folded); malformed lines are
+    * skipped — headers we don't need never abort the record. */
+  private def parseHeaders(block: String): Map[String, String] =
+    block.split(Crlf).iterator.flatMap { line =>
+      val c = line.indexOf(':')
+      if (c <= 0) None
+      else Some(line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim)
+    }.toMap
+
+  /** Split an `application/http` block into (statusLine?, headers,
+    * body). Request blocks yield no status (their first line is a
+    * request line). */
+  private def parseHttp(block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+    val he = headerEnd(block, 0)
+    if (he < 0) return (None, None, block)
+    val head = new String(block, 0, he, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split(Crlf)
+    val status = lines.headOption.filter(_.startsWith("HTTP/")).flatMap { sl =>
+      sl.split(" ", 3).lift(1).flatMap(_.toIntOption)
+    }
+    val hdrs = parseHeaders(lines.drop(1).mkString(Crlf))
+    // mime only: parameters (charset=...) are not part of the type
+    val mime = hdrs.get("content-type").map(_.split(";")(0).trim.toLowerCase)
+    (status, mime, java.util.Arrays.copyOfRange(block, he + 4, block.length))
+  }
+
+  /** Parse every complete record from (already inflated) WARC bytes.
+    * Total: the first structural violation ends the scan, keeping every
+    * record before it; a short final block is dropped (a consumer must
+    * never see a partial payload as if it were whole). */
+  def parseRecords(bytes: Array[Byte]): Seq[WarcRecord] = {
+    val out = Vector.newBuilder[WarcRecord]
+    var pos = 0
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // tolerate inter-record CRLF padding
+      while (pos + 1 < bytes.length && bytes(pos) == '\r' && bytes(pos + 1) == '\n')
+        pos += 2
+      if (pos >= bytes.length) ok = false
+      else {
+        val he = headerEnd(bytes, pos)
+        val versionOk = he > pos &&
+          new String(bytes, pos, math.min(5, bytes.length - pos),
+            java.nio.charset.StandardCharsets.ISO_8859_1) == "WARC/"
+        if (!versionOk) ok = false
+        else {
+          val head = new String(bytes, pos, he - pos,
+            java.nio.charset.StandardCharsets.ISO_8859_1)
+          val hdrs = parseHeaders(head.split(Crlf).drop(1).mkString(Crlf))
+          (hdrs.get("warc-type"), hdrs.get("content-length").flatMap(_.toLongOption)) match {
+            case (Some(wt), Some(len)) if len >= 0 && he + 4 + len <= bytes.length =>
+              val block = java.util.Arrays.copyOfRange(
+                bytes, he + 4, (he + 4 + len).toInt)
+              val ct = hdrs.get("content-type").map(_.trim)
+              val isHttp = ct.exists(_.toLowerCase.startsWith("application/http"))
+              val (status, mime, payload) =
+                if (isHttp) parseHttp(block) else (None, None, block)
+              out += WarcRecord(wt, hdrs.get("warc-target-uri"), ct,
+                status, mime, payload)
+              pos = (he + 4 + len).toInt
+            case _ => ok = false // missing/short: stop, keep prefix
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Whole pipeline for one file's bytes: inflate members, parse
+    * records. Junk in → empty out (quarantine at the caller). */
+  def parseFile(bytes: Array[Byte]): Seq[WarcRecord] =
+    if (bytes == null) Seq.empty
+    else parseRecords(gunzipAll(bytes)._1)
+}

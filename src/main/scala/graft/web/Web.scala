@@ -1,0 +1,455 @@
+package graft.web
+
+import graft.QueryDef
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row shapes of the [[Web]] UDF kernels — top-level (not nested in the
+  * object) so Catalyst's generated code can reach the accessors and the
+  * scans stay inside whole-stage codegen. */
+final case class Rec(rec: Int, warc_type: String, target_uri: String,
+                     http_status: Option[Int], mime: String,
+                     payload: Array[Byte])
+final case class Extracted(title: String, n_links: Int, n_lines: Int,
+                           text_joined: String)
+
+/** The web-crawl ingestion tier: WARC records → HTTP payloads → HTML
+  * text → domain-scoped boilerplate removal, plus URL canonicalization
+  * at corpus scale — the front end a 100 TB training-data pipeline runs
+  * BEFORE any operator this engine already has (dedup, quality,
+  * tokenization all assume clean text; Common Crawl assumes none of it).
+  *
+  * Gating follows the q88/q204 fixture discipline
+  * (multimodal/Fixtures.scala): a deterministic corpus of real WARC
+  * files is built once per session, scanned with binaryFile, and every
+  * stage's output hash-compares against oracle literals that state the
+  * ground truth the fixtures were BUILT with (expected record fields,
+  * hand-derived extraction text, hand-derived boilerplate verdicts);
+  * the payload hashes are computed INDEPENDENTLY by DuckDB's md5 over
+  * the same page literals. q208 runs at data scale over `documents`
+  * with ground-truth-by-construction (the oracle builds the canonical
+  * form directly; Spark must reach it by canonicalizing the messy
+  * variant).
+  */
+object Web {
+
+  // ---------------------------------------------------------- the pages
+  // Single-line HTML (tags themselves delimit text lines), apostrophe-
+  // free so the same literal embeds in the DuckDB oracle unescaped.
+
+  private[web] val PageN1: String =
+    "<html><head><title>Budget Vote</title><style>p{color:#333}</style></head>" +
+      "<body><div id=\"nav\">Home | World | Tech</div>" +
+      "<h1>Budget vote passes</h1>" +
+      "<p>The measure passed by a wide margin &amp; takes effect in May.</p>" +
+      "<p>Opposition leaders promised a court challenge.</p>" +
+      "<a href=\"/articles/item2\">next</a>" +
+      "<script>track(1);</script>" +
+      "<div class=\"footer\">Copyright 2026 News Example</div></body></html>"
+
+  private[web] val PageN2: String =
+    "<html><head><title>Harbor Cleanup</title></head>" +
+      "<body><div id=\"nav\">Home | World | Tech</div>" +
+      "<h1>Harbor cleanup begins</h1>" +
+      "<p>Volunteers removed twelve tons of debris.</p>" +
+      "<p>The effort continues through <b>August</b>.</p>" +
+      "<a href=\"/articles/item1\">prev</a> <a href=\"/articles/item3\">next</a>" +
+      "<div class=\"footer\">Copyright 2026 News Example</div></body></html>"
+
+  private[web] val PageN3: String =
+    "<html><head><title>Rail Strike Ends</title></head>" +
+      "<body><div id=\"nav\">Home | World | Tech</div>" +
+      "<h1>Rail strike ends</h1>" +
+      "<p>Trains resume service tonight after a six&#45;day stoppage.</p>" +
+      "<!-- draft note -->" +
+      "<div class=\"footer\">Copyright 2026 News Example</div></body></html>"
+
+  private[web] val PageB1: String =
+    "<html><head><title>On Sourdough</title></head>" +
+      "<body><p>About Archive Contact</p>" +
+      "<h2>On sourdough starters</h2>" +
+      "<p>Feed the starter twice a day in warm weather.</p>" +
+      "<p>Powered by QuillPress</p></body></html>"
+
+  private[web] val PageB2: String =
+    "<html><head><title>On Rye</title></head>" +
+      "<body><p>About Archive Contact</p>" +
+      "<h2>Notes on rye flour</h2>" +
+      "<p>Rye ferments faster &amp; needs less yeast.</p>" +
+      "<p>Powered by QuillPress</p></body></html>"
+
+  private val WarcInfoBody = "software: graft-crawler/0.9"
+  private val MetaBody = "fetchDurationMs: 120"
+  private val MissBody = "not here"
+  private val MovedBody = "Moved."
+
+  private val UriN1 = "https://news.example.com/articles/item1"
+  private val UriN2 = "https://news.example.com/articles/item2"
+  private val UriN3 = "https://news.example.com/articles/item3"
+  private val UriMiss = "https://news.example.com/articles/item9"
+  private val UriOld = "https://news.example.com/old/item3"
+  private val UriB1 = "https://blog.sample.co.uk/posts/sourdough"
+  private val UriB2 = "https://blog.sample.co.uk/posts/rye"
+
+  // -------------------------------------------------------- warc builders
+
+  private val Iso = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def warcRecord(wtype: String, uri: Option[String], ctype: String,
+                         block: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $wtype\r\n"
+    uri.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+    h ++= "WARC-Date: 2026-08-01T00:00:00Z\r\n"
+    h ++= s"WARC-Record-ID: <urn:graft:$wtype:${uri.getOrElse("-")}>\r\n"
+    h ++= s"Content-Type: $ctype\r\n"
+    h ++= s"Content-Length: ${block.length}\r\n\r\n"
+    h.toString.getBytes(Iso) ++ block ++ "\r\n\r\n".getBytes(Iso)
+  }
+
+  private def httpResponse(status: Int, reason: String, ctype: String,
+                           body: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(Iso) ++ body
+
+  private def httpRequest(path: String, host: String): Array[Byte] =
+    s"GET $path HTTP/1.1\r\nHost: $host\r\nUser-Agent: graft-crawler/0.9\r\n\r\n"
+      .getBytes(Iso)
+
+  private def response(uri: String, status: Int, reason: String,
+                       mime: String, body: String): Array[Byte] =
+    warcRecord("response", Some(uri), "application/http; msgtype=response",
+      httpResponse(status, reason, s"$mime; charset=utf-8", body.getBytes(Iso)))
+
+  /** One gzip member per argument, concatenated — the splittable
+    * `.warc.gz` layout Common Crawl ships. */
+  private def gzMembers(members: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for (m <- members) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(m); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** All five fixture files' bytes. */
+  private[web] def fixtureFiles(): Seq[(String, Array[Byte])] = Seq(
+    "crawl_a.warc.gz" -> gzMembers(
+      warcRecord("warcinfo", None, "application/warc-fields",
+        WarcInfoBody.getBytes(Iso)),
+      response(UriN1, 200, "OK", "text/html", PageN1),
+      warcRecord("request", Some(UriN1), "application/http; msgtype=request",
+        httpRequest("/articles/item1", "news.example.com"))),
+    // one member carrying TWO records (both layouts are legal)
+    "crawl_b.warc.gz" -> gzMembers(
+      response(UriN2, 200, "OK", "text/html", PageN2) ++
+        response(UriMiss, 404, "Not Found", "text/plain", MissBody)),
+    // uncompressed .warc
+    "crawl_c.warc" ->
+      (response(UriN3, 200, "OK", "text/html", PageN3) ++
+        warcRecord("metadata", Some(UriN3), "application/warc-fields",
+          MetaBody.getBytes(Iso)) ++
+        response(UriOld, 301, "Moved Permanently", "text/html", MovedBody)),
+    // two good members, then a corrupt third member: JDK gzip treats a
+    // malformed follow-on header as end-of-stream, so both records
+    // survive — per-item isolation (the reference's decode `continue`)
+    "crawl_d.warc.gz" -> (gzMembers(
+      response(UriB1, 200, "OK", "text/html", PageB1),
+      response(UriB2, 200, "OK", "text/html", PageB2)) ++
+      Array[Byte](0x1f.toByte, 0x8b.toByte, 0x08, 0x1f, 0x55, 0x11, 0x22, 0x33)),
+    "junk_w.warc" -> "this is not a warc file".getBytes(Iso))
+
+  private val built =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once fixture folder (same blocking memo discipline as
+    * multimodal.Fixtures.mediaFolder). */
+  def warcFolder(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, s"graft_warc_fixtures_$suffix")
+    val key = spark.sparkContext.applicationId + ":" + p.toString
+    built.computeIfAbsent(key, { _ =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      fixtureFiles().foreach { case (name, bytes) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+        try out.write(bytes) finally out.close()
+      }
+      p.toString
+    })
+  }
+
+  // ------------------------------------------------------------ kernels
+
+  /** Per-file WARC parse → records array (empty = quarantine). */
+  private val parseWarc = udf { (bytes: Array[Byte]) =>
+    Warc.parseFile(bytes).zipWithIndex.map { case (r, i) =>
+      Rec(i, r.warcType, r.targetUri.orNull, r.httpStatus,
+        r.httpContentType.orNull, r.payload)
+    }
+  }
+
+  /** HTML extraction summary; lines join with " / " (array outputs are
+    * not driver-comparable; the joined form is). */
+  private val extractHtml = udf { (payload: Array[Byte]) =>
+    val html = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    val text = Html.extractText(html)
+    val lines = if (text.isEmpty) Array.empty[String] else text.split('\n')
+    Extracted(Html.title(html).orNull, Html.links(html).size,
+      lines.length, lines.mkString(" / "))
+  }
+
+  private val canonicalizeUdf = udf { (u: String) => Url.canonicalize(u) }
+  private val domainUdf = udf { (u: String) => Url.registeredDomain(Url.host(u)) }
+
+  // ------------------------------------------------------- q206 records
+
+  /** q206: the WARC source through the oracle gate — every record of
+    * every fixture file lands as one row (type, URI, HTTP status, mime,
+    * payload length + md5); a file parsing to ZERO records emits one
+    * all-null quarantine row (q88 contract). Payload hashes in the
+    * oracle are DuckDB-computed md5 over the same page literals, so a
+    * parser that returns one wrong payload byte (head/body split,
+    * member boundary, Content-Length walk) breaks the gate. Scale
+    * shape: binaryFile parallelizes per file — and .warc.gz is
+    * member-splittable, so a cluster reader also parallelizes WITHIN a
+    * file; parsing is a per-row kernel; only the slim summary row
+    * (never payload bytes) reaches the shuffle. */
+  def warcRecords(spark: SparkSession, dir: String): DataFrame = {
+    val folder = warcFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        parseWarc(col("content")).as("recs"))
+      .select(col("file"),
+        explode_outer(when(size(col("recs")) > 0, col("recs"))).as("r"))
+      .select(col("file"), col("r.rec").as("rec"),
+        col("r.warc_type").as("warc_type"),
+        col("r.target_uri").as("target_uri"),
+        col("r.http_status").as("http_status"), col("r.mime").as("mime"),
+        length(col("r.payload")).cast("long").as("payload_len"),
+        md5(col("r.payload")).as("payload_md5"))
+      .orderBy(col("file"), col("rec"))
+  }
+
+  private def sqlStr(s: String): String = "'" + s + "'"
+
+  /** Ground truth the fixtures were built with; payload md5/len are
+    * DuckDB-computed over the identical literals. */
+  val warcRecordsSql: String = {
+    def row(file: String, rec: Int, wt: String, uri: String, status: String,
+            mime: String, payload: String): String =
+      s"  ($file, $rec, $wt, $uri, CAST($status AS INT), $mime, " +
+        s"CAST(strlen($payload) AS BIGINT), md5($payload))"
+    val rows = Seq(
+      row("'crawl_a.warc.gz'", 0, "'warcinfo'", "CAST(NULL AS VARCHAR)",
+        "NULL", "CAST(NULL AS VARCHAR)", sqlStr(WarcInfoBody)),
+      row("'crawl_a.warc.gz'", 1, "'response'", sqlStr(UriN1), "200",
+        "'text/html'", sqlStr(PageN1)),
+      row("'crawl_a.warc.gz'", 2, "'request'", sqlStr(UriN1), "NULL",
+        "CAST(NULL AS VARCHAR)", "''"),
+      row("'crawl_b.warc.gz'", 0, "'response'", sqlStr(UriN2), "200",
+        "'text/html'", sqlStr(PageN2)),
+      row("'crawl_b.warc.gz'", 1, "'response'", sqlStr(UriMiss), "404",
+        "'text/plain'", sqlStr(MissBody)),
+      row("'crawl_c.warc'", 0, "'response'", sqlStr(UriN3), "200",
+        "'text/html'", sqlStr(PageN3)),
+      row("'crawl_c.warc'", 1, "'metadata'", sqlStr(UriN3), "NULL",
+        "CAST(NULL AS VARCHAR)", sqlStr(MetaBody)),
+      row("'crawl_c.warc'", 2, "'response'", sqlStr(UriOld), "301",
+        "'text/html'", sqlStr(MovedBody)),
+      row("'crawl_d.warc.gz'", 0, "'response'", sqlStr(UriB1), "200",
+        "'text/html'", sqlStr(PageB1)),
+      row("'crawl_d.warc.gz'", 1, "'response'", sqlStr(UriB2), "200",
+        "'text/html'", sqlStr(PageB2)),
+      "  ('junk_w.warc', CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
+        "CAST(NULL AS VARCHAR), CAST(NULL AS INT), CAST(NULL AS VARCHAR), " +
+        "CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR))")
+    "SELECT * FROM (VALUES\n" + rows.mkString(",\n") +
+      "\n) AS t(file, rec, warc_type, target_uri, http_status, mime, " +
+      "payload_len, payload_md5)\nORDER BY file, rec NULLS FIRST"
+  }
+
+  // ------------------------------------------------------- q207 extract
+
+  /** The 200/text/html record stream — q207 and q209's shared front. */
+  private def htmlPages(spark: SparkSession, dir: String): DataFrame = {
+    val folder = warcFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(explode(parseWarc(col("content"))).as("r"))
+      .filter(col("r.warc_type") === "response" &&
+        col("r.http_status") === 200 && col("r.mime") === "text/html")
+      .select(col("r.target_uri").as("uri"), col("r.payload").as("payload"))
+  }
+
+  /** q207: HTML→text extraction through the oracle gate — title, link
+    * count, line count, and the full extracted text (lines joined with
+    * " / ") per fetched page, hash-compared against the HAND-DERIVED
+    * extraction of each fixture page (comment/script/style dropped,
+    * inline tags removed in place, block tags segmenting, entities
+    * decoded, whitespace normalized). The redirect and 404 records must
+    * NOT appear (the mime/status route). Scale shape: per-row kernel
+    * over the page payload; output is the slim summary. */
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame =
+    htmlPages(spark, dir)
+      .select(col("uri"), extractHtml(col("payload")).as("e"))
+      .select(col("uri"), col("e.title").as("title"),
+        col("e.n_links").as("n_links"), col("e.n_lines").as("n_lines"),
+        col("e.text_joined").as("text_joined"))
+      .orderBy(col("uri"))
+
+  val htmlExtractSql: String =
+    s"""SELECT * FROM (VALUES
+      |  (${sqlStr(UriB2)}, 'On Rye', 0, 5,
+      |   'On Rye / About Archive Contact / Notes on rye flour / Rye ferments faster & needs less yeast. / Powered by QuillPress'),
+      |  (${sqlStr(UriB1)}, 'On Sourdough', 0, 5,
+      |   'On Sourdough / About Archive Contact / On sourdough starters / Feed the starter twice a day in warm weather. / Powered by QuillPress'),
+      |  (${sqlStr(UriN1)}, 'Budget Vote', 1, 7,
+      |   'Budget Vote / Home | World | Tech / Budget vote passes / The measure passed by a wide margin & takes effect in May. / Opposition leaders promised a court challenge. / next / Copyright 2026 News Example'),
+      |  (${sqlStr(UriN2)}, 'Harbor Cleanup', 2, 7,
+      |   'Harbor Cleanup / Home | World | Tech / Harbor cleanup begins / Volunteers removed twelve tons of debris. / The effort continues through August. / prev next / Copyright 2026 News Example'),
+      |  (${sqlStr(UriN3)}, 'Rail Strike Ends', 0, 5,
+      |   'Rail Strike Ends / Home | World | Tech / Rail strike ends / Trains resume service tonight after a six-day stoppage. / Copyright 2026 News Example')
+      |) AS t(uri, title, n_links, n_lines, text_joined)
+      |ORDER BY uri""".stripMargin
+
+  // --------------------------------------------------- q209 boilerplate
+
+  /** q209: domain-scoped boilerplate line removal (the CCNet/jusText
+    * move): a text line occurring on ≥2 distinct pages of the same
+    * registered domain is chrome (nav, footer, theme credit), not
+    * content — drop it, keep everything else in page order. Oracle =
+    * hand-derived verdicts for every fixture page. Scale shape: lines
+    * explode → groupBy(domain, line) with map-side combine counts
+    * distinct pages → boilerplate verdict joins back on the same
+    * (domain, line) key — two shuffles on the exploded-lines key, no
+    * broadcast of anything corpus-sized, reassembly a per-page
+    * aggregate; exactly the shape CCNet runs per shard at crawl
+    * scale. */
+  def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
+    val lines = htmlPages(spark, dir)
+      .select(col("uri"), domainUdf(col("uri")).as("domain"),
+        extractHtml(col("payload")).getField("text_joined").as("tj"))
+      .select(col("uri"), col("domain"),
+        posexplode(split(col("tj"), " / ")).as(Seq("pos", "line")))
+    val counts = lines.groupBy(col("domain"), col("line"))
+      .agg(countDistinct(col("uri")).as("n_pages"))
+    lines.join(counts, Seq("domain", "line"))
+      .groupBy(col("domain"), col("uri"))
+      .agg(count(lit(1)).cast("int").as("n_lines"),
+        sum(when(col("n_pages") < 2, 1).otherwise(0)).cast("int").as("n_kept"),
+        array_join(array_sort(collect_list(when(col("n_pages") < 2,
+          struct(col("pos"), col("line"))))).getField("line"), " / ")
+          .as("kept_text"))
+      .orderBy(col("domain"), col("uri"))
+  }
+
+  val boilerplateLinesSql: String =
+    s"""SELECT * FROM (VALUES
+      |  ('example.com', ${sqlStr(UriN1)}, 7, 5,
+      |   'Budget Vote / Budget vote passes / The measure passed by a wide margin & takes effect in May. / Opposition leaders promised a court challenge. / next'),
+      |  ('example.com', ${sqlStr(UriN2)}, 7, 5,
+      |   'Harbor Cleanup / Harbor cleanup begins / Volunteers removed twelve tons of debris. / The effort continues through August. / prev next'),
+      |  ('example.com', ${sqlStr(UriN3)}, 5, 3,
+      |   'Rail Strike Ends / Rail strike ends / Trains resume service tonight after a six-day stoppage.'),
+      |  ('sample.co.uk', ${sqlStr(UriB2)}, 5, 3,
+      |   'On Rye / Notes on rye flour / Rye ferments faster & needs less yeast.'),
+      |  ('sample.co.uk', ${sqlStr(UriB1)}, 5, 3,
+      |   'On Sourdough / On sourdough starters / Feed the starter twice a day in warm weather.')
+      |) AS t(domain, uri, n_lines, n_kept, kept_text)
+      |ORDER BY domain, uri""".stripMargin
+
+  // ---------------------------------------------------- q208 url dedup
+
+  /** q208: URL canonicalization at corpus scale — every `documents` row
+    * synthesizes one messy-but-equivalent URL (eight documented
+    * spelling variants by doc_id residue: host case, default port, dot
+    * segments, tracking params, fragment, unreserved percent-escape,
+    * kept query param) over five hosts spanning three registered
+    * domains (incl. a co.uk and a gov.uk multi-part suffix). Spark must
+    * CANONICALIZE the messy form; the oracle builds the canonical form
+    * DIRECTLY from doc_id — ground truth by construction, so any
+    * canonicalization defect (missed variant, over-normalization)
+    * splits or merges groups and breaks counts. doc_id is non-negative
+    * in the harness data (the residue-slice family's documented
+    * precondition, q196). Scale shape: per-row kernel + one groupBy —
+    * the cheapest dedup a crawl pipeline runs, BEFORE any content
+    * hash. */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val base = expr("doc_id div 8")
+    val v = pmod(col("doc_id"), lit(8))
+    val hostIdx = pmod(base, lit(5))
+    val host0 = when(hostIdx === 0, "news.example.com")
+      .when(hostIdx === 1, "www.sample.co.uk")
+      .when(hostIdx === 2, "cdn.assets.example.com")
+      .when(hostIdx === 3, "shop.example.org")
+      .otherwise("data.gov.uk")
+    val item = concat(lit("/a/item"), base.cast("string"))
+    val raw = when(v === 0, concat(lit("https://"), host0, item))
+      .when(v === 1, concat(lit("HTTPS://"), upper(host0), item))
+      .when(v === 2, concat(lit("https://"), host0, lit(":443"), item))
+      .when(v === 3, concat(lit("https://"), host0, lit("/a/x/../item"),
+        base.cast("string")))
+      .when(v === 4, concat(lit("https://"), host0, item, lit("?utm_source=feed")))
+      .when(v === 5, concat(lit("https://"), host0, item, lit("#frag")))
+      .when(v === 6, concat(lit("https://"), host0,
+        regexp_replace(item, "item", "it%65m")))
+      .otherwise(concat(lit("https://"), host0, item,
+        lit("?id="), base.cast("string"), lit("&utm_medium=x")))
+    docs.select(raw.as("raw"))
+      .select(col("raw"), canonicalizeUdf(col("raw")).as("canon"),
+        domainUdf(col("raw")).as("domain"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_urls"),
+        countDistinct(col("raw")).as("n_raw"),
+        countDistinct(col("canon")).as("n_canon"))
+      .orderBy(col("domain"))
+  }
+
+  val urlCanonicalSql: String =
+    """WITH u AS (
+      |  SELECT
+      |    CASE (doc_id // 8) % 5
+      |      WHEN 0 THEN 'news.example.com' WHEN 1 THEN 'www.sample.co.uk'
+      |      WHEN 2 THEN 'cdn.assets.example.com' WHEN 3 THEN 'shop.example.org'
+      |      ELSE 'data.gov.uk' END AS host,
+      |    CASE (doc_id // 8) % 5
+      |      WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.co.uk'
+      |      WHEN 2 THEN 'example.com' WHEN 3 THEN 'example.org'
+      |      ELSE 'data.gov.uk' END AS domain,
+      |    (doc_id // 8)::VARCHAR AS base, doc_id % 8 AS v
+      |  FROM documents
+      |), b AS (
+      |  SELECT domain,
+      |    CASE v
+      |      WHEN 0 THEN 'https://' || host || '/a/item' || base
+      |      WHEN 1 THEN 'HTTPS://' || upper(host) || '/a/item' || base
+      |      WHEN 2 THEN 'https://' || host || ':443/a/item' || base
+      |      WHEN 3 THEN 'https://' || host || '/a/x/../item' || base
+      |      WHEN 4 THEN 'https://' || host || '/a/item' || base || '?utm_source=feed'
+      |      WHEN 5 THEN 'https://' || host || '/a/item' || base || '#frag'
+      |      WHEN 6 THEN 'https://' || host || '/a/it%65m' || base
+      |      ELSE 'https://' || host || '/a/item' || base || '?id=' || base || '&utm_medium=x'
+      |    END AS raw,
+      |    'https://' || host || '/a/item' || base ||
+      |      CASE WHEN v = 7 THEN '?id=' || base ELSE '' END AS canon
+      |  FROM u
+      |)
+      |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+      |  CAST(count(DISTINCT raw) AS BIGINT) AS n_raw,
+      |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canon
+      |FROM b GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ------------------------------------------------------------- defs
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q206_warc_records", warcRecords, Some(warcRecordsSql)),
+    QueryDef("q207_html_extract", htmlExtract, Some(htmlExtractSql)),
+    QueryDef("q208_url_canonical", urlCanonical, Some(urlCanonicalSql)),
+    QueryDef("q209_boilerplate_lines", boilerplateLines,
+      Some(boilerplateLinesSql)))
+}

@@ -1,0 +1,63 @@
+package graft.web
+
+import graft.SparkSpec
+
+class WebSpec extends SparkSpec {
+
+  test("q206: record census matches the fixture layout, junk quarantines") {
+    val rows = Web.warcRecords(spark, sfDir).collect()
+    assert(rows.length == 11)
+    val byFile = rows.groupBy(_.getString(0))
+    assert(byFile("crawl_a.warc.gz").length == 3)
+    assert(byFile("crawl_b.warc.gz").length == 2)
+    assert(byFile("crawl_c.warc").length == 3)
+    assert(byFile("crawl_d.warc.gz").length == 2)
+    val junk = byFile("junk_w.warc").head
+    assert(junk.isNullAt(1) && junk.isNullAt(2) && junk.isNullAt(6))
+    // payload integrity: the 404 body is byte-exact
+    val miss = rows.find(r => !r.isNullAt(4) && r.getInt(4) == 404).get
+    assert(miss.getLong(6) == 8L) // "not here"
+  }
+
+  test("q207: extraction equals the hand-derived page text") {
+    val rows = Web.htmlExtract(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val n1 = rows.find(_.getString(0).endsWith("item1")).get
+    assert(n1.getString(1) == "Budget Vote" && n1.getInt(2) == 1
+      && n1.getInt(3) == 7)
+    assert(n1.getString(4).contains("wide margin & takes effect"))
+    // 404 / 301 / request records never reach the extraction tier
+    assert(!rows.exists(_.getString(0).contains("item9")))
+    assert(!rows.exists(_.getString(0).contains("/old/")))
+  }
+
+  test("q209: domain-scoped boilerplate is removed, content kept in order") {
+    val rows = Web.boilerplateLines(spark, sfDir).collect()
+    assert(rows.length == 5)
+    for (r <- rows) {
+      val kept = r.getString(4)
+      assert(!kept.contains("Home | World | Tech"))
+      assert(!kept.contains("Copyright 2026"))
+      assert(!kept.contains("About Archive Contact"))
+      assert(!kept.contains("Powered by QuillPress"))
+    }
+    val n3 = rows.find(_.getString(1).endsWith("item3")).get
+    assert(n3.getInt(2) == 5 && n3.getInt(3) == 3)
+    assert(n3.getString(4) ==
+      "Rail Strike Ends / Rail strike ends / Trains resume service tonight after a six-day stoppage.")
+  }
+
+  test("q208: canonicalization collapses the eight spellings per page") {
+    val rows = Web.urlCanonical(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // closed-form model over doc_id 0..499 (sf0.001): base 0..62,
+    // host = base%5, full bases carry 8 variants → 2 canonicals (plain
+    // + the ?id= one), the partial base 62 (v 0..3) carries 1
+    assert(rows == Seq(
+      ("data.gov.uk", 96L, 96L, 24L),
+      ("example.com", 204L, 204L, 51L),
+      ("example.org", 96L, 96L, 24L),
+      ("sample.co.uk", 104L, 104L, 26L)))
+  }
+}
