@@ -444,6 +444,146 @@ object Web {
       |  CAST(count(DISTINCT canon) AS BIGINT) AS n_canon
       |FROM b GROUP BY domain ORDER BY domain""".stripMargin
 
+  // ------------------------------------------------- q210 web pipeline
+
+  /** Lines of the extracted text (internal; arrays never reach a
+    * registered output). */
+  private val extractLinesUdf = udf { (html: String) =>
+    val t = Html.extractText(html)
+    if (t == null || t.isEmpty) Array.empty[String] else t.split('\n')
+  }
+
+  private val regDomainUdf = udf { (host: String) => Url.registeredDomain(host) }
+
+  /** q210: the web tier at CORPUS scale — every `documents` row renders
+    * as a page on its source's site (shared per-site chrome around the
+    * document text), then the full pipeline runs: HTML→text extraction,
+    * domain-scoped boilerplate removal (q209's ≥2-pages rule), and
+    * recovery verification. Ground truth by construction: extraction +
+    * boilerplate removal must return EXACTLY the original document text
+    * (or blank it, when the same text appears on ≥2 pages of one site —
+    * the oracle models that case too), so the census binds doc counts,
+    * recovery verdicts AND a content fingerprint sum per site. A
+    * one-character extraction defect — a dropped entity, a glued line, a
+    * mis-scoped boilerplate count — moves fp_sum and breaks the gate.
+    *
+    * Scale shape (the CCNet per-shard move): chrome detection is
+    * groupBy(domain, line) with map-side combine over exploded lines
+    * (text rides as a 32-char md5, never as payload), the verdict joins
+    * back on the same key, reassembly is one per-doc aggregate — two
+    * shuffles total, nothing corpus-sized broadcast, fp_sum folded
+    * mod-prime so it stays in int64 headroom at any corpus size. */
+  def webPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val html = concat(
+      lit("<html><body><div>Welcome to "), col("source"),
+      lit(" portal</div><p>"), col("text"),
+      lit("</p><div>Contact "), col("source"), lit(" admin</div></body></html>"))
+    val pages = docs.select(col("doc_id"),
+      regDomainUdf(concat(lit("www."), col("source"), lit(".com"))).as("domain"),
+      md5(col("text")).as("orig_fp"),
+      extractLinesUdf(html).as("lines"))
+    val lines = pages.select(col("doc_id"), col("domain"), col("orig_fp"),
+      posexplode(col("lines")).as(Seq("pos", "line")))
+    val counts = lines.groupBy(col("domain"), col("line"))
+      .agg(countDistinct(col("doc_id")).as("n_pages"))
+    lines.join(counts, Seq("domain", "line"))
+      .groupBy(col("doc_id"), col("domain"), col("orig_fp"))
+      .agg(array_join(array_sort(collect_list(when(col("n_pages") < 2,
+        struct(col("pos"), col("line"))))).getField("line"), "\n")
+        .as("recovered"))
+      .select(col("domain"),
+        (md5(col("recovered")) === col("orig_fp")).as("ok"),
+        pmod(conv(substring(md5(col("recovered")), 1, 15), 16, 10).cast("long"),
+          lit(1000000007L)).as("rfp"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_recovered"),
+        sum(col("rfp")).as("fp_sum"))
+      .orderBy(col("domain"))
+  }
+
+  /** Oracle: recovery modeled directly — a doc recovers its own text
+    * unless that text appears on ≥2 pages of the same site (then the
+    * pipeline correctly blanks it as chrome). */
+  val webPipelineSql: String =
+    """WITH r AS (
+      |  SELECT source || '.com' AS domain,
+      |    CASE WHEN COUNT(*) OVER (PARTITION BY source, text) > 1
+      |      THEN '' ELSE text END AS recovered,
+      |    (CASE WHEN COUNT(*) OVER (PARTITION BY source, text) > 1
+      |      THEN 0 ELSE 1 END)::BIGINT AS ok
+      |  FROM documents
+      |)
+      |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(ok) AS BIGINT) AS n_recovered,
+      |  CAST(SUM(CAST(concat('0x', substr(md5(recovered), 1, 15)) AS BIGINT)
+      |    % 1000000007) AS BIGINT) AS fp_sum
+      |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ------------------------------------------------ q211 robots audit
+
+  /** The fixture crawl policy: a deny-all default group PLUS a specific
+    * graftbot group — evaluating as graftbot must pick the specific
+    * group (a broken group-match denies everything and the gate
+    * breaks). The rules exercise longest-match precedence (Allow
+    * /private/pub/ overriding Disallow /private/), wildcard+anchor
+    * (the anchored `*.pdf` rule), bare prefix (/tmp), comments, and ignorable
+    * directives. */
+  private[web] val RobotsTxt: String =
+    """# fixture policy
+      |User-agent: *
+      |Disallow: /
+      |
+      |User-agent: graftbot
+      |Allow: /a/
+      |Disallow: /private/
+      |Allow: /private/pub/
+      |Disallow: /*.pdf$
+      |Disallow: /tmp
+      |Crawl-delay: 2
+      |Sitemap: https://news.example.com/sitemap.xml
+      |""".stripMargin
+
+  /** q211: crawl-compliance audit at corpus scale — each `documents`
+    * row synthesizes one fetched path in five documented classes
+    * (plain content, private, private-but-published, pdf artifact,
+    * tmp), the RFC 9309 engine evaluates every path against the parsed
+    * policy AS graftbot, and the census per class must match the
+    * hand-derived verdicts (ground truth by construction: the oracle
+    * states the expected verdict per class; Spark must REACH it through
+    * group selection + longest-match + wildcard/anchor matching).
+    * doc_id is non-negative in the harness data (residue-slice family
+    * precondition, q196). Scale shape: the policy parses ONCE on the
+    * driver (a policy object is bytes, not a frame), evaluation is a
+    * per-row kernel, then one groupBy census. */
+  def robotsAudit(spark: SparkSession, dir: String): DataFrame = {
+    val policy = Robots.policyFor(RobotsTxt, "graftbot")
+    val allowedUdf = udf { (path: String) => policy.allowed(path) }
+    val docs = graft.Tables.documents(spark, dir)
+    val base = expr("doc_id div 5").cast("string")
+    val v = pmod(col("doc_id"), lit(5))
+    val path = when(v === 0, concat(lit("/a/item"), base))
+      .when(v === 1, concat(lit("/private/p"), base))
+      .when(v === 2, concat(lit("/private/pub/d"), base))
+      .when(v === 3, concat(lit("/docs/file"), base, lit(".pdf")))
+      .otherwise(concat(lit("/tmp/x"), base))
+    docs.select(v.cast("long").as("variant"), allowedUdf(path).as("ok"))
+      .groupBy(col("variant"))
+      .agg(count(lit(1)).as("n_paths"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_allowed"))
+      .orderBy(col("variant"))
+  }
+
+  /** Hand-derived verdicts: v0 allowed (Allow /a/), v1 disallowed
+    * (Disallow /private/), v2 allowed (Allow /private/pub/ is longer),
+    * v3 disallowed (the anchored `*.pdf` rule), v4 disallowed (/tmp
+    * prefix). */
+  val robotsAuditSql: String =
+    """SELECT doc_id % 5 AS variant, CAST(COUNT(*) AS BIGINT) AS n_paths,
+      |  CAST(SUM(CASE doc_id % 5 WHEN 0 THEN 1 WHEN 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- defs
 
   def defs: Seq[QueryDef] = Seq(
@@ -451,5 +591,7 @@ object Web {
     QueryDef("q207_html_extract", htmlExtract, Some(htmlExtractSql)),
     QueryDef("q208_url_canonical", urlCanonical, Some(urlCanonicalSql)),
     QueryDef("q209_boilerplate_lines", boilerplateLines,
-      Some(boilerplateLinesSql)))
+      Some(boilerplateLinesSql)),
+    QueryDef("q210_web_pipeline", webPipeline, Some(webPipelineSql)),
+    QueryDef("q211_robots_audit", robotsAudit, Some(robotsAuditSql)))
 }

@@ -60,4 +60,19 @@ class WebSpec extends SparkSpec {
       ("example.org", 96L, 96L, 24L),
       ("sample.co.uk", 104L, 104L, 26L)))
   }
+
+  test("q210: every unique-text doc recovers byte-exactly through the pipeline") {
+    val rows = Web.webPipeline(spark, sfDir).collect()
+    // sf0.001: 20 sources, 25 docs each, no same-source exact dups
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.getLong(1) == 25L && r.getLong(2) == 25L))
+    assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
+  }
+
+  test("q211: robots census matches the hand-derived per-class verdicts") {
+    val rows = Web.robotsAudit(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq((0L, 100L, 100L), (1L, 100L, 0L), (2L, 100L, 100L),
+      (3L, 100L, 0L), (4L, 100L, 0L)))
+  }
 }
