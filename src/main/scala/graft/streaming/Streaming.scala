@@ -294,6 +294,38 @@ object Streaming {
       .join(corpus.select(md5(col("text")).as("h")), Seq("h"), "left_anti")
       .drop("h")
 
+  /** One discovered link on the crawl stream. */
+  final case class UrlIngestRow(url: String, ts: java.sql.Timestamp)
+
+  private val canonUdf = udf { (u: String) => graft.web.Url.canonicalize(u) }
+
+  /** Streaming crawl-frontier gate — the FOURTH door of the ingest tier
+    * (beside exact-hash [[ingestDedup]], near-dup
+    * [[nearDupIngestStream]], containment [[containmentIngestStream]]),
+    * and the cheapest: it fires BEFORE any fetch, on URL identity
+    * alone. Discovered links canonicalize (`graft.web.Url`, the
+    * q208/q212 contract) and pass only if
+    *  (a) no equivalent spelling arrived within the watermark horizon —
+    *      `dropDuplicatesWithinWatermark` on the canonical, one state
+    *      row per canonical per horizon, evicted as the watermark
+    *      advances (the frontier's recent-memory window); and
+    *  (b) the canonical is not already in the LANDED frontier — a
+    *      stream-static LEFT ANTI join, stateless per micro-batch (at
+    *      100 TB the landed frontier is a bucketed catalog table or a
+    *      q69-style Bloom prefilter, same plan shape).
+    * Unparseable URLs drop at the door (the canonicalizer's null
+    * quarantine contract). Emits surviving (url, ts, canon) — the
+    * first-arriving spelling wins, exactly the keeper rule q212's batch
+    * frontier applies. No join state exists anywhere in the job. */
+  def frontierIngestStream(urls: DataFrame, frontier: DataFrame): DataFrame =
+    urls.withColumn("canon", canonUdf(col("url")))
+      .filter(col("canon").isNotNull)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("canon")
+      .join(frontier.select(canonUdf(col("url")).as("canon")),
+        Seq("canon"), "left_anti")
+      .select(col("url"), col("ts"), col("canon"))
+
   /** Per-user state for [[burstAlerts]]: event counts for the open
     * (non-final) 5-minute buckets plus the last finalized bucket index
     * already swept for alerts. */

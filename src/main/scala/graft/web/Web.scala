@@ -521,6 +521,104 @@ object Web {
       |    % 1000000007) AS BIGINT) AS fp_sum
       |FROM r GROUP BY domain ORDER BY domain""".stripMargin
 
+  // -------------------------------------------- q212 crawl frontier
+
+  /** q212: crawl-frontier planning — the two operators a fetch
+    * scheduler runs on discovered URLs, composed: (1) canonical
+    * first-seen dedup (q208's eight spelling variants collapse; the
+    * EARLIEST discovering doc keeps the fetch — min doc_id per
+    * canonical), then (2) the per-domain politeness schedule: keepers
+    * fetch in discovery order, spaced by the domain's crawl delay
+    * (fetch slot i → i·delay ms), the RFC 9309 Crawl-delay discipline.
+    * The census binds frontier sizes, makespan, and the full schedule
+    * (sum of fetch times per domain) — a wrong keeper, a wrong order,
+    * or a collapsed/split canonical all move it. Ground truth by
+    * construction (oracle reaches the same canonical directly).
+    * Scale shape: one groupBy(canonical) min-aggregate (map-side
+    * combined), one per-domain window for slots — the window
+    * partitions by domain, which is how a real frontier shards its
+    * fetch queues; nothing corpus-sized is broadcast. Honest scale
+    * note: a single HOT domain's queue is one window partition — at
+    * real web scale slot assignment inside such a domain swaps to the
+    * range-partitioned `graft.Dist.globalRowNumber` composition (same
+    * answers, no single-task order); with the fixture's five hosts the
+    * plain window is the right plan. */
+  def crawlFrontier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = graft.Tables.documents(spark, dir)
+    val base = expr("doc_id div 8")
+    val v = pmod(col("doc_id"), lit(8))
+    val hostIdx = pmod(base, lit(5))
+    val host0 = when(hostIdx === 0, "news.example.com")
+      .when(hostIdx === 1, "www.sample.co.uk")
+      .when(hostIdx === 2, "cdn.assets.example.com")
+      .when(hostIdx === 3, "shop.example.org")
+      .otherwise("data.gov.uk")
+    val item = concat(lit("/a/item"), base.cast("string"))
+    val raw = when(v === 0, concat(lit("https://"), host0, item))
+      .when(v === 1, concat(lit("HTTPS://"), upper(host0), item))
+      .when(v === 2, concat(lit("https://"), host0, lit(":443"), item))
+      .when(v === 3, concat(lit("https://"), host0, lit("/a/x/../item"),
+        base.cast("string")))
+      .when(v === 4, concat(lit("https://"), host0, item, lit("?utm_source=feed")))
+      .when(v === 5, concat(lit("https://"), host0, item, lit("#frag")))
+      .when(v === 6, concat(lit("https://"), host0,
+        regexp_replace(item, "item", "it%65m")))
+      .otherwise(concat(lit("https://"), host0, item,
+        lit("?id="), base.cast("string"), lit("&utm_medium=x")))
+    val delay = when(col("domain") === "example.com", 2000L)
+      .when(col("domain") === "sample.co.uk", 1000L)
+      .when(col("domain") === "example.org", 5000L)
+      .otherwise(10000L)
+    val keepers = docs
+      .select(col("doc_id"), canonicalizeUdf(raw).as("canon"),
+        domainUdf(raw).as("domain"))
+      .groupBy(col("domain"), col("canon"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_spellings"))
+    val slots = keepers.withColumn("slot",
+      row_number().over(Window.partitionBy(col("domain"))
+        .orderBy(col("keeper"))) - 1)
+      .withColumn("fetch_at_ms", col("slot") * delay)
+    slots.groupBy(col("domain"))
+      .agg(sum(col("n_spellings")).as("n_discovered"),
+        count(lit(1)).as("n_frontier"),
+        max(col("fetch_at_ms")).as("makespan_ms"),
+        pmod(sum(col("fetch_at_ms")), lit(1000000007L)).as("sched_fp"))
+      .orderBy(col("domain"))
+  }
+
+  val crawlFrontierSql: String =
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE (doc_id // 8) % 5
+      |      WHEN 0 THEN 'example.com' WHEN 1 THEN 'sample.co.uk'
+      |      WHEN 2 THEN 'example.com' WHEN 3 THEN 'example.org'
+      |      ELSE 'data.gov.uk' END AS domain,
+      |    'https://' || CASE (doc_id // 8) % 5
+      |      WHEN 0 THEN 'news.example.com' WHEN 1 THEN 'www.sample.co.uk'
+      |      WHEN 2 THEN 'cdn.assets.example.com' WHEN 3 THEN 'shop.example.org'
+      |      ELSE 'data.gov.uk' END
+      |      || '/a/item' || (doc_id // 8)::VARCHAR
+      |      || CASE WHEN doc_id % 8 = 7 THEN '?id=' || (doc_id // 8)::VARCHAR ELSE '' END
+      |      AS canon
+      |  FROM documents
+      |), k AS (
+      |  SELECT domain, canon, MIN(doc_id) AS keeper,
+      |    CAST(COUNT(*) AS BIGINT) AS n_spellings
+      |  FROM u GROUP BY domain, canon
+      |), s AS (
+      |  SELECT domain, n_spellings,
+      |    (ROW_NUMBER() OVER (PARTITION BY domain ORDER BY keeper) - 1) *
+      |      CASE domain WHEN 'example.com' THEN 2000 WHEN 'sample.co.uk' THEN 1000
+      |        WHEN 'example.org' THEN 5000 ELSE 10000 END AS fetch_at_ms
+      |  FROM k
+      |)
+      |SELECT domain, CAST(SUM(n_spellings) AS BIGINT) AS n_discovered,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frontier,
+      |  CAST(MAX(fetch_at_ms) AS BIGINT) AS makespan_ms,
+      |  CAST(SUM(fetch_at_ms) % 1000000007 AS BIGINT) AS sched_fp
+      |FROM s GROUP BY domain ORDER BY domain""".stripMargin
+
   // ------------------------------------------------ q211 robots audit
 
   /** The fixture crawl policy: a deny-all default group PLUS a specific
@@ -593,5 +691,6 @@ object Web {
     QueryDef("q209_boilerplate_lines", boilerplateLines,
       Some(boilerplateLinesSql)),
     QueryDef("q210_web_pipeline", webPipeline, Some(webPipelineSql)),
-    QueryDef("q211_robots_audit", robotsAudit, Some(robotsAuditSql)))
+    QueryDef("q211_robots_audit", robotsAudit, Some(robotsAuditSql)),
+    QueryDef("q212_crawl_frontier", crawlFrontier, Some(crawlFrontierSql)))
 }

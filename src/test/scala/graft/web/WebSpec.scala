@@ -69,6 +69,19 @@ class WebSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("q212: frontier keeps one fetch per canonical, politeness-spaced") {
+    val rows = Web.crawlFrontier(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // closed-form: frontier = canonical count from the q208 model;
+    // makespan = (frontier-1) * domain delay
+    assert(rows == Seq(
+      ("data.gov.uk", 96L, 24L, 23L * 10000L),
+      ("example.com", 204L, 51L, 50L * 2000L),
+      ("example.org", 96L, 24L, 23L * 5000L),
+      ("sample.co.uk", 104L, 26L, 25L * 1000L)))
+  }
+
   test("q211: robots census matches the hand-derived per-class verdicts") {
     val rows = Web.robotsAudit(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
