@@ -148,4 +148,43 @@ object Warc {
   def parseFile(bytes: Array[Byte]): Seq[WarcRecord] =
     if (bytes == null) Seq.empty
     else parseRecords(gunzipAll(bytes)._1)
+
+  // ------------------------------------------------------------ writer
+
+  private val IsoW = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** Render one WARC record (version line, headers, Content-Length
+    * block, double-CRLF trailer) — the WRITE half of this source.
+    * [[parseRecords]] is its exact inverse on the fields it models. */
+  def renderRecord(wtype: String, uri: Option[String], ctype: String,
+                   block: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder
+    h ++= "WARC/1.0\r\n"
+    h ++= s"WARC-Type: $wtype\r\n"
+    uri.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
+    h ++= "WARC-Date: 2026-08-01T00:00:00Z\r\n"
+    h ++= s"WARC-Record-ID: <urn:graft:$wtype:${uri.getOrElse("-")}>\r\n"
+    h ++= s"Content-Type: $ctype\r\n"
+    h ++= s"Content-Length: ${block.length}\r\n\r\n"
+    h.toString.getBytes(IsoW) ++ block ++ "\r\n\r\n".getBytes(IsoW)
+  }
+
+  /** One gzip member per record, concatenated — the splittable
+    * `.warc.gz` layout (a cluster reader seeks to any member boundary
+    * and starts clean). */
+  def renderGzMembers(records: Array[Byte]*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    for (r <- records) {
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(r); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  /** A WET-style `conversion` record: the extracted text of a fetched
+    * page as a text/plain block (UTF-8) — what the Common Crawl WET
+    * tier ships per response record. */
+  def renderConversion(uri: String, text: String): Array[Byte] =
+    renderRecord("conversion", Some(uri), "text/plain",
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }

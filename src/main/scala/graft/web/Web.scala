@@ -96,17 +96,8 @@ object Web {
   private val Iso = java.nio.charset.StandardCharsets.ISO_8859_1
 
   private def warcRecord(wtype: String, uri: Option[String], ctype: String,
-                         block: Array[Byte]): Array[Byte] = {
-    val h = new StringBuilder
-    h ++= "WARC/1.0\r\n"
-    h ++= s"WARC-Type: $wtype\r\n"
-    uri.foreach(u => h ++= s"WARC-Target-URI: $u\r\n")
-    h ++= "WARC-Date: 2026-08-01T00:00:00Z\r\n"
-    h ++= s"WARC-Record-ID: <urn:graft:$wtype:${uri.getOrElse("-")}>\r\n"
-    h ++= s"Content-Type: $ctype\r\n"
-    h ++= s"Content-Length: ${block.length}\r\n\r\n"
-    h.toString.getBytes(Iso) ++ block ++ "\r\n\r\n".getBytes(Iso)
-  }
+                         block: Array[Byte]): Array[Byte] =
+    Warc.renderRecord(wtype, uri, ctype, block)
 
   private def httpResponse(status: Int, reason: String, ctype: String,
                            body: Array[Byte]): Array[Byte] =
@@ -122,16 +113,8 @@ object Web {
     warcRecord("response", Some(uri), "application/http; msgtype=response",
       httpResponse(status, reason, s"$mime; charset=utf-8", body.getBytes(Iso)))
 
-  /** One gzip member per argument, concatenated — the splittable
-    * `.warc.gz` layout Common Crawl ships. */
-  private def gzMembers(members: Array[Byte]*): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream()
-    for (m <- members) {
-      val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(m); gz.finish()
-    }
-    out.toByteArray
-  }
+  private def gzMembers(members: Array[Byte]*): Array[Byte] =
+    Warc.renderGzMembers(members: _*)
 
   /** All five fixture files' bytes. */
   private[web] def fixtureFiles(): Seq[(String, Array[Byte])] = Seq(
@@ -470,9 +453,14 @@ object Web {
     * Scale shape (the CCNet per-shard move): chrome detection is
     * groupBy(domain, line) with map-side combine over exploded lines
     * (text rides as a 32-char md5, never as payload), the verdict joins
-    * back on the same key, reassembly is one per-doc aggregate — two
-    * shuffles total, nothing corpus-sized broadcast, fp_sum folded
-    * mod-prime so it stays in int64 headroom at any corpus size. */
+    * back on the same (domain, line) key, reassembly is one per-doc
+    * aggregate. The join-back carries NO broadcast hint: at sf0.1 the
+    * planner broadcasts the small counts side (the right call), and
+    * because the estimate derives from the scan size, at crawl scale
+    * the same plan flips to the shuffle join on its own — the stats
+    * decide, nothing pins a corpus-growing frame to the driver. fp_sum
+    * folds mod-prime so it stays in int64 headroom at any corpus
+    * size. */
   def webPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.documents(spark, dir)
     val html = concat(
@@ -520,6 +508,60 @@ object Web {
       |  CAST(SUM(CAST(concat('0x', substr(md5(recovered), 1, 15)) AS BIGINT)
       |    % 1000000007) AS BIGINT) AS fp_sum
       |FROM r GROUP BY domain ORDER BY domain""".stripMargin
+
+  // ---------------------------------------------- q213 WET conversion
+
+  /** Extract → render a WET conversion record (.warc.gz, one member) →
+    * strict re-parse. Null iff anything in the chain degrades. */
+  private val wetRoundtrip = udf { (uri: String, payload: Array[Byte]) =>
+    val text = Html.extractText(
+      new String(payload, java.nio.charset.StandardCharsets.UTF_8))
+    val wet = Warc.renderGzMembers(Warc.renderConversion(uri, text))
+    Warc.parseFile(wet) match {
+      case Seq(r) if r.warcType == "conversion" && r.targetUri.contains(uri) =>
+        Some(new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+      case _ => None
+    }
+  }
+
+  /** q213: the WRITE half of the WARC source under the oracle gate (the
+    * FLAC-encode discipline applied to the crawl tier): every fetched
+    * page extracts, renders as a WET-style `conversion` record in a
+    * fresh single-member .warc.gz, and re-parses through the SAME
+    * strict reader — emitted text must round-trip byte-exactly, and the
+    * oracle binds it to the hand-derived extraction literals (q207's
+    * ground truth with the line separator restored to real newlines).
+    * A writer defect — wrong Content-Length, a mangled header, a
+    * non-splittable member layout — kills the re-parse and breaks the
+    * gate. Scale shape: per-row kernel; this is exactly how a cluster
+    * emits WET shards (one conversion record per response, member per
+    * record keeps the output splittable). */
+  def wetConversion(spark: SparkSession, dir: String): DataFrame =
+    htmlPages(spark, dir)
+      .select(col("uri"), wetRoundtrip(col("uri"), col("payload")).as("wet_text"))
+      .select(col("uri"),
+        when(col("wet_text").isNotNull, md5(col("wet_text"))).as("wet_md5"),
+        length(col("wet_text")).cast("long").as("wet_chars"))
+      .orderBy(col("uri"))
+
+  /** Oracle: md5/length computed by DuckDB over q207's hand-derived
+    * extraction literals with '\n' lines restored. */
+  val wetConversionSql: String =
+    s"""SELECT uri, md5(replace(text_joined, ' / ', chr(10))) AS wet_md5,
+      |  CAST(strlen(replace(text_joined, ' / ', chr(10))) AS BIGINT) AS wet_chars
+      |FROM (VALUES
+      |  (${sqlStr(UriB2)},
+      |   'On Rye / About Archive Contact / Notes on rye flour / Rye ferments faster & needs less yeast. / Powered by QuillPress'),
+      |  (${sqlStr(UriB1)},
+      |   'On Sourdough / About Archive Contact / On sourdough starters / Feed the starter twice a day in warm weather. / Powered by QuillPress'),
+      |  (${sqlStr(UriN1)},
+      |   'Budget Vote / Home | World | Tech / Budget vote passes / The measure passed by a wide margin & takes effect in May. / Opposition leaders promised a court challenge. / next / Copyright 2026 News Example'),
+      |  (${sqlStr(UriN2)},
+      |   'Harbor Cleanup / Home | World | Tech / Harbor cleanup begins / Volunteers removed twelve tons of debris. / The effort continues through August. / prev next / Copyright 2026 News Example'),
+      |  (${sqlStr(UriN3)},
+      |   'Rail Strike Ends / Home | World | Tech / Rail strike ends / Trains resume service tonight after a six-day stoppage. / Copyright 2026 News Example')
+      |) AS t(uri, text_joined)
+      |ORDER BY uri""".stripMargin
 
   // -------------------------------------------- q212 crawl frontier
 
@@ -692,5 +734,6 @@ object Web {
       Some(boilerplateLinesSql)),
     QueryDef("q210_web_pipeline", webPipeline, Some(webPipelineSql)),
     QueryDef("q211_robots_audit", robotsAudit, Some(robotsAuditSql)),
-    QueryDef("q212_crawl_frontier", crawlFrontier, Some(crawlFrontierSql)))
+    QueryDef("q212_crawl_frontier", crawlFrontier, Some(crawlFrontierSql)),
+    QueryDef("q213_wet_conversion", wetConversion, Some(wetConversionSql)))
 }

@@ -66,6 +66,27 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("writer inverse: parseFile(renderGzMembers(renderRecord...)) = identity") {
+    val rnd = new scala.util.Random(7)
+    val recs = Seq(
+      ("conversion", Some("https://a.com/x"), "text/plain",
+        "line one\nline two".getBytes("UTF-8")),
+      ("metadata", Some("https://a.com/x?q=1&r=2"), "application/warc-fields",
+        Array.emptyByteArray),
+      ("resource", None, "application/octet-stream",
+        Array.fill[Byte](1000)(rnd.nextInt().toByte)))
+    val rendered = recs.map { case (t, u, c, b) => Warc.renderRecord(t, u, c, b) }
+    for (bytes <- Seq(rendered.reduce(_ ++ _), // plain concatenation
+                      Warc.renderGzMembers(rendered: _*))) { // member-per-record
+      val got = Warc.parseFile(bytes)
+      assert(got.length == recs.length)
+      for ((r, (t, u, c, b)) <- got.zip(recs)) {
+        assert(r.warcType == t && r.targetUri == u && r.contentType.contains(c))
+        assert(java.util.Arrays.equals(r.payload, b))
+      }
+    }
+  }
+
   test("gunzipAll: mid-member truncation keeps fully inflated prefix") {
     val gz = files("crawl_a.warc.gz")
     val (data, truncated) = Warc.gunzipAll(gz.take(gz.length - 10))

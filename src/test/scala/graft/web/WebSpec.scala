@@ -69,6 +69,17 @@ class WebSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("q213: WET conversion round-trips the extracted text byte-exactly") {
+    val rows = Web.wetConversion(spark, sfDir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(r => !r.isNullAt(1) && r.getLong(2) > 0))
+    val n3 = rows.find(_.getString(0).endsWith("item3")).get
+    val expected = "Rail Strike Ends\nHome | World | Tech\nRail strike ends\n" +
+      "Trains resume service tonight after a six-day stoppage.\n" +
+      "Copyright 2026 News Example"
+    assert(n3.getLong(2) == expected.length.toLong)
+  }
+
   test("q212: frontier keeps one fetch per canonical, politeness-spaced") {
     val rows = Web.crawlFrontier(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
