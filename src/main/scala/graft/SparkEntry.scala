@@ -21,7 +21,8 @@ object SparkEntry {
       io.Layout.defs ++
       multimodal.Fixtures.defs ++
       images.Perceptual.defs ++
-      web.Web.defs
+      web.Web.defs ++
+      llm.Sft.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
