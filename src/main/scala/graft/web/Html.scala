@@ -142,4 +142,55 @@ object Html {
     }
     out.result()
   }
+
+  // --------------------------------------------------- charset handling
+
+  private val MetaCharsetRe = java.util.regex.Pattern.compile(
+    "(?is)<meta[^>]*charset\\s*=\\s*[\"']?([\\w][\\w.:-]*)")
+
+  /** Canonical lower-case charset name via the JVM registry; None for
+    * labels the JVM doesn't know (caller falls through). */
+  private def resolve(label: String): Option[java.nio.charset.Charset] =
+    try Some(java.nio.charset.Charset.forName(label.trim))
+    catch { case _: Exception => None }
+
+  /** WHATWG-precedence charset sniffing for a fetched HTML payload:
+    * BOM > HTTP `charset=` parameter > `<meta charset>` in the first
+    * 1024 bytes > windows-1252 (the web's legacy default — decoding
+    * mislabeled bytes as 1252 is the behavior every browser and every
+    * crawl pipeline standardized on). Returns (charset, bomLength). */
+  def detectCharset(httpCharset: Option[String],
+                    payload: Array[Byte]): (java.nio.charset.Charset, Int) = {
+    val utf8 = java.nio.charset.StandardCharsets.UTF_8
+    if (payload.length >= 3 && payload(0) == 0xef.toByte &&
+        payload(1) == 0xbb.toByte && payload(2) == 0xbf.toByte)
+      return (utf8, 3)
+    if (payload.length >= 2 && payload(0) == 0xff.toByte && payload(1) == 0xfe.toByte)
+      return (java.nio.charset.StandardCharsets.UTF_16LE, 2)
+    if (payload.length >= 2 && payload(0) == 0xfe.toByte && payload(1) == 0xff.toByte)
+      return (java.nio.charset.StandardCharsets.UTF_16BE, 2)
+    httpCharset.flatMap(resolve) match {
+      case Some(cs) => (cs, 0)
+      case None =>
+        val head = new String(payload, 0, math.min(1024, payload.length),
+          java.nio.charset.StandardCharsets.ISO_8859_1)
+        val m = MetaCharsetRe.matcher(head)
+        val meta = if (m.find()) resolve(m.group(1)) else None
+        (meta.getOrElse(java.nio.charset.Charset.forName("windows-1252")), 0)
+    }
+  }
+
+  /** Decode a fetched HTML payload to a String under the sniffed
+    * charset (BOM stripped). Total: undecodable byte sequences map to
+    * U+FFFD rather than failing the row (the per-item contract). */
+  def decodePayload(httpCharset: Option[String],
+                    payload: Array[Byte]): (String, String) = {
+    val (cs, bom) = detectCharset(httpCharset, payload)
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    val text = dec.decode(java.nio.ByteBuffer.wrap(
+      payload, bom, payload.length - bom)).toString
+    (text, cs.name().toLowerCase)
+  }
 }

@@ -13,6 +13,7 @@ final case class WarcRecord(
     contentType: Option[String],
     httpStatus: Option[Int],
     httpContentType: Option[String],
+    httpCharset: Option[String],
     payload: Array[Byte])
 
 /** Pure-JVM WARC reader — the ingest format of web-crawl training-data
@@ -87,18 +88,27 @@ object Warc {
   /** Split an `application/http` block into (statusLine?, headers,
     * body). Request blocks yield no status (their first line is a
     * request line). */
-  private def parseHttp(block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+  private def parseHttp(block: Array[Byte])
+      : (Option[Int], Option[String], Option[String], Array[Byte]) = {
     val he = headerEnd(block, 0)
-    if (he < 0) return (None, None, block)
+    if (he < 0) return (None, None, None, block)
     val head = new String(block, 0, he, java.nio.charset.StandardCharsets.ISO_8859_1)
     val lines = head.split(Crlf)
     val status = lines.headOption.filter(_.startsWith("HTTP/")).flatMap { sl =>
       sl.split(" ", 3).lift(1).flatMap(_.toIntOption)
     }
     val hdrs = parseHeaders(lines.drop(1).mkString(Crlf))
-    // mime only: parameters (charset=...) are not part of the type
-    val mime = hdrs.get("content-type").map(_.split(";")(0).trim.toLowerCase)
-    (status, mime, java.util.Arrays.copyOfRange(block, he + 4, block.length))
+    // mime only: parameters are not part of the type; the charset
+    // parameter rides separately (transcoding input)
+    val ct = hdrs.get("content-type")
+    val mime = ct.map(_.split(";")(0).trim.toLowerCase)
+    val charset = ct.flatMap(_.split(";").drop(1).iterator
+      .map(_.trim.toLowerCase)
+      .collectFirst { case p if p.startsWith("charset=") =>
+        p.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
+      })
+    (status, mime, charset,
+      java.util.Arrays.copyOfRange(block, he + 4, block.length))
   }
 
   /** Parse every complete record from (already inflated) WARC bytes.
@@ -130,10 +140,10 @@ object Warc {
                 bytes, he + 4, (he + 4 + len).toInt)
               val ct = hdrs.get("content-type").map(_.trim)
               val isHttp = ct.exists(_.toLowerCase.startsWith("application/http"))
-              val (status, mime, payload) =
-                if (isHttp) parseHttp(block) else (None, None, block)
+              val (status, mime, charset, payload) =
+                if (isHttp) parseHttp(block) else (None, None, None, block)
               out += WarcRecord(wt, hdrs.get("warc-target-uri"), ct,
-                status, mime, payload)
+                status, mime, charset, payload)
               pos = (he + 4 + len).toInt
             case _ => ok = false // missing/short: stop, keep prefix
           }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * scans stay inside whole-stage codegen. */
 final case class Rec(rec: Int, warc_type: String, target_uri: String,
                      http_status: Option[Int], mime: String,
-                     payload: Array[Byte])
+                     http_charset: String, payload: Array[Byte])
 final case class Extracted(title: String, n_links: Int, n_lines: Int,
                            text_joined: String)
 
@@ -172,7 +172,7 @@ object Web {
   private val parseWarc = udf { (bytes: Array[Byte]) =>
     Warc.parseFile(bytes).zipWithIndex.map { case (r, i) =>
       Rec(i, r.warcType, r.targetUri.orNull, r.httpStatus,
-        r.httpContentType.orNull, r.payload)
+        r.httpContentType.orNull, r.httpCharset.orNull, r.payload)
     }
   }
 
@@ -509,6 +509,94 @@ object Web {
       |    % 1000000007) AS BIGINT) AS fp_sum
       |FROM r GROUP BY domain ORDER BY domain""".stripMargin
 
+  // ------------------------------------------------ q215 charset decode
+
+  private def responseRaw(uri: String, ctype: String,
+                          body: Array[Byte]): Array[Byte] =
+    warcRecord("response", Some(uri), "application/http; msgtype=response",
+      httpResponse(200, "OK", ctype, body))
+
+  /** The charset fixture corpus: one page per declaration mechanism —
+    * BOM, HTTP header parameter, meta tag, and none (the legacy
+    * windows-1252 default, with bytes 0x92/0x85 that only decode right
+    * under 1252). Separate folder from the q206 corpus so record
+    * censuses stay independent. */
+  private[web] def charsetFixtureFiles(): Seq[(String, Array[Byte])] = {
+    def l1(s: String) = s.getBytes("ISO-8859-1")
+    def w1252(s: String) = s.getBytes("windows-1252")
+    def u8(s: String) = s.getBytes("UTF-8")
+    val bom = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    Seq(
+      "cs_bom.warc.gz" -> gzMembers(responseRaw(
+        "https://enc.example.com/bom", "text/html",
+        bom ++ u8("<html><body><p>Héllo café</p></body></html>"))),
+      "cs_header.warc.gz" -> gzMembers(responseRaw(
+        "https://enc.example.com/header", "text/html; charset=ISO-8859-1",
+        l1("<html><body><p>naïve résumé</p></body></html>"))),
+      "cs_meta.warc" -> responseRaw(
+        "https://enc.example.com/meta", "text/html",
+        u8("<html><head><meta charset=\"utf-8\"></head>" +
+          "<body><p>Zürich Straße</p></body></html>")),
+      "cs_none.warc.gz" -> gzMembers(responseRaw(
+        "https://enc.example.com/none", "text/html",
+        w1252("<html><body><p>a’b…c</p></body></html>"))))
+  }
+
+  /** Write-once charset fixture folder (q206 discipline, own suffix). */
+  def charsetFolder(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir + ":charset").toLong & 0xffffffffL)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, s"graft_warc_charset_$suffix")
+    val key = spark.sparkContext.applicationId + ":" + p.toString
+    built.computeIfAbsent(key, { _ =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      charsetFixtureFiles().foreach { case (name, bytes) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+        try out.write(bytes) finally out.close()
+      }
+      p.toString
+    })
+  }
+
+  /** Charset-aware decode → extract; emits the charset actually used. */
+  private val decodeExtract = udf { (httpCharset: String, payload: Array[Byte]) =>
+    val (html, cs) = Html.decodePayload(Option(httpCharset), payload)
+    (cs, Html.extractText(html))
+  }
+
+  /** q215: charset sniffing + transcoding through the oracle gate — the
+    * step a crawl pipeline runs between WARC payload bytes and every
+    * text operator. WHATWG precedence (BOM > HTTP `charset=` parameter
+    * > meta tag in the head > the legacy windows-1252 default), decoded
+    * with U+FFFD replacement (per-item totality). One fixture per
+    * mechanism; the no-declaration page carries 0x92/0x85 bytes that
+    * ONLY decode to the expected ’/… under 1252 — a UTF-8-by-default
+    * or Latin-1-by-default implementation breaks the gate. Scale shape:
+    * per-row kernel, slim summary out. */
+  def charsetDecode(spark: SparkSession, dir: String): DataFrame = {
+    val folder = charsetFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        explode(parseWarc(col("content"))).as("r"))
+      .select(col("file"),
+        decodeExtract(col("r.http_charset"), col("r.payload")).as("d"))
+      .select(col("file"), col("d._1").as("charset"),
+        col("d._2").as("text"), length(col("d._2")).as("n_chars"))
+      .orderBy(col("file"))
+  }
+
+  val charsetDecodeSql: String =
+    """SELECT * FROM (VALUES
+      |  ('cs_bom.warc.gz',    'utf-8',        'Héllo café', 10),
+      |  ('cs_header.warc.gz', 'iso-8859-1',   'naïve résumé', 12),
+      |  ('cs_meta.warc',      'utf-8',        'Zürich Straße', 13),
+      |  ('cs_none.warc.gz',   'windows-1252', 'a’b…c', 5)
+      |) AS t(file, charset, text, n_chars)
+      |ORDER BY file""".stripMargin
+
   // ---------------------------------------------- q213 WET conversion
 
   /** Extract → render a WET conversion record (.warc.gz, one member) →
@@ -735,5 +823,6 @@ object Web {
     QueryDef("q210_web_pipeline", webPipeline, Some(webPipelineSql)),
     QueryDef("q211_robots_audit", robotsAudit, Some(robotsAuditSql)),
     QueryDef("q212_crawl_frontier", crawlFrontier, Some(crawlFrontierSql)),
-    QueryDef("q213_wet_conversion", wetConversion, Some(wetConversionSql)))
+    QueryDef("q213_wet_conversion", wetConversion, Some(wetConversionSql)),
+    QueryDef("q215_charset_decode", charsetDecode, Some(charsetDecodeSql)))
 }

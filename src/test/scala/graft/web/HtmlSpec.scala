@@ -59,6 +59,36 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.extractText(null) == null)
   }
 
+  test("charset precedence: BOM > HTTP header > meta > windows-1252") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val bom = Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte)
+    // BOM wins even against a contradicting header
+    val (t1, c1) = Html.decodePayload(Some("iso-8859-1"),
+      bom ++ "café".getBytes(UTF_8))
+    assert(t1 == "café" && c1 == "utf-8")
+    // header wins over meta
+    val metaDoc = "<meta charset=\"utf-8\">naïve".getBytes("ISO-8859-1")
+    assert(Html.decodePayload(Some("iso-8859-1"), metaDoc)._2 == "iso-8859-1")
+    // meta when nothing else declares
+    val (t3, c3) = Html.decodePayload(None,
+      "<meta charset=utf-8><p>Zürich</p>".getBytes(UTF_8))
+    assert(c3 == "utf-8" && t3.contains("Zürich"))
+    // silence → 1252: 0x92 is ’ there, a control char in latin-1
+    val (t4, c4) = Html.decodePayload(None, Array('a'.toByte, 0x92.toByte))
+    assert(c4 == "windows-1252" && t4 == "a’")
+    // UTF-16 BOMs
+    assert(Html.decodePayload(None,
+      "﻿hi".getBytes("UTF-16LE"))._1 == "hi")
+    assert(Html.decodePayload(None,
+      "﻿hi".getBytes("UTF-16BE"))._1 == "hi")
+    // unknown label falls through to the default, never throws
+    assert(Html.decodePayload(Some("not-a-charset"),
+      "x".getBytes(UTF_8))._2 == "windows-1252")
+    // malformed bytes replace, not throw
+    val (t5, _) = Html.decodePayload(Some("utf-8"), Array(0xff.toByte))
+    assert(t5 == "�")
+  }
+
   test("O(n) guard: pathological nesting finishes fast") {
     val big = "<div>" * 20000 + "x" + "</div>" * 20000
     val t0 = System.nanoTime()

@@ -69,6 +69,16 @@ class WebSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("q215: each declaration mechanism decodes to the expected text") {
+    val rows = Web.charsetDecode(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(rows == Seq(
+      ("cs_bom.warc.gz", "utf-8", "Héllo café"),
+      ("cs_header.warc.gz", "iso-8859-1", "naïve résumé"),
+      ("cs_meta.warc", "utf-8", "Zürich Straße"),
+      ("cs_none.warc.gz", "windows-1252", "a’b…c")))
+  }
+
   test("q213: WET conversion round-trips the extracted text byte-exactly") {
     val rows = Web.wetConversion(spark, sfDir).collect()
     assert(rows.length == 5)
