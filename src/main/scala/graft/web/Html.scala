@@ -143,6 +143,26 @@ object Html {
     out.result()
   }
 
+  private val AnchorRe = java.util.regex.Pattern.compile(
+    "(?is)<a\\b[^>]*?href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s>]+))[^>]*>(.*?)</a>")
+
+  /** (href, anchor text) pairs in document order — anchor text is the
+    * full extraction contract applied to the anchor's inner markup
+    * (nested inline tags flatten, entities decode, whitespace
+    * normalizes; multi-line anchors collapse to one space-joined
+    * string), because anchor text is training signal, not markup. */
+  def anchors(html: String): Seq[(String, String)] = {
+    val m = AnchorRe.matcher(html)
+    val out = Seq.newBuilder[(String, String)]
+    while (m.find()) {
+      val raw = Option(m.group(1)).orElse(Option(m.group(2)))
+        .getOrElse(m.group(3))
+      val text = extractText(m.group(4)).replace('\n', ' ')
+      out += ((decodeEntities(raw), text))
+    }
+    out.result()
+  }
+
   // --------------------------------------------------- charset handling
 
   private val MetaCharsetRe = java.util.regex.Pattern.compile(

@@ -122,6 +122,45 @@ object Url {
     else lastTwo
   }
 
+  /** RFC 3986 §5 reference resolution — the kernel that turns a page's
+    * relative hrefs into fetchable URLs (without it a link graph only
+    * sees absolute links). Returns the TARGET (un-normalized; callers
+    * feed it to [[canonicalize]], whose dot-segment pass finishes §5.3
+    * merging); null when the base is unusable or the ref is a
+    * non-fetch scheme (mailto:, javascript:, data:). */
+  def resolve(base: String, ref: String): String = {
+    if (base == null || ref == null) return null
+    val r = ref.trim
+    // absolute reference with a scheme of its own
+    val colon = r.indexOf(':')
+    if (colon > 0 && r.substring(0, colon).forall(c => c.isLetterOrDigit && c < 128)) {
+      return if (r.regionMatches(true, 0, "http:", 0, 5) ||
+        r.regionMatches(true, 0, "https:", 0, 6)) r
+      else null // mailto:, javascript:, data:, tel: — not crawl targets
+    }
+    val sep = base.indexOf("://")
+    if (sep <= 0) return null
+    val scheme = base.substring(0, sep)
+    val rest = base.substring(sep + 3)
+    val pathStart = { val i = rest.indexWhere(c => c == '/' || c == '?'); if (i < 0) rest.length else i }
+    val authority = rest.substring(0, pathStart)
+    if (authority.isEmpty) return null
+    val pq = rest.substring(pathStart)
+    val basePath = { val q = pq.indexWhere(c => c == '?' || c == '#'); if (q < 0) pq else pq.substring(0, q) }
+    if (r.isEmpty) return base
+    if (r.startsWith("//")) return scheme + ":" + r
+    if (r.startsWith("/")) return s"$scheme://$authority$r"
+    if (r.startsWith("?")) return s"$scheme://$authority${if (basePath.isEmpty) "/" else basePath}$r"
+    if (r.startsWith("#"))
+      return s"$scheme://$authority${if (basePath.isEmpty) "/" else basePath}$r"
+    // relative path: merge onto the base path's directory (§5.3 merge)
+    val dir = {
+      val cut = basePath.lastIndexOf('/')
+      if (cut < 0) "/" else basePath.substring(0, cut + 1)
+    }
+    s"$scheme://$authority$dir$r"
+  }
+
   /** Host of a URL (no port), lower-cased; null if unparseable. */
   def host(url: String): String = {
     if (url == null) return null

@@ -12,6 +12,7 @@ final case class Rec(rec: Int, warc_type: String, target_uri: String,
                      http_charset: String, payload: Array[Byte])
 final case class Extracted(title: String, n_links: Int, n_lines: Int,
                            text_joined: String)
+final case class Edge(href: String, dst: String, anchor: String)
 
 /** The web-crawl ingestion tier: WARC records → HTTP payloads → HTML
   * text → domain-scoped boilerplate removal, plus URL canonicalization
@@ -597,6 +598,102 @@ object Web {
       |) AS t(file, charset, text, n_chars)
       |ORDER BY file""".stripMargin
 
+  // ---------------------------------------------- q216 link graph
+
+  private val LinksP1 = "https://links.example.com/dir/page1"
+  private val LinksP2 = "https://links.example.com/page2"
+
+  private[web] val PageL1: String =
+    "<html><body>" +
+      "<a href=\"sub/p2\">deeper page</a>" +
+      "<a href=\"../up\">parent page</a>" +
+      "<a href=\"/root\">site root</a>" +
+      "<a href=\"//cdn.example.org/lib\">cdn lib</a>" +
+      "<a href=\"https://other.sample.co.uk/x?utm_source=z&amp;id=9\">tracked external</a>" +
+      "<a href=\"#sec\">same page</a>" +
+      "<a href=\"?id=2\">query variant</a>" +
+      "<a href=\"mailto:a@b.example\">mail me</a>" +
+      "</body></html>"
+
+  private[web] val PageL2: String =
+    "<html><body><p>See <a href=\"/a/b\"><b>bold</b> link &amp; more</a> here.</p>" +
+      "<a href='p3'>quoted single</a></body></html>"
+
+  /** Write-once link-graph fixture folder (own suffix; q206's record
+    * census stays untouched). */
+  def linksFolder(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir + ":links").toLong & 0xffffffffL)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, s"graft_warc_links_$suffix")
+    val key = spark.sparkContext.applicationId + ":" + p.toString
+    built.computeIfAbsent(key, { _ =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      Seq("links_a.warc.gz" -> gzMembers(response(LinksP1, 200, "OK", "text/html", PageL1)),
+          "links_b.warc" -> response(LinksP2, 200, "OK", "text/html", PageL2))
+        .foreach { case (name, bytes) =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+          try out.write(bytes) finally out.close()
+        }
+      p.toString
+    })
+  }
+
+  /** Anchors → RFC 3986 resolution against the page URI → canonical
+    * target. Non-fetch schemes (mailto:, javascript:) drop — a link
+    * graph holds crawl targets only. */
+  private val edgesUdf = udf { (uri: String, payload: Array[Byte]) =>
+    val html = new String(payload, java.nio.charset.StandardCharsets.UTF_8)
+    Html.anchors(html).flatMap { case (href, text) =>
+      Option(Url.resolve(uri, href))
+        .flatMap(t => Option(Url.canonicalize(t)))
+        .map(dst => Edge(href, dst, text))
+    }
+  }
+
+  /** q216: the crawl link graph through the oracle gate — every anchor
+    * of every fetched page becomes an edge (source page, raw href,
+    * RESOLVED+CANONICALIZED target, target registered domain, extracted
+    * anchor text). The fixture exercises the whole RFC 3986 §5 surface:
+    * path-relative (against the directory, not the file),
+    * parent-relative (dot segments resolved by the canonical pass),
+    * absolute-path, protocol-relative, absolute-with-tracking-params,
+    * fragment-only (self edge), query-only, and a mailto: that must NOT
+    * appear; anchor text flattens nested markup and decodes entities
+    * (it is training signal). Scale shape: per-row kernel + explode —
+    * edges shuffle as slim strings; at crawl scale this feeds the
+    * bucketed graph tier (q110/q114's shapes) directly. */
+  def linkGraph(spark: SparkSession, dir: String): DataFrame = {
+    val folder = linksFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(explode(parseWarc(col("content"))).as("r"))
+      .filter(col("r.http_status") === 200 && col("r.mime") === "text/html")
+      .select(col("r.target_uri").as("src"),
+        explode(edgesUdf(col("r.target_uri"), col("r.payload"))).as("e"))
+      .select(col("src"), col("e.href").as("href"), col("e.dst").as("dst"),
+        domainUdf(col("e.dst")).as("dst_domain"),
+        col("e.anchor").as("anchor"))
+      .orderBy(col("src"), col("href"))
+  }
+
+  val linkGraphSql: String = {
+    val p1 = sqlStr(LinksP1); val p2 = sqlStr(LinksP2)
+    s"""SELECT * FROM (VALUES
+      |  ($p1, '#sec', 'https://links.example.com/dir/page1', 'example.com', 'same page'),
+      |  ($p1, '../up', 'https://links.example.com/up', 'example.com', 'parent page'),
+      |  ($p1, '//cdn.example.org/lib', 'https://cdn.example.org/lib', 'example.org', 'cdn lib'),
+      |  ($p1, '/root', 'https://links.example.com/root', 'example.com', 'site root'),
+      |  ($p1, '?id=2', 'https://links.example.com/dir/page1?id=2', 'example.com', 'query variant'),
+      |  ($p1, 'https://other.sample.co.uk/x?utm_source=z&id=9', 'https://other.sample.co.uk/x?id=9', 'sample.co.uk', 'tracked external'),
+      |  ($p1, 'sub/p2', 'https://links.example.com/dir/sub/p2', 'example.com', 'deeper page'),
+      |  ($p2, '/a/b', 'https://links.example.com/a/b', 'example.com', 'bold link & more'),
+      |  ($p2, 'p3', 'https://links.example.com/p3', 'example.com', 'quoted single')
+      |) AS t(src, href, dst, dst_domain, anchor)
+      |ORDER BY src, href""".stripMargin
+  }
+
   // ---------------------------------------------- q213 WET conversion
 
   /** Extract → render a WET conversion record (.warc.gz, one member) →
@@ -824,5 +921,6 @@ object Web {
     QueryDef("q211_robots_audit", robotsAudit, Some(robotsAuditSql)),
     QueryDef("q212_crawl_frontier", crawlFrontier, Some(crawlFrontierSql)),
     QueryDef("q213_wet_conversion", wetConversion, Some(wetConversionSql)),
-    QueryDef("q215_charset_decode", charsetDecode, Some(charsetDecodeSql)))
+    QueryDef("q215_charset_decode", charsetDecode, Some(charsetDecodeSql)),
+    QueryDef("q216_link_graph", linkGraph, Some(linkGraphSql)))
 }

@@ -55,6 +55,15 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.links("<a href=\"?q=1&amp;r=2\">e</a>") == Seq("?q=1&r=2"))
   }
 
+  test("anchors: (href, text) pairs; nested markup flattens, entities decode") {
+    val html = """<a href="/a"><b>Bold</b> &amp; plain</a><a href='b'>two
+                 |lines</a><a href=c></a>""".stripMargin
+    assert(Html.anchors(html) == Seq(
+      ("/a", "Bold & plain"), ("b", "two lines"), ("c", "")))
+    assert(Html.anchors("<a href=\"?q=1&amp;r=2\">x</a>").head._1 == "?q=1&r=2")
+    assert(Html.anchors("<a name=skip>no href</a>").isEmpty)
+  }
+
   test("null html → null text (quarantine contract)") {
     assert(Html.extractText(null) == null)
   }

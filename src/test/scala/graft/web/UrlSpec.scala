@@ -63,6 +63,27 @@ class UrlSpec extends AnyFunSuite {
     assert(Url.registeredDomain("Example.COM.") == "example.com")
   }
 
+  test("resolve: RFC 3986 reference resolution against a base page") {
+    val base = "https://a.com/dir/page?q=1#top"
+    assert(Url.resolve(base, "x/y") == "https://a.com/dir/x/y")
+    assert(Url.resolve(base, "../up") == "https://a.com/dir/../up")
+    assert(Url.resolve(base, "/abs") == "https://a.com/abs")
+    assert(Url.resolve(base, "//cdn.b.org/z") == "https://cdn.b.org/z")
+    assert(Url.resolve(base, "?id=2") == "https://a.com/dir/page?id=2")
+    assert(Url.resolve(base, "#sec") == "https://a.com/dir/page#sec")
+    assert(Url.resolve(base, "") == base)
+    assert(Url.resolve(base, "http://other.com/p") == "http://other.com/p")
+    // base with no path: directory is /
+    assert(Url.resolve("https://a.com", "x") == "https://a.com/x")
+    assert(Url.resolve("https://a.com", "?q=1") == "https://a.com/?q=1")
+    // non-fetch schemes are not crawl targets
+    assert(Url.resolve(base, "mailto:x@y.z") == null)
+    assert(Url.resolve(base, "javascript:void(0)") == null)
+    assert(Url.resolve(base, "data:text/plain,hi") == null)
+    assert(Url.resolve(null, "x") == null)
+    assert(Url.resolve("junk", "x") == null)
+  }
+
   test("host: strips scheme, port, path, query, fragment") {
     assert(Url.host("https://A.B.com:8080/p?q#f") == "a.b.com")
     assert(Url.host("https://a.com") == "a.com")

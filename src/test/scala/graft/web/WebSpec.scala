@@ -69,6 +69,19 @@ class WebSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("q216: link graph resolves every href class, drops mailto") {
+    val rows = Web.linkGraph(spark, sfDir).collect()
+    assert(rows.length == 9)
+    assert(!rows.exists(_.getString(1).startsWith("mailto")))
+    val up = rows.find(_.getString(1) == "../up").get
+    assert(up.getString(2) == "https://links.example.com/up")
+    val ext = rows.find(_.getString(1).contains("utm_source")).get
+    assert(ext.getString(2) == "https://other.sample.co.uk/x?id=9"
+      && ext.getString(3) == "sample.co.uk")
+    val bold = rows.find(_.getString(1) == "/a/b").get
+    assert(bold.getString(4) == "bold link & more")
+  }
+
   test("q215: each declaration mechanism decodes to the expected text") {
     val rows = Web.charsetDecode(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
