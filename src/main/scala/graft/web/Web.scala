@@ -694,6 +694,109 @@ object Web {
       |ORDER BY src, href""".stripMargin
   }
 
+  // ---------------------------------------------- q217 sitemap audit
+
+  private[web] def sitemapFixtureFiles(): Seq[(String, Array[Byte])] = {
+    def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val index =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<sitemap><loc>https://maps.example.com/sm_a.xml</loc><lastmod>2026-07-01</lastmod></sitemap>
+        |<sitemap><loc>https://maps.example.com/sm_b.xml.gz</loc></sitemap>
+        |</sitemapindex>""".stripMargin
+    val smA =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>https://maps.example.com/a/item1</loc><lastmod>2026-08-01</lastmod><changefreq>daily</changefreq><priority>0.8</priority></url>
+        |<url><loc>https://maps.example.com/a/item2?x=1&amp;y=2</loc><priority>0.5</priority></url>
+        |<url><loc>https://maps.example.com/a/item3</loc><changefreq>monthly</changefreq></url>
+        |</urlset>""".stripMargin
+    val smB =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>HTTPS://Maps.Example.COM:443/b/page1#frag</loc></url>
+        |<url><loc>https://maps.example.com/b/page2</loc><lastmod>2026-06-15</lastmod></url>
+        |<url><loc></loc></url>
+        |<url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    Seq(
+      "sm_index.xml.gz" -> Warc.renderGzMembers(u8(index)),
+      "sm_a.xml" -> u8(smA),
+      "sm_b.xml.gz" -> Warc.renderGzMembers(u8(smB)),
+      "junk_sm.xml" -> u8("this is not xml at all"))
+  }
+
+  /** Write-once sitemap fixture folder (own suffix). */
+  def sitemapFolder(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir + ":sitemap").toLong & 0xffffffffL)
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val p = new org.apache.hadoop.fs.Path(wh, s"graft_sitemap_$suffix")
+    val key = spark.sparkContext.applicationId + ":" + p.toString
+    built.computeIfAbsent(key, { _ =>
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      fs.mkdirs(p)
+      sitemapFixtureFiles().foreach { case (name, bytes) =>
+        val out = fs.create(new org.apache.hadoop.fs.Path(p, name), true)
+        try out.write(bytes) finally out.close()
+      }
+      p.toString
+    })
+  }
+
+  private val parseSitemap = udf { (bytes: Array[Byte]) =>
+    Sitemap.parse(bytes).zipWithIndex.map { case (e, i) =>
+      (i, e.kind, e.loc, e.lastmod.orNull, e.changefreq.orNull, e.priority)
+    }
+  }
+
+  /** q217: sitemap ingestion through the oracle gate — the discovery
+    * side of the crawl-policy pair (q211 robots = may-fetch; sitemap =
+    * wants-fetched, with freshness/priority hints the q212 frontier
+    * consumes). Both document kinds parse (index + urlset), .xml.gz
+    * inflates, XML entities decode, the canonical form of each loc ties
+    * into the URL kernel (case/port/fragment spellings collapse), and
+    * the fixture's defective entries (empty loc, loc-less url) plus the
+    * junk file must quarantine, not throw. Scale shape: per-file
+    * parallel scan, per-row kernel, slim rows out — sitemap files are
+    * capped at 50k URLs by the protocol, so one file is always one
+    * task's worth of work. */
+  def sitemapAudit(spark: SparkSession, dir: String): DataFrame = {
+    val folder = sitemapFolder(spark, dir)
+    spark.read.format("binaryFile").load(folder)
+      .select(element_at(split(col("path"), "/"), -1).as("file"),
+        parseSitemap(col("content")).as("es"))
+      .select(col("file"),
+        explode_outer(when(size(col("es")) > 0, col("es"))).as("e"))
+      .select(col("file"), col("e._1").as("seq"), col("e._2").as("kind"),
+        col("e._3").as("loc"), canonicalizeUdf(col("e._3")).as("canon"),
+        col("e._4").as("lastmod"), col("e._5").as("changefreq"),
+        col("e._6").as("priority"))
+      .orderBy(col("file"), col("seq"))
+  }
+
+  val sitemapAuditSql: String =
+    """SELECT * FROM (VALUES
+      |  ('junk_sm.xml', CAST(NULL AS INT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+      |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+      |  ('sm_a.xml', 0, 'url', 'https://maps.example.com/a/item1', 'https://maps.example.com/a/item1',
+      |     '2026-08-01', 'daily', CAST(0.8 AS DOUBLE)),
+      |  ('sm_a.xml', 1, 'url', 'https://maps.example.com/a/item2?x=1&y=2', 'https://maps.example.com/a/item2?x=1&y=2',
+      |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(0.5 AS DOUBLE)),
+      |  ('sm_a.xml', 2, 'url', 'https://maps.example.com/a/item3', 'https://maps.example.com/a/item3',
+      |     CAST(NULL AS VARCHAR), 'monthly', CAST(NULL AS DOUBLE)),
+      |  ('sm_b.xml.gz', 0, 'url', 'HTTPS://Maps.Example.COM:443/b/page1#frag', 'https://maps.example.com/b/page1',
+      |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+      |  ('sm_b.xml.gz', 1, 'url', 'https://maps.example.com/b/page2', 'https://maps.example.com/b/page2',
+      |     '2026-06-15', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+      |  ('sm_index.xml.gz', 0, 'sitemap', 'https://maps.example.com/sm_a.xml', 'https://maps.example.com/sm_a.xml',
+      |     '2026-07-01', CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE)),
+      |  ('sm_index.xml.gz', 1, 'sitemap', 'https://maps.example.com/sm_b.xml.gz', 'https://maps.example.com/sm_b.xml.gz',
+      |     CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE))
+      |) AS t(file, seq, kind, loc, canon, lastmod, changefreq, priority)
+      |ORDER BY file, seq NULLS FIRST""".stripMargin
+
   // ---------------------------------------------- q213 WET conversion
 
   /** Extract → render a WET conversion record (.warc.gz, one member) →
@@ -922,5 +1025,6 @@ object Web {
     QueryDef("q212_crawl_frontier", crawlFrontier, Some(crawlFrontierSql)),
     QueryDef("q213_wet_conversion", wetConversion, Some(wetConversionSql)),
     QueryDef("q215_charset_decode", charsetDecode, Some(charsetDecodeSql)),
-    QueryDef("q216_link_graph", linkGraph, Some(linkGraphSql)))
+    QueryDef("q216_link_graph", linkGraph, Some(linkGraphSql)),
+    QueryDef("q217_sitemap_audit", sitemapAudit, Some(sitemapAuditSql)))
 }

@@ -69,6 +69,17 @@ class WebSpec extends SparkSpec {
     assert(rows.map(_.getString(0)).toSeq == rows.map(_.getString(0)).toSeq.sorted)
   }
 
+  test("q217: sitemap audit parses both kinds, canonicalizes, quarantines") {
+    val rows = Web.sitemapAudit(spark, sfDir).collect()
+    assert(rows.length == 8)
+    val junk = rows.filter(_.getString(0) == "junk_sm.xml")
+    assert(junk.length == 1 && junk.head.isNullAt(2))
+    val messy = rows.find(r => !r.isNullAt(3) &&
+      r.getString(3).startsWith("HTTPS://Maps")).get
+    assert(messy.getString(4) == "https://maps.example.com/b/page1")
+    assert(rows.count(r => !r.isNullAt(2) && r.getString(2) == "sitemap") == 2)
+  }
+
   test("q216: link graph resolves every href class, drops mailto") {
     val rows = Web.linkGraph(spark, sfDir).collect()
     assert(rows.length == 9)
