@@ -74,6 +74,10 @@ object Html {
     * on adversarial crawl bytes. */
   private def stripTags(html: String): String = {
     val sb = new StringBuilder(html.length)
+    // one lowercase copy up front: searching it per <script>/<style>
+    // element keeps the scan O(n) on script-heavy crawl pages (a
+    // per-element toLowerCase would be quadratic in element count)
+    lazy val lower = html.toLowerCase
     var i = 0
     val n = html.length
     while (i < n) {
@@ -92,7 +96,7 @@ object Html {
           val gt = html.indexOf('>', i)
           if (gt < 0) i = n
           else if (!closing && (name == "script" || name == "style" || name == "noscript")) {
-            val e = html.toLowerCase.indexOf(s"</$name", gt)
+            val e = lower.indexOf(s"</$name", gt)
             if (e < 0) i = n
             else { val g2 = html.indexOf('>', e); i = if (g2 < 0) n else g2 + 1 }
             sb += '\n'

@@ -103,5 +103,10 @@ class HtmlSpec extends AnyFunSuite {
     val t0 = System.nanoTime()
     assert(Html.extractText(big) == "x")
     assert((System.nanoTime() - t0) / 1e9 < 5.0)
+    // script-HEAVY page: per-element lowercase would be quadratic here
+    val scripty = "<p>k</p>" + "<script>f();</script>" * 20000
+    val t1 = System.nanoTime()
+    assert(Html.extractText(scripty) == "k")
+    assert((System.nanoTime() - t1) / 1e9 < 5.0)
   }
 }
