@@ -480,7 +480,7 @@ object Similarity {
   def simhashNearDup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), simhashOf(col("text")).as("sh"))
-    // band value b of a 32-bit hash: (sh div 256^b) % 256 — exact integer math
+    // band value b of the 60-bit sketch: (sh div 32768^b) % 32768 — exact integer math
     val keyed = docs.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 3), b -> (sh div CAST(pow(32768, b) AS BIGINT)) % 32768)")))
       .select(col("doc_id"), xxhash64(col("pos"), col("col")).as("bkey"))

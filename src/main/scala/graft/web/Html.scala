@@ -62,11 +62,40 @@ object Html {
     sb.toString
   }
 
-  /** Lower-cased tag name at `i` (after "<" / "</"); empty if none. */
+  /** ASCII-only lower fold — tag names are matched byte-wise per the
+    * HTML spec; String.toLowerCase is locale-sensitive (tr/az dotless-i)
+    * and length-changing (U+0130 → two chars), both of which corrupt
+    * offset-based scans over crawl bytes. */
+  private def asciiLower(s: String): String = {
+    val a = s.toCharArray
+    var j = 0
+    while (j < a.length) {
+      val c = a(j); if (c >= 'A' && c <= 'Z') a(j) = (c + 32).toChar; j += 1
+    }
+    new String(a)
+  }
+
+  /** Lower-cased (ASCII fold) tag name at `i` (after "<" / "</");
+    * empty if none. */
   private def tagNameAt(s: String, i: Int): String = {
     var j = i
     while (j < s.length && (s.charAt(j).isLetterOrDigit)) j += 1
-    s.substring(i, j).toLowerCase
+    asciiLower(s.substring(i, j))
+  }
+
+  /** Index of `</name` at or after `from`, ASCII-case-insensitively;
+    * -1 if absent. Per-char regionMatches keeps offsets aligned with
+    * the ORIGINAL string (no lowercase copy) and stays O(n·|name|). */
+  private def indexOfCloseTag(s: String, name: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = s.length - name.length - 2
+    while (i <= last) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '/' &&
+          s.regionMatches(true, i + 2, name, 0, name.length))
+        return i
+      i += 1
+    }
+    -1
   }
 
   /** Raw text with tags resolved per the contract (rules 1–3): one
@@ -74,10 +103,6 @@ object Html {
     * on adversarial crawl bytes. */
   private def stripTags(html: String): String = {
     val sb = new StringBuilder(html.length)
-    // one lowercase copy up front: searching it per <script>/<style>
-    // element keeps the scan O(n) on script-heavy crawl pages (a
-    // per-element toLowerCase would be quadratic in element count)
-    lazy val lower = html.toLowerCase
     var i = 0
     val n = html.length
     while (i < n) {
@@ -96,7 +121,7 @@ object Html {
           val gt = html.indexOf('>', i)
           if (gt < 0) i = n
           else if (!closing && (name == "script" || name == "style" || name == "noscript")) {
-            val e = lower.indexOf(s"</$name", gt)
+            val e = indexOfCloseTag(html, name, gt)
             if (e < 0) i = n
             else { val g2 = html.indexOf('>', e); i = if (g2 < 0) n else g2 + 1 }
             sb += '\n'

@@ -71,10 +71,14 @@ object Url {
     if (trailingSlash && !joined.endsWith("/")) joined + "/" else joined
   }
 
+  /** Referral-analytics params that never select content. Bare `ref`
+    * is deliberately NOT here: on many real sites it is content-bearing
+    * (?ref=<branch> on code hosts), and stripping it would silently
+    * merge distinct pages in crawl dedup. */
   private def isTracking(param: String): Boolean = {
     val name = param.split("=", 2)(0).toLowerCase
     name.startsWith("utm_") || name == "fbclid" || name == "gclid" ||
-      name == "msclkid" || name == "ref"
+      name == "msclkid" || name == "ref_src"
   }
 
   /** Canonicalize per the 6-rule contract; null/unparseable → null

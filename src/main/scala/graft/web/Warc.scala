@@ -42,6 +42,13 @@ final case class WarcRecord(
   */
 object Warc {
 
+  /** Hard cap on inflated bytes a single parse call will materialize —
+    * just under the JVM array ceiling. Hitting it reports truncation
+    * (prefix kept) rather than throwing; the splittable member reader
+    * ([[memberOffsets]]) is the scale path that keeps per-task memory
+    * bounded by the largest MEMBER, never the file. */
+  val MaxInflatedBytes: Long = Int.MaxValue.toLong - 16
+
   /** Inflate a (possibly multi-member) gzip stream. Returns the bytes
     * successfully inflated plus a truncation flag: a corrupt or
     * truncated member keeps every fully-read earlier byte (records
@@ -50,14 +57,26 @@ object Warc {
   def gunzipAll(bytes: Array[Byte]): (Array[Byte], Boolean) = {
     if (bytes.length < 2 || bytes(0) != 0x1f.toByte || bytes(1) != 0x8b.toByte)
       return (bytes, false)
-    val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+    // size hint clamped: bytes.length * 4 overflows Int for inputs
+    // >= 512 MiB (typical Common Crawl WARCs are ~1 GiB), and a negative
+    // hint throws IllegalArgumentException OUTSIDE the IOException
+    // handler — one big file would fail the task instead of quarantining
+    val hint = math.max(64L, math.min(bytes.length.toLong * 4, 1L << 24)).toInt
+    val out = new java.io.ByteArrayOutputStream(hint)
     try {
       val in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      (out.toByteArray, false)
+      var over = false
+      // oversized-inflation guard: a single-cell payload must stay under
+      // the JVM array ceiling; past it we stop and report truncation
+      // (records already inflated stay parseable) instead of OOM-ing
+      while (n >= 0 && !over) {
+        if (out.size().toLong + n > MaxInflatedBytes) over = true
+        else { out.write(buf, 0, n); n = in.read(buf) }
+      }
+      (out.toByteArray, over)
     } catch {
       case _: java.io.IOException => (out.toByteArray, true)
     }

@@ -40,7 +40,11 @@ class UrlSpec extends AnyFunSuite {
       == "https://a.com/p")
     assert(Url.canonicalize("https://a.com/p?b=2&a=1")
       == "https://a.com/p?b=2&a=1") // no reorder
+    // bare ref is content-bearing on many sites (?ref=<branch>) — kept;
+    // ref_src is the referral-only spelling — stripped
     assert(Url.canonicalize("https://a.com/p?ref=hn&gclid=1&q=ok")
+      == "https://a.com/p?ref=hn&q=ok")
+    assert(Url.canonicalize("https://a.com/p?ref_src=twsrc&q=ok")
       == "https://a.com/p?q=ok")
   }
 
