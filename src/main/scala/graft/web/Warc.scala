@@ -82,6 +82,103 @@ object Warc {
     }
   }
 
+  /** One gzip member's placement in a `.warc.gz` file: compressed byte
+    * range [offset, offset+clen) and its inflated size. */
+  final case class GzMember(offset: Long, clen: Long, ilen: Long)
+
+  /** Enumerate gzip member boundaries by streaming the input ONCE with
+    * O(1) memory (headers parsed per RFC 1952, deflate bodies inflated
+    * into a discard buffer, trailers skipped) — the index that makes a
+    * multi-gigabyte `.warc.gz` splittable: a cluster reader hands each
+    * `(file, memberRange)` slice to its own task, so per-task memory is
+    * bounded by the largest MEMBER, never the file. Stops at the first
+    * corrupt/truncated member keeping every complete one before it
+    * (same prefix semantics as [[gunzipAll]]); non-gzip input yields an
+    * empty index (caller treats the file as one identity slice). */
+  def memberIndex(in: java.io.InputStream): Seq[GzMember] = {
+    val members = Vector.newBuilder[GzMember]
+    val buf = new Array[Byte](1 << 16)
+    var bufLen = 0
+    var bufPos = 0
+    var abs = 0L // file offset of buf(bufPos)
+    def fill(): Boolean = {
+      if (bufPos < bufLen) true
+      else {
+        bufPos = 0; bufLen = 0
+        val n = in.read(buf)
+        if (n <= 0) false else { bufLen = n; true }
+      }
+    }
+    def readByte(): Int =
+      if (!fill()) -1
+      else { val b = buf(bufPos) & 0xff; bufPos += 1; abs += 1; b }
+    def skip(n: Int): Boolean = {
+      var k = 0
+      while (k < n) { if (readByte() < 0) return false; k += 1 }
+      true
+    }
+    def skipZeroTerminated(): Boolean = {
+      var b = readByte()
+      while (b > 0) b = readByte()
+      b == 0
+    }
+    var ok = true
+    while (ok && fill()) {
+      val start = abs
+      // ---- RFC 1952 header: magic, CM=8, FLG, MTIME(4), XFL, OS
+      val m1 = readByte(); val m2 = readByte(); val cm = readByte()
+      if (m1 != 0x1f || m2 != 0x8b || cm != 8) ok = false
+      else {
+        val flg = readByte()
+        ok = flg >= 0 && skip(6)
+        if (ok && (flg & 4) != 0) { // FEXTRA: 2-byte LE length + bytes
+          val x1 = readByte(); val x2 = readByte()
+          ok = x1 >= 0 && x2 >= 0 && skip(x1 | (x2 << 8))
+        }
+        if (ok && (flg & 8) != 0) ok = skipZeroTerminated()   // FNAME
+        if (ok && (flg & 16) != 0) ok = skipZeroTerminated()  // FCOMMENT
+        if (ok && (flg & 2) != 0) ok = skip(2)                // FHCRC
+        if (ok) {
+          // ---- deflate body: inflate + discard, counting both sides
+          val inf = new java.util.zip.Inflater(true)
+          val scratch = new Array[Byte](1 << 16)
+          var ilen = 0L
+          var handedLen = 0
+          var corrupt = false
+          try {
+            while (!inf.finished() && !corrupt) {
+              if (inf.needsInput()) {
+                bufPos += handedLen; abs += handedLen; handedLen = 0
+                if (!fill()) corrupt = true // truncated body
+                else {
+                  handedLen = bufLen - bufPos
+                  inf.setInput(buf, bufPos, handedLen)
+                }
+              }
+              if (!corrupt) {
+                try {
+                  val n = inf.inflate(scratch)
+                  ilen += n
+                  if (n == 0 && inf.needsDictionary()) corrupt = true
+                } catch {
+                  case _: java.util.zip.DataFormatException => corrupt = true
+                }
+              }
+            }
+            if (!corrupt) {
+              val consumed = handedLen - inf.getRemaining
+              bufPos += consumed; abs += consumed
+            }
+          } finally inf.end()
+          // ---- trailer: CRC32 + ISIZE
+          ok = !corrupt && skip(8)
+          if (ok) members += GzMember(start, abs - start, ilen)
+        }
+      }
+    }
+    members.result()
+  }
+
   private val Crlf = "\r\n"
 
   /** Find `\r\n\r\n` from `from`; -1 if absent. */

@@ -169,14 +169,6 @@ object Web {
 
   // ------------------------------------------------------------ kernels
 
-  /** Per-file WARC parse → records array (empty = quarantine). */
-  private val parseWarc = udf { (bytes: Array[Byte]) =>
-    Warc.parseFile(bytes).zipWithIndex.map { case (r, i) =>
-      Rec(i, r.warcType, r.targetUri.orNull, r.httpStatus,
-        r.httpContentType.orNull, r.httpCharset.orNull, r.payload)
-    }
-  }
-
   /** HTML extraction summary; lines join with " / " (array outputs are
     * not driver-comparable; the joined form is). */
   private val extractHtml = udf { (payload: Array[Byte]) =>
@@ -199,23 +191,21 @@ object Web {
     * oracle are DuckDB-computed md5 over the same page literals, so a
     * parser that returns one wrong payload byte (head/body split,
     * member boundary, Content-Length walk) breaks the gate. Scale
-    * shape: binaryFile parallelizes per file — and .warc.gz is
-    * member-splittable, so a cluster reader also parallelizes WITHIN a
-    * file; parsing is a per-row kernel; only the slim summary row
-    * (never payload bytes) reaches the shuffle. */
+    * shape: the SPLITTABLE reader ([[WarcScan]]) — gzip member index →
+    * slice descriptors shuffle → ranged reads — so a 1 GiB .warc.gz is
+    * N tasks bounded by the largest member, never whole-file rows;
+    * only slim summary rows reach any exchange. */
   def warcRecords(spark: SparkSession, dir: String): DataFrame = {
     val folder = warcFolder(spark, dir)
-    spark.read.format("binaryFile").load(folder)
-      .select(element_at(split(col("path"), "/"), -1).as("file"),
-        parseWarc(col("content")).as("recs"))
-      .select(col("file"),
-        explode_outer(when(size(col("recs")) > 0, col("recs"))).as("r"))
-      .select(col("file"), col("r.rec").as("rec"),
+    val recs = WarcScan.recordsNumbered(spark, folder)
+      .select(col("file"), col("rec"),
         col("r.warc_type").as("warc_type"),
         col("r.target_uri").as("target_uri"),
         col("r.http_status").as("http_status"), col("r.mime").as("mime"),
         length(col("r.payload")).cast("long").as("payload_len"),
         md5(col("r.payload")).as("payload_md5"))
+    WarcScan.fileListing(spark, folder)
+      .join(recs, Seq("file"), "left")
       .orderBy(col("file"), col("rec"))
   }
 
@@ -259,11 +249,12 @@ object Web {
 
   // ------------------------------------------------------- q207 extract
 
-  /** The 200/text/html record stream — q207 and q209's shared front. */
+  /** The 200/text/html record stream — q207 and q209's shared front
+    * (splittable read path; record order is irrelevant here, so no
+    * ordinal window is paid). */
   private def htmlPages(spark: SparkSession, dir: String): DataFrame = {
     val folder = warcFolder(spark, dir)
-    spark.read.format("binaryFile").load(folder)
-      .select(explode(parseWarc(col("content"))).as("r"))
+    WarcScan.records(spark, folder)
       .filter(col("r.warc_type") === "response" &&
         col("r.http_status") === 200 && col("r.mime") === "text/html")
       .select(col("r.target_uri").as("uri"), col("r.payload").as("payload"))
@@ -579,9 +570,7 @@ object Web {
     * per-row kernel, slim summary out. */
   def charsetDecode(spark: SparkSession, dir: String): DataFrame = {
     val folder = charsetFolder(spark, dir)
-    spark.read.format("binaryFile").load(folder)
-      .select(element_at(split(col("path"), "/"), -1).as("file"),
-        explode(parseWarc(col("content"))).as("r"))
+    WarcScan.records(spark, folder)
       .select(col("file"),
         decodeExtract(col("r.http_charset"), col("r.payload")).as("d"))
       .select(col("file"), col("d._1").as("charset"),
@@ -667,8 +656,7 @@ object Web {
     * bucketed graph tier (q110/q114's shapes) directly. */
   def linkGraph(spark: SparkSession, dir: String): DataFrame = {
     val folder = linksFolder(spark, dir)
-    spark.read.format("binaryFile").load(folder)
-      .select(explode(parseWarc(col("content"))).as("r"))
+    WarcScan.records(spark, folder)
       .filter(col("r.http_status") === 200 && col("r.mime") === "text/html")
       .select(col("r.target_uri").as("src"),
         explode(edgesUdf(col("r.target_uri"), col("r.payload"))).as("e"))
