@@ -297,27 +297,35 @@ object Web {
     * move): a text line occurring on ≥2 distinct pages of the same
     * registered domain is chrome (nav, footer, theme credit), not
     * content — drop it, keep everything else in page order. Oracle =
-    * hand-derived verdicts for every fixture page. Scale shape: lines
-    * explode → groupBy(domain, line) with map-side combine counts
-    * distinct pages → boilerplate verdict joins back on the same
-    * (domain, line) key — two shuffles on the exploded-lines key, no
-    * broadcast of anything corpus-sized, reassembly a per-page
-    * aggregate; exactly the shape CCNet runs per shard at crawl
-    * scale. */
+    * hand-derived verdicts for every fixture page. Scale shape (the
+    * q210 discipline, now shared): exploded lines ride every exchange
+    * as 32-char md5 HASHES, never as payload — counts groupBy(domain,
+    * lh) with map-side combine, verdict join-back on the same slim key,
+    * kept POSITIONS aggregate per page, and the text re-attaches once
+    * per PAGE (a page-count-sized join, not a line-count-sized one),
+    * re-deriving kept lines page-locally. Exactly the shape CCNet runs
+    * per shard at crawl scale; the exchange hygiene is plan-asserted
+    * (no `line` attribute below any shuffle). */
   def boilerplateLines(spark: SparkSession, dir: String): DataFrame = {
-    val lines = htmlPages(spark, dir)
+    val pages = htmlPages(spark, dir)
       .select(col("uri"), domainUdf(col("uri")).as("domain"),
         extractHtml(col("payload")).getField("text_joined").as("tj"))
+    val lineHashes = pages
       .select(col("uri"), col("domain"),
         posexplode(split(col("tj"), " / ")).as(Seq("pos", "line")))
-    val counts = lines.groupBy(col("domain"), col("line"))
+      .select(col("uri"), col("domain"), col("pos"), md5(col("line")).as("lh"))
+    val counts = lineHashes.groupBy(col("domain"), col("lh"))
       .agg(countDistinct(col("uri")).as("n_pages"))
-    lines.join(counts, Seq("domain", "line"))
+    val verdicts = lineHashes.join(counts, Seq("domain", "lh"))
       .groupBy(col("domain"), col("uri"))
       .agg(count(lit(1)).cast("int").as("n_lines"),
         sum(when(col("n_pages") < 2, 1).otherwise(0)).cast("int").as("n_kept"),
-        array_join(array_sort(collect_list(when(col("n_pages") < 2,
-          struct(col("pos"), col("line"))))).getField("line"), " / ")
+        array_sort(collect_list(when(col("n_pages") < 2, col("pos"))))
+          .as("kept_pos"))
+    verdicts.join(pages, Seq("domain", "uri"))
+      .select(col("domain"), col("uri"), col("n_lines"), col("n_kept"),
+        array_join(transform(col("kept_pos"),
+          p => element_at(split(col("tj"), " / "), p + 1)), " / ")
           .as("kept_text"))
       .orderBy(col("domain"), col("uri"))
   }
@@ -443,10 +451,12 @@ object Web {
     * mis-scoped boilerplate count — moves fp_sum and breaks the gate.
     *
     * Scale shape (the CCNet per-shard move): chrome detection is
-    * groupBy(domain, line) with map-side combine over exploded lines
-    * (text rides as a 32-char md5, never as payload), the verdict joins
-    * back on the same (domain, line) key, reassembly is one per-doc
-    * aggregate. The join-back carries NO broadcast hint: at sf0.1 the
+    * groupBy(domain, line-hash) with map-side combine over exploded
+    * lines — exploded rows carry ONLY a 32-char md5, never line text —
+    * the verdict joins back on the same slim (domain, lh) key into a
+    * kept-POSITIONS aggregate per doc, and text re-attaches once per
+    * PAGE (kept lines re-derive page-locally from the lines array).
+    * The join-back carries NO broadcast hint: at sf0.1 the
     * planner broadcasts the small counts side (the right call), and
     * because the estimate derives from the scan size, at crawl scale
     * the same plan flips to the shuffle join on its own — the stats
@@ -463,15 +473,19 @@ object Web {
       regDomainUdf(concat(lit("www."), col("source"), lit(".com"))).as("domain"),
       md5(col("text")).as("orig_fp"),
       extractLinesUdf(html).as("lines"))
-    val lines = pages.select(col("doc_id"), col("domain"), col("orig_fp"),
-      posexplode(col("lines")).as(Seq("pos", "line")))
-    val counts = lines.groupBy(col("domain"), col("line"))
+    val lineHashes = pages.select(col("doc_id"), col("domain"),
+        posexplode(col("lines")).as(Seq("pos", "line")))
+      .select(col("doc_id"), col("domain"), col("pos"), md5(col("line")).as("lh"))
+    val counts = lineHashes.groupBy(col("domain"), col("lh"))
       .agg(countDistinct(col("doc_id")).as("n_pages"))
-    lines.join(counts, Seq("domain", "line"))
-      .groupBy(col("doc_id"), col("domain"), col("orig_fp"))
-      .agg(array_join(array_sort(collect_list(when(col("n_pages") < 2,
-        struct(col("pos"), col("line"))))).getField("line"), "\n")
-        .as("recovered"))
+    val keptPos = lineHashes.join(counts, Seq("domain", "lh"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(when(col("n_pages") < 2, col("pos"))))
+        .as("kept_pos"))
+    pages.join(keptPos, Seq("doc_id"))
+      .select(col("domain"), col("orig_fp"),
+        array_join(transform(col("kept_pos"),
+          p => element_at(col("lines"), p + 1)), "\n").as("recovered"))
       .select(col("domain"),
         (md5(col("recovered")) === col("orig_fp")).as("ok"),
         pmod(conv(substring(md5(col("recovered")), 1, 15), 16, 10).cast("long"),

@@ -31,6 +31,17 @@ class WebSpec extends SparkSpec {
     assert(!rows.exists(_.getString(0).contains("/old/")))
   }
 
+  test("q209/q210 exchange hygiene: no raw line payload crosses a shuffle") {
+    for (df <- Seq(Web.boilerplateLines(spark, sfDir),
+                   Web.webPipeline(spark, sfDir));
+         ex <- shuffleExchanges(df);
+         attr <- ex.children.flatMap(_.output)) {
+      // "buf" is an ObjectHashAggregate partial buffer, not payload
+      assert(!Set("line", "payload", "content").contains(attr.name),
+        s"raw payload column ${attr.name} crossed an exchange")
+    }
+  }
+
   test("q209: domain-scoped boilerplate is removed, content kept in order") {
     val rows = Web.boilerplateLines(spark, sfDir).collect()
     assert(rows.length == 5)
