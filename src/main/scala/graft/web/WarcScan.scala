@@ -61,12 +61,28 @@ object WarcScan {
       c
     })
 
-  private def confBroadcast(spark: SparkSession): Broadcast[Array[(String, String)]] = {
-    import scala.jdk.CollectionConverters._
-    val kv = spark.sparkContext.hadoopConfiguration.iterator().asScala
-      .map(e => (e.getKey, e.getValue)).toArray
-    spark.sparkContext.broadcast(kv)
-  }
+  // One conf broadcast per session (graft.SessionMemo discipline): the
+  // hadoop conf is session-constant and re-broadcasting it per query
+  // call cost ~100 ms each on the bench.
+  private val bcMemo =
+    new graft.SessionMemo[String, Broadcast[Array[(String, String)]]]
+
+  private def confBroadcast(spark: SparkSession): Broadcast[Array[(String, String)]] =
+    bcMemo.getOrCompute(spark.sparkContext.applicationId) { _ =>
+      import scala.jdk.CollectionConverters._
+      val kv = spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+      spark.sparkContext.broadcast(kv)
+    }
+
+  // Slice-index memo: the index of a landed folder is deterministic
+  // (crawl landings are immutable; the fixture folders are write-once
+  // per session), so the per-file streaming pass runs once per
+  // (session, folder, budget) — exactly the "sidecar index at landing"
+  // shape, held as a checkpointed frame (stays distributed: at 100 TB
+  // the index is ~corpusBytes/64Mi rows, never driver-collected).
+  private val idxMemo =
+    new graft.SessionMemo[(String, String, Long), DataFrame]
 
   /** Index one file: stream member boundaries, coalesce into slices.
     * Non-gzip (or index-empty) input → one identity slice spanning the
@@ -91,7 +107,10 @@ object WarcScan {
 
   /** Slice descriptors for every file under `folder`: one row per
     * slice, (path, slice_seq, offset, clen, ilen, identity). The
-    * binaryFile listing reads only path+length (content pruned). */
+    * binaryFile listing reads only path+length (content pruned); the
+    * resulting index (tiny: ~corpusBytes/budget rows) memoizes per
+    * (session, folder, budget) — folder contents are assumed immutable
+    * within a session, the landed-crawl contract. */
   def sliceIndex(spark: SparkSession, folder: String,
                  sliceBudget: Long = DefaultSliceBudget): DataFrame = {
     val bc = confBroadcast(spark)
@@ -104,12 +123,14 @@ object WarcScan {
         case ((off, cl, il, ident), i) => WarcSliceRow(path, i, off, cl, il, ident)
       }
     }
-    spark.read.format("binaryFile").load(folder)
-      .select(col("path"), col("length"))
-      .select(explode(indexUdf(col("path"), col("length"))).as("s"))
-      .select(col("s.path").as("path"), col("s.slice_seq").as("slice_seq"),
-        col("s.offset").as("offset"), col("s.clen").as("clen"),
-        col("s.ilen").as("ilen"), col("s.identity").as("identity"))
+    idxMemo.getOrCompute(
+      (spark.sparkContext.applicationId, folder, sliceBudget)) { _ =>
+      spark.read.format("binaryFile").load(folder)
+        .select(col("path"), col("length"))
+        .select(explode(indexUdf(col("path"), col("length"))).as("s"))
+        .select(col("s.*"))
+        .localCheckpoint(false)
+    }
   }
 
   /** Ranged read + inflate + parse of one slice → records array. */
@@ -185,9 +206,11 @@ object WarcScan {
         (col("base") + col("rec_in_slice")).cast("int").as("rec"), col("r"))
   }
 
-  /** Distinct file names under `folder` (slim listing; quarantine
-    * left-joins against this). */
+  /** Distinct file names under `folder` (slim; quarantine left-joins
+    * against this). Derived from the memoized slice index — every file
+    * has at least one slice (identity fallback), so no second FS
+    * listing is paid. */
   def fileListing(spark: SparkSession, folder: String): DataFrame =
-    spark.read.format("binaryFile").load(folder)
-      .select(fileOf(col("path")).as("file"))
+    sliceIndex(spark, folder)
+      .select(fileOf(col("path")).as("file")).distinct()
 }
