@@ -22,6 +22,7 @@ object SparkEntry {
       multimodal.Fixtures.defs ++
       images.Perceptual.defs ++
       web.Web.defs ++
+      web.CrawlGraph.defs ++
       llm.Sft.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
