@@ -23,6 +23,7 @@ object SparkEntry {
       images.Perceptual.defs ++
       web.Web.defs ++
       web.CrawlGraph.defs ++
+      web.CrawlIngest.defs ++
       llm.Sft.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
