@@ -24,6 +24,7 @@ object SparkEntry {
       web.Web.defs ++
       web.CrawlGraph.defs ++
       web.CrawlIngest.defs ++
+      web.PdfExtract.defs ++
       llm.Sft.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
