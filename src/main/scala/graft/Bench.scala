@@ -84,13 +84,20 @@ object Bench {
     // the JSON. Adjudication rule (also in README): a slowdown is real
     // only if the re-measure confirms it; the committed cost of an
     // adjudicated query is min(queries[q], min(adjudicated[q])).
+    // Comparable only when the committed record ran at the SAME scale
+    // factor — an sf1.0 sweep against sf0.1 mins would mass-adjudicate.
     val committed: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
-      val qsec = """"queries":\{([^}]*)\}""".r
-        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
-      """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(qsec)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .exists(_.group(1) == sfDir)
+      if (!sameSf) Map.empty
+      else {
+        val qsec = """"queries":\{([^}]*)\}""".r
+          .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+        """"([^"]+)":(-?\d+(?:\.\d+)?)""".r.findAllMatchIn(qsec)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
     } catch { case _: Exception => Map.empty }
     val adjudicated = results.flatMap { case (name, dt, _) =>
       committed.get(name).filter(c => c > 0 && dt > 3 * c && dt - c > 0.3)
