@@ -126,8 +126,12 @@ object CrawlIngest {
       .select(col("doc_id"), col("raw"), col("path"), col("b"),
         canonicalizeUdf(col("raw")).as("canon"),
         domainUdf(col("raw")).as("domain"),
-        when(col("s13") === 5 && col("anchor_id").isNotNull, col("anchor_text"))
-          .when(col("s13") === 9 && col("anchor_id").isNotNull,
+        // anchor_text (not anchor_id) gates the fallback: an id-sparse
+        // corpus (the sf1 isomorphic scaling strides copies apart) can
+        // compute an anchor id that does not exist — such docs render
+        // their own text, on both engines
+        when(col("s13") === 5 && col("anchor_text").isNotNull, col("anchor_text"))
+          .when(col("s13") === 9 && col("anchor_text").isNotNull,
             concat(col("anchor_text"), lit(" q218 syndication note trailing")))
           .otherwise(col("text")).as("rtext"))
       .transform(graft.Dist.durableCkpt)
@@ -275,8 +279,8 @@ object CrawlIngest {
       |  FROM base
       |), rt AS (
       |  SELECT u.doc_id, u.domain, u.canon, u.allowed, u.b,
-      |    CASE WHEN u.b % 13 = 5 AND u.b >= 8 THEN a.text
-      |         WHEN u.b % 13 = 9 AND u.b >= 8
+      |    CASE WHEN u.b % 13 = 5 AND a.text IS NOT NULL THEN a.text
+      |         WHEN u.b % 13 = 9 AND a.text IS NOT NULL
       |           THEN a.text || ' q218 syndication note trailing'
       |         ELSE u.text END AS rtext
       |  FROM u LEFT JOIN base a

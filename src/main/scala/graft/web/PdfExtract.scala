@@ -186,7 +186,83 @@ object PdfExtract {
       |    % 1000000007) AS BIGINT) AS fp_sum
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // ------------------------------------- q222 mixed-payload crawl route
+
+  private val Iso = java.nio.charset.StandardCharsets.ISO_8859_1
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  /** Render one fetched page as WARC bytes carrying EITHER an HTML or a
+    * PDF payload (mime routed), then read it back through the real
+    * chain: Warc.parseFile → route BY MIME → Html.extractText or
+    * Pdf.extract. Returns the recovered text (null = quarantine). */
+  private val mixedRoundtrip = udf { (text: String, docId: Long, kind: String) =>
+    val uri = s"https://mix.example.com/d/$docId"
+    val body: Array[Byte] = kind match {
+      case "pdf" => renderSimple(Seq(text, s"docmark $docId"))
+      case _ =>
+        (s"<html><body><p>$text</p><p>docmark $docId</p></body></html>")
+          .getBytes(Utf8)
+    }
+    val mime = if (kind == "pdf") "application/pdf" else "text/html"
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $mime\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(Iso) ++ body
+    val warc = Warc.renderGzMembers(Warc.renderRecord("response", Some(uri),
+      "application/http; msgtype=response", http))
+    Warc.parseFile(warc) match {
+      case Seq(r) if r.httpStatus.contains(200) =>
+        r.httpContentType match {
+          case Some("application/pdf") =>
+            Pdf.extract(r.payload) match {
+              case Seq((1, Some(t))) => t
+              case _ => null
+            }
+          case Some("text/html") =>
+            Html.extractText(new String(r.payload, Utf8))
+          case _ => null
+        }
+      case _ => null
+    }
+  }
+
+  /** q222: the crawl pipeline with PDF as a SECOND payload kind beside
+    * HTML — per documents row the payload format is chosen by residue,
+    * wrapped in a real WARC response with the matching Content-Type,
+    * and the reader must ROUTE by mime (an HTML extractor fed PDF
+    * bytes, or vice versa, recovers garbage and moves the fingerprint).
+    * Both kinds must recover the identical two-line text. Census per
+    * (source, kind) binds counts + fingerprints. Scale shape: per-row
+    * kernels, slim census out — exactly how a production pipeline fans
+    * payload classes out of one WARC record stream. */
+  def mixedPayloadPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.documents(spark, dir)
+    val kind = when(pmod(col("doc_id"), lit(3)) === 2, "pdf").otherwise("html")
+    val expected = concat(col("text"), lit("\ndocmark "), col("doc_id").cast("string"))
+    docs
+      .select(col("source"), kind.as("kind"), expected.as("want"),
+        mixedRoundtrip(col("text"), col("doc_id"), kind).as("rec"))
+      .select(col("source"), col("kind"), (col("rec") === col("want")).as("ok"),
+        pmod(conv(substring(md5(col("rec")), 1, 15), 16, 10).cast("long"),
+          lit(1000000007L)).as("rfp"))
+      .groupBy(col("source"), col("kind"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_recovered"),
+        sum(col("rfp")).as("fp_sum"))
+      .orderBy(col("source"), col("kind"))
+  }
+
+  val mixedPayloadPipelineSql: String =
+    """SELECT source,
+      |  CASE WHEN doc_id % 3 = 2 THEN 'pdf' ELSE 'html' END AS kind,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(*) AS BIGINT) AS n_recovered,
+      |  CAST(SUM(CAST(concat('0x', substr(md5(
+      |      text || chr(10) || 'docmark ' || doc_id::VARCHAR), 1, 15)) AS BIGINT)
+      |    % 1000000007) AS BIGINT) AS fp_sum
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q220_pdf_extract", pdfExtract, Some(pdfExtractSql)),
-    QueryDef("q221_pdf_pipeline", pdfPipeline, Some(pdfPipelineSql)))
+    QueryDef("q221_pdf_pipeline", pdfPipeline, Some(pdfPipelineSql)),
+    QueryDef("q222_mixed_payload_pipeline", mixedPayloadPipeline,
+      Some(mixedPayloadPipelineSql)))
 }

@@ -213,4 +213,31 @@ object WarcScan {
   def fileListing(spark: SparkSession, folder: String): DataFrame =
     sliceIndex(spark, folder)
       .select(fileOf(col("path")).as("file")).distinct()
+
+  // --------------------------------------- sidecar index at landing
+
+  /** Persist the slice index as a parquet sidecar next to the landed
+    * crawl — the durable form of the session memo: steady-state readers
+    * skip the indexing pass entirely (one streaming decompression of
+    * the corpus, paid once at landing instead of once per session).
+    * Landing is idempotent (overwrite). */
+  def landIndex(spark: SparkSession, folder: String, indexPath: String,
+                sliceBudget: Long = DefaultSliceBudget): Unit =
+    sliceIndex(spark, folder, sliceBudget)
+      .write.mode("overwrite").parquet(indexPath)
+
+  /** The splittable record stream driven by a LANDED sidecar index
+    * instead of a fresh indexing pass — the 100 TB steady-state read
+    * path: one parquet scan of slice descriptors, the distribution
+    * exchange, then ranged reads. Same output contract as [[records]]. */
+  def recordsFromIndex(spark: SparkSession, indexPath: String): DataFrame = {
+    val bc = confBroadcast(spark)
+    spark.read.parquet(indexPath)
+      .repartition(col("path"), col("slice_seq"))
+      .select(col("path"), col("slice_seq"),
+        parseSliceUdf(bc)(col("path"), col("offset"), col("clen"),
+          col("identity")).as("recs"))
+      .select(fileOf(col("path")).as("file"), col("path"), col("slice_seq"),
+        posexplode(col("recs")).as(Seq("rec_in_slice", "r")))
+  }
 }

@@ -149,6 +149,19 @@ class WarcScanSpec extends SparkSpec {
     assert(rows.sorted.toSeq == want.sorted.toSeq)
   }
 
+  test("landed sidecar index: recordsFromIndex ≡ records, no re-indexing") {
+    val folder = Web.warcFolder(spark, sfDir)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-warc-idx").toString + "/index"
+    WarcScan.landIndex(spark, folder, idx, sliceBudget = 1L)
+    def census(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("file"), col("r.warc_type"), md5(col("r.payload")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(census(WarcScan.recordsFromIndex(spark, idx)) ==
+      census(WarcScan.records(spark, folder, sliceBudget = 1L)))
+  }
+
   test("oversized-inflation guard: gunzipAll truncates instead of throwing") {
     // 600 MB of zeros compresses to ~600 KB; inflating with a tiny cap
     // must return a truncation flag, not throw (contract check uses the
