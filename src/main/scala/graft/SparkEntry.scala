@@ -25,6 +25,7 @@ object SparkEntry {
       web.CrawlGraph.defs ++
       web.CrawlIngest.defs ++
       web.PdfExtract.defs ++
+      web.Revisit.defs ++
       llm.Sft.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -755,8 +755,8 @@ object Web {
 
   /** q217: sitemap ingestion through the oracle gate — the discovery
     * side of the crawl-policy pair (q211 robots = may-fetch; sitemap =
-    * wants-fetched, with freshness/priority hints the q212 frontier
-    * consumes). Both document kinds parse (index + urlset), .xml.gz
+    * wants-fetched, with freshness/priority hints q223's revisit
+    * scheduler consumes). Both document kinds parse (index + urlset), .xml.gz
     * inflates, XML entities decode, the canonical form of each loc ties
     * into the URL kernel (case/port/fragment spellings collapse), and
     * the fixture's defective entries (empty loc, loc-less url) plus the
