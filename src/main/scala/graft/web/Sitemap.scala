@@ -24,12 +24,12 @@ object Sitemap {
   final case class Entry(kind: String, loc: String, lastmod: Option[String],
                          changefreq: Option[String], priority: Option[Double])
 
-  private def decodeXml(s: String): String =
+  private[web] def decodeXml(s: String): String =
     s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
       .replace("&apos;", "'").replace("&amp;", "&") // amp LAST (double-escape safe)
 
   /** Inner text of the first `<tag>...</tag>` inside `block`. */
-  private def tagText(block: String, tag: String): Option[String] = {
+  private[web] def tagText(block: String, tag: String): Option[String] = {
     val open = block.indexOf(s"<$tag>")
     if (open < 0) return None
     val start = open + tag.length + 2
@@ -39,7 +39,7 @@ object Sitemap {
   }
 
   /** Every complete `<container>...</container>` block, in order. */
-  private def blocks(xml: String, container: String): Seq[String] = {
+  private[web] def blocks(xml: String, container: String): Seq[String] = {
     val out = Seq.newBuilder[String]
     var pos = 0
     var go = true
