@@ -3552,7 +3552,88 @@ object Similarity {
        |FROM inc i LEFT JOIN (SELECT * FROM best WHERE r = 1) b USING (doc_id)
        |ORDER BY i.doc_id""".stripMargin
 
+  // ---------------------- q229 in-context pretraining ordering
+
+  private val IcpP = 1000000007L
+
+  /** Documents per context window — the q229 packing unit. */
+  private val IcpWindow = 32
+
+  /** q229: in-context pretraining ordering — place RELATED documents in
+    * the same context window instead of shuffling them apart [Shi et
+    * al., "In-Context Pretraining: Language Modeling Beyond Document
+    * Boundaries", arXiv:2310.10638 — their traveling-salesman document
+    * path, approximated here by the scalable cluster-then-order form:
+    * sort by (cluster, distance-to-centroid, id) so each window draws
+    * from one semantic neighborhood]. The deliberate opposite of q119's
+    * deterministic SHUFFLE ordering: that shard plan maximizes mixing,
+    * this one maximizes within-window coherence; a training stack uses
+    * q119 for stage-one pretraining and this for the long-context
+    * extension phase.
+    *
+    * The gate binds the ORDER itself, not just counts: ord_fp is
+    * position-weighted, so swapping any two docs inside a window (or
+    * across windows) moves it. n_clusters per window certifies
+    * coherence structurally — windows are single-cluster except at the
+    * ≤ k−1 cluster boundaries. All arithmetic is the integer-exact
+    * kmeans/int8 family (q75's memoized Lloyd assignment, the same
+    * squared-distance formula), so the full trajectory hash-gates
+    * against the unrolled DuckDB oracle.
+    *
+    * Scale shape: memoized cluster assignment (landed once per
+    * session), broadcast k-row centroid frame, codegen'd integer dot
+    * kernels, and ONE range exchange for the global order via
+    * `Dist.globalRowNumber` — never a single-partition window. At
+    * 100 TB the range partitioner keys on (cid, dist), which is
+    * near-uniform by construction (clusters are balanced by Lloyd,
+    * distances spread within each). */
+  def icpOrder(spark: SparkSession, dir: String): DataFrame = {
+    val (a2, c2) = kmeansAssignment(spark, dir)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val scored = e.join(a2, Seq("vec_id"))
+      .join(broadcast(c2), Seq("cid"))
+      .withColumn("dist",
+        dotQ(col("q"), col("q")) - lit(2L) * dotQ(col("q"), col("qc")) +
+          dotQ(col("qc"), col("qc")))
+      .select(col("vec_id"), col("cid"), col("dist"))
+    graft.Dist.globalRowNumber(scored,
+        struct(col("cid"), col("dist"), col("vec_id")))
+      .withColumn("window_id", expr(s"(rn - 1) div $IcpWindow"))
+      .withColumn("pos", expr(s"(rn - 1) % $IcpWindow"))
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cid")).as("n_clusters"),
+        pmod(sum(pmod(col("dist"), lit(IcpP))), lit(IcpP)).as("dist_fp"),
+        pmod(sum((col("pos") + 1) * pmod(col("vec_id"), lit(IcpP))),
+          lit(IcpP)).as("ord_fp"))
+      .orderBy(col("window_id"))
+  }
+
+  /** Oracle: the shared Lloyd chain (q75's CTEs), the same integer
+    * squared distance to the final centroids, one global ROW_NUMBER. */
+  val icpOrderSql: String =
+    s"""WITH $kmeansCteSql, d AS (
+       |  SELECT v.vec_id, a.cid,
+       |    CAST(list_sum([v.q[i] * v.q[i] for i in range(1, 65)]) AS BIGINT)
+       |      - 2 * CAST(list_sum([v.q[i] * c.qc[i] for i in range(1, 65)]) AS BIGINT)
+       |      + CAST(list_sum([c.qc[i] * c.qc[i] for i in range(1, 65)]) AS BIGINT) AS dist
+       |  FROM q v JOIN a2 a USING (vec_id) JOIN c2 c ON a.cid = c.cid
+       |), o AS (
+       |  SELECT vec_id, cid, dist,
+       |    ROW_NUMBER() OVER (ORDER BY cid, dist, vec_id) AS rn
+       |  FROM d
+       |)
+       |SELECT (rn - 1) // $IcpWindow AS window_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_clusters,
+       |  CAST(SUM(dist % $IcpP) % $IcpP AS BIGINT) AS dist_fp,
+       |  CAST(SUM(((rn - 1) % $IcpWindow + 1) * (vec_id % $IcpP))
+       |    % $IcpP AS BIGINT) AS ord_fp
+       |FROM o GROUP BY 1 ORDER BY 1""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q229_icp_order", icpOrder, Some(icpOrderSql)),
     QueryDef("q40_minhash_signatures", minhashSignatures, Some(minhashSignaturesSql)),
     QueryDef("q41_minhash_lsh_pairs", minhashLshPairs, Some(minhashLshPairsSql)),
     QueryDef("q42_ngram_jaccard_topk", ngramJaccardTopk, Some(ngramJaccardTopkSql)),
