@@ -26,7 +26,12 @@ object SparkEntry {
       web.CrawlIngest.defs ++
       web.PdfExtract.defs ++
       web.Revisit.defs ++
-      llm.Sft.defs
+      web.Traps.defs ++
+      web.Feed.defs ++
+      web.HttpCache.defs ++
+      llm.Sft.defs ++
+      llm.Dpo.defs ++
+      text.UnicodeNorm.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
