@@ -326,6 +326,28 @@ object Streaming {
         Seq("canon"), "left_anti")
       .select(col("url"), col("ts"), col("canon"))
 
+  /** One polled feed document on the discovery stream. */
+  final case class FeedIngestRow(feed_xml: String, ts: java.sql.Timestamp)
+
+  private val feedLinksUdf = udf { (xml: String) =>
+    graft.web.Feed.parse(xml)._2.map(_.link).toArray
+  }
+
+  /** Streaming feed-poll door — the q226 discovery channel as a stream:
+    * polled RSS/Atom payloads parse per row ([[graft.web.Feed.parse]],
+    * total — junk feeds yield zero links and vanish), each item link
+    * EXPLODES onto the URL stream, and the whole [[frontierIngestStream]]
+    * gate applies downstream (canonical spelling-dedup within the
+    * watermark, stream-static anti-join against the landed frontier).
+    * The parse+explode stage is STATELESS — the only state is the
+    * frontier gate's per-canonical dedup row — so the door inherits the
+    * frontier gate's no-join-state and exactly-once-after-restart
+    * properties verbatim. */
+  def feedIngestStream(feeds: DataFrame, frontier: DataFrame): DataFrame =
+    frontierIngestStream(
+      feeds.select(explode(feedLinksUdf(col("feed_xml"))).as("url"), col("ts")),
+      frontier)
+
   /** Per-user state for [[burstAlerts]]: event counts for the open
     * (non-final) 5-minute buckets plus the last finalized bucket index
     * already swept for alerts. */
