@@ -31,7 +31,8 @@ object SparkEntry {
       web.HttpCache.defs ++
       llm.Sft.defs ++
       llm.Dpo.defs ++
-      text.UnicodeNorm.defs
+      text.UnicodeNorm.defs ++
+      text.Secrets.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
