@@ -103,6 +103,26 @@ class FuzzTotalitySpec extends AnyFunSuite {
   sweep("Html.extractText", Seq(htmlBytes), iters = 400)(
     b => Html.extractText(s(b)))
 
+  // --- image bitstreams: lossy VP8, lossless VP8L, header-dims ---
+  sweep("Vp8/Vp8l/HeaderDims",
+    Seq("grad64.webp", "alpha8.webp", "noise128.webp")
+      .map(n => res(s"/webp/$n")), iters = 150) { b =>
+    graft.images.Vp8.decode(b)
+    graft.images.Vp8l.decode(b)
+    graft.images.HeaderDims.dims(b)
+  }
+
+  // --- media metadata parsers (the q88 router's kernels) ---
+  sweep("media metadata parsers",
+    Seq(res("/flac/fixed_orders.flac")), iters = 150) { b =>
+    graft.multimodal.Flac.parse(b)
+    graft.multimodal.Mp3.parse(b)
+    graft.multimodal.Mp4.parse(b)
+    graft.multimodal.Ogg.parse(b)
+    graft.multimodal.Gif.parse(b)
+    graft.multimodal.Avi.parse(b)
+  }
+
   // --- HTTP cache-header kernel (q228) ---
   private val httpHead =
     ("HTTP/1.1 200 OK\r\nETag: \"v1\"\r\n" +
