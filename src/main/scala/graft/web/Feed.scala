@@ -51,7 +51,9 @@ object Feed {
 
   /** First `<link ...>` in `block` whose rel is absent or "alternate",
     * returning its href attribute. Attribute scanner, quote-delimited,
-    * total. */
+    * total. An attribute name only matches at a word boundary
+    * (whitespace before it — `hreflang="…"` is not `lang`), and an
+    * empty href is NOT a link (the linkless-drop contract). */
   private def atomLink(block: String): Option[String] = {
     var pos = 0
     while (pos < block.length) {
@@ -61,17 +63,20 @@ object Feed {
       if (end < 0) return None
       val tag = block.substring(open, end)
       def attr(name: String): Option[String] = {
-        val at = tag.indexOf(name + "=\"")
+        val needle = name + "=\""
+        var at = tag.indexOf(needle)
+        while (at > 0 && !Character.isWhitespace(tag.charAt(at - 1)))
+          at = tag.indexOf(needle, at + 1)
         if (at < 0) None
         else {
-          val vs = at + name.length + 2
+          val vs = at + needle.length
           val ve = tag.indexOf('"', vs)
           if (ve < 0) None else Some(tag.substring(vs, ve))
         }
       }
       val rel = attr("rel")
       if (rel.isEmpty || rel.contains("alternate")) {
-        val href = attr("href")
+        val href = attr("href").filter(_.nonEmpty)
         if (href.nonEmpty) return href.map(Sitemap.decodeXml)
       }
       pos = end + 1
@@ -79,14 +84,41 @@ object Feed {
     None
   }
 
+  /** Name of the document's ROOT element: the first `<` that opens a
+    * real element, skipping comments, doctype/CDATA (`<!`), and
+    * processing instructions (`<?`). Total; "" when none exists. */
+  private[web] def rootElement(xml: String): String = {
+    var pos = 0
+    while (pos < xml.length) {
+      val lt = xml.indexOf('<', pos)
+      if (lt < 0 || lt + 1 >= xml.length) return ""
+      if (xml.startsWith("<!--", lt)) {
+        val close = xml.indexOf("-->", lt + 4)
+        if (close < 0) return ""
+        pos = close + 3
+      } else if (xml.charAt(lt + 1) == '!' || xml.charAt(lt + 1) == '?') {
+        val close = xml.indexOf('>', lt + 1)
+        if (close < 0) return ""
+        pos = close + 1
+      } else {
+        var e = lt + 1
+        while (e < xml.length && (Character.isLetterOrDigit(xml.charAt(e)) ||
+          xml.charAt(e) == ':' || xml.charAt(e) == '-')) e += 1
+        return xml.substring(lt + 1, e)
+      }
+    }
+    ""
+  }
+
   /** Parse one feed document. Returns (kind, items): kind is "rss",
-    * "atom", or "" when the root is neither. */
+    * "atom", or "" when the ROOT ELEMENT is neither — markers inside
+    * comments or longer element names (`<feedback>`) never
+    * misclassify. */
   def parse(xml: String): (String, Seq[Item]) = {
     if (xml == null) return ("", Seq.empty)
-    val rss = xml.indexOf("<rss")
-    val atom = xml.indexOf("<feed")
-    val isRss = rss >= 0 && (atom < 0 || rss < atom)
-    val isAtom = atom >= 0 && !isRss
+    val root = rootElement(xml)
+    val isRss = root == "rss"
+    val isAtom = root == "feed"
     if (isRss) {
       val items = Sitemap.blocks(xml, "item").flatMap { b =>
         Sitemap.tagText(b, "link").map { link =>
@@ -110,6 +142,17 @@ object Feed {
 
   private val P = 1000000007L
 
+  /** English weekday name for 2026-07-`dayNum` (2026-07-01 is a
+    * Wednesday, so weekday = (dayNum + 2) % 7 with 0 = Sunday) — the
+    * RFC 1123 render clock SHARED by q226 and q228; one copy so the
+    * anchor arithmetic can never drift between the two gates. */
+  private[web] def rfc1123Dow(dayNum: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val dowIdx = pmod(dayNum + 2, lit(7))
+    when(dowIdx === 0, "Sun").when(dowIdx === 1, "Mon")
+      .when(dowIdx === 2, "Tue").when(dowIdx === 3, "Wed")
+      .when(dowIdx === 4, "Thu").when(dowIdx === 5, "Fri").otherwise("Sat")
+  }
+
   /** Parse + canonicalize + summarize one rendered feed:
     * (n_items, canon_link, ts, title_chars) — nulls when the single
     * item dropped. */
@@ -131,11 +174,7 @@ object Feed {
     val dayNum = pmod(col("doc_id"), lit(28)) + 1
     val dd = lpad(dayNum.cast("string"), 2, "0")
     val hh = lpad(pmod(col("doc_id"), lit(24)).cast("string"), 2, "0")
-    // 2026-07-01 is a Wednesday: weekday(dayNum) = (dayNum + 2) % 7, 0=Sun
-    val dowIdx = pmod(dayNum + 2, lit(7))
-    val dow = when(dowIdx === 0, "Sun").when(dowIdx === 1, "Mon")
-      .when(dowIdx === 2, "Tue").when(dowIdx === 3, "Wed")
-      .when(dowIdx === 4, "Thu").when(dowIdx === 5, "Fri").otherwise("Sat")
+    val dow = rfc1123Dow(dayNum)
     val link = when(messy,
       concat(lit("https://feeds.example.org:443/u/"), id, lit("#frag")))
       .otherwise(concat(lit("https://feeds.example.org/u/"), id))
@@ -161,8 +200,11 @@ object Feed {
       .agg(count(lit(1)).as("n_feeds"),
         sum(when(col("p").isNotNull, col("p._1").cast("long")).otherwise(0L))
           .as("n_items"),
-        pmod(sum(coalesce(when(col("p._3") >= 0, col("p._3")), lit(0L))),
-          lit(P)).as("ts_fp"),
+        // per-row mod BEFORE the sum: addends stay < 2^30, so the Long
+        // accumulator can't wrap even at 10^10-row groups (same residue
+        // as the oracle's exact HUGEINT sum-then-mod)
+        pmod(sum(pmod(coalesce(when(col("p._3") >= 0, col("p._3")), lit(0L)),
+          lit(P))), lit(P)).as("ts_fp"),
         sum(coalesce(col("p._4").cast("long"), lit(0L))).as("title_chars"),
         sum(when(col("p._2").contains(":443"), 1L)
           .when(col("p._2").contains("#"), 1L).otherwise(0L))

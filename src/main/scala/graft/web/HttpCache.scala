@@ -101,11 +101,7 @@ object HttpCache {
     val m5 = pmod(col("doc_id"), lit(5))
     val dayNum = pmod(col("doc_id"), lit(28)) + 1
     val dd = lpad(dayNum.cast("string"), 2, "0")
-    // 2026-07-01 is a Wednesday (the q226 clock)
-    val dowIdx = pmod(dayNum + 2, lit(7))
-    val dow = when(dowIdx === 0, "Sun").when(dowIdx === 1, "Mon")
-      .when(dowIdx === 2, "Tue").when(dowIdx === 3, "Wed")
-      .when(dowIdx === 4, "Thu").when(dowIdx === 5, "Fri").otherwise("Sat")
+    val dow = Feed.rfc1123Dow(dayNum) // the shared q226/q228 render clock
     val etagHdr = when(m3 === 0,
       concat(lit("ETag: \"v"), col("doc_id").cast("string"), lit("\"\r\n")))
       .otherwise(lit(""))
@@ -127,8 +123,10 @@ object HttpCache {
       .agg(count(lit(1)).as("n_urls"),
         sum(when(col("action") =!= "fetch", col("body_len")).otherwise(0L))
           .as("body_bytes_saved"),
-        pmod(sum(when(col("lm") >= 0, col("lm")).otherwise(0L)), lit(P))
-          .as("lm_fp"))
+        // per-row mod before the sum (the ts_fp convention): no Long
+        // wraparound at any group size, identical residue to the oracle
+        pmod(sum(pmod(when(col("lm") >= 0, col("lm")).otherwise(0L),
+          lit(P))), lit(P)).as("lm_fp"))
       .orderBy(col("action"))
   }
 

@@ -89,8 +89,10 @@ object Revisit {
           .as("n_due"),
         sum(when(col("canon").isNotNull,
           round(col("p_priority") * 10000).cast("long"))).as("pr_bp_sum"),
-        pmod(sum(coalesce(col("next_fetch"), lit(0L))), lit(1000000007L))
-          .as("sched_fp"),
+        // per-row mod before the sum: overflow-safe at any group size,
+        // same residue as the oracle's exact sum-then-mod
+        pmod(sum(pmod(coalesce(col("next_fetch"), lit(0L)), lit(1000000007L))),
+          lit(1000000007L)).as("sched_fp"),
         sum(when(col("canon").contains(":443"), 1L)
           .when(col("canon").contains("#"), 1L).otherwise(0L))
           .as("n_uncanonical"))

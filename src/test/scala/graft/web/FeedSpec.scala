@@ -58,9 +58,26 @@ class FeedSpec extends AnyFunSuite {
     assert(Feed.parse("<rss><item><link>x")._2.isEmpty)
   }
 
-  test("kind detection picks the first root element") {
+  test("kind detection reads the ROOT element, not the first substring") {
     assert(Feed.parse("<rss version='2.0'/>")._1 == "rss")
     assert(Feed.parse("<feed/>")._1 == "atom")
-    assert(Feed.parse("<!-- <feed> --><rss><channel/></rss>")._1 == "atom")
+    // markers inside comments / prolog / doctype never misclassify
+    assert(Feed.parse("<!-- <feed> migration note --><rss><channel/></rss>")._1 == "rss")
+    assert(Feed.parse("<?xml version=\"1.0\"?><!DOCTYPE x><feed/>")._1 == "atom")
+    // longer element names are not a prefix match
+    assert(Feed.parse("<feedback><item/></feedback>")._1 == "")
+    assert(Feed.parse("<rsschannel/>")._1 == "")
+  }
+
+  test("atom link rules: empty href drops; attr names match at boundaries") {
+    // empty href is not a discovery (the linkless-drop contract)
+    assert(Feed.parse(
+      "<feed><entry><link rel=\"alternate\" href=\"\"/></entry></feed>")
+      ._2.isEmpty)
+    // hreflang is not href; barrel is not rel
+    val (_, items) = Feed.parse(
+      "<feed><entry><link hreflang=\"en\" href=\"https://e.org/a\"/></entry>" +
+        "<entry><link barrel=\"nofollow\" href=\"https://e.org/b\"/></entry></feed>")
+    assert(items.map(_.link) == Seq("https://e.org/a", "https://e.org/b"))
   }
 }
