@@ -86,9 +86,13 @@ object Bench {
     // adjudicated query is min(queries[q], min(adjudicated[q])).
     // Comparable only when the committed record ran at the SAME scale
     // factor — an sf1.0 sweep against sf0.1 mins would mass-adjudicate.
+    // The baseline is the file this run will OVERWRITE (read before the
+    // write): an sf1 sweep with SPARK_GRAFT_BENCH_OUT=BENCH_SF1.json
+    // self-adjudicates against the committed sf1 record, not sf0.1's.
     val committed: Map[String, Double] = try {
+      val baseline = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
       val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("BENCH_LOCAL.json")), "UTF-8")
+        java.nio.file.Paths.get(baseline)), "UTF-8")
       val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
       if (!sameSf) Map.empty
@@ -103,10 +107,14 @@ object Bench {
       committed.get(name).filter(c => c > 0 && dt > 3 * c && dt - c > 0.3)
         .map { _ =>
           val fn = SparkEntry.queries(name)
+          // a failed re-measure records the -1 sentinel (the main
+          // loop's convention) — a throw must never surface as a
+          // plausible-looking fast timing that lowers adjusted_total
           val again = (1 to reps).map { _ =>
             val t0 = System.nanoTime()
-            try run(fn(spark, sfDir)) catch { case _: Throwable => }
-            (System.nanoTime() - t0) / 1e9
+            val ok = try { run(fn(spark, sfDir)); true }
+              catch { case _: Throwable => false }
+            if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
           }
           spark.catalog.clearCache()
           (name, again)
@@ -130,7 +138,11 @@ object Bench {
     // adjudication-corrected total: each adjudicated query contributes
     // its best confirmed min — what the sweep total would have been
     // without the interference window
-    val adjMin = adjudicated.map { case (k, ts) => k -> ts.min }.toMap
+    // failed re-measure reps (-1 sentinel) can never become the min
+    val adjMin = adjudicated.flatMap { case (k, ts) =>
+      val ok = ts.filter(_ >= 0)
+      if (ok.isEmpty) None else Some(k -> ok.min)
+    }.toMap
     val adjTotal = results
       .map { case (k, v, _) => math.min(v, adjMin.getOrElse(k, v)) }
       .filter(_ >= 0).sum

@@ -79,7 +79,7 @@ object ImageCodec {
   }
 
   private def encode(img: BufferedImage, fmt: String, quality: Int): Option[Array[Byte]] = {
-    val norm = fmt.toLowerCase match {
+    val norm = fmt.toLowerCase(java.util.Locale.ROOT) match {
       case "jpg" | "jpeg" => "jpeg"
       case f => f
     }

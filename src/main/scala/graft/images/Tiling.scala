@@ -177,7 +177,7 @@ object Tiling {
   def convertImages(spark: SparkSession, inDir: String, outDir: String,
                     toFmt: String, quality: Int = 85): Long = {
     Sinks.requireEmptyDir(outDir)
-    val ext = toFmt.toLowerCase
+    val ext = toFmt.toLowerCase(java.util.Locale.ROOT)
     val out = scanImages(spark, inDir)
       .select(format_string("%s." + ext, stem(col("path"))).as("file_name"),
         ImageCodec.transcode(col("content"), lit(ext), lit(quality)).as("data"))

@@ -210,12 +210,14 @@ object CrawlIngest {
       .filter(lit(10) * col("shared") >=
         lit(9) * (size(col("hs_a")) + size(col("hs_b")) - col("shared")))
     val droppedGids = verified.select(col("gid_b").as("gid")).distinct()
+    // one explode, one combined predicate: a doc drops when it is a
+    // non-keeper member OR its whole group lost the verify (gid
+    // dropped). Each doc lives in exactly one group, so the exploded
+    // rows are already distinct — no union, no dedup exchange.
     val ndrop = grps.select(col("gid"), explode(col("members")).as("doc_id"))
-      .join(droppedGids, Seq("gid"), "left_semi")
+      .join(droppedGids.withColumn("gdrop", lit(true)), Seq("gid"), "left")
+      .filter(col("doc_id") =!= col("gid") || col("gdrop"))
       .select(col("doc_id"))
-      .union(grps.select(col("gid"), explode(col("members")).as("doc_id"))
-        .filter(col("doc_id") =!= col("gid")).select(col("doc_id")))
-      .distinct()
       .withColumn("nd", lit(true))
     // ---- census per registered domain
     val flags = d2

@@ -87,11 +87,24 @@ object Html {
     * -1 if absent. Per-char regionMatches keeps offsets aligned with
     * the ORIGINAL string (no lowercase copy) and stays O(n·|name|). */
   private def indexOfCloseTag(s: String, name: String, from: Int): Int = {
+    // ASCII-only per-char fold: regionMatches(true, ...) is UNICODE
+    // case-insensitive (U+017F 'ſ' matches 's', U+212A matches 'k'),
+    // which would let "</ſcript>" inside a script body close the
+    // element — tag names fold only A-Z per the HTML spec
+    def matchesAt(i: Int): Boolean = {
+      var j = 0
+      while (j < name.length) {
+        val c = s.charAt(i + j)
+        val folded = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+        if (folded != name.charAt(j)) return false
+        j += 1
+      }
+      true
+    }
     var i = math.max(from, 0)
     val last = s.length - name.length - 2
     while (i <= last) {
-      if (s.charAt(i) == '<' && s.charAt(i + 1) == '/' &&
-          s.regionMatches(true, i + 2, name, 0, name.length))
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '/' && matchesAt(i + 2))
         return i
       i += 1
     }
@@ -240,6 +253,6 @@ object Html {
       .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
     val text = dec.decode(java.nio.ByteBuffer.wrap(
       payload, bom, payload.length - bom)).toString
-    (text, cs.name().toLowerCase)
+    (text, cs.name().toLowerCase(java.util.Locale.ROOT))
   }
 }

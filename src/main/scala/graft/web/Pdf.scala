@@ -377,20 +377,31 @@ object Pdf {
     }
   }
 
+  /** Content streams a sane PDF page needs are far below this; a flate
+    * payload inflating past it is a decompression bomb and the stream
+    * QUARANTINES (None) instead of growing until OOM — the same bounded
+    * contract as [[Warc.gunzipAll]], which a crawl-facing decoder must
+    * honor (an Error escapes every catch and kills the task). */
+  private val MaxStreamBytes = 256L << 20
+
   private def inflate(data: Array[Byte]): Option[Array[Byte]] = {
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      // size hint clamped: data.length * 4 overflows Int past 512 MiB
+      val hint = math.min(math.max(64L, data.length.toLong * 4), 1L << 20).toInt
+      val out = new java.io.ByteArrayOutputStream(hint)
       val buf = new Array[Byte](8192)
       var guard = 0
-      while (!inf.finished() && !inf.needsInput() && !inf.needsDictionary() &&
-             guard < (1 << 16)) {
+      var over = false
+      while (!over && !inf.finished() && !inf.needsInput() &&
+             !inf.needsDictionary() && guard < (1 << 16)) {
         val n = inf.inflate(buf)
-        out.write(buf, 0, n)
+        if (out.size().toLong + n > MaxStreamBytes) over = true
+        else out.write(buf, 0, n)
         if (n == 0) guard += 1 else guard = 0
       }
-      if (inf.finished()) Some(out.toByteArray) else None
+      if (!over && inf.finished()) Some(out.toByteArray) else None
     } catch {
       case _: Exception => None
     } finally inf.end()

@@ -64,12 +64,12 @@ object Robots {
       val line = { val h = raw.indexOf('#'); if (h < 0) raw else raw.substring(0, h) }.trim
       val c = line.indexOf(':')
       if (c > 0) {
-        val key = line.substring(0, c).trim.toLowerCase
+        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
         val value = line.substring(c + 1).trim
         key match {
           case "user-agent" =>
             if (inRules) { flush(); agents = Vector.empty; rules = Vector.empty; inRules = false }
-            agents :+= value.toLowerCase
+            agents :+= value.toLowerCase(java.util.Locale.ROOT)
           case "allow" | "disallow" =>
             inRules = true
             if (value.nonEmpty) rules :+= Rule(key == "allow", value)
@@ -86,7 +86,7 @@ object Robots {
   def policyFor(robotsTxt: String, agent: String): Policy = {
     if (robotsTxt == null) return Policy(Seq.empty)
     val groups = parseGroups(robotsTxt)
-    val a = agent.toLowerCase
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
     val exact = groups.filter(_.agents.contains(a))
     val chosen = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
     Policy(chosen.flatMap(_.rules))

@@ -76,7 +76,9 @@ object Url {
     * (?ref=<branch> on code hosts), and stripping it would silently
     * merge distinct pages in crawl dedup. */
   private def isTracking(param: String): Boolean = {
-    val name = param.split("=", 2)(0).toLowerCase
+    // Locale.ROOT: default-locale toLowerCase breaks on tr/az dotless-i
+    // ("FBCLID" -> "fbclıd"), un-stripping uppercase tracking spellings
+    val name = param.split("=", 2)(0).toLowerCase(java.util.Locale.ROOT)
     name.startsWith("utm_") || name == "fbclid" || name == "gclid" ||
       name == "msclkid" || name == "ref_src"
   }
@@ -88,12 +90,12 @@ object Url {
     val noFrag = { val h = url.indexOf('#'); if (h < 0) url else url.substring(0, h) }
     val sep = noFrag.indexOf("://")
     if (sep <= 0) return null
-    val scheme = noFrag.substring(0, sep).toLowerCase
+    val scheme = noFrag.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
     if (!scheme.forall(c => c.isLetterOrDigit && c < 128)) return null
     val rest = noFrag.substring(sep + 3)
     if (rest.isEmpty) return null
     val pathStart = { val i = rest.indexWhere(c => c == '/' || c == '?'); if (i < 0) rest.length else i }
-    var hostPort = rest.substring(0, pathStart).toLowerCase
+    var hostPort = rest.substring(0, pathStart).toLowerCase(java.util.Locale.ROOT)
     if (hostPort.isEmpty) return null
     if ((scheme == "http" && hostPort.endsWith(":80")) ||
         (scheme == "https" && hostPort.endsWith(":443")))
@@ -117,7 +119,7 @@ object Url {
     * subset); IPs and single-label hosts return as-is. */
   def registeredDomain(host: String): String = {
     if (host == null) return null
-    val h = host.toLowerCase.stripSuffix(".")
+    val h = host.toLowerCase(java.util.Locale.ROOT).stripSuffix(".")
     val labels = h.split('.')
     if (labels.length <= 2) return h
     if (labels.forall(_.forall(_.isDigit))) return h // IPv4
@@ -172,7 +174,7 @@ object Url {
     if (sep <= 0) return null
     val rest = url.substring(sep + 3)
     val end = rest.indexWhere(c => c == '/' || c == '?' || c == '#')
-    val hp = (if (end < 0) rest else rest.substring(0, end)).toLowerCase
+    val hp = (if (end < 0) rest else rest.substring(0, end)).toLowerCase(java.util.Locale.ROOT)
     val colon = hp.lastIndexOf(':')
     val h = if (colon >= 0 && hp.substring(colon + 1).forall(_.isDigit)) hp.substring(0, colon) else hp
     if (h.isEmpty) null else h

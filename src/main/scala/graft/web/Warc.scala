@@ -84,7 +84,14 @@ object Warc {
 
   /** One gzip member's placement in a `.warc.gz` file: compressed byte
     * range [offset, offset+clen) and its inflated size. */
-  final case class GzMember(offset: Long, clen: Long, ilen: Long)
+  /** `recStart`: the member's first inflated bytes are "WARC/" — a
+    * slice may CUT before such a member (record-aligned boundary). The
+    * .warc.gz convention compresses record-per-member (ISO 28500
+    * Annex D), but a re-compressed container can split a record across
+    * members; a non-aligned member must stay glued to its predecessor
+    * or the spanning record silently vanishes at the slice boundary. */
+  final case class GzMember(offset: Long, clen: Long, ilen: Long,
+                            recStart: Boolean = true)
 
   /** Enumerate gzip member boundaries by streaming the input ONCE with
     * O(1) memory (headers parsed per RFC 1952, deflate bodies inflated
@@ -145,6 +152,8 @@ object Warc {
           var ilen = 0L
           var handedLen = 0
           var corrupt = false
+          val head = new Array[Byte](5)
+          var headLen = 0
           try {
             while (!inf.finished() && !corrupt) {
               if (inf.needsInput()) {
@@ -158,6 +167,11 @@ object Warc {
               if (!corrupt) {
                 try {
                   val n = inf.inflate(scratch)
+                  if (headLen < 5 && n > 0) {
+                    val take = math.min(5 - headLen, n)
+                    System.arraycopy(scratch, 0, head, headLen, take)
+                    headLen += take
+                  }
                   ilen += n
                   if (n == 0 && inf.needsDictionary()) corrupt = true
                 } catch {
@@ -172,7 +186,11 @@ object Warc {
           } finally inf.end()
           // ---- trailer: CRC32 + ISIZE
           ok = !corrupt && skip(8)
-          if (ok) members += GzMember(start, abs - start, ilen)
+          if (ok) {
+            val recStart = headLen == 5 && head(0) == 'W' && head(1) == 'A' &&
+              head(2) == 'R' && head(3) == 'C' && head(4) == '/'
+            members += GzMember(start, abs - start, ilen, recStart)
+          }
         }
       }
     }
@@ -198,7 +216,7 @@ object Warc {
     block.split(Crlf).iterator.flatMap { line =>
       val c = line.indexOf(':')
       if (c <= 0) None
-      else Some(line.substring(0, c).trim.toLowerCase -> line.substring(c + 1).trim)
+      else Some(line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT) -> line.substring(c + 1).trim)
     }.toMap
 
   /** Split an `application/http` block into (statusLine?, headers,
@@ -217,9 +235,9 @@ object Warc {
     // mime only: parameters are not part of the type; the charset
     // parameter rides separately (transcoding input)
     val ct = hdrs.get("content-type")
-    val mime = ct.map(_.split(";")(0).trim.toLowerCase)
+    val mime = ct.map(_.split(";")(0).trim.toLowerCase(java.util.Locale.ROOT))
     val charset = ct.flatMap(_.split(";").drop(1).iterator
-      .map(_.trim.toLowerCase)
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .collectFirst { case p if p.startsWith("charset=") =>
         p.substring(8).trim.stripPrefix("\"").stripSuffix("\"")
       })
@@ -255,7 +273,7 @@ object Warc {
               val block = java.util.Arrays.copyOfRange(
                 bytes, he + 4, (he + 4 + len).toInt)
               val ct = hdrs.get("content-type").map(_.trim)
-              val isHttp = ct.exists(_.toLowerCase.startsWith("application/http"))
+              val isHttp = ct.exists(_.toLowerCase(java.util.Locale.ROOT).startsWith("application/http"))
               val (status, mime, charset, payload) =
                 if (isHttp) parseHttp(block) else (None, None, None, block)
               out += WarcRecord(wt, hdrs.get("warc-target-uri"), ct,

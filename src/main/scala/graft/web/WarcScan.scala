@@ -86,7 +86,13 @@ object WarcScan {
 
   /** Index one file: stream member boundaries, coalesce into slices.
     * Non-gzip (or index-empty) input → one identity slice spanning the
-    * file. Pure function of (bytes at path, budget) — safe to re-run. */
+    * file. A cut happens only BEFORE a member whose inflated head is
+    * "WARC/" (`recStart`): a record split across gzip members — legal,
+    * though off the ISO 28500 Annex D record-per-member convention —
+    * stays inside one slice instead of silently vanishing at the
+    * boundary (the continuation member glues on even past the budget;
+    * the indivisible-run contract, same as one oversized member). Pure
+    * function of (bytes at path, budget) — safe to re-run. */
   private[web] def slicesOf(index: Seq[Warc.GzMember], fileLen: Long,
                             budget: Long): Seq[(Long, Long, Long, Boolean)] = {
     if (index.isEmpty) return Seq((0L, fileLen, fileLen, true))
@@ -95,7 +101,7 @@ object WarcScan {
     var clen = 0L
     var ilen = 0L
     for (m <- index) {
-      if (ilen > 0 && ilen + m.ilen > budget) {
+      if (ilen > 0 && ilen + m.ilen > budget && m.recStart) {
         out += ((start, clen, ilen, false))
         start = m.offset; clen = 0L; ilen = 0L
       }
@@ -133,19 +139,27 @@ object WarcScan {
     }
   }
 
-  /** Ranged read + inflate + parse of one slice → records array. */
+  /** Ranged read + inflate + parse of one slice → records array.
+    * An IDENTITY slice (uncompressed file) larger than the single-
+    * allocation ceiling cannot be safely range-parsed (no member index
+    * exists to split it); it parses to ZERO records — a LOUD whole-file
+    * quarantine at the caller's listing join, never a silent prefix.
+    * Gzip slices are bounded by construction (slicesOf' budget). */
   private def parseSliceUdf(bc: Broadcast[Array[(String, String)]]) =
     udf { (path: String, offset: Long, clen: Long, identity: Boolean) =>
-      val p = new org.apache.hadoop.fs.Path(path)
-      val fs = p.getFileSystem(confOf(bc))
-      val n = math.min(clen, Warc.MaxInflatedBytes).toInt
-      val bytes = new Array[Byte](n)
-      val in = fs.open(p)
-      try { in.seek(offset); in.readFully(bytes, 0, n) } finally in.close()
-      val inflated = if (identity) bytes else Warc.gunzipAll(bytes)._1
-      Warc.parseRecords(inflated).zipWithIndex.map { case (r, i) =>
-        Rec(i, r.warcType, r.targetUri.orNull, r.httpStatus,
-          r.httpContentType.orNull, r.httpCharset.orNull, r.payload)
+      if (identity && clen > Warc.MaxInflatedBytes) Seq.empty[Rec]
+      else {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(confOf(bc))
+        val n = math.min(clen, Warc.MaxInflatedBytes).toInt
+        val bytes = new Array[Byte](n)
+        val in = fs.open(p)
+        try { in.seek(offset); in.readFully(bytes, 0, n) } finally in.close()
+        val inflated = if (identity) bytes else Warc.gunzipAll(bytes)._1
+        Warc.parseRecords(inflated).zipWithIndex.map { case (r, i) =>
+          Rec(i, r.warcType, r.targetUri.orNull, r.httpStatus,
+            r.httpContentType.orNull, r.httpCharset.orNull, r.payload)
+        }
       }
     }
 

@@ -84,6 +84,28 @@ class WarcScanSpec extends SparkSpec {
     assert(WarcScan.slicesOf(Seq.empty, 123, 35) == Seq((0L, 123L, 123L, true)))
   }
 
+  test("slice cuts are record-aligned: a record split across members stays whole") {
+    // ONE record compressed as TWO gzip members — legal, though off the
+    // ISO 28500 record-per-member convention (e.g. chunked recompression)
+    val rec = Warc.renderRecord("metadata", None, "application/warc-fields",
+      ("k: " + "v" * 200).getBytes("ISO-8859-1"))
+    val (h1, h2) = rec.splitAt(rec.length / 2)
+    val bytes = Warc.renderGzMembers(h1, h2)
+    val idx = Warc.memberIndex(new java.io.ByteArrayInputStream(bytes))
+    assert(idx.length == 2)
+    assert(idx(0).recStart && !idx(1).recStart)
+    // a 1-byte budget would love to cut between the members; the
+    // non-aligned continuation must stay glued to its predecessor
+    val slices = WarcScan.slicesOf(idx, bytes.length, 1)
+    assert(slices.length == 1)
+    assert(Warc.parseRecords(Warc.gunzipAll(bytes)._1).length == 1)
+    // aligned members still split under the same budget
+    val aligned = Warc.renderGzMembers(rec, rec)
+    val idx2 = Warc.memberIndex(new java.io.ByteArrayInputStream(aligned))
+    assert(idx2.forall(_.recStart))
+    assert(WarcScan.slicesOf(idx2, aligned.length, 1).length == 2)
+  }
+
   // ------------------------------------------------- the Spark pipeline
 
   test("within-file parallelism: slices exceed files; per-slice input bounded") {
