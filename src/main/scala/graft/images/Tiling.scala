@@ -67,7 +67,8 @@ object Tiling {
     // .jpg extension; PNG, NONE, and ANY unrecognized format (even "JPEG",
     // "webp", "heic") fall back to PNG — mirrored exactly, so an unsupported
     // format yields PNG tiles instead of null-data rows that get dropped.
-    val ext = if (p.format.toUpperCase == "JPG") "jpg" else "png"
+    val ext =
+      if (p.format.toUpperCase(java.util.Locale.ROOT) == "JPG") "jpg" else "png"
     val base = withDims(images).filter(col("decoded"))
     // G5 per-image tile-size override: min(W,H) // int(sqrt(num_tiles))
     val tileC =

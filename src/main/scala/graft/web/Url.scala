@@ -49,7 +49,8 @@ object Url {
         val hex = s.substring(i + 1, i + 3)
         scala.util.Try(Integer.parseInt(hex, 16)).toOption match {
           case Some(v) if isUnreserved(v.toChar) => sb += v.toChar; i += 3
-          case Some(_) => sb += '%'; sb ++= hex.toUpperCase; i += 3
+          case Some(_) =>
+            sb += '%'; sb ++= hex.toUpperCase(java.util.Locale.ROOT); i += 3
           case None => sb += c; i += 1
         }
       } else { sb += c; i += 1 }

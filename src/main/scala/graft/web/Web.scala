@@ -915,7 +915,10 @@ object Web {
       .agg(sum(col("n_spellings")).as("n_discovered"),
         count(lit(1)).as("n_frontier"),
         max(col("fetch_at_ms")).as("makespan_ms"),
-        pmod(sum(col("fetch_at_ms")), lit(1000000007L)).as("sched_fp"))
+        // per-row mod before the sum (overflow-safe at any domain size;
+        // same residue as the oracle's exact sum-then-mod)
+        pmod(sum(pmod(col("fetch_at_ms"), lit(1000000007L))),
+          lit(1000000007L)).as("sched_fp"))
       .orderBy(col("domain"))
   }
 
