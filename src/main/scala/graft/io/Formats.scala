@@ -67,4 +67,106 @@ object Formats {
       // real text contains (U+0000) so "" survives the round trip
       .option("nullValue", "\u0000")
       .csv(dir)
+
+  // ------------------------------------------------------ q232 gate
+
+  private val P = 1000000007L
+
+  /** Adversarial round-trip suffix: quotes, backslash, an embedded
+    * NEWLINE and TAB, accented text and a symbol — the characters each
+    * quoting layer historically loses. */
+  private[io] val RtSuffix =
+    " \"quoted\" back\\slash\nline2\ttab \u00fcn\u00efc\u00f6d\u00e9 \u2603"
+
+  private val landed =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write the suffixed corpus once per (application, dir) in all three
+    * interchange formats; returns the root. Leftover roots from a prior
+    * JVM are deleted first (errorifexists is the formats' contract). */
+  private def ensureLanded(spark: SparkSession, dir: String): String = {
+    val suffix = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(
+        spark.sparkContext.applicationId + ":" + dir).toLong & 0xffffffffL)
+    val root = s"${sys.props("java.io.tmpdir")}/graft_fmt_$suffix"
+    landed.computeIfAbsent(root, { _ =>
+      val rootPath = new org.apache.hadoop.fs.Path(root)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(rootPath)) fs.delete(rootPath, true)
+      val df = planted(spark, dir)
+      writeJsonl(df, s"$root/jsonl")
+      writeCsv(df, s"$root/csv")
+      writeOrc(df, s"$root/orc")
+      root
+    })
+  }
+
+  private def planted(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        concat(col("text"), lit(RtSuffix)).as("text"))
+  }
+
+  /** q232: interchange round-trip at corpus scale — every document
+    * (suffixed with the adversarial characters above) is WRITTEN to
+    * real JSONL, CSV and ORC shard files and READ BACK; the census per
+    * format binds row counts, an in-engine byte-equality audit against
+    * the pre-write frame (n_ok), total characters, and a mod-prime md5
+    * fingerprint of every recovered text. All three format rows must
+    * carry IDENTICAL numbers — the lossless-interchange statement — and
+    * the oracle reconstructs them from `documents` + the same suffix,
+    * so a quoting/escaping defect in any one format breaks exactly that
+    * format's row. (Parser independence is covered at spec level; this
+    * gate pins the CONTENT through the whole file cycle.)
+    *
+    * Scale shape: three writes + three scans, all splittable except
+    * multiLine CSV (documented trade in [[readCsv]]); census aggregates
+    * are map-side combined; recovered text never shuffles (the audit
+    * joins on doc_id and only digests ride into the sum). */
+  def interchangeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val root = ensureLanded(spark, dir)
+    val expected = planted(spark, dir)
+      .select(col("doc_id"), col("text").as("expect"))
+    val schema = planted(spark, dir).schema
+    def census(format: String, back: DataFrame): DataFrame =
+      back.join(expected, Seq("doc_id"))
+        .select(col("text"), (col("text") === col("expect")).as("ok"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_ok"),
+          sum(length(col("text"))).cast("long").as("chars"),
+          pmod(sum(pmod(conv(substring(md5(col("text")), 1, 15), 16, 10)
+            .cast("long"), lit(P))), lit(P)).as("fp_sum"))
+        .select(lit(format).as("format"), col("n_docs"), col("n_ok"),
+          col("chars"), col("fp_sum"))
+    census("csv", readCsv(spark, s"$root/csv", schema))
+      .unionByName(census("jsonl", readJsonl(spark, s"$root/jsonl", schema)))
+      .unionByName(census("orc", readOrc(spark, s"$root/orc", schema)))
+      .orderBy(col("format"))
+  }
+
+  /** Oracle: one census from `documents` + the same suffix, replicated
+    * across the three format rows — identical numbers by construction. */
+  val interchangeRoundtripSql: String =
+    s"""WITH e AS (
+       |  SELECT text || ' "quoted" back\\slash' || chr(10) || 'line2'
+       |    || chr(9) || 'tab ' || chr(252) || 'n' || chr(239) || 'c'
+       |    || chr(246) || 'd' || chr(233) || ' ' || chr(9731) AS t
+       |  FROM documents
+       |), c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_ok,
+       |    CAST(SUM(length(t)) AS BIGINT) AS chars,  -- chars, not strlen: the suffix is non-ASCII
+       |    CAST(SUM(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT) % $P)
+       |      % $P AS BIGINT) AS fp_sum
+       |  FROM e
+       |)
+       |SELECT f.format, c.n_docs, c.n_ok, c.chars, c.fp_sum
+       |FROM (VALUES ('csv'), ('jsonl'), ('orc')) f(format) CROSS JOIN c
+       |ORDER BY f.format""".stripMargin
+
+  def defs: Seq[graft.QueryDef] = Seq(
+    graft.QueryDef("q232_interchange_roundtrip", interchangeRoundtrip,
+      Some(interchangeRoundtripSql)))
 }
