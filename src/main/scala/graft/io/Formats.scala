@@ -81,13 +81,18 @@ object Formats {
   private val landed =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** Write the suffixed corpus once per (application, dir) in all three
-    * interchange formats; returns the root. Leftover roots from a prior
-    * JVM are deleted first (errorifexists is the formats' contract). */
+  /** Write the suffixed corpus once per (JVM, dir) in all three
+    * interchange formats; returns the root. The root hashes the DATA
+    * DIR only (deliberately NOT the applicationId, unlike the
+    * fixture-scale FileWorkflowStats roots): q232 lands three full
+    * corpus copies, so the path must be STABLE across JVMs for the
+    * delete-before-write to reclaim a prior run's output instead of
+    * accumulating ~3x corpus per run in tmp. Concurrent JVMs over the
+    * same dir would race here — the sequential-run contract of the
+    * verify/bench harness; errorifexists makes a violation loud. */
   private def ensureLanded(spark: SparkSession, dir: String): String = {
     val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(
-        spark.sparkContext.applicationId + ":" + dir).toLong & 0xffffffffL)
+      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val root = s"${sys.props("java.io.tmpdir")}/graft_fmt_$suffix"
     landed.computeIfAbsent(root, { _ =>
       val rootPath = new org.apache.hadoop.fs.Path(root)
@@ -101,9 +106,15 @@ object Formats {
     })
   }
 
+  /** Non-null text only, on BOTH engines: a NULL would round-trip
+    * faithfully through JSONL/ORC but null-compare to 0 in n_ok (and
+    * CSV reads a written NULL back as "" by the emptyValue trade), so
+    * the gate pins the defined-text corpus and the oracle filters
+    * identically. */
   private def planted(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull)
       .select(col("doc_id"), col("source"),
         concat(col("text"), lit(RtSuffix)).as("text"))
   }
@@ -127,9 +138,12 @@ object Formats {
   def interchangeRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val root = ensureLanded(spark, dir)
-    val expected = planted(spark, dir)
-      .select(col("doc_id"), col("text").as("expect"))
-    val schema = planted(spark, dir).schema
+    val base = planted(spark, dir)
+    // materialized once: three census branches join against it, and
+    // without the checkpoint each branch would re-scan the corpus
+    val expected = base.select(col("doc_id"), col("text").as("expect"))
+      .localCheckpoint(false)
+    val schema = base.schema
     def census(format: String, back: DataFrame): DataFrame =
       back.join(expected, Seq("doc_id"))
         .select(col("text"), (col("text") === col("expect")).as("ok"))
@@ -153,7 +167,7 @@ object Formats {
        |  SELECT text || ' "quoted" back\\slash' || chr(10) || 'line2'
        |    || chr(9) || 'tab ' || chr(252) || 'n' || chr(239) || 'c'
        |    || chr(246) || 'd' || chr(233) || ' ' || chr(9731) AS t
-       |  FROM documents
+       |  FROM documents WHERE text IS NOT NULL
        |), c AS (
        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
        |    CAST(COUNT(*) AS BIGINT) AS n_ok,
