@@ -87,14 +87,23 @@ object Formats {
     * fixture-scale FileWorkflowStats roots): q232 lands three full
     * corpus copies, so the path must be STABLE across JVMs for the
     * delete-before-write to reclaim a prior run's output instead of
-    * accumulating ~3x corpus per run in tmp. Concurrent JVMs over the
-    * same dir would race here — the sequential-run contract of the
-    * verify/bench harness; errorifexists makes a violation loud. */
+    * accumulating ~3x corpus per run in tmp. The suffix is the FULL
+    * md5 of the absolute dir path (a 32-bit hash could collide two
+    * data dirs onto one root, and delete-before-write would then
+    * clobber the other dir's landed corpus), and the root lives under
+    * a per-user subdirectory so another user pre-creating a
+    * predictable bare-tmp path on a shared machine can't plant or
+    * clobber it. Cache key is the DIR (what callers identify by), not
+    * the derived root. Concurrent JVMs over the same dir would race
+    * here — the sequential-run contract of the verify/bench harness;
+    * errorifexists makes a violation loud. */
   private def ensureLanded(spark: SparkSession, dir: String): String = {
-    val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
-    val root = s"${sys.props("java.io.tmpdir")}/graft_fmt_$suffix"
-    landed.computeIfAbsent(root, { _ =>
+    val abs = new java.io.File(dir).getAbsolutePath
+    val suffix = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val user = sys.props.getOrElse("user.name", "anon")
+    val root = s"${sys.props("java.io.tmpdir")}/graft-$user/fmt_$suffix"
+    landed.computeIfAbsent(abs, { _ =>
       val rootPath = new org.apache.hadoop.fs.Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (fs.exists(rootPath)) fs.delete(rootPath, true)

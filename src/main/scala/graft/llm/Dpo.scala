@@ -118,13 +118,18 @@ object Dpo {
 
   /** Oracle: the whole pipeline from doc_id arithmetic — successor join,
     * planted degeneracy, digest-dedup window, direct template
-    * concatenation, mask = response lengths. */
+    * concatenation, mask = response lengths. All lengths are DuckDB
+    * `length()` (CHARACTERS — matches Spark's `length`/`substr`), never
+    * `strlen` (bytes): the two agree only on ASCII corpora, and the
+    * prompt split / margin / mask must stay aligned when a document
+    * carries non-ASCII text (the explicit chars-not-bytes choice the
+    * q232 oracle also makes). */
   val dpoPairsSql: String =
     s"""WITH h AS (
        |  SELECT doc_id, source,
-       |    substr(text, 1, strlen(text) // 2) AS prompt,
-       |    substr(text, strlen(text) // 2 + 1,
-       |           strlen(text) - strlen(text) // 2) AS cont
+       |    substr(text, 1, length(text) // 2) AS prompt,
+       |    substr(text, length(text) // 2 + 1,
+       |           length(text) - length(text) // 2) AS cont
        |  FROM documents
        |), pr AS (
        |  SELECT a.doc_id, a.source, a.prompt, a.cont AS chosen,
@@ -150,12 +155,12 @@ object Dpo {
        |    AS n_dup_prompt,
        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
-       |  CAST(SUM(CASE WHEN kept AND strlen(chosen) > strlen(rejected)
+       |  CAST(SUM(CASE WHEN kept AND length(chosen) > length(rejected)
        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_chosen_longer,
        |  CAST(SUM(CASE WHEN kept
-       |    THEN strlen(chosen) - strlen(rejected) END) AS BIGINT) AS margin_sum,
+       |    THEN length(chosen) - length(rejected) END) AS BIGINT) AS margin_sum,
        |  CAST(SUM(CASE WHEN kept
-       |    THEN strlen(chosen) + strlen(rejected) END) AS BIGINT) AS mask_sum,
+       |    THEN length(chosen) + length(rejected) END) AS BIGINT) AS mask_sum,
        |  CAST(SUM(CASE WHEN kept THEN
        |      CAST(concat('0x', substr(md5(rc || '#' || rr), 1, 15)) AS BIGINT) % $P
        |    ELSE 0 END) % $P AS BIGINT) AS fp_sum

@@ -83,8 +83,9 @@ object Warc {
   }
 
   /** One gzip member's placement in a `.warc.gz` file: compressed byte
-    * range [offset, offset+clen) and its inflated size. */
-  /** `recStart`: the member's first inflated bytes are "WARC/" — a
+    * range [offset, offset+clen) and its inflated size.
+    *
+    * `recStart`: the member's first inflated bytes are "WARC/" — a
     * slice may CUT before such a member (record-aligned boundary). The
     * .warc.gz convention compresses record-per-member (ISO 28500
     * Annex D), but a re-compressed container can split a record across

@@ -140,23 +140,29 @@ object WarcScan {
   }
 
   /** Ranged read + inflate + parse of one slice → records array.
-    * An IDENTITY slice (uncompressed file) larger than the single-
-    * allocation ceiling cannot be safely range-parsed (no member index
-    * exists to split it); it parses to ZERO records — a LOUD whole-file
-    * quarantine at the caller's listing join, never a silent prefix.
-    * Gzip slices are bounded by construction (slicesOf' budget). */
+    * A slice larger than the single-allocation ceiling parses to ZERO
+    * records — a LOUD quarantine at the caller's listing join, never a
+    * silent prefix. The guard is symmetric across both slice kinds: an
+    * IDENTITY slice (uncompressed file, no member index to split it)
+    * past the ceiling cannot be range-parsed at all; a GZIP slice past
+    * it (reachable when recStart gluing grows an indivisible member run
+    * beyond the budget) must not be read as a truncated compressed
+    * prefix, and an inflate that reports truncation (the per-member
+    * inflated ceiling inside [[Warc.gunzipAll]]) quarantines the same
+    * way — records past a cut must vanish LOUDLY, not silently. */
   private def parseSliceUdf(bc: Broadcast[Array[(String, String)]]) =
     udf { (path: String, offset: Long, clen: Long, identity: Boolean) =>
-      if (identity && clen > Warc.MaxInflatedBytes) Seq.empty[Rec]
+      if (clen > Warc.MaxInflatedBytes) Seq.empty[Rec]
       else {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(confOf(bc))
-        val n = math.min(clen, Warc.MaxInflatedBytes).toInt
-        val bytes = new Array[Byte](n)
+        val bytes = new Array[Byte](clen.toInt)
         val in = fs.open(p)
-        try { in.seek(offset); in.readFully(bytes, 0, n) } finally in.close()
-        val inflated = if (identity) bytes else Warc.gunzipAll(bytes)._1
-        Warc.parseRecords(inflated).zipWithIndex.map { case (r, i) =>
+        try { in.seek(offset); in.readFully(bytes, 0, clen.toInt) } finally in.close()
+        val (inflated, truncated) =
+          if (identity) (bytes, false) else Warc.gunzipAll(bytes)
+        if (truncated) Seq.empty[Rec]
+        else Warc.parseRecords(inflated).zipWithIndex.map { case (r, i) =>
           Rec(i, r.warcType, r.targetUri.orNull, r.httpStatus,
             r.httpContentType.orNull, r.httpCharset.orNull, r.payload)
         }
