@@ -77,11 +77,20 @@ object Bench {
     // load spike can slow a whole alphabetical block across ALL reps, and
     // a rep vector alone cannot distinguish that from a real regression —
     // it cost a judge reproduction to clear. So the artifact now carries
-    // its own verdict: any query whose min exceeds 3x its COMMITTED
-    // BENCH_LOCAL.json min (and by >0.3s absolute — sub-second queries
-    // jitter 2-3x on noise alone) is re-measured at the end of the sweep,
-    // after the interference window has passed, and BOTH vectors land in
-    // the JSON. Adjudication rule (also in README): a slowdown is real
+    // its own verdict, on TWO triggers, each re-measured at the end of
+    // the sweep after the interference window has passed, BOTH vectors
+    // landing in the JSON:
+    //  1. SPIKE: min exceeds 3x the COMMITTED baseline min (and by >0.3s
+    //     absolute — sub-second queries jitter 2-3x on noise alone);
+    //  2. SETTLING (the r10 q222 lesson): a min-based trigger is blind to
+    //     a query whose reps are ALL inflated but monotone-DESCENDING —
+    //     JIT/GC/code-cache settling after a 230-query sweep depresses
+    //     every rep, the vector never plateaus, and the min still reads
+    //     high (q222's committed sf1 vector [33.8, 25.6, 18.3] vs 6.4-7.0s
+    //     isolated — a 3x artifact no spike trigger could see). A
+    //     strictly-descending vector with last/first < 0.7 and min still
+    //     >2x committed (+0.3s absolute) queues the same re-measure.
+    // Adjudication rule (also in README): a slowdown is real
     // only if the re-measure confirms it; the committed cost of an
     // adjudicated query is min(queries[q], min(adjudicated[q])).
     // Comparable only when the committed record ran at the SAME scale
@@ -103,8 +112,15 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       }
     } catch { case _: Exception => Map.empty }
-    val adjudicated = results.flatMap { case (name, dt, _) =>
-      committed.get(name).filter(c => c > 0 && dt > 3 * c && dt - c > 0.3)
+    val adjudicated = results.flatMap { case (name, dt, times) =>
+      def over(factor: Double)(c: Double) =
+        c > 0 && dt > factor * c && dt - c > 0.3
+      val spike = committed.get(name).exists(over(3))
+      val settling = committed.get(name).exists(over(2)) &&
+        times.size >= 2 && times.head > 0 &&
+        times.zip(times.tail).forall { case (a, b) => b < a } &&
+        times.last / times.head < 0.7
+      Option.when(spike || settling)(name)
         .map { _ =>
           val fn = SparkEntry.queries(name)
           // a failed re-measure records the -1 sentinel (the main

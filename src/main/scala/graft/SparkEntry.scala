@@ -32,6 +32,7 @@ object SparkEntry {
       web.HttpCache.defs ++
       llm.Sft.defs ++
       llm.Dpo.defs ++
+      llm.Ingest.defs ++
       text.UnicodeNorm.defs ++
       text.Secrets.defs
 

@@ -181,6 +181,51 @@ object Dist {
       .drop("__pid", "__local_rn", "__offset")
   }
 
+  /** 1-based row number WITHIN a partition column, ordered by a unique
+    * `key`, without ever materializing one partition value on one task —
+    * the hot-key-safe form of `row_number().over(Window.partitionBy(part)
+    * .orderBy(key))`. A plain window ships EVERY row of a partition value
+    * to a single task: fine when values are small (q212's five fixture
+    * hosts), fatal when one is hot (at web scale a single hot domain's
+    * fetch queue would serialize its schedule into one task — the q212
+    * SURVEY caveat this closes).
+    *
+    * Shape: range-repartition on (part, key) — rows of one part value
+    * occupy a CONTIGUOUS run of partitions, sorted by key across them —
+    * then a (\_\_pid, part) local row_number, plus each (pid, part)'s
+    * predecessor count within its part. The offsets attach stays a tiny
+    * broadcast by a boundedness argument one step beyond
+    * [[globalRowNumber]]'s: a (pid, part) cell needs a NONZERO offset only
+    * when an earlier pid also holds that part — i.e. the part SPANS a
+    * partition boundary — and ≤ numParts−1 boundaries exist, so ≤
+    * numParts−1 rows carry a nonzero offset regardless of |parts| or
+    * skew. Cells absent from the broadcast coalesce to 0. Result column:
+    * `rn` (1-based within `part`). */
+  def globalRowNumberWithin(df: DataFrame, partCol: String, key: Column,
+      numParts: Int = 32): DataFrame = {
+    // checkpointed for globalRowNumber's reason: both branches must read
+    // ONE materialized range partitioning or re-sampled boundaries
+    // corrupt the offsets join
+    val parted = df.repartitionByRange(numParts, col(partCol), key)
+      .withColumn("__pid", spark_partition_id())
+      .transform(durableCkpt)
+    recordDigest("rowNumberWithin", parted, struct(col(partCol), key))
+    val local = parted.withColumn("__local_rn",
+      row_number().over(
+        Window.partitionBy(col("__pid"), col(partCol)).orderBy(key)))
+    val spill = parted.groupBy(col("__pid"), col(partCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        coalesce(sum(col("__cnt")).over(
+          Window.partitionBy(col(partCol)).orderBy(col("__pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__offset") > 0) // ≤ numParts−1 rows by construction
+      .select(col("__pid"), col(partCol), col("__offset"))
+    local.join(broadcast(spill), Seq("__pid", partCol), "left")
+      .withColumn("rn", coalesce(col("__offset"), lit(0L)) + col("__local_rn"))
+      .drop("__pid", "__local_rn", "__offset")
+  }
+
   /** Global weighted running sum ordered by a unique `key` — the weighted
     * sibling of [[globalRowNumber]], same shape, same reason: a
     * `Window.orderBy(key)` cumsum moves every row to one task. Range

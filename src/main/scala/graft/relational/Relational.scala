@@ -16,9 +16,11 @@ import org.apache.spark.sql.types.DecimalType
   * This module generalizes those to the full Spark relational vocabulary.
   *
   * Scale notes (100 TB design intent, verified on local[32]):
-  *  - dimension tables (`region`, `nation`, `supplier`) are broadcast
-  *    explicitly; `customer`/`part` are left to AQE, which broadcasts them
-  *    at bench scale and shuffle-joins them beyond the threshold.
+  *  - domain-FIXED dimension tables (`region`: 5 rows, `nation`: 25 at
+  *    every SF) are broadcast explicitly; `supplier`/`customer`/`part`
+  *    GROW with SF and are left to stats — AQE broadcasts them at bench
+  *    scale and shuffle-joins them beyond the threshold, which is the
+  *    self-correcting behavior an explicit hint would defeat.
   *  - every aggregate is a partial (map-side) + final hash aggregate; no
   *    query collects to the driver.
   *  - all outputs carry a deterministic total order (unique tie-break) so
@@ -147,7 +149,7 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
       .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
-    val s = broadcast(Tables.supplier(spark, dir))
+    val s = Tables.supplier(spark, dir)
     val n = broadcast(Tables.nation(spark, dir))
     val r = broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA"))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
@@ -1240,8 +1242,10 @@ object Relational {
   /** q112: market share — each nation's share of its region's yearly
     * supplier revenue (TPC-H Q8's question re-asked with exact
     * arithmetic). The deep-join-tree showcase: lineitem ⋈ orders is the
-    * one genuine fact-fact shuffle; supplier, nation and region are
-    * dimension broadcasts, and the ASIA filter prunes through the join
+    * one genuine fact-fact shuffle; nation and region broadcast (fixed
+    * 25/5 rows), supplier joins by stats (AQE broadcasts it at bench
+    * scale, shuffle-joins past the threshold — it grows with SF, so no
+    * hint), and the ASIA filter prunes through the join
     * chain to the region scan before anything shuffles. Revenue is
     * integer micro-dollars ([[graft.Exact.discMicros]] — both factors
     * exactly integral, so there is NO rounding step anywhere for engines
@@ -1257,7 +1261,7 @@ object Relational {
     val li = Tables.lineitem(spark, dir)
     val rev = li
       .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "ASIA")),
         col("n_regionkey") === col("r_regionkey"))
@@ -1837,8 +1841,11 @@ object Relational {
     *    content — the gate certifies the released TABLE, not counts.
     *
     * 100 TB shape: pseudonymization is MAP-ONLY (one keyed md5 per row,
-    * no shuffle); the fact-table proof is one broadcast map join (dim
-    * side) + one hash agg; the cross-key audit is a single count-distinct
+    * no shuffle); the fact-table proof is one orders ⋈ token-map equi
+    * join — by STATS, not hint: the token map is customer-sized, which
+    * grows with SF, so past the broadcast threshold it degrades to the
+    * standard shuffle join — + one hash agg; the cross-key audit is a
+    * single count-distinct
     * aggregate over the exploded token pairs. Nothing is quadratic,
     * nothing windows, nothing lands. */
   def pseudonymize(spark: SparkSession, dir: String): DataFrame = {
@@ -1867,8 +1874,8 @@ object Relational {
     // token map, revenue flows THROUGH the pseudonym grouping
     val o = Tables.orders(spark, dir)
       .select(col("o_custkey"), cents(col("o_totalprice")).as("rev_c"))
-    val linked = o.join(broadcast(c.select(col("c_custkey"), col("seg"),
-        col("p1"))), o("o_custkey") === col("c_custkey"), "left")
+    val linked = o.join(c.select(col("c_custkey"), col("seg"),
+        col("p1")), o("o_custkey") === col("c_custkey"), "left")
       .groupBy(col("seg"), col("p1"))
       .agg(count(lit(1)).as("n_o"), sum(col("rev_c")).as("rev"))
     val ordersCensus = linked

@@ -56,8 +56,10 @@ import org.apache.spark.sql.functions._
   * screens are min-aggregates on slim keys (md5 of text, canonical
   * URL); boilerplate follows the q209 hash-only exchange discipline;
   * the near-dup screen is the q41 rep-space band join. Nothing
-  * corpus-sized broadcasts (the groups/pair attaches are hinted over
-  * aggregate frames exactly like Similarity.repPairsFromGroups).
+  * corpus-sized broadcasts: the verify's payload attaches are shuffle
+  * joins on gid (the rep frame grows with distinct content, so it may
+  * never be a broadcast build side), asserted suite-wide by
+  * PlanHygieneSpec's broadcast-bound rule.
   */
 object CrawlIngest {
 
@@ -200,10 +202,17 @@ object CrawlIngest {
       .join(bk.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
       .filter(col("gid_a") < col("gid_b"))
       .select(col("gid_a"), col("gid_b")).distinct()
+    // Payload attaches are SHUFFLE joins on gid, never broadcasts: the
+    // rep frame is the distinct-shingle-set frame of the whole rendered
+    // corpus — it grows (sublinearly but unboundedly) with distinct
+    // content, exactly the class a 100 TB ingest gate cannot build-side.
+    // Candidates are slim (two longs), so the two gid exchanges carry
+    // the hs arrays once each — the q203 bucket-aligned discipline
+    // without the landed table (this gate renders its corpus in-query).
     val verified = cand
-      .join(broadcast(reps.select(col("gid").as("gid_a"), col("hs").as("hs_a"))),
+      .join(reps.select(col("gid").as("gid_a"), col("hs").as("hs_a")),
         Seq("gid_a"))
-      .join(broadcast(reps.select(col("gid").as("gid_b"), col("hs").as("hs_b"))),
+      .join(reps.select(col("gid").as("gid_b"), col("hs").as("hs_b")),
         Seq("gid_b"))
       .withColumn("shared",
         graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))

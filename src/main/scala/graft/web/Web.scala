@@ -867,16 +867,14 @@ object Web {
     * or a collapsed/split canonical all move it. Ground truth by
     * construction (oracle reaches the same canonical directly).
     * Scale shape: one groupBy(canonical) min-aggregate (map-side
-    * combined), one per-domain window for slots — the window
-    * partitions by domain, which is how a real frontier shards its
-    * fetch queues; nothing corpus-sized is broadcast. Honest scale
-    * note: a single HOT domain's queue is one window partition — at
-    * real web scale slot assignment inside such a domain swaps to the
-    * range-partitioned `graft.Dist.globalRowNumber` composition (same
-    * answers, no single-task order); with the fixture's five hosts the
-    * plain window is the right plan. */
+    * combined), then slot assignment via
+    * [[graft.Dist.globalRowNumberWithin]] — range-partitioned on
+    * (domain, keeper), so a single HOT domain's queue SPLITS across
+    * partitions instead of serializing into one window task (the r9
+    * SURVEY caveat, closed r11; DistSpec bounds the max task under a
+    * 50%-hot-domain synthetic). Nothing corpus-sized is broadcast: the
+    * offsets attach is the ≤ numParts−1-row boundary-spill frame. */
   def crawlFrontier(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val docs = graft.Tables.documents(spark, dir)
     val base = expr("doc_id div 8")
     val v = pmod(col("doc_id"), lit(8))
@@ -907,9 +905,8 @@ object Web {
         domainUdf(raw).as("domain"))
       .groupBy(col("domain"), col("canon"))
       .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_spellings"))
-    val slots = keepers.withColumn("slot",
-      row_number().over(Window.partitionBy(col("domain"))
-        .orderBy(col("keeper"))) - 1)
+    val slots = graft.Dist.globalRowNumberWithin(keepers, "domain", col("keeper"))
+      .withColumn("slot", col("rn") - 1)
       .withColumn("fetch_at_ms", col("slot") * delay)
     slots.groupBy(col("domain"))
       .agg(sum(col("n_spellings")).as("n_discovered"),

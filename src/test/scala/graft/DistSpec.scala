@@ -79,6 +79,52 @@ class DistSpec extends SparkSpec {
     assert(rn == (1L to ref.size).toSeq, "row numbers must be dense 1..N")
   }
 
+  test("globalRowNumberWithin matches the per-partition window row_number") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(7)).cast("string").as("g"))
+      .repartition(7) // scramble the layout first
+    val got = Dist.globalRowNumberWithin(docs, "g", col("doc_id"), numParts = 5)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rn"))).toSeq
+    val ref = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(7)).cast("string").as("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("doc_id"))).cast("long"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("rn"))).toSeq
+    assert(got == ref)
+  }
+
+  test("globalRowNumberWithin bounds the max task under a 50%-hot key") {
+    // the q212 hot-domain scenario: one domain owns half the frontier.
+    // A plain Window.partitionBy(domain) serializes those rows into ONE
+    // task; the range-partitioned form must split them across partitions
+    // AND still number them exactly.
+    import spark.implicits._
+    val n = 10000
+    val rows = (0 until n).map { i =>
+      (if (i % 2 == 0) "hot.example" else s"cold${i % 97}.example", i.toLong)
+    }.toDF("domain", "keeper")
+    val numParts = 8
+    // exactness under skew
+    val got = Dist.globalRowNumberWithin(rows, "domain", col("keeper"), numParts)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n"), max(col("rn")).as("mx"), sum(col("rn")).as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (d, cnt, mx, s) =>
+      assert(mx == cnt, s"$d: rn must be dense 1..n within the domain")
+      assert(s == cnt * (cnt + 1) / 2, s"$d: rn must be a permutation of 1..n")
+    }
+    // skew bound: the hot domain's 5000 rows must NOT land on one task —
+    // the range partitioning on (domain, keeper) splits them
+    val perPid = rows.repartitionByRange(numParts, col("domain"), col("keeper"))
+      .select(spark_partition_id().as("pid"), col("domain"))
+      .filter(col("domain") === "hot.example")
+      .groupBy(col("pid")).count().collect().map(_.getLong(1))
+    assert(perPid.length > 1, "hot domain must span more than one partition")
+    assert(perPid.max < n / 2, "no single task may hold the whole hot domain")
+  }
+
   test("saltedJoin equals the plain equi-join") {
     val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_linenumber", "l_quantity")
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.catalyst.plans.{logical => logical}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
 import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
@@ -135,6 +136,120 @@ class PlanHygieneSpec extends SparkSpec {
         case _: GlobalLimitExec | _: TakeOrderedAndProjectExec => true
         case _ => false
       }
+  }
+
+  /** Ban 3 — corpus-growing broadcast build sides (the q218 r10 finding,
+    * closed as a CLASS): an explicit `broadcast()` HINT forces the build
+    * side to every executor regardless of size — correct at sf0.1, an
+    * OOM (or the 8 GB broadcast hard cap) at 100 TB if the hinted frame
+    * grows with the corpus. The sweep checks HINTED sides only, on the
+    * optimized LOGICAL plan: a stats-chosen broadcast (AQE/auto
+    * threshold) self-corrects at scale — at 100 TB the same query plans
+    * a sort-merge join because the stats exceed the threshold — so at
+    * sf0.001, where everything fits under 10 MB, the physical plan is
+    * full of broadcasts that prove nothing. The hint is the builder's
+    * own size CLAIM, and the claim is what must be bounded:
+    *
+    *  - STRUCTURAL: the hinted subtree contains an Aggregate (a grouped
+    *    census/argmax/offsets frame — note a corpus-keyed aggregate
+    *    still passes, which is why the near-dup rep attaches dropped
+    *    their hints entirely rather than lean on this allowance), a
+    *    Limit, a literal fixture (LocalRelation), or only DOMAIN-FIXED
+    *    table scans (region: 5 rows, nation: 25 at every TPC-H SF).
+    *  - DECLARED: the query appears in [[boundedBroadcasts]] with the
+    *    documented bound of its structurally-opaque hinted side —
+    *    almost always a durableCkpt'd frame (LogicalRDD, lineage cut)
+    *    whose bound lives upstream of the checkpoint: an ingest BATCH,
+    *    a ≤K-row probe/centroid frame, a landed aggregate.
+    *
+    * A new violation means a corpus-derived frame grew a broadcast hint
+    * (or a checkpoint severed the aggregate that witnessed a bound
+    * without a declaration) — caught at sf0.001 cost. */
+  private val boundedBroadcasts: Map[String, String] = Map(
+    // --- ingest batches: the hinted side is the INCOMING batch (the
+    // doc_id%10 slice plays it in the fixture) — bounded by the ingest
+    // contract (work ∝ batch), not by plan structure; both scaladocs
+    // document the SMJ degradation path when a batch outgrows broadcast.
+    "q68_incremental_dedup" -> "the ingest batch (sigs/band keys/texts), work-in-batch contract",
+    "q87_bucketed_incremental_dedup" -> "batch band keys + O(batch x bucket multiplicity) candidates + <=|batch| matched texts",
+    "q178_containment_ingest" -> "the ingest batch shingle sets",
+    "q233_incremental_ingest" -> "batch canon/digest/band/prefix probes + batch-bounded survivor sets (IngestSpec plan-asserts the corpus side)",
+    // --- fixed probe/query frames: a literal id predicate bounds them
+    "q44_cosine_topk" -> "<=8-row probe frame (vec_id < 8)",
+    "q46_ann_lsh_topk" -> "<=8-row probe frame (vec_id < 8)",
+    "q70_int8_ann_topk" -> "<=8-row probe frame (vec_id < 8)",
+    "q99_rrf_fusion" -> "<=5-row probe frame (doc_id < 5)",
+    "q139_ann_recall_audit" -> "<=8-row probe frame (vec_id < 8)",
+    "q194_quant_recall_audit" -> "<=8-row probe frames + the m x 256 PQ codebook (ckpt)",
+    // --- small model/state frames whose bound a checkpoint hides
+    "q133_index_maintenance" -> "<=K-row centroid frame (ckpt)",
+    "q183_pq_ann" -> "m x 256 PQ codebook/LUT (ckpt)",
+    "q71_heavy_hitters" -> "one-row SpaceSaving sketch state (ckpt)",
+    "q83_quality_audit" -> "one-row audit census (ckpt)",
+    "q172_incremental_backfill" -> "affected-days frame, <=|days| (ckpt)",
+    // --- change/request batches (the CDC/takedown feed contract; q128's
+    // scaladoc documents the bucketed SMJ degradation when one outgrows
+    // a broadcast)
+    "q127_takedown_propagation" -> "takedown request batch (notice-list contract)",
+    "q128_cdc_merge_apply" -> "CDC touched-key batch (feed contract, SMJ degradation documented)",
+    "q181_snapshot_diff" -> "diff change-class batch (same CDC feed contract)",
+    // --- file-workflow oracles: one row per landed workflow FILE
+    "q120_file_merge_oracle" -> "per-file stats of the merged output (1 file)",
+    "q121_file_dedup_oracle" -> "per-file stats of the deduped output (1 file)",
+    // --- q206: per-slice offsets frame, #slices = ceil(bytes/64 MB)
+    // slim rows; recordsNumbered's scaladoc routes crawl-scale readers
+    // to records()'s composite identity instead of the global ordinal
+    "q206_warc_records" -> "per-slice offsets frame (bytes/sliceBudget slim rows, fixture-oracle path)")
+
+  private def boundedLogical(side: logical.LogicalPlan): Boolean = {
+    val nodes = side.collect { case n => n }
+    nodes.exists {
+      case _: logical.Aggregate => true
+      case _: logical.GlobalLimit | _: logical.LocalLimit => true
+      case _: logical.LocalRelation | _: logical.OneRowRelation => true
+      case _ => false
+    } || {
+      val rels = nodes.collect {
+        case r: org.apache.spark.sql.execution.datasources.LogicalRelation => r
+      }
+      val opaque = nodes.exists {
+        case _: org.apache.spark.sql.execution.LogicalRDD => true
+        case _ => false
+      }
+      !opaque && rels.nonEmpty && rels.forall(_.relation match {
+        case f: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          val paths = f.location.rootPaths.map(_.toString)
+          paths.nonEmpty && paths.forall(p =>
+            p.endsWith("region.parquet") || p.endsWith("nation.parquet"))
+        case _ => false
+      })
+    }
+  }
+
+  /** Broadcast-hinted join sides of the optimized logical plan
+    * (subqueries included). */
+  private def hintedSides(df: org.apache.spark.sql.DataFrame): Seq[logical.LogicalPlan] = {
+    val plan = df.queryExecution.optimizedPlan
+    (plan +: plan.subqueriesAll).flatMap(_.collect {
+      case j: logical.Join =>
+        def wants(h: Option[logical.HintInfo]) =
+          h.exists(_.strategy.contains(logical.BROADCAST))
+        (if (wants(j.hint.leftHint)) Seq(j.left) else Nil) ++
+          (if (wants(j.hint.rightHint)) Seq(j.right) else Nil)
+    }.flatten)
+  }
+
+  test("no broadcast hint claims a corpus-growing build side") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        if (boundedBroadcasts.contains(name)) Nil
+        else hintedSides(fn(spark, sfDir)).collect {
+          case side if !boundedLogical(side) =>
+            s"$name: broadcast hint over ${side.nodeName}"
+        }.distinct
+    }
+    assert(offenders.isEmpty,
+      s"unbounded broadcast hints outside the whitelist:\n${offenders.mkString("\n")}")
   }
 
   test("no unpartitioned window runs over a corpus-growing frame") {
