@@ -19,6 +19,7 @@ object SparkEntry {
       images.Geometry.defs ++
       llm.Similarity.defs ++
       io.Layout.defs ++
+      io.Versioning.defs ++
       io.Formats.defs ++
       multimodal.Fixtures.defs ++
       images.Perceptual.defs ++
