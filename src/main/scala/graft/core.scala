@@ -264,17 +264,22 @@ object Dist {
     * scans (a split that contains no row-group midpoint reads zero rows)
     * and everything upstream of the first exchange runs on one core.
     *
-    * Measured guidance (sf0.1, local[32], 2026-08-12): do NOT apply this
-    * routinely. The round-robin exchange re-ships the rows once from the
-    * single scan task and breaks scan→kernel→partial-agg stage fusion;
-    * for every registered query's kernel (MinHash/SimHash/winnow over
-    * ~300-char docs, int8 dot products, decimal aggs over 600k rows) that
-    * cost ≥ the parallelism gain — q41 2.42→2.83s, q07's agg 1.44→1.27s,
-    * rest neutral. It pays only when per-row compute ≫ per-row bytes:
-    * image/audio decode, model scoring, multi-KB documents — the decode
-    * paths in `images.Tiling` get their parallelism from binaryFile's
-    * many-files layout instead, which is why no registered query calls
-    * this today. */
+    * Measured guidance, revised after the r11 sf1 sweep: do NOT apply
+    * this routinely at SMALL scale — the round-robin exchange re-ships
+    * the rows once from the single scan task and breaks
+    * scan→kernel→partial-agg stage fusion, and at sf0.1 that cost ≥ the
+    * parallelism gain for cheap kernels (2026-08-12: q41 2.42→2.83s,
+    * q07's agg 1.44→1.27s, rest neutral). But the break-even moves with
+    * DATA VOLUME, not just per-row cost: at sf1 every kernel-heavy
+    * query pinned to the one-task scan ran ~linearly in corpus size on
+    * one core, and fanning out cut the slow tier 3–8× (2026-08-16,
+    * isolated min-of-3: q54 11.0→1.3s, q104 11.5→1.4s, q188 11.0→1.6s,
+    * q191 11.4→2.3s, q94 9.2→2.4s, q190 7.0→1.5s, q222 6.0→1.5s, …).
+    * Rule of thumb: fan out when per-row compute ≫ per-row bytes
+    * (regex/hash/codec/scoring kernels, n-gram explodes); leave plain
+    * column-arithmetic aggregates fused. On a real cluster the landed
+    * corpus is many-files/many-row-groups and this is a no-op by the
+    * partition-count test. */
   def fanOut(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df

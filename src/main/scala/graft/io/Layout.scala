@@ -347,6 +347,10 @@ object Layout {
     * trap does not apply). */
   def datasetManifest(spark: SparkSession, dir: String): DataFrame = {
     import graft.llm.Similarity.hash60
+    // fanOut measured NOT to pay here (sf1 isolated min-of-3: 7.8 -> 7.4
+    // s): the exchange re-ships every wide source row, costing what the
+    // parallel md5 saves -- the counter-example to the kernel-query rule
+    // in Dist.fanOut's guidance
     def row(name: String, df: DataFrame, key: org.apache.spark.sql.Column) =
       df.select(hash60(key).as("fp"))
         .agg(count(lit(1)).as("n_rows"), expr("bit_xor(fp)").as("fingerprint"))

@@ -2050,6 +2050,11 @@ object Similarity {
       scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
     val grpsT = s"graft_groups_$suffix"
     val gbandsT = s"graft_group_bands_$suffix"
+    // 16 buckets, re-measured r11: 32 buckets (= the box's cores) saved
+    // only ~0.6 s at sf1 (15.3 -> 14.7 isolated min-of-3) while costing
+    // ~1 s at sf0.1 (2.2 -> 3.2 in-sweep) in per-bucket overhead -- the
+    // join stages are not scan-parallelism-bound; at real scale bucket
+    // count follows data volume, not this box
     graft.io.Layout.ensureBucketed(spark, grpsT, "gid", 16)(
       shingleGroups(spark, dir))
     graft.io.Layout.ensureBucketed(spark, gbandsT, "bkey", 16)(
@@ -3423,7 +3428,12 @@ object Similarity {
       .filter(col("rnk") <= ContrastiveNegK)
       .select(col("anchor"), lit("neg").as("role"), col("partner"),
         col("rnk").cast("int").as("rnk"), col("bp"))
-    pos.union(neg).orderBy(col("anchor"), col("role"), col("rnk"))
+    // ckpt before the presentation orderBy: range partitioning SAMPLES
+    // its child to pick boundaries, and without the barrier that
+    // re-executes the whole un-checkpointed neg branch (expand + window)
+    // a second time (sf1 isolated min-of-3: 15.4 -> 14.1 s, reps noisy)
+    pos.union(neg).transform(Dist.durableCkpt)
+      .orderBy(col("anchor"), col("role"), col("rnk"))
   }
 
   val contrastivePairsSql: String =

@@ -32,7 +32,11 @@ object Relational {
     * One shuffle on (l_returnflag, l_linestatus) — 6 groups, trivially
     * skew-free; map-side combine reduces 600k rows to 6 per partition. */
   def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(spark, dir)
+    // fanOut: eight decimal aggregates per row over the one-task scan --
+    // at sf1 the 60M-row single-core agg dominated (isolated min-of-3:
+    // 9.7 -> 4.1 s; sf0.1 pays the ~0.2 s exchange toll); decimal sums are order-independent, so the
+    // round-robin exchange cannot move the result
+    val li = graft.Dist.fanOut(Tables.lineitem(spark, dir))
     li.filter(col("l_shipdate") <= lit("2000-09-02").cast("timestamp"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(

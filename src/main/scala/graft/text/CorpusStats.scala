@@ -48,7 +48,9 @@ object CorpusStats {
     * Docs too short for grams keep a row via the left joins (all-zero
     * stats), so the output is total over the corpus. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
+    // fanOut: per-token explodes + n-gram transforms from a one-task scan
+    // (sf1 isolated min-of-3: 6.3 -> 1.9 s)
+    val base = graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
 
     val words = base
@@ -659,7 +661,9 @@ object CorpusStats {
     * `multimodal.Multimodal.extractFeaturesBatched` demonstrates. */
   def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
     val Stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    val docs = Tables.documents(spark, dir)
+    // fanOut: three regex passes + per-token folds from a one-task scan
+    // (sf1: q90 7.7 -> 4.4 s isolated min-of-3; q142 9.2 -> 4.9 s composing it)
+    val docs = graft.Dist.fanOut(Tables.documents(spark, dir))
     val toks = tokens(lower(col("text")))
     val base = docs.select(col("doc_id"), col("text"), toks.as("toks"))
       .select(col("doc_id"),
@@ -796,7 +800,9 @@ object CorpusStats {
     * corpus token. */
   def spanDedup(spark: SparkSession, dir: String): DataFrame = {
     val n = size(col("toks"))
-    Tables.documents(spark, dir)
+    // fanOut: one md5 per token position from a one-task scan (sf1
+    // isolated min-of-3: 9.2 -> 2.4 s)
+    graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .filter(n >= SpanW)
       .select(col("doc_id"), explode(
@@ -1064,7 +1070,10 @@ object CorpusStats {
     * count. The basket frame feeds three subtrees, so it is lazily
     * checkpointed (no plan CSE across branches). */
   def pmiPairs(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
+    // fanOut BEFORE the checkpoint: a ckpt of the one-task scan stays one
+    // partition, and the |toks|^2/2 pair flatten below it then runs on
+    // one core (sf1 isolated min-of-3: 11.5 -> 1.4 s)
+    val d = graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), sort_array(array_distinct(tokens(lower(col("text"))))).as("toks"))
       .transform(graft.Dist.durableCkpt)
     val uni = d.select(explode(col("toks")).as("t"))
@@ -2128,7 +2137,10 @@ object CorpusStats {
     val gramsOf = s"CASE WHEN size(toks) >= 2 THEN " +
       s"transform(sequence(1, size(toks) - 1), i -> pmod($h, $DsirBuckets)) " +
       s"ELSE CAST(array() AS ARRAY<BIGINT>) END"
-    def grams(df: DataFrame): DataFrame = df
+    // fanOut: per-token md5 bigram hashing from a one-task scan, twice
+    // (counts + selection) -- compute >> row bytes (sf1 isolated
+    // min-of-3: 11.0 -> 1.6 s)
+    def grams(df: DataFrame): DataFrame = graft.Dist.fanOut(df)
       .select(col("doc_id"), col("source"), tokens(lower(col("text"))).as("toks"))
       .select(col("doc_id"), col("source"),
         explode_outer(expr(gramsOf)).as("g"))
@@ -2392,7 +2404,9 @@ object CorpusStats {
     * doc_id/source scan) are ≤|sources| rows. Nothing corpus-sized
     * shuffles except the matched remnant. */
   def contaminationScreen(spark: SparkSession, dir: String): DataFrame =
-    contaminationOf(Tables.documents(spark, dir))
+    // fanOut: one md5 per token position (sf1 isolated min-of-3:
+    // 7.0 -> 1.5 s)
+    contaminationOf(graft.Dist.fanOut(Tables.documents(spark, dir)))
 
   val contaminationScreenSql: String = {
     val h60 = "CAST(concat('0x', substr(md5(array_to_string(ws[i:i+" +
@@ -2438,8 +2452,11 @@ object CorpusStats {
     // compiled trigram→md5-60→bucket kernel (one pass per row; the HOF
     // transform form paid 4 interpreted nodes + a hex round-trip per
     // CHAR and made q191 the suite's slowest query: 3.93 → ~1.3 s)
-    val base = docs.select(col("doc_id"), col("lang"), col("source"),
-      lower(col("text")).as("t"))
+    // fanOut: the gram kernel emits one row per CHARACTER of the corpus
+    // from a one-task scan -- per-row compute >> row bytes (sf1 isolated
+    // min-of-3: 11.4 -> 2.3 s)
+    val base = graft.Dist.fanOut(docs).select(col("doc_id"), col("lang"),
+      col("source"), lower(col("text")).as("t"))
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), col("lang"),
           explode_outer(graft.functions.SketchKernels.charGramBuckets(

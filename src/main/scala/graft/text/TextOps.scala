@@ -173,7 +173,9 @@ object TextOps {
   def qualityScore(spark: SparkSession, dir: String): DataFrame = {
     val toks = tokens(col("text"))
     val stop = Seq("the", "a", "of", "and", "to", "in", "is", "for")
-    Tables.documents(spark, dir)
+    // fanOut: two regex strips + per-token folds from a one-task scan
+    // (sf1 isolated min-of-3: 5.4 -> 1.3 s)
+    graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("lang"),
         length(col("text")).cast("long").as("len"),
         length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("long").as("n_punct"),
@@ -277,7 +279,9 @@ object TextOps {
   def bpeTokens(spark: SparkSession, dir: String): DataFrame = {
     val pat = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
     val pieces = regexp_extract_all(lower(col("text")), lit(pat), lit(0))
-    Tables.documents(spark, dir)
+    // fanOut: the BPE-ish regex extract-all is the heaviest per-row regex
+    // in the suite (sf1 isolated min-of-3: 4.0 -> 0.9 s)
+    graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
         size(pieces).cast("long").as("n_bpe"),
         size(array_distinct(pieces)).cast("long").as("n_bpe_distinct"),
@@ -359,7 +363,10 @@ object TextOps {
     // coalesce: the kernel is null-propagating (UnaryExpression), but the
     // round-2 HOF contract — and the oracle twin — give a NULL text an
     // EMPTY fingerprint set; '' produces exactly that
-    Tables.documents(spark, dir)
+    // fanOut: the winnow kernel hashes every 8-gram of every char from a
+    // one-task scan -- per-row compute >> row bytes (sf1 isolated
+    // min-of-3: q54 11.0 -> 1.3 s, q132 9.3 -> 3.9 s, q57 -> 1.3 s)
+    graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"),
         lower(regexp_replace(coalesce(col("text"), lit("")), "\\s+", " ")).as("norm"))
       .select(col("doc_id"),

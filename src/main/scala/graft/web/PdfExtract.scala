@@ -234,7 +234,11 @@ object PdfExtract {
     * kernels, slim census out — exactly how a production pipeline fans
     * payload classes out of one WARC record stream. */
   def mixedPayloadPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val docs = graft.Tables.documents(spark, dir)
+    // fanOut: the harness parquet is one row group -> one task, and the
+    // per-row cost here is a full PDF/HTML render + parse-back (~ms/row)
+    // -- exactly the compute >> row-bytes regime where the one-time
+    // round-robin exchange pays (sf1 isolated min-of-3: 6.0 -> 1.5 s)
+    val docs = graft.Dist.fanOut(graft.Tables.documents(spark, dir))
     val kind = when(pmod(col("doc_id"), lit(3)) === 2, "pdf").otherwise("html")
     val expected = concat(col("text"), lit("\ndocmark "), col("doc_id").cast("string"))
     docs

@@ -79,6 +79,24 @@ class DistSpec extends SparkSpec {
     assert(rn == (1L to ref.size).toSeq, "row numbers must be dense 1..N")
   }
 
+  test("globalRowNumberWithin is deterministic across reruns and partition counts") {
+    // same regression class as globalRowNumber: both branches must read
+    // ONE checkpointed range partitioning, or re-sampled boundaries make
+    // the boundary-spill offsets disagree with the local numbering
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(5)).cast("string").as("g"))
+      .repartition(13)
+    def run(parts: Int): Seq[(Long, Long)] =
+      Dist.globalRowNumberWithin(docs, "g", col("doc_id"), numParts = parts)
+        .select(col("doc_id"), col("rn"))
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ref = run(5)
+    assert(run(5) == ref, "rerun must be identical")
+    assert(run(3) == ref && run(17) == ref,
+      "rn must not depend on the partition count")
+  }
+
   test("globalRowNumberWithin matches the per-partition window row_number") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), pmod(col("doc_id"), lit(7)).cast("string").as("g"))
