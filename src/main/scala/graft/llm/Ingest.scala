@@ -121,7 +121,9 @@ object Ingest {
     // snippet plant's anchor texts are fetched work-∝-batch: the corpus
     // scan streams past the BROADCAST batch anchor-id set (≤|batch|
     // rows out), never the reverse.
-    val rawBatch = Tables.documents(spark, dir).filter(isBatch)
+    // fanOut: the batch slice hashes word shingles AND 3-grams per row
+    // from the one-task scan (sf0.1: 4.7 -> ~3.3 s; sf1 8.7 s = 2.7x)
+    val rawBatch = graft.Dist.fanOut(Tables.documents(spark, dir)).filter(isBatch)
       .select(col("doc_id"), col("text"),
         when(pmod(expr("doc_id div 10"), lit(5)) === 2, col("doc_id") - 3)
           .as("aid"))
