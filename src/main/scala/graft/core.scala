@@ -181,6 +181,14 @@ object Dist {
       .drop("__pid", "__local_rn", "__offset")
   }
 
+  /** numParts resolution shared by the range-partitioned helpers:
+    * positive = caller's explicit choice; ≤ 0 = derive from the data as
+    * max(session default parallelism, the child's planned partitions). */
+  private[graft] def autoParts(df: DataFrame, numParts: Int): Int =
+    if (numParts > 0) numParts
+    else math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.rdd.getNumPartitions)
+
   /** 1-based row number WITHIN a partition column, ordered by a unique
     * `key`, without ever materializing one partition value on one task —
     * the hot-key-safe form of `row_number().over(Window.partitionBy(part)
@@ -200,13 +208,22 @@ object Dist {
     * partition boundary — and ≤ numParts−1 boundaries exist, so ≤
     * numParts−1 rows carry a nonzero offset regardless of |parts| or
     * skew. Cells absent from the broadcast coalesce to 0. Result column:
-    * `rn` (1-based within `part`). */
+    * `rn` (1-based within `part`).
+    *
+    * `numParts` ≤ 0 (the default) derives the count from the DATA:
+    * max(session default parallelism, the child's planned partitions) —
+    * a fixed 32 would under-parallelize a 256-core cluster and
+    * over-partition a tiny frame (r11 verdict task 7). The result is
+    * partitioning-invariant (rn is defined by the key ordering alone),
+    * so the choice moves only cost, never hashes. The boundary-spill
+    * bound scales with it: ≤ numParts−1 rows broadcast either way. */
   def globalRowNumberWithin(df: DataFrame, partCol: String, key: Column,
-      numParts: Int = 32): DataFrame = {
+      numParts: Int = 0): DataFrame = {
+    val nParts = autoParts(df, numParts)
     // checkpointed for globalRowNumber's reason: both branches must read
     // ONE materialized range partitioning or re-sampled boundaries
     // corrupt the offsets join
-    val parted = df.repartitionByRange(numParts, col(partCol), key)
+    val parted = df.repartitionByRange(nParts, col(partCol), key)
       .withColumn("__pid", spark_partition_id())
       .transform(durableCkpt)
     recordDigest("rowNumberWithin", parted, struct(col(partCol), key))

@@ -88,7 +88,7 @@ object Formats {
     * corpus copies, so the path must be STABLE across JVMs for the
     * delete-before-write to reclaim a prior run's output instead of
     * accumulating ~3x corpus per run in tmp. The suffix is the FULL
-    * md5 of the absolute dir path (a 32-bit hash could collide two
+    * md5 of the canonical dir path (a 32-bit hash could collide two
     * data dirs onto one root, and delete-before-write would then
     * clobber the other dir's landed corpus), and the root lives under
     * a per-user subdirectory so another user pre-creating a
@@ -98,11 +98,29 @@ object Formats {
     * here — the sequential-run contract of the verify/bench harness;
     * errorifexists makes a violation loud. */
   private def ensureLanded(spark: SparkSession, dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
+    // CANONICAL path (r11 ADVICE): getAbsolutePath leaves './..'/symlink
+    // spellings of one dir distinct, which would land two full corpus
+    // copies — the exact tmp accumulation delete-before-write reclaims.
+    val abs = new java.io.File(dir).getCanonicalPath
     val suffix = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).map("%02x".format(_)).mkString
     val user = sys.props.getOrElse("user.name", "anon")
-    val root = s"${sys.props("java.io.tmpdir")}/graft-$user/fmt_$suffix"
+    val userDir = new java.io.File(s"${sys.props("java.io.tmpdir")}/graft-$user")
+    // Owner-only perms on create, and VERIFIED ownership either way (r11
+    // ADVICE): mkdir alone doesn't stop another local user pre-creating
+    // the predictable path — if they did, fail loudly rather than
+    // delete-before-write inside a directory they control.
+    try java.nio.file.Files.createDirectories(userDir.toPath,
+      java.nio.file.attribute.PosixFilePermissions.asFileAttribute(
+        java.nio.file.attribute.PosixFilePermissions.fromString("rwx------")))
+    catch { case _: UnsupportedOperationException => // non-POSIX FS
+      java.nio.file.Files.createDirectories(userDir.toPath)
+    }
+    val owner = java.nio.file.Files.getOwner(userDir.toPath).getName
+    require(owner == user,
+      s"$userDir is owned by '$owner', not '$user' — refusing to land " +
+        "interchange copies under a directory another principal controls")
+    val root = s"$userDir/fmt_$suffix"
     landed.computeIfAbsent(abs, { _ =>
       val rootPath = new org.apache.hadoop.fs.Path(root)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

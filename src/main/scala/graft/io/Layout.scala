@@ -24,6 +24,25 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Collision-proof per-data-dir name suffix for PERSISTENT catalog
+    * tables and warehouse layouts: the full md5 of the dir's CANONICAL
+    * path. Two disciplines, both learned the hard way (r11 ADVICE on the
+    * interchange landing, generalized here per the r11 verdict):
+    *  - full md5, not a 32-bit hash — a 32-bit suffix can collide two
+    *    data dirs onto one table name; the content-fingerprint guard in
+    *    [[ensureBucketed]] turns that into churn (forced re-land), never
+    *    wrong data, but the churn is a full corpus rewrite per collision;
+    *  - canonical path, not absolute — `getAbsolutePath` leaves `.`/`..`/
+    *    symlink spellings distinct, so two names for one dir would land
+    *    two full copies. Fixture-scale memos keyed per-JVM are exempt
+    *    (dir-independent deterministic content; a collision rewrites
+    *    identical bytes). */
+  def dirSuffix(dir: String): String = {
+    val canon = new java.io.File(dir).getCanonicalPath
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** Write `df` Hive-partitioned by `cols`, one shuffle to co-locate rows
     * of a partition (maxes file size, avoids task×partition file blowup). */
   def writePartitioned(df: DataFrame, outDir: String, cols: Seq[String],
@@ -121,8 +140,13 @@ object Layout {
         val st = p.getFileSystem(conf).getFileStatus(p)
         s"$f:${st.getLen}:${st.getModificationTime}"
       }
-      "files:" + java.lang.Long.toHexString(
-        scala.util.hashing.MurmurHash3.orderedHash(parts).toLong & 0xffffffffL)
+      // full md5, not a 32-bit hash: a collision here serves STALE ROWS
+      // (the guard would accept an old table for a changed source) — the
+      // one place in the suffix-hash class where collision = wrong data,
+      // not churn
+      "files:" + java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString("\u0000").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
     } else {
       val r = df.agg(count(lit(1)), min(col(bucketCol)).cast("string"),
         max(col(bucketCol)).cast("string")).head()
@@ -181,8 +205,7 @@ object Layout {
     * write. Values are identical to running the same query on the raw
     * parquet — the DuckDB oracle does exactly that. */
   def bucketedOrderRevenue(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val suffix = dirSuffix(dir)
     val liT = s"graft_li_bucketed_$suffix"
     val oT = s"graft_ord_bucketed_$suffix"
     ensureBucketed(spark, liT, "l_orderkey", numBuckets = 16)(
@@ -254,8 +277,7 @@ object Layout {
     * blocks until the write completes instead of reading a half-written
     * layout. */
   def partitionedOrdersPath(spark: SparkSession, dir: String): String = {
-    val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val suffix = dirSuffix(dir)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, s"graft_orders_bydate_$suffix")
     val key = spark.sparkContext.applicationId + ":" + p.toString
@@ -302,8 +324,7 @@ object Layout {
   }
 
   private def evolvedDocsPath(spark: SparkSession, dir: String): String = {
-    val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val suffix = dirSuffix(dir)
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     val p = new org.apache.hadoop.fs.Path(wh, s"graft_docs_evolved_$suffix")
     val key = spark.sparkContext.applicationId + ":" + p.toString

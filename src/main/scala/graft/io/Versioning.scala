@@ -80,8 +80,13 @@ object Versioning {
     val upds = v0.filter(bucket("cdc-d:") >= 3 && bucket("cdc-u:") < 6)
       .select(col("doc_id"), lit("xx").as("lang"), col("source"),
         (col("n_chars") + 100L).as("n_chars"))
+    // insert-id offset 1<<40: OUTSIDE any reachable id domain (ids are
+    // bounded by Scaling.Stride × copies ≪ 2^40; the r11 ADVICE found the
+    // old +1e6 offset equals Stride exactly, so on a factor≥2 Scaling
+    // corpus every planted insert would collide with copy-1 ids and the
+    // diff/rollback inversion would silently stop being exact)
     val ins = v0.filter(bucket("cdc-i:") < 2)
-      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+      .select((col("doc_id") + (1L << 40)).as("doc_id"), col("lang"),
         col("source"), (col("n_chars") + 1L).as("n_chars"))
     val touched = dels.union(upds.select(col("doc_id")))
     val v1 = v0.join(touched, Seq("doc_id"), "left_anti")
@@ -153,7 +158,7 @@ object Versioning {
        |del AS (SELECT doc_id FROM v0 WHERE ${bucket("cdc-d:")} < 3),
        |upd AS (SELECT doc_id, 'xx' AS lang, source, n_chars + 100 AS n_chars
        |        FROM v0 WHERE ${bucket("cdc-d:")} >= 3 AND ${bucket("cdc-u:")} < 6),
-       |ins AS (SELECT doc_id + 1000000 AS doc_id, lang, source, n_chars + 1 AS n_chars
+       |ins AS (SELECT doc_id + 1099511627776 AS doc_id, lang, source, n_chars + 1 AS n_chars
        |        FROM v0 WHERE ${bucket("cdc-i:")} < 2),
        |v1 AS MATERIALIZED (
        |  SELECT b.doc_id, b.lang, b.source, b.n_chars FROM v0 b

@@ -34,10 +34,13 @@ import org.apache.spark.sql.functions._
   *  5. `ingested` — novel; enters the corpus.
   *
   * Batch = the `doc_id % 10 == 7` slice (q68/q178's convention), corpus
-  * = the rest. One planted transform makes the containment class fire
-  * under the precedence (naturally-contained fixture docs are near-dups
-  * too, so near_dup claims them): batch docs with
-  * (doc_id div 10) % 5 == 2 ingest the FIRST HALF of corpus doc
+  * = the rest. Two planted transforms make the exact and containment
+  * classes fire under the precedence (r11 ADVICE: the corpus fixture has
+  * no natural verbatim dups across the %10 boundary, so without a plant
+  * the exact screen passes vacuously): batch docs with
+  * (doc_id div 10) % 5 == 4 ingest corpus doc (doc_id−3)'s text VERBATIM
+  * — dup_url claims the div10%3==1 overlap, the rest land exact_dup —
+  * and batch docs with (doc_id div 10) % 5 == 2 ingest the FIRST HALF of corpus doc
   * (doc_id−3)'s text — a snippet, the real-world contained case (a
   * quote/excerpt page): its 3-grams are 100% inside the anchor, while
   * its distinct-WORD Jaccard vs the anchor averages ~0.67 on this
@@ -76,17 +79,19 @@ object Ingest {
 
   import Similarity.{hashedShingles, bandKeysFor, gram3Hashed, tokens, hash60, P}
 
-  private def landedSuffix(dir: String): String =
-    java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+  private def landedSuffix(dir: String): String = graft.io.Layout.dirSuffix(dir)
 
   /** Fixture URL scheme: corpus docs carry their own per-doc URL; the
     * planted BATCH re-discovery class ((doc_id div 10) % 3 == 1) carries
     * the URL of corpus doc doc_id−4 instead — (doc_id−4) % 10 == 3, so
-    * the anchor is always corpus-side and keeps its own URL. */
+    * the anchor is always corpus-side and keeps its own URL. The div-10
+    * term derives from the PASSED column (not a hard-coded name), so a
+    * caller probing a renamed/derived id column keeps the plant; exact
+    * for any id below 2^53 (id domains are bounded by Scaling.Stride ×
+    * copies, far under that). */
   private def canonOf(id: org.apache.spark.sql.Column) = {
     val rediscover = pmod(id, lit(10)) === 7 &&
-      pmod(expr("doc_id div 10"), lit(3)) === 1
+      pmod(floor(id / lit(10)).cast("long"), lit(3)) === 1
     concat(lit("https://crawl.example.com/d/"),
       when(rediscover, id - 4).otherwise(id).cast("string"))
   }
@@ -125,14 +130,20 @@ object Ingest {
     // from the one-task scan (sf0.1: 4.7 -> ~3.3 s; sf1 8.7 s = 2.7x)
     val rawBatch = graft.Dist.fanOut(Tables.documents(spark, dir)).filter(isBatch)
       .select(col("doc_id"), col("text"),
-        when(pmod(expr("doc_id div 10"), lit(5)) === 2, col("doc_id") - 3)
+        when(pmod(expr("doc_id div 10"), lit(5)).isin(2, 4), col("doc_id") - 3)
           .as("aid"))
     val anchorTexts = Tables.documents(spark, dir).filter(!isBatch)
       .select(col("doc_id").as("aid"), col("text").as("atext"))
       .join(broadcast(rawBatch.select(col("aid")).filter(col("aid").isNotNull)),
         Seq("aid"), "left_semi")
-    val ingestText = when(col("atext").isNotNull,
-      expr("substr(atext, 1, length(atext) div 2)")).otherwise(col("text"))
+    // div10%5==4: VERBATIM copy of the anchor (the planted exact_dup
+    // class — r11 ADVICE: without it the exact screen passed vacuously
+    // with 0 rows on both engines); div10%5==2: the first-half snippet
+    // (the contained class). Missing anchors fall back to own text.
+    val ingestText = when(col("atext").isNotNull &&
+        pmod(expr("doc_id div 10"), lit(5)) === 4, col("atext"))
+      .when(col("atext").isNotNull,
+        expr("substr(atext, 1, length(atext) div 2)")).otherwise(col("text"))
     val batch = rawBatch
       .join(broadcast(anchorTexts), Seq("aid"), "left")
       .select(col("doc_id"), canonOf(col("doc_id")).as("canon"),
@@ -239,12 +250,14 @@ object Ingest {
   val incrementalIngestSql: String =
     s"""WITH ab AS (
        |  SELECT b.doc_id,
-       |    CASE WHEN a.text IS NOT NULL
+       |    CASE WHEN a.text IS NOT NULL AND (b.doc_id // 10) % 5 = 4
+       |         THEN a.text
+       |         WHEN a.text IS NOT NULL
        |         THEN substr(a.text, 1, length(a.text) // 2)
        |         ELSE b.text END AS text
        |  FROM documents b LEFT JOIN documents a
        |    ON a.doc_id = b.doc_id - 3 AND a.doc_id % 10 <> 7
-       |       AND (b.doc_id // 10) % 5 = 2
+       |       AND (b.doc_id // 10) % 5 IN (2, 4)
        |  WHERE b.doc_id % 10 = 7
        |), base AS MATERIALIZED (
        |  SELECT doc_id, text FROM ab

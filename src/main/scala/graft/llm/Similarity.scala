@@ -1944,8 +1944,7 @@ object Similarity {
     * ShuffleExchange anywhere above a corpus-table scan; answers are
     * bit-identical to q68 (same oracle). */
   def bucketedIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val suffix = graft.io.Layout.dirSuffix(dir)
     val sigsT = s"graft_corpus_sigs_$suffix"
     val bandsT = s"graft_corpus_bands_$suffix"
     val isIncoming = pmod(col("doc_id"), lit(10)) === 7
@@ -2046,8 +2045,7 @@ object Similarity {
     * no groups/bands catalog scan may feed a ShuffleExchange OR a
     * BroadcastExchange. */
   def bucketedNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
-    val suffix = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(dir).toLong & 0xffffffffL)
+    val suffix = graft.io.Layout.dirSuffix(dir)
     val grpsT = s"graft_groups_$suffix"
     val gbandsT = s"graft_group_bands_$suffix"
     // 16 buckets, re-measured r11: 32 buckets (= the box's cores) saved

@@ -95,6 +95,33 @@ class DistSpec extends SparkSpec {
     assert(run(5) == ref, "rerun must be identical")
     assert(run(3) == ref && run(17) == ref,
       "rn must not depend on the partition count")
+    assert(run(0) == ref,
+      "the data-derived default (numParts <= 0) must agree too")
+  }
+
+  test("globalRowNumberWithin derives numParts from the data by default") {
+    // r11 verdict task 7: a fixed 32 under-parallelizes a bigger box and
+    // over-partitions nothing the helper can see. The auto path must use
+    // max(defaultParallelism, child partitions) — assert via the
+    // boundary-spill bound at a parallelism ABOVE the old constant: with
+    // a 48-partition child the materialized range partitioning must plan
+    // >= 48 partitions (old code would cap at 32), and the hot key must
+    // still be numbered exactly.
+    import spark.implicits._
+    val rows = (0 until 4000).map { i =>
+      (if (i % 2 == 0) "hot.example" else s"cold${i % 31}.example", i.toLong)
+    }.toDF("domain", "keeper").repartition(48)
+    // the derivation itself (the downstream window re-shuffles to
+    // spark.sql.shuffle.partitions, so output partition counts can't
+    // witness the choice — assert on the resolver the helper uses)
+    assert(Dist.autoParts(rows, 0) ==
+      math.max(spark.sparkContext.defaultParallelism, 48))
+    assert(Dist.autoParts(rows, 7) == 7, "explicit count must win")
+    val out = Dist.globalRowNumberWithin(rows, "domain", col("keeper"))
+    val hot = out.filter(col("domain") === "hot.example")
+      .agg(count(lit(1)), max(col("rn")), sum(col("rn"))).collect()(0)
+    assert(hot.getLong(0) == 2000 && hot.getLong(1) == 2000 &&
+      hot.getLong(2) == 2000L * 2001 / 2, "exact numbering at auto parallelism")
   }
 
   test("globalRowNumberWithin matches the per-partition window row_number") {

@@ -17,11 +17,13 @@ class IngestSpec extends SparkSpec {
       .filter(pmod(col("doc_id"), lit(10)) === 7).count()
     assert(total == batch, "every batch doc must carry exactly one status")
     val statuses = out.map(_.getAs[String]("status")).toSet
-    assert(statuses.subsetOf(
-      Set("dup_url", "exact_dup", "near_dup", "contained", "ingested")))
-    // the fixture plants make the key classes non-empty even at sf0.001
-    assert(statuses.contains("dup_url"), "planted URL re-discovery class missing")
-    assert(statuses.contains("ingested"), "no novel docs at all?")
+    // ALL five screens must fire, not just be subset-legal — a screen
+    // whose class is empty on both engines passes the oracle vacuously
+    // (the r11 ADVICE finding: exact_dup was 0 rows before the verbatim
+    // plant). The plants guarantee each class even at sf0.001.
+    assert(statuses ==
+      Set("dup_url", "exact_dup", "near_dup", "contained", "ingested"),
+      s"every status class must be non-empty, got $statuses")
   }
 
   test("q233: corpus rows never enter a shuffle; broadcasts are batch-bounded") {
