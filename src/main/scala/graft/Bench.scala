@@ -41,6 +41,29 @@ object Bench {
       }
     }
     spark.catalog.clearCache()
+    // --- bench-box calibration probe (r11 judge task 2): the r11 host-
+    // degradation story (three sweeps of identical code 120.8 -> 138.7 ->
+    // 154.0 s) lived in README prose; the artifact now measures host
+    // health itself. One fixed cheap query — q96, the cheapest stable
+    // query in the suite (memoized front-end, ~fixed overhead, exactly
+    // what a scheduling/host probe wants) — is timed min-of-3 right
+    // after warmup and again after the sweep; both vectors land in the
+    // JSON and `host_drift` = end_min/start_min. A drift outside
+    // [1/1.3, 1.3] flags the artifact (`host_degraded`): the host
+    // changed speed DURING the sweep, so the total is not comparable
+    // run-to-run and per-query adjudication vectors are the evidence to
+    // read instead. Skipped under SPARK_GRAFT_ONLY (targeted dev runs
+    // time isolated queries; the probe would only add noise).
+    val calName = "q96_copurchase_pairs"
+    def calibrate(): Seq[Double] =
+      SparkEntry.queries.get(calName).toSeq.flatMap { fn =>
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { run(fn(spark, sfDir)) } catch { case _: Throwable => }
+          (System.nanoTime() - t0) / 1e9
+        }
+      }
+    val calStart = if (only.isEmpty) calibrate() else Nil
     // dev-only filters (driver runs with neither set): SPARK_GRAFT_ONLY
     // restricts to queries whose name contains a given substring;
     // SPARK_GRAFT_REPS re-times each query N times and keeps the minimum
@@ -136,6 +159,17 @@ object Bench {
           (name, again)
         }
     }
+    val calEnd = if (only.isEmpty) calibrate() else Nil
+    val calJson = {
+      def v(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val drift =
+        if (calStart.nonEmpty && calEnd.nonEmpty && calStart.min > 0)
+          calEnd.min / calStart.min
+        else 1.0
+      val degraded = drift > 1.3 || drift < 1.0 / 1.3
+      s"""{"probe":"$calName","start":${v(calStart)},"end":${v(calEnd)},""" +
+        f""""host_drift":$drift%.3f,"host_degraded":$degraded}"""
+    }
     val adjJson = adjudicated.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
@@ -165,7 +199,7 @@ object Bench {
     // "total" is repeated at the END of the line: the driver's log capture
     // truncates the head of long lines, which made the r3/r4 totals
     // unrecoverable from the record
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"adjudicated":$adjJson,"adjusted_total":${f"$adjTotal%.3f"},"sf":"$sfDir","total":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"adjudicated":$adjJson,"calibration":$calJson,"adjusted_total":${f"$adjTotal%.3f"},"sf":"$sfDir","total":$total}"""
     println(line)
     // The driver's log capture ALSO truncates this line's head (r6 lost
     // q01-q54 and q100+ per-query reps entirely), so persist the full

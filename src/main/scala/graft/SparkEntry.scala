@@ -35,7 +35,8 @@ object SparkEntry {
       llm.Dpo.defs ++
       llm.Ingest.defs ++
       text.UnicodeNorm.defs ++
-      text.Secrets.defs
+      text.Secrets.defs ++
+      text.EpochBuild.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -941,6 +941,111 @@ object Streaming {
         col("b.cont_bp").as("containment_bp"))
   }
 
+  // ------------------------------ streaming ingest precedence census
+
+  /** One document+URL arriving on the ingest stream (the
+    * [[ingestPrecedenceStream]] input shape). */
+  final case class UrlDocIngestRow(doc_id: Long, ts: java.sql.Timestamp,
+    url: String, text: String)
+
+  /** The streaming twin of q233's PRECEDENCE census — the composition the
+    * four individually-proven doors cannot witness alone: an exact dup is
+    * also a near dup and usually also contained, and the classification a
+    * dataset card reports depends on the ORDER the screens claim a doc
+    * (dup_url ≻ exact_dup ≻ near_dup ≻ contained ≻ ingested). Before
+    * this, the ordering was only batch-gated (q233); a streaming ingest
+    * that ran the doors independently could double-classify or
+    * mis-attribute without any door's own spec noticing.
+    *
+    * Shape — `flatMapGroupsWithState`-free, by construction from the
+    * doors' own discipline: ONE probe projection per arriving doc
+    * (canonical URL, content digest, word-shingle set, trigram set, all
+    * row-local), three branches over it —
+    *  - BASE: stream-static left joins against the landed canonical and
+    *    digest sets → per-doc u/e flags (stateless; one row per doc, so
+    *    every doc is classified even with zero matches);
+    *  - NEAR: [[nearDupIngestStream]]'s band-probe + exact verify,
+    *    reduced to an existence flag;
+    *  - CONTAINED: [[containmentIngestStream]]'s pigeonhole prefix probe
+    *    + verify, reduced to an existence flag —
+    * unioned and folded by ONE watermark-evicted (window, doc_id) max
+    * aggregation; the precedence is a row-local CASE over the folded
+    * flags. Every join is stream-static (corpus side landed, never a
+    * build side that grows within the stream), so the job's ONLY state
+    * is the final aggregation — spec-asserted, like every door. Each doc
+    * has one event time → one final emission in append mode.
+    *
+    * Runs UNCHANGED on batch frames (watermark no-ops, the window
+    * aggregation is ordinary) — PrecedenceStreamSpec feeds the same rows
+    * both ways and requires identical per-doc statuses, closing the last
+    * batch/stream asymmetry of the ingest tier. Expects
+    * `(doc_id, ts, url, text)` streaming and `(doc_id, url, text)` landed
+    * corpus; emits `(doc_id, status)`. */
+  def ingestPrecedenceStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    import graft.llm.Similarity
+    val corCanon = corpus.select(canonUdf(col("url")).as("canon"))
+      .filter(col("canon").isNotNull).distinct()
+    val corDigest = corpus.select(md5(col("text")).as("th")).distinct()
+    val corpusSets = corpus
+      .select(col("doc_id").as("cor_id"),
+        Similarity.hashedShingles(col("text")).as("hs_c"))
+      .filter(size(col("hs_c")) > 0)
+    val postings = Similarity.bandKeysFor(
+        corpusSets.select(col("cor_id").as("id"), col("hs_c").as("hs")), "id")
+      .select(col("id").as("cor_id"), col("bkey"))
+    val corGram = corpus
+      .select(col("doc_id").as("cor_id"),
+        Similarity.gram3Hashed(Similarity.tokens(col("text"))).as("g_c"))
+      .select(col("cor_id"), col("g_c"), size(col("g_c")).cast("long").as("sz_c"))
+      .filter(col("sz_c") > 0)
+    val gramPost = corGram.select(col("cor_id"), explode(col("g_c")).as("h"))
+    val marked = if (docs.isStreaming) docs.withWatermark("ts", "1 hour") else docs
+    val probes = marked.select(col("doc_id"), col("ts"),
+      canonUdf(col("url")).as("canon"), md5(col("text")).as("th"),
+      Similarity.hashedShingles(col("text")).as("hs"),
+      Similarity.gram3Hashed(Similarity.tokens(col("text"))).as("g3"))
+    def flags(u: Int, e: Int, n: Int, c: Int) = Seq(
+      lit(u).as("u"), lit(e).as("e"), lit(n).as("n"), lit(c).as("c"))
+    val base = probes
+      .join(corCanon.withColumn("cu", lit(1)), Seq("canon"), "left")
+      .join(corDigest.withColumn("ce", lit(1)), Seq("th"), "left")
+      .select(Seq(col("doc_id"), col("ts"), coalesce(col("cu"), lit(0)).as("u"),
+        coalesce(col("ce"), lit(0)).as("e"), lit(0).as("n"), lit(0).as("c")): _*)
+    val near = Similarity.bandKeysKeepingFor(
+        probes.filter(size(col("hs")) > 0)
+          .select(col("doc_id").as("id"), col("ts"), col("hs")), "id", Seq("ts", "hs"))
+      .select(col("id").as("doc_id"), col("ts"), col("hs").as("hs_i"), col("bkey"))
+      .join(postings, Seq("bkey"))
+      .join(corpusSets, Seq("cor_id"))
+      .withColumn("sz_i", size(col("hs_i"))).withColumn("szc", size(col("hs_c")))
+      .filter(least(col("sz_i"), col("szc")) * 10 >=
+        greatest(col("sz_i"), col("szc")) * 9)
+      .withColumn("nsh", graft.functions.ArrayKernels
+        .sortedIntersectCount(col("hs_i"), col("hs_c")))
+      .filter(expr("(10000 * nsh) div CAST(sz_i + szc - nsh AS BIGINT)") >= 9000)
+      .select(Seq(col("doc_id"), col("ts")) ++ flags(0, 0, 1, 0): _*)
+    val cont = probes.withColumn("sz_i", size(col("g3")).cast("long"))
+      .filter(col("sz_i") > 0)
+      .select(col("doc_id"), col("ts"), col("g3"), col("sz_i"),
+        explode(slice(col("g3"), lit(1),
+          col("sz_i") - expr("(9 * sz_i + 9) div 10") + 1)).as("h"))
+      .join(gramPost, Seq("h"))
+      .join(corGram, Seq("cor_id"))
+      .filter(lit(10) * col("sz_c") >= lit(9) * col("sz_i"))
+      .withColumn("nsh", graft.functions.ArrayKernels
+        .sortedIntersectCount(col("g3"), col("g_c")).cast("long"))
+      .filter(lit(10) * col("nsh") >= lit(9) * col("sz_i"))
+      .select(Seq(col("doc_id"), col("ts")) ++ flags(0, 0, 0, 1): _*)
+    base.unionByName(near).unionByName(cont)
+      .groupBy(window(col("ts"), "1 hour"), col("doc_id"))
+      .agg(max(col("u")).as("u"), max(col("e")).as("e"),
+        max(col("n")).as("n"), max(col("c")).as("c"))
+      .select(col("doc_id"),
+        when(col("u") === 1, "dup_url").when(col("e") === 1, "exact_dup")
+          .when(col("n") === 1, "near_dup").when(col("c") === 1, "contained")
+          .otherwise("ingested").as("status"))
+  }
+
   // --------------------------------------- streaming daily theta sketches
 
   /** Keyed state for [[dailyUserSketches]]: the day's COMPACT Theta

@@ -202,17 +202,20 @@ object CrawlIngest {
       .join(bk.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
       .filter(col("gid_a") < col("gid_b"))
       .select(col("gid_a"), col("gid_b")).distinct()
-    // Payload attaches are SHUFFLE joins on gid, never broadcasts: the
-    // rep frame is the distinct-shingle-set frame of the whole rendered
-    // corpus — it grows (sublinearly but unboundedly) with distinct
-    // content, exactly the class a 100 TB ingest gate cannot build-side.
-    // Candidates are slim (two longs), so the two gid exchanges carry
-    // the hs arrays once each — the q203 bucket-aligned discipline
-    // without the landed table (this gate renders its corpus in-query).
+    // Payload attaches are runtime-size-decided (Dist.sizedBroadcast):
+    // the rep frame is the distinct-shingle-set frame of the whole
+    // rendered corpus — it grows (sublinearly but unboundedly) with
+    // distinct content, so an unconditional broadcast HINT is the class
+    // a 100 TB ingest gate cannot build-side — but grps is checkpointed,
+    // so a MEASURED bound decides: tiny (every test/bench SF) it
+    // broadcasts, past the bound the gid shuffle joins carry each hs
+    // array once, candidates slim (two longs) — the q203 bucket-aligned
+    // discipline without the landed table.
+    val sized = graft.Dist.sizedBroadcast(grps.select(col("gid"), col("hs")))
     val verified = cand
-      .join(reps.select(col("gid").as("gid_a"), col("hs").as("hs_a")),
+      .join(sized.select(col("gid").as("gid_a"), col("hs").as("hs_a")),
         Seq("gid_a"))
-      .join(reps.select(col("gid").as("gid_b"), col("hs").as("hs_b")),
+      .join(sized.select(col("gid").as("gid_b"), col("hs").as("hs_b")),
         Seq("gid_b"))
       .withColumn("shared",
         graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))
