@@ -40,6 +40,13 @@ object Bench {
         System.err.println(s"[bench] warmup failed for $name: $e")
       }
     }
+    // one-time landing costs (bucketed catalog writes the warmup sweep
+    // just paid) — reported beside the steady-state times rather than
+    // invisible inside the untimed warmup (r11 judge task 3: q203/q233's
+    // deployment step should be a NUMBER in the artifact). Suffixes are
+    // the per-dir md5 — strip for stable keys across data dirs.
+    val landings = graft.io.Layout.drainLandingSecs()
+      .map { case (t, s) => t.replaceAll("_[0-9a-f]{32}$", "") -> s }
     spark.catalog.clearCache()
     // --- bench-box calibration probe (r11 judge task 2): the r11 host-
     // degradation story (three sweeps of identical code 120.8 -> 138.7 ->
@@ -199,7 +206,10 @@ object Bench {
     // "total" is repeated at the END of the line: the driver's log capture
     // truncates the head of long lines, which made the r3/r4 totals
     // unrecoverable from the record
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"adjudicated":$adjJson,"calibration":$calJson,"adjusted_total":${f"$adjTotal%.3f"},"sf":"$sfDir","total":$total}"""
+    val landJson = landings.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"adjudicated":$adjJson,"calibration":$calJson,"landings":$landJson,"adjusted_total":${f"$adjTotal%.3f"},"sf":"$sfDir","total":$total}"""
     println(line)
     // The driver's log capture ALSO truncates this line's head (r6 lost
     // q01-q54 and q100+ per-query reps entirely), so persist the full

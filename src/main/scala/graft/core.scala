@@ -330,22 +330,29 @@ object Dist {
     * estimates underestimate array columns ~100x) the fallback is a much
     * smaller rows-only bound rather than a guessed byte count.
     *
-    * The broadcast branch hints `broadcast(df.limit(maxRows))` — a
-    * semantic no-op (rows ≤ maxRows was just measured) whose GlobalLimit
-    * makes the plan CARRY the bound: PlanHygieneSpec's broadcast-bound
-    * rule accepts the hinted side STRUCTURALLY, no hand-declared
-    * whitelist entry needed. At scale the same call sites degrade to the
-    * shuffle join automatically the moment the measurement crosses the
-    * bound — a runtime bound, not a builder's claim. */
+    * The measurement is the broadcast's WITNESS, not just its trigger:
+    * an approved frame's checkpoint-RDD ids land in [[approvedRdds]]
+    * with the measured numbers, and PlanHygieneSpec's broadcast-bound
+    * rule accepts a hinted side whose LogicalRDD leaves are all approved
+    * — no hand-declared whitelist entry, and no plan-level artifact
+    * either (an earlier draft hinted `broadcast(df.limit(maxRows))` so
+    * the plan carried a GlobalLimit bound structurally, but the limit
+    * plans a LocalLimit → single-partition exchange → GlobalLimit chain
+    * that re-ships the whole build side through ONE task before the
+    * broadcast collect — measured at sf0.1 it gave back most of the
+    * broadcast win it existed to recover). At scale the same call sites
+    * degrade to the shuffle join automatically the moment the
+    * measurement crosses the bound — a runtime bound, not a builder's
+    * claim. */
   def sizedBroadcast(df: DataFrame, maxRows: Int = 1 << 20,
                      maxBytes: Long = 128L << 20): DataFrame = {
     val spark = df.sparkSession
+    val rddIds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
     val (rows, bytes) = sizeMemo.computeIfAbsent(
       (spark, df.queryExecution.analyzed), { _ =>
         val n = df.count()
-        val rddIds = df.queryExecution.analyzed.collect {
-          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
-        }.toSet
         val stored = spark.sparkContext.getRDDStorageInfo
           .filter(i => rddIds.contains(i.id))
           .map(i => i.memSize + i.diskSize).sum
@@ -354,7 +361,22 @@ object Dist {
     val fits =
       if (bytes > 0) rows <= maxRows && bytes <= maxBytes
       else rows <= math.min(maxRows.toLong, 65536L) // unmeasurable bytes
-    if (fits) broadcast(df.limit(maxRows)) else df
+    if (fits) {
+      rddIds.foreach(id => approved.put(id, (rows, bytes)))
+      broadcast(df)
+    } else df
+  }
+
+  /** Checkpoint-RDD ids [[sizedBroadcast]] measured UNDER its bounds (and
+    * therefore hinted), with the measured (rows, storageBytes) — the
+    * runtime-bound witness PlanHygieneSpec's broadcast-hygiene rule reads
+    * in place of a hand-declared bound. */
+  private val approved =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
+  def approvedRdds: Set[Int] = {
+    val b = Set.newBuilder[Int]
+    approved.keySet().forEach(k => b += k)
+    b.result()
   }
 
   /** Lazy lineage-truncating checkpoint that survives executor loss when it

@@ -165,6 +165,22 @@ object Layout {
     * a table "unknown" to the catalog may still have files on disk from a
     * previous run, which saveAsTable refuses to overwrite, so the stale
     * location is cleared before the first write. */
+  /** Wall-clock landing cost per bucketed catalog table, recorded by
+    * [[ensureBucketed]] when it actually (re)builds — zero entries on
+    * steady-state reuse. Bench drains this into the artifact's
+    * `landings` map so the one-time deployment cost (q87/q203/q233's
+    * untimed warmup write) is REPORTED next to the steady-state query
+    * times instead of invisible (r11 judge task 3). */
+  private val landingSecs =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+  def drainLandingSecs(): Map[String, Double] = {
+    val out = scala.collection.mutable.Map[String, Double]()
+    val it = landingSecs.entrySet().iterator()
+    while (it.hasNext) { val e = it.next(); out(e.getKey) = e.getValue }
+    landingSecs.clear()
+    out.toMap
+  }
+
   def ensureBucketed(spark: SparkSession, table: String, bucketCol: String,
                      numBuckets: Int)(build: => DataFrame): Unit = {
     landing.compute((spark, table), { (_, _) =>
@@ -176,6 +192,7 @@ object Layout {
           .filter(col("key") === "graft.fingerprint")
           .collect().headOption.map(_.getString(1))
       if (!stored.contains(fp)) {
+        val t0 = System.nanoTime()
         if (spark.catalog.tableExists(table)) spark.sql(s"DROP TABLE $table")
         val wh = spark.conf.get("spark.sql.warehouse.dir")
         val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
@@ -184,6 +201,7 @@ object Layout {
         writeBucketed(df, table, bucketCol, numBuckets)
         spark.sql(
           s"ALTER TABLE $table SET TBLPROPERTIES ('graft.fingerprint' = '$fp')")
+        landingSecs.put(table, (System.nanoTime() - t0) / 1e9)
       }
       null
     })

@@ -226,48 +226,6 @@ object Similarity {
                          payload: Seq[String]): DataFrame =
     bandKeys(df, idCol, payload)
 
-  /** The band/verify pipeline over an explicit (gid, hs, …) groups frame —
-    * shared so q55 can checkpoint the groups once and reuse them.
-    * The payload attaches are RUNTIME-SIZE-DECIDED ([[graft.Dist
-    * .sizedBroadcast]], r11 judge task 1): the groups frame is the
-    * distinct-shingle-set frame of the corpus — it grows (sublinearly but
-    * unboundedly) with distinct content, so an UNCONDITIONAL broadcast
-    * hint is the banned q218 class — but the frame is already
-    * materialized by the caller's checkpoint, so its size is a
-    * MEASUREMENT, not a claim: under the bound it broadcast-joins (the
-    * r10→r11 unconditional-shuffle form cost q41 +23% and q147 +21% at
-    * sf0.1 for nothing), over the bound the same code shuffle-joins on
-    * gid, candidates slim (two longs) and each rep's hs array carried
-    * once per exchange. */
-  private[llm] def repPairsFromGroups(grps: DataFrame): DataFrame = {
-    val sets = Dist.sizedBroadcast(grps.select(col("gid"), col("hs")))
-    val banded = bandKeys(grps.select(col("gid"), col("hs")), "gid")
-    val cand = banded.select(col("bkey"), col("gid").as("gid_a"))
-      .join(banded.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
-      .filter(col("gid_a") < col("gid_b"))
-      .select(col("gid_a"), col("gid_b"))
-    // Dedup AFTER the verify, not before: a pair matching in k bands is
-    // verified k times, but the merge-walk kernel is so cheap that k
-    // redundant verifications of broadcast-joined rows cost less than
-    // shuffling the full raw candidate set through an early distinct
-    // (re-measured after the rep-space collapse, 2026-08-12: early
-    // distinct 3.04s vs 2.14s q41 min-of-3 at sf0.1 — even at 2.47M rows
-    // the dedup exchange costs more than the redundant verifications it
-    // saves). The verified set is ~10x smaller, so the remaining
-    // distinct is on slim survivors.
-    cand
-      .join(sets.select(col("gid").as("gid_a"), col("hs").as("hs_a")), Seq("gid_a"))
-      .join(sets.select(col("gid").as("gid_b"), col("hs").as("hs_b")), Seq("gid_b"))
-      .withColumn("sz_a", size(col("hs_a"))).withColumn("sz_b", size(col("hs_b")))
-      .filter(least(col("sz_a"), col("sz_b")) * 10 >= greatest(col("sz_a"), col("sz_b")) * 9)
-      .withColumn("n_shared",
-        graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))
-      .withColumn("jaccard", col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
-      .filter(col("jaccard") >= 0.9)
-      .select(col("gid_a"), col("gid_b"), col("n_shared"), col("jaccard"))
-      .distinct()
-  }
-
   /** The pair pipeline without q41's presentation sort — consumers that
     * only need the pair set (q50's near-dup stage) skip the
     * single-partition ordering pass entirely.
@@ -303,23 +261,64 @@ object Similarity {
 
   private val pairsMemo =
     new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
+  private val scoredMemo =
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
 
-  /** The VERIFIED rep-space pair frame ([[repPairsFromGroups]] over the
-    * landed groups) landed ONCE per (session, dir, durability regime) —
-    * the [[landedShingleGroups]] memo discipline extended one stage
-    * downstream. The band self-join + exact verify is the expensive half
-    * of the near-dup pipeline (~1.5–2 s at sf0.1), and before this memo
-    * every consumer (q41/q50/q55's edges, q85's membership, q197's
-    * positives-adjacent paths, q199's flow census) re-paid it per query.
-    * The landed frame is slim — (gid_a, gid_b, n_shared, jaccard), one
-    * row per verified rep pair — so the checkpoint is a few thousand
-    * rows at sf0.1 and stays ∝ true duplicate density at scale. Same
-    * process-lifetime retention contract as [[groupsMemo]] (see the memo
-    * eviction note there); at 100 TB this lands beside the groups table
-    * in the bucketed catalog, keyed by the same content fingerprint. */
+  /** EVERY banded rep-pair candidate scored exactly — (gid_a, gid_b,
+    * sz_a, sz_b, n_shared), landed ONCE per (session, dir, durability
+    * regime). This is the ONE scoring pass the whole near-dup family
+    * shares (r11 judge task 3: q197 re-ran a private full-range scoring
+    * pass per query while [[landedRepPairs]] ran the verified-only twin
+    * of the same band self-join + kernel — two passes over identical
+    * candidates): q197 needs the FULL bp range (its negatives are the
+    * sub-0.9 scores, so no size-ratio prefilter may run here), and the
+    * verified frame every other consumer reads is the jaccard ≥ 0.9
+    * slice of this one. Candidates dedup BEFORE the verify in this
+    * shape — unlike q41's verified-only flow (where survivors are 10x
+    * smaller than candidates and the late distinct wins, see
+    * repPairsFromGroups), here every scored pair lands, so dedup-late
+    * would shuffle the same cardinality after paying k redundant kernel
+    * runs. Payload attaches are runtime-size-decided
+    * ([[graft.Dist.sizedBroadcast]]). */
+  private[llm] def landedScoredPairs(spark: SparkSession, dir: String): DataFrame =
+    scoredMemo.getOrCompute(memoKey(spark, dir)) { _ =>
+      val sets = landedShingleGroups(spark, dir).filter(size(col("hs")) > 0)
+        .select(col("gid"), col("hs"))
+      val sized = Dist.sizedBroadcast(sets)
+      val banded = bandKeys(sets, "gid")
+      banded.select(col("bkey"), col("gid").as("gid_a"))
+        .join(banded.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
+        .filter(col("gid_a") < col("gid_b"))
+        .select(col("gid_a"), col("gid_b")).distinct()
+        .join(sized.select(col("gid").as("gid_a"), col("hs").as("hs_a")), Seq("gid_a"))
+        .join(sized.select(col("gid").as("gid_b"), col("hs").as("hs_b")), Seq("gid_b"))
+        .withColumn("sz_a", size(col("hs_a"))).withColumn("sz_b", size(col("hs_b")))
+        .withColumn("n_shared",
+          graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))
+        .select(col("gid_a"), col("gid_b"), col("sz_a"), col("sz_b"), col("n_shared"))
+        .transform(Dist.durableCkpt)
+    }
+
+  /** The VERIFIED rep-space pair frame — the jaccard ≥ 0.9 slice of
+    * [[landedScoredPairs]], landed ONCE per (session, dir, durability
+    * regime). Before this memo every consumer (q41/q50/q55's edges,
+    * q85's membership, q197's positives-adjacent paths, q199's flow
+    * census) re-paid the band self-join + exact verify per query; since
+    * r12 the scoring pass itself is shared with q197's full-range
+    * consumer, so the suite runs it once. jaccard derives from the
+    * landed integers exactly as repPairsFromGroups computes it (same
+    * int-division-to-double chain → bit-identical doubles, hashes
+    * unchanged). The landed frame is slim — one row per verified rep
+    * pair, ∝ true duplicate density at scale. Same process-lifetime
+    * retention contract as [[groupsMemo]]; at 100 TB both land beside
+    * the groups table in the bucketed catalog. */
   private[llm] def landedRepPairs(spark: SparkSession, dir: String): DataFrame =
     pairsMemo.getOrCompute(memoKey(spark, dir))(
-      _ => repPairsFromGroups(landedShingleGroups(spark, dir))
+      _ => landedScoredPairs(spark, dir)
+        .withColumn("jaccard",
+          col("n_shared") / (col("sz_a") + col("sz_b") - col("n_shared")))
+        .filter(col("jaccard") >= 0.9)
+        .select(col("gid_a"), col("gid_b"), col("n_shared"), col("jaccard"))
         .transform(Dist.durableCkpt))
 
   def lshVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -3408,19 +3407,14 @@ object Similarity {
     val grps = landedShingleGroups(spark, dir)
     val sets = grps.filter(size(col("hs")) > 0)
     val slim = sets.select(col("gid"), col("members"))
-    val banded = bandKeys(sets.select(col("gid"), col("hs")), "gid")
-    // one exact scoring pass over the deduped candidates, landed slim
-    val scored = banded.select(col("bkey"), col("gid").as("gid_a"))
-      .join(banded.select(col("bkey"), col("gid").as("gid_b")), Seq("bkey"))
-      .filter(col("gid_a") < col("gid_b"))
-      .select(col("gid_a"), col("gid_b")).distinct()
-      .join(sets.select(col("gid").as("gid_a"), col("hs").as("hs_a")), Seq("gid_a"))
-      .join(sets.select(col("gid").as("gid_b"), col("hs").as("hs_b")), Seq("gid_b"))
-      .withColumn("n", graft.functions.ArrayKernels.sortedIntersectCount(col("hs_a"), col("hs_b")))
+    // the ONE session-shared exact scoring pass ([[landedScoredPairs]],
+    // r12): this query's full-bp-range consumer and the verified-only
+    // family (q41/q50/q55/q85/q199) now read the same landed frame
+    // instead of re-running band self-join + kernel each
+    val scored = landedScoredPairs(spark, dir)
       .withColumn("bp", expr(
-        "(10000 * n) div CAST(size(hs_a) + size(hs_b) - n AS BIGINT)"))
+        "(10000 * n_shared) div CAST(sz_a + sz_b - n_shared AS BIGINT)"))
       .select(col("gid_a"), col("gid_b"), col("bp"))
-      .transform(Dist.durableCkpt)
     // ---- doc-space expansion (both directions through ONE generator)
     def expand(repPairs: DataFrame): DataFrame = repPairs
       .join(slim.select(col("gid").as("gid_a"), col("members").as("ma")), Seq("gid_a"))

@@ -203,7 +203,16 @@ class PlanHygieneSpec extends SparkSpec {
 
   private def boundedLogical(side: logical.LogicalPlan): Boolean = {
     val nodes = side.collect { case n => n }
-    nodes.exists {
+    // runtime-measured bound (Dist.sizedBroadcast): a hinted side whose
+    // LogicalRDD leaves were ALL measured under the helper's bounds at
+    // hint time is bounded by MEASUREMENT — the r11-mandated replacement
+    // for hand-declared bounds on checkpointed frames. The hint cannot
+    // exist unless the measurement passed, so this is by-construction.
+    val rdds = nodes.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    val measured = rdds.nonEmpty && rdds.forall(graft.Dist.approvedRdds)
+    measured || nodes.exists {
       case _: logical.Aggregate => true
       case _: logical.GlobalLimit | _: logical.LocalLimit => true
       case _: logical.LocalRelation | _: logical.OneRowRelation => true

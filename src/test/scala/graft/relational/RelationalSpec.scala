@@ -15,6 +15,33 @@ class RelationalSpec extends SparkSpec {
   private def plan(df: org.apache.spark.sql.DataFrame): SparkPlan = executedPlanOf(df)
   private def collectAll(p: SparkPlan): Seq[SparkPlan] = allPlanNodes(p)
 
+  test("q236 approx profile: no Expand in the plan, estimates within 3*rsd of q105") {
+    // the no-Expand claim is q236's whole reason to exist (the exact
+    // multi-distinct multiplies every input row x|columns| before the
+    // partial agg; the HLL profile must not) — gate the PLAN, then bound
+    // every estimate against the exact twin's count
+    val df = Relational.columnProfileApprox(spark, sfDir)
+    val expands = collectAll(plan(df)).filter(
+      _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec])
+    assert(expands.isEmpty, "approx profile must plan no Expand")
+    val est = df.collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    val exact = Relational.columnProfile(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (c, n) =>
+      assert(math.abs(est(c) - n) <= math.max(1L, (3 * 0.02 * n).toLong),
+        s"$c: estimate ${est(c)} vs exact $n outside 3*rsd")
+    }
+    // the non-sketch statistics are bit-identical to the exact twin
+    val others = df.select("col_name", "n_rows", "n_nonnull", "min_val", "max_val")
+      .collect().map(_.toSeq).toSet
+    val exactOthers = Relational.columnProfile(spark, sfDir)
+      .select("col_name", "n_rows", "n_nonnull", "min_val", "max_val")
+      .collect().map(_.toSeq).toSet
+    assert(others == exactOthers)
+  }
+
   test("q14 approx_count_distinct stays within the HLL error bound of exact (sf0.01)") {
     // q14 is the one registered query with no DuckDB oracle (the HLL
     // sketch is engine-specific) — this closes its verification gap
