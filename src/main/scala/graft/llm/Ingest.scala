@@ -110,8 +110,13 @@ object Ingest {
         .select(col("doc_id"), col("text"), hashedShingles(col("text")).as("hs")))
     graft.io.Layout.ensureBucketed(spark, bandsT, "bkey", 16)(
       bandKeysFor(spark.table(sigsT).select(col("doc_id"), col("hs")), "doc_id"))
+    // fanOut: the trigram hash + explode below otherwise runs on the ONE
+    // scan task the single-row-group harness parquet plans — the r12
+    // landings instrumentation showed this one landing at 34.5 s of the
+    // warmup (vs 0.6 s for the un-exploded sigs table); fanned out it is
+    // the per-row-compute >> row-bytes regime Dist.fanOut exists for
     graft.io.Layout.ensureBucketed(spark, postT, "h", 16)(
-      Tables.documents(spark, dir).filter(!isBatch)
+      graft.Dist.fanOut(Tables.documents(spark, dir).filter(!isBatch))
         .select(col("doc_id").as("cor_id"),
           gram3Hashed(tokens(col("text"))).as("g3"))
         .select(col("cor_id"), size(col("g3")).cast("long").as("sz_c"),

@@ -194,7 +194,7 @@ object Similarity {
 
   /** LSH band keys for an (id, hs) frame: one row per (id, band), keyed
     * by `xxhash64(band index, signature slice)` — THE banding definition,
-    * shared by the self-join (q41/q50/q55 via [[repPairsFromGroups]]) and
+    * shared by the self-join (q41/q50/q55 via [[landedScoredPairs]]) and
     * the asymmetric probe join (q68), so a change to Bands/RowsPerBand or
     * the band-key hash cannot make them silently disagree. */
   private[llm] def bandKeys(df: DataFrame, idCol: String,
@@ -274,9 +274,10 @@ object Similarity {
     * sub-0.9 scores, so no size-ratio prefilter may run here), and the
     * verified frame every other consumer reads is the jaccard ≥ 0.9
     * slice of this one. Candidates dedup BEFORE the verify in this
-    * shape — unlike q41's verified-only flow (where survivors are 10x
-    * smaller than candidates and the late distinct wins, see
-    * repPairsFromGroups), here every scored pair lands, so dedup-late
+    * shape — unlike a verified-only flow (where survivors are 10x
+    * smaller than candidates and a late distinct won, re-measured
+    * 2026-08-12: early distinct 3.04s vs 2.14s q41 min-of-3 at 2.47M
+    * doc-space candidates), here every scored pair lands, so dedup-late
     * would shuffle the same cardinality after paying k redundant kernel
     * runs. Payload attaches are runtime-size-decided
     * ([[graft.Dist.sizedBroadcast]]). */
@@ -306,7 +307,7 @@ object Similarity {
     * census) re-paid the band self-join + exact verify per query; since
     * r12 the scoring pass itself is shared with q197's full-range
     * consumer, so the suite runs it once. jaccard derives from the
-    * landed integers exactly as repPairsFromGroups computes it (same
+    * landed integers exactly as the r11 verify computed it (same
     * int-division-to-double chain → bit-identical doubles, hashes
     * unchanged). The landed frame is slim — one row per verified rep
     * pair, ∝ true duplicate density at scale. Same process-lifetime
@@ -341,7 +342,7 @@ object Similarity {
       .select(col("id_a"),
         explode(filter(col("members"), m => m > col("id_a"))).as("id_b"),
         col("n_shared"), lit(1.0).as("jaccard"))
-    // runtime-size-decided attach (see repPairsFromGroups): measured
+    // runtime-size-decided attach (see landedScoredPairs): measured
     // under the bound -> broadcast; over it -> the gid shuffle join
     val slim = Dist.sizedBroadcast(grps.select(col("gid"), col("members")))
     val cross = landedRepPairs(spark, dir)
@@ -2082,7 +2083,7 @@ object Similarity {
       .filter(col("gid_a") < col("gid_b"))
       .select(col("gid_a"), col("gid_b"))
     // verify attaches: slim hs only — dedup-after-verify exactly as
-    // repPairsFromGroups (same re-measured tradeoff), with the distinct
+    // the r11 rep verify (same re-measured tradeoff), with the distinct
     // running on slim survivors before the members attach
     val verified = cand
       .join(grps.select(col("gid").as("gid_a"), col("hs").as("hs_a")).hint("merge"),
