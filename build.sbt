@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (box has 128 GiB): at the 10x bench scale the session-
+  // landed memo frames (shingle groups, scored pairs, labels) pin real
+  // storage in the single local-mode JVM, and under 8g a sweep rep's
+  // broadcast build intermittently hit "Not enough memory to build and
+  // broadcast" (q87, r12 second sf1 sweep) — a heap artifact of
+  // single-JVM local mode, not a plan property (on a cluster the
+  // broadcast builds on the driver, the memos live on executors).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
