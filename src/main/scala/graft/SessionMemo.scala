@@ -28,6 +28,15 @@ final class SessionMemo[K, V] {
     m.computeIfAbsent(k, key => build(key))
   }
 
+  /** Point-in-time key set (weakly consistent, like the underlying map's
+    * iterator) — for registries that enumerate what they vouch for
+    * (Dist's sizedBroadcast approvals). */
+  private[graft] def snapshotKeys: Set[K] = {
+    val b = Set.newBuilder[K]
+    m.keySet().forEach(k => b += k)
+    b.result()
+  }
+
   private[graft] def clear(): Unit = m.clear()
 }
 

@@ -286,4 +286,58 @@ class DistSpec extends SparkSpec {
       .select("rn").collect().map(_.getLong(0)).sorted.toSeq
     assert(rns == (1L to n.toLong))
   }
+
+  private def hinted(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.analyzed.collectFirst {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }.nonEmpty
+
+  private def leafRddIds(df: org.apache.spark.sql.DataFrame): Seq[Int] =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+
+  test("sizedBroadcast hints only measured-small frames and registers the approval") {
+    val small = spark.range(100).toDF("id").transform(Dist.durableCkpt)
+    val out = Dist.sizedBroadcast(small)
+    assert(hinted(out), "a measured-tiny checkpointed frame must be hinted")
+    val ids = leafRddIds(small)
+    val approvedNow = Dist.approvedRdds(spark.sparkContext)
+    assert(ids.nonEmpty && ids.forall(approvedNow),
+      "the hint's witness: approved ids must cover the hinted frame's leaves")
+    // over the row bound: no hint, no approval — the shuffle-join path
+    val big = spark.range(200000).toDF("id").transform(Dist.durableCkpt)
+    val out2 = Dist.sizedBroadcast(big, maxRows = 1000)
+    assert(!hinted(out2), "an over-bound frame must come back unhinted")
+    val approvedAfter = Dist.approvedRdds(spark.sparkContext)
+    assert(leafRddIds(big).forall(id => !approvedAfter(id)),
+      "an over-bound frame must never be vouched for")
+  }
+
+  test("sizedBroadcast measures RELIABLE checkpoints from their files (no byte-blind fallback)") {
+    val sc = spark.sparkContext
+    val saved = org.apache.spark.CheckpointDirTestAccess.get(sc)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val df = spark.range(5000)
+        .selectExpr("id", "repeat('x', 64) AS pad")
+        .transform(Dist.durableCkpt)
+      // 5,000 rows sit far under the 65,536 rows-only fallback: if the
+      // byte witness vanished under a reliable checkpoint dir (the r12
+      // ADVICE gap — getRDDStorageInfo is empty for FS-checkpointed
+      // frames), this WOULD broadcast despite the 1-byte bound.
+      val out = Dist.sizedBroadcast(df, maxBytes = 1L)
+      assert(!hinted(out),
+        "reliable-checkpoint bytes must be measured from the checkpoint files")
+      // same memoized measurement, sane bound: fits and hints
+      val ok = Dist.sizedBroadcast(df)
+      assert(hinted(ok))
+    } finally {
+      org.apache.spark.CheckpointDirTestAccess.set(sc, saved)
+      val fs = new org.apache.hadoop.fs.Path(dir.toString)
+        .getFileSystem(sc.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
+    }
+  }
 }

@@ -185,6 +185,7 @@ class PlanHygieneSpec extends SparkSpec {
     "q133_index_maintenance" -> "<=K-row centroid frame (ckpt)",
     "q183_pq_ann" -> "m x 256 PQ codebook/LUT (ckpt)",
     "q71_heavy_hitters" -> "one-row SpaceSaving sketch state (ckpt)",
+    "q71b_heavy_hitters_adaptive" -> "<=k-row candidate explode of the one-row sketch state (ckpt)",
     "q83_quality_audit" -> "one-row audit census (ckpt)",
     "q172_incremental_backfill" -> "affected-days frame, <=|days| (ckpt)",
     // --- change/request batches (the CDC/takedown feed contract; q128's
@@ -206,12 +207,30 @@ class PlanHygieneSpec extends SparkSpec {
     // runtime-measured bound (Dist.sizedBroadcast): a hinted side whose
     // LogicalRDD leaves were ALL measured under the helper's bounds at
     // hint time is bounded by MEASUREMENT — the r11-mandated replacement
-    // for hand-declared bounds on checkpointed frames. The hint cannot
-    // exist unless the measurement passed, so this is by-construction.
+    // for hand-declared bounds on checkpointed frames. The approval
+    // vouches for the RDD's measured CARDINALITY, so only derivations
+    // that cannot expand it inherit the bound: every node between the
+    // hint and the measured leaves must be row-preserving-or-reducing
+    // (r12 ADVICE — an explode(members)/join built over an approved RDD
+    // used to pass without ever being measured; the per-call-site
+    // by-construction argument holds only for the frame sizedBroadcast
+    // itself hinted). Fails closed: an unlisted node kind (Generate,
+    // Join, Union, Expand, anything new) breaks the inheritance and the
+    // side must justify itself some other way.
     val rdds = nodes.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
     }
-    val measured = rdds.nonEmpty && rdds.forall(graft.Dist.approvedRdds)
+    val approvedIds = graft.Dist.approvedRdds(spark.sparkContext)
+    val nonExpanding = nodes.forall {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+      case _: logical.Project | _: logical.Filter | _: logical.SubqueryAlias |
+           _: logical.Sort | _: logical.GlobalLimit | _: logical.LocalLimit |
+           _: logical.Aggregate | _: logical.Window | _: logical.Deduplicate |
+           _: logical.Distinct | _: logical.Repartition |
+           _: logical.RepartitionByExpression | _: logical.ResolvedHint => true
+      case _ => false
+    }
+    val measured = rdds.nonEmpty && rdds.forall(approvedIds) && nonExpanding
     measured || nodes.exists {
       case _: logical.Aggregate => true
       case _: logical.GlobalLimit | _: logical.LocalLimit => true
