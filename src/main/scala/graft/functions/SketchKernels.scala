@@ -80,6 +80,24 @@ object SketchKernels {
   def charGramBuckets(text: Column, n: Int, mod: Long): Column =
     ColumnBridge.column(CharGramBucketsExpr(ColumnBridge.expression(text), n, mod))
 
+  /** Fused word-3-gram hash kernel over a TOKEN ARRAY: for each window of
+    * three consecutive tokens, hash the space-joined gram to the 60-bit
+    * md5 prefix mod `mod`; return the DISTINCT values sorted ascending
+    * (< 3 tokens → empty array). Drop-in for the HOF form
+    * [[graft.llm.Similarity.gram3HashedHof]] — `array_sort(array_distinct(
+    * transform(sequence(1, n-2), i => pmod(hash60(concat_ws(" ", t[i],
+    * t[i+1], t[i+2])), mod))))` — which pays an interpreted lambda, a
+    * three-way string concat, an md5→hex→substr→base-16-parse chain PLUS
+    * a distinct and a sort allocation per ROW; this kernel md5s the three
+    * tokens' bytes directly (each token's bytes extracted once per row,
+    * not once per gram) in one compiled pass. Bit-identical
+    * (spec-asserted over the corpus in SketchKernelsSpec), including
+    * concat_ws's null-element skipping. The r12 landings instrumentation
+    * put the trigram-postings build at 255 s/sf1 — almost entirely this
+    * chain — which is what the kernel exists to cut (r12 judge task 1). */
+  def wordGram3Hash60(toks: Column, mod: Long): Column =
+    ColumnBridge.column(WordGram3Hash60Expr(ColumnBridge.expression(toks), mod))
+
   /** Fused winnowing kernel: hash every k-CODEPOINT gram of the (already
     * normalized) text to the 60-bit md5 prefix mod `mod`, take the
     * minimum of each w-wide window, return the DISTINCT minima sorted
@@ -169,14 +187,7 @@ object TokensHash60 {
     java.security.MessageDigest.getInstance("MD5"))
 
   /** Top 60 bits of md5(bytes) == value of the first 15 hex chars. */
-  def hash60(bytes: Array[Byte]): Long = {
-    val md = digests.get()
-    md.reset()
-    val d = md.digest(bytes)
-    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
-      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
-      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
-  }
+  def hash60(bytes: Array[Byte]): Long = top60(freshMd5().digest(bytes))
 
   /** Static entry the generated code calls. Matches Spark semantics piece
     * by piece: UTF8String.toLowerCase (same as the `lower` expression),
@@ -212,6 +223,97 @@ object TokensHash60 {
   }
 
   private val splitPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Reset MD5 instance for sibling kernels in this file (one per thread,
+    * never shared across). */
+  private[functions] def freshMd5(): java.security.MessageDigest = {
+    val md = digests.get()
+    md.reset()
+    md
+  }
+
+  /** Top 60 bits of a 16-byte md5 digest (== first 15 hex chars' value). */
+  private[functions] def top60(d: Array[Byte]): Long =
+    (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) | ((d(2) & 0xffL) << 40) |
+      ((d(3) & 0xffL) << 32) | ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+      ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+}
+
+object WordGram3Hash60 {
+  private val Space = Array(' '.toByte)
+
+  /** Static entry the generated code calls. Matches the HOF chain piece by
+    * piece: md5 hashes exactly the UTF-8 bytes `concat_ws(" ", t[i],
+    * t[i+1], t[i+2])` would produce (null elements skipped, separator
+    * only between present elements), value = top-60-bits mod `mod`, then
+    * distinct ascending (array_sort ∘ array_distinct on non-null longs). */
+  def compute(arr: ArrayData, mod: Long): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.emptyLongArray)
+    // each token's bytes once per row, not once per gram
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      bytes(i) = if (u == null) null else u.getBytes
+      i += 1
+    }
+    val out = new Array[Long](n - 2)
+    var j = 0
+    while (j < n - 2) {
+      val md = TokensHash60.freshMd5()
+      var first = true
+      var k = j
+      while (k < j + 3) {
+        val b = bytes(k)
+        if (b != null) {
+          if (!first) md.update(Space)
+          md.update(b)
+          first = false
+        }
+        k += 1
+      }
+      val h = TokensHash60.top60(md.digest())
+      out(j) = if (mod > 0) h % mod else h
+      j += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < out.length) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    val res = if (w != out.length) java.util.Arrays.copyOf(out, w) else out
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(res)
+  }
+}
+
+case class WordGram3Hash60Expr(child: Expression, mod: Long)
+    extends UnaryExpression {
+  require(mod > 0, "modulus must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_gram3_hash60"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WordGram3Hash60.compute(input.asInstanceOf[ArrayData], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.WordGram3Hash60.compute($arr, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordGram3Hash60Expr =
+    copy(child = newChild)
 }
 
 object WinnowFps {

@@ -2815,14 +2815,29 @@ object Similarity {
     * granularity for CONTAINMENT, where the unigram sets are too dense
     * (this corpus's 31-word vocabulary makes almost every unigram set
     * near-contained in almost every other; word trigrams are
-    * discriminative). `t` must be a materialized token-array COLUMN, not
-    * an inline tokens(...) expression: the lambda references it per
-    * element, and an un-aliased expression would re-tokenize per trigram
-    * (the nested-HOF re-evaluation trap). The sequence bound is guarded —
-    * `sequence(1, n)` with n < 1 descends or throws. Public for the
-    * streaming containment gate: one shingling definition, so batch and
-    * stream cannot silently disagree. */
+    * discriminative). Computed by the fused kernel
+    * ([[graft.functions.SketchKernels.wordGram3Hash60]]): one compiled
+    * pass per row, each token's bytes md5-composed directly — replacing
+    * the interpreted per-gram lambda∘concat∘md5→hex→conv chain that made
+    * the trigram-postings landing the system's single largest cost
+    * (255 s at sf1, r12 `landings`). Bit-identical to [[gram3HashedHof]]
+    * (spec-asserted), so every downstream oracle hash is unchanged; an
+    * inline `tokens(...)` argument is now fine (the kernel evaluates its
+    * child once per row — the nested-HOF re-evaluation trap was a
+    * property of the lambda form). Public for the streaming containment
+    * gate: one shingling definition, so batch and stream cannot silently
+    * disagree. */
   def gram3Hashed(t: Column): Column =
+    // coalesce preserves the HOF form's NULL-input → empty-array contract
+    // (when(null >= 3) falls to otherwise); the kernel itself is
+    // NULL-propagating like every UnaryExpression
+    coalesce(graft.functions.SketchKernels.wordGram3Hash60(t, P),
+      array().cast("array<long>"))
+
+  /** The pre-kernel HOF formulation — the semantic definition the fused
+    * kernel must match; kept for the bit-identity regression spec
+    * (SketchKernelsSpec), the [[hashedShinglesHof]] pattern. */
+  def gram3HashedHof(t: Column): Column =
     when(size(t) >= 3,
       array_sort(array_distinct(transform(
         sequence(lit(1), size(t) - 2),

@@ -68,6 +68,39 @@ class SketchKernelsSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("fused wordGram3Hash60 ≡ HOF 3-gram chain over the corpus") {
+    val diff = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(
+        Similarity.gram3Hashed(col("t")).as("kernel"),
+        Similarity.gram3HashedHof(col("t")).as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("wordGram3Hash60 edge cases: short, empty, null, null elements, unicode, dups") {
+    import spark.implicits._
+    // null token array: HOF's when() falls to otherwise → empty array;
+    // null ELEMENTS: concat_ws skips them (separator only between present)
+    val cases: Seq[Option[Seq[Option[String]]]] = Seq(
+      None,
+      Some(Seq()),
+      Some(Seq(Some("a"))),
+      Some(Seq(Some("a"), Some("b"))),
+      Some(Seq(Some("a"), Some("b"), Some("c"))),
+      Some(Seq(Some("a"), None, Some("c"), Some("d"))),
+      Some(Seq(Some("ünï"), Some("日本"), Some("déjà"), Some("vu"))),
+      Some(Seq(Some("x"), Some("x"), Some("x"), Some("x"), Some("x"))))
+    val rows = cases.toDF("t")
+      .select(
+        Similarity.gram3Hashed(col("t")).as("kernel"),
+        Similarity.gram3HashedHof(col("t")).as("hof"))
+      .collect()
+    rows.zip(cases).foreach { case (r, c) =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"mismatch on $c")
+    }
+  }
+
   test("tokensHash60 edge cases: empty, whitespace-only, unicode, mixed case") {
     import spark.implicits._
     val texts = Seq("", "   \t\n  ", "Hello WORLD hello", "naïve Ünïcode déjà vu",
