@@ -596,6 +596,70 @@ object CorpusStats {
       |SELECT CAST(rnk AS BIGINT) AS rank, tok AS item, CAST(cnt AS BIGINT) AS est
       |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
 
+  /** q71b: the ADAPTIVE heavy-hitter entry — k derived from a MEASURED
+    * flatness bound instead of fixed, so the query reports a real answer
+    * (and a real time) on distributions where the k = 64 certificate of
+    * [[heavyHitters]] correctly refuses: the BENCH_SF1 isomorphic corpus
+    * holds per-token counts constant while N grows 10×, the flattest
+    * possible scaling, and q71 carried a −1 refusal sentinel through two
+    * rounds (r12 judge task 4).
+    *
+    * Measure-then-act, ≤ 2 attempts by construction: attempt k₀ = 64 and
+    * read back (N, c_min) — stream total and the smallest emitted exact
+    * count, both bounded one-row actions over checkpointed ≤ 20-row
+    * frames. The MG certificate is c_min·(k+1) > N. If it fails, the
+    * FAILED attempt's own numbers prescribe a sufficient width:
+    * k₁ = ⌊N / c_min⌋ + 1 (≥ the escalation floor 10·k₀). Proof the
+    * second attempt always certifies: the true 20th count c₂₀ ≥ c_min
+    * (c_min is the 20th-largest among a candidate SUBSET's exact
+    * counts), and k₁ + 1 > N / c_min ≥ N / c₂₀, so every true top-20
+    * token clears MG's nomination bound N/(k₁+1), is re-counted exactly,
+    * and the emitted c_min′ = c₂₀ satisfies the certificate. On a flat
+    * distribution k₁ approaches the vocabulary size — the honest,
+    * information-theoretic cost of an EXACT top-20 there (it does not
+    * exist in sublinear state; MG's map is capped at k entries either
+    * way). Oracle: identical to q71 (the exact top-20). */
+  def heavyHittersAdaptive(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(lower(col("text")))).as("tok"))
+    // one (result, N, c_min) attempt at width k; both reads are bounded
+    // actions (one row each) over checkpointed ≤20-row frames
+    def attempt(k: Int): (DataFrame, Long, Long) = {
+      val sk = toks
+        .agg(graft.functions.MisraGries.sketch(col("tok"), k).as("hh"),
+          count(lit(1)).as("n_total"))
+        .transform(graft.Dist.durableCkpt)
+      val cand = sk.select(explode(col("hh")).as("c"))
+        .select(col("c").getField("item").as("tok"))
+      val exact = toks.join(broadcast(cand), Seq("tok"), "left_semi")
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      val res = exact
+        .agg(slice(sort_array(collect_list(
+          struct((-col("cnt")).as("negc"), col("tok").as("item")))), 1, 20).as("top"))
+        .select(posexplode(col("top")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("col.item").as("item"), (-col("col.negc")).as("est"))
+        .transform(graft.Dist.durableCkpt)
+      val n = sk.select(col("n_total")).head().getLong(0)
+      val cMinRow = res.agg(min(col("est"))).head()
+      // empty corpus → empty top-20, certificate trivially holds
+      val cMin = if (cMinRow.isNullAt(0)) Long.MaxValue else cMinRow.getLong(0)
+      (res, n, cMin)
+    }
+    val k0 = 64
+    val (r0, n0, c0) = attempt(k0)
+    if (c0 == Long.MaxValue || c0 * (k0 + 1L) > n0) r0
+    else {
+      val k1 = math.min(Int.MaxValue.toLong,
+        math.max(10L * k0, n0 / c0 + 1L)).toInt
+      val (r1, n1, c1) = attempt(k1)
+      // always true by the proof above; loud if the invariant ever breaks
+      require(c1 == Long.MaxValue || c1 * (k1 + 1L) > n1,
+        s"q71b flatness bound failed to certify at derived k=$k1 (N=$n1, c_min=$c1)")
+      r1
+    }
+  }
+
   // ---------------------------------------------------------------------
   // q80: per-source contribution cap
   // ---------------------------------------------------------------------
@@ -3689,6 +3753,8 @@ object CorpusStats {
     QueryDef("q63_sequence_pack", sequencePack, Some(sequencePackSql)),
     QueryDef("q66_tfidf_terms", tfidfTerms, Some(tfidfTermsSql)),
     QueryDef("q71_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("q71b_heavy_hitters_adaptive", heavyHittersAdaptive,
+      Some(heavyHittersSql)),
     QueryDef("q90_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("q91_fuzzy_name_join", fuzzyNameJoin, Some(fuzzyNameJoinSql)),
     QueryDef("q94_span_dedup", spanDedup, Some(spanDedupSql)),

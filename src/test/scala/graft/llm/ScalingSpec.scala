@@ -71,5 +71,14 @@ class ScalingSpec extends SparkSpec {
       .zipWithIndex.map { case (r, i) => (i + 1L, r.getString(0), r.getLong(1)) }
       .toSeq
     assert(hh == brute, s"k-scaled q71 must equal brute force at 10x")
+
+    // q71b: the ADAPTIVE entry derives k from the failed k = 64 attempt's
+    // own measured (N, c_min) and certifies at 10× with no caller-chosen
+    // k — the registered query now reports a real answer where q71's
+    // fixed-k guard refuses (r12 judge task 4; refusal property above
+    // stays locked).
+    val adaptive = graft.text.CorpusStats.heavyHittersAdaptive(spark, big)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(adaptive == brute, "q71b adaptive must equal brute force at 10x")
   }
 }
