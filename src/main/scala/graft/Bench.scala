@@ -62,12 +62,17 @@ object Bench {
     // read instead. Skipped under SPARK_GRAFT_ONLY (targeted dev runs
     // time isolated queries; the probe would only add noise).
     val calName = "q96_copurchase_pairs"
+    // a FAILED probe rep records the -1 sentinel (the main loop's
+    // convention) and poisons the drift computation below — elapsed-to-
+    // exception used to masquerade as a plausible tiny timing and corrupt
+    // the verdict (r12 ADVICE)
     def calibrate(): Seq[Double] =
       SparkEntry.queries.get(calName).toSeq.flatMap { fn =>
         (1 to 3).map { _ =>
           val t0 = System.nanoTime()
-          try { run(fn(spark, sfDir)) } catch { case _: Throwable => }
-          (System.nanoTime() - t0) / 1e9
+          val ok = try { run(fn(spark, sfDir)); true }
+            catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
       }
     val calStart = if (only.isEmpty) calibrate() else Nil
@@ -169,13 +174,25 @@ object Bench {
     val calEnd = if (only.isEmpty) calibrate() else Nil
     val calJson = {
       def v(ts: Seq[Double]) = ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // drift = SUM of the 3 reps end/start, not min/min: q96's min is
+      // 40–100 ms — inside pure scheduling jitter (committed clean-run
+      // drifts read 0.827 and 1.022), so a min-based band flagged noise.
+      // The 3-rep sum triples the probe's fixed cost (r12 ADVICE).
+      val failed = (calStart ++ calEnd).exists(_ < 0)
       val drift =
-        if (calStart.nonEmpty && calEnd.nonEmpty && calStart.min > 0)
-          calEnd.min / calStart.min
+        if (!failed && calStart.nonEmpty && calEnd.nonEmpty && calStart.sum > 0)
+          calEnd.sum / calStart.sum
         else 1.0
-      val degraded = drift > 1.3 || drift < 1.0 / 1.3
+      // only a SLOWDOWN during the sweep invalidates the total's
+      // run-to-run comparability (late queries taxed vs the committed
+      // record). A speedup means the sweep STARTED slow — the per-query
+      // adjudication vectors already carry that evidence — and flagging
+      // it "degraded" inverted the field's meaning (the r12 driver
+      // artifact carried host_degraded:true at drift 0.669 for a run
+      // that got faster). Raw drift is always reported; readers decide.
+      val slowed = !failed && drift > 1.3
       s"""{"probe":"$calName","start":${v(calStart)},"end":${v(calEnd)},""" +
-        f""""host_drift":$drift%.3f,"host_degraded":$degraded}"""
+        f""""host_drift":$drift%.3f,"probe_failed":$failed,"host_slowed":$slowed}"""
     }
     val adjJson = adjudicated.map { case (k, ts) =>
       s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
