@@ -2757,6 +2757,224 @@ object CorpusStats {
        |SELECT source, lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
        |FROM base GROUP BY 1, 2, 3 ORDER BY source, lang, pred_lang""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // q237: per-span language segmentation (windowed Cavnar-Trenkle)
+  // ---------------------------------------------------------------------
+
+  /** Segmentation window width in TOKENS. */
+  val SegWinTokens = 8
+  /** Planted mixed docs per language pair. */
+  val SegPairsPerLang = 8
+
+  /** Classify each [[SegWinTokens]]-token window of `mixed` docs by
+    * Cavnar-Trenkle out-of-place distance against the trained per-language
+    * profiles (the q186 scorer, at WINDOW granularity), then merge
+    * adjacent same-prediction windows into SEGMENTS. Map-only scoring:
+    * the window explode is one generator, the window profile one compiled
+    * kernel pass, the category profiles broadcast literal maps, the
+    * argmin a row-local `array_min`; the only shuffle is the per-doc
+    * window for segment-merge (partitioned by doc_id — bounded windows
+    * per doc, never an unpartitioned corpus window). All-integer.
+    * `mixed` needs (doc_id, toks) plus passthrough columns; trailing
+    * partial windows are dropped (the planters emit exact multiples). */
+  def langSegmentsScored(mixed: DataFrame, langs: Seq[String],
+      profiles: Map[String, Map[String, Int]]): DataFrame = {
+    val wins = mixed
+      .filter(size(col("toks")) >= SegWinTokens) // sequence bound guard
+      .select(col("*"), posexplode(expr(
+        s"transform(sequence(0, CAST(size(toks) div $SegWinTokens AS INT) - 1), " +
+          s"w -> concat_ws(' ', slice(toks, w * $SegWinTokens + 1, $SegWinTokens)))")))
+      .withColumnRenamed("pos", "win_id")
+      .withColumnRenamed("col", "wtext")
+      .drop("toks")
+      .withColumn("prof",
+        graft.functions.TextKernels.triProfile(col("wtext"), DocProfK))
+    // the q186 literal-map fold, verbatim semantics (out-of-place distance
+    // with LangProfK for grams absent from the category profile)
+    val withMaps = langs.zipWithIndex.foldLeft(wins) { case (df, (l, i)) =>
+      val m = profiles.getOrElse(l, Map.empty)
+      val mapCol =
+        if (m.isEmpty) typedLit(Map.empty[String, Int])
+        else map(m.toSeq.sorted.flatMap { case (g, r) => Seq(lit(g), lit(r)) }: _*)
+      df.withColumn(s"lp_$i", mapCol)
+        .withColumn(s"dist_$i", expr(
+          s"aggregate(transform(prof, (g, j) -> " +
+            s"CAST(coalesce(abs(j + 1 - element_at(lp_$i, g)), $LangProfK) AS BIGINT)), " +
+            s"CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    }
+    val scored = withMaps
+      .withColumn("best", array_min(array(langs.zipWithIndex.map { case (l, i) =>
+        struct(col(s"dist_$i").as("dist"), lit(l).as("lang"))
+      }: _*)))
+      .select(col("doc_id"), col("body_lang"), col("ins_lang"),
+        col("win_id"), col("best.lang").as("pred_lang"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("win_id"))
+    scored
+      // first window's lag is NULL → sentinel no real lang equals → new
+      // segment, so seg ids start at 1 (oracle: IS DISTINCT FROM lag)
+      .withColumn("new_seg",
+        when(coalesce(lag(col("pred_lang"), 1).over(byDoc), lit(" "))
+          =!= col("pred_lang"), 1L).otherwise(0L))
+      .withColumn("seg_id", sum(col("new_seg")).over(byDoc))
+  }
+
+  /** q237 core over an arbitrary documents frame (doc_id, lang, text) —
+    * the spec drives it with a disjoint-vocabulary fixture where exact
+    * recovery of the planted segment structure is provable; the
+    * registered query feeds it the harness corpus. */
+  def langSegmentationOn(docs: DataFrame): DataFrame = {
+    val langs = docs.select(col("lang")).filter(col("lang").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq // bounded: |langs|
+    val profiles = langTrigramProfiles(docs)
+    // each lang's insert partner is the NEXT lang (sorted, cyclic) — the
+    // English-boilerplate-inside-a-foreign-page shape, deterministically
+    val nextLang = langs.zipWithIndex
+      .map { case (l, i) => l -> langs((i + 1) % langs.size) }.toMap
+    // eligible bodies/inserts: >= 4 windows of tokens, first
+    // SegPairsPerLang per lang by doc_id. Checkpointed once — the body
+    // and insert branches below both read it.
+    val elig = docs
+      .select(col("doc_id"), col("lang"),
+        TextOps.tokens(lower(col("text"))).as("toks"))
+      .filter(size(col("toks")) >= 4 * SegWinTokens)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("doc_id"))))
+      .filter(col("rk") <= SegPairsPerLang)
+      .transform(graft.Dist.durableCkpt)
+    val ins = elig.select(col("lang").as("ins_lang"), col("rk").as("ins_rk"),
+      col("toks").as("ins_toks"))
+    // planted mixed doc: body[1..2W] ++ insert[1..W] ++ body[2W+1..4W] —
+    // boundaries window-ALIGNED by construction, so segmentation quality
+    // is a classifier property, not a windowing artifact
+    val mixed = elig
+      .withColumn("p_lang", element_at(typedLit(nextLang), col("lang")))
+      .join(ins, col("p_lang") === col("ins_lang") && col("rk") === col("ins_rk"))
+      .select(col("doc_id"), col("lang").as("body_lang"), col("ins_lang"),
+        concat(
+          slice(col("toks"), 1, 2 * SegWinTokens),
+          slice(col("ins_toks"), 1, SegWinTokens),
+          slice(col("toks"), 2 * SegWinTokens + 1, 2 * SegWinTokens)).as("toks"))
+    // census per (doc, predicted lang): segment and window counts. Two
+    // stacked aggs instead of countDistinct (no Expand); the seg window's
+    // doc_id hash partitioning satisfies both groupings — one exchange.
+    langSegmentsScored(mixed, langs, profiles)
+      .groupBy(col("doc_id"), col("body_lang"), col("ins_lang"),
+        col("seg_id"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_win"))
+      .groupBy(col("doc_id"), col("body_lang"), col("ins_lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_segments"),
+        sum(col("n_win")).cast("long").as("n_windows"))
+      .repartition(1).sortWithinPartitions(col("doc_id"), col("pred_lang"))
+  }
+
+  /** q237: PER-SPAN LANGUAGE SEGMENTATION — q27/q186 label whole docs,
+    * but real crawl documents MIX languages (code-switching, English
+    * boilerplate inside a foreign page); the curation stage between
+    * langid and the mixture planner must segment, not just label. Planted
+    * mixed-language fixtures (a body doc with a partner-language span
+    * spliced in at window-aligned token offsets) are segmented by scoring
+    * every [[SegWinTokens]]-token window with the q186-trained
+    * Cavnar-Trenkle profiles and merging adjacent same-prediction
+    * windows; output is the per-(doc, predicted-lang) census of segments
+    * and windows, with the planted body/insert languages alongside —
+    * integer-exact end-to-end (the q186 discipline), so the DuckDB oracle
+    * hash-gates the whole chain: training, planting, window scoring,
+    * argmin tie-break, segment merge.
+    *
+    * 100 TB shape: training is q186's (one corpus explode + map-side
+    * combined hash agg, domain-bounded rank frame); planting joins two
+    * ≤|langs|·[[SegPairsPerLang]]-row slices of ONE checkpointed
+    * eligibility frame; scoring is map-only over the planted docs; the
+    * only per-doc shuffle is the doc_id-partitioned segment-merge window.
+    * On a real mixed corpus the plant disappears and the same
+    * [[langSegmentsScored]] core runs over every doc — work linear in
+    * corpus tokens, state bounded by |langs|·[[LangProfK]] literals. */
+  def langSegmentation(spark: SparkSession, dir: String): DataFrame =
+    langSegmentationOn(Tables.documents(spark, dir))
+
+  val langSegmentationSql: String =
+    s"""WITH tri AS MATERIALIZED (
+       |  SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS gram FROM (
+       |    SELECT lang, lower(coalesce(text, '')) AS t,
+       |      unnest(generate_series(1, length(coalesce(text, '')) - 2)) AS i
+       |    FROM documents)
+       |), lp AS MATERIALIZED (
+       |  SELECT lang, gram,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS lrk
+       |  FROM (SELECT lang, gram, COUNT(*) AS n FROM tri GROUP BY 1, 2)
+       |  QUALIFY lrk <= $LangProfK
+       |), langs AS MATERIALIZED (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+       |lidx AS MATERIALIZED (
+       |  SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS i,
+       |    COUNT(*) OVER () AS nl
+       |  FROM langs
+       |), elig AS MATERIALIZED (
+       |  SELECT doc_id, lang, toks,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rk
+       |  FROM (
+       |    SELECT doc_id, lang,
+       |      list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |    FROM documents WHERE text IS NOT NULL)
+       |  WHERE len(toks) >= ${4 * SegWinTokens}
+       |  QUALIFY rk <= $SegPairsPerLang
+       |), mixed AS MATERIALIZED (
+       |  SELECT b.doc_id, b.lang AS body_lang, p.lang AS ins_lang,
+       |    list_concat(list_concat(
+       |      list_slice(b.toks, 1, ${2 * SegWinTokens}),
+       |      list_slice(i2.toks, 1, $SegWinTokens)),
+       |      list_slice(b.toks, ${2 * SegWinTokens + 1}, ${4 * SegWinTokens})) AS toks
+       |  FROM elig b
+       |  JOIN lidx li ON li.lang = b.lang
+       |  JOIN lidx p ON p.i = (li.i + 1) % li.nl
+       |  JOIN elig i2 ON i2.lang = p.lang AND i2.rk = b.rk
+       |), wins AS MATERIALIZED (
+       |  SELECT doc_id, body_lang, ins_lang, w,
+       |    array_to_string(list_slice(toks, w * $SegWinTokens + 1,
+       |      w * $SegWinTokens + $SegWinTokens), ' ') AS wtext
+       |  FROM mixed CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS w)
+       |), wp AS MATERIALIZED (
+       |  SELECT doc_id, w, gram,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY n DESC, gram) AS drk
+       |  FROM (
+       |    SELECT doc_id, w, gram, COUNT(*) AS n FROM (
+       |      SELECT doc_id, w, substr(wtext, CAST(i AS INTEGER), 3) AS gram
+       |      FROM (SELECT doc_id, w, wtext,
+       |              unnest(generate_series(1, length(wtext) - 2)) AS i
+       |            FROM wins))
+       |    GROUP BY 1, 2, 3)
+       |  QUALIFY drk <= $DocProfK
+       |), scored AS (
+       |  SELECT wp.doc_id, wp.w, l.lang AS cand,
+       |    SUM(COALESCE(ABS(wp.drk - lp.lrk), $LangProfK)) AS dist
+       |  FROM wp CROSS JOIN langs l
+       |  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = wp.gram
+       |  GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT doc_id, w, cand AS pred_lang,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY dist, cand) AS rn
+       |  FROM scored QUALIFY rn = 1
+       |), seg AS (
+       |  SELECT wi.doc_id, wi.body_lang, wi.ins_lang, p.w, p.pred_lang,
+       |    CASE WHEN p.pred_lang IS DISTINCT FROM
+       |      lag(p.pred_lang) OVER (PARTITION BY wi.doc_id ORDER BY p.w)
+       |    THEN 1 ELSE 0 END AS new_seg
+       |  FROM pred p
+       |  JOIN (SELECT DISTINCT doc_id, body_lang, ins_lang FROM wins) wi
+       |    ON wi.doc_id = p.doc_id
+       |), segid AS (
+       |  SELECT *, SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY w) AS seg_id
+       |  FROM seg
+       |), per_seg AS (
+       |  SELECT doc_id, body_lang, ins_lang, seg_id, pred_lang,
+       |    COUNT(*) AS n_win
+       |  FROM segid GROUP BY 1, 2, 3, 4, 5
+       |)
+       |SELECT doc_id, body_lang, ins_lang, pred_lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_segments,
+       |  CAST(SUM(n_win) AS BIGINT) AS n_windows
+       |FROM per_seg GROUP BY 1, 2, 3, 4
+       |ORDER BY doc_id, pred_lang""".stripMargin
+
   // q149: tokenizer fertility per language
   // ---------------------------------------------------------------------
 
@@ -3783,6 +4001,8 @@ object CorpusStats {
       Some(bpeMergeCandidatesSql)),
     QueryDef("q185_bpe_train", bpeTrain, Some(bpeTrainSql)),
     QueryDef("q186_langid_audit", langIdAudit, Some(langIdAuditSql)),
+    QueryDef("q237_lang_segmentation", langSegmentation,
+      Some(langSegmentationSql)),
     QueryDef("q187_bpe_apply_fertility", bpeApplyFertility,
       Some(bpeApplyFertilitySql)),
     QueryDef("q188_dsir_selection", dsirSelection, Some(dsirSelectionSql)),
