@@ -2775,10 +2775,13 @@ object CorpusStats {
     * argmin a row-local `array_min`; the only shuffle is the per-doc
     * window for segment-merge (partitioned by doc_id — bounded windows
     * per doc, never an unpartitioned corpus window). All-integer.
-    * `mixed` needs (doc_id, toks) plus passthrough columns; trailing
-    * partial windows are dropped (the planters emit exact multiples). */
+    * `mixed` needs (doc_id, toks) plus the `carry` passthrough columns;
+    * trailing partial windows are dropped (the q237 planter emits exact
+    * multiples; for the corpus-wide census a trailing sub-window has no
+    * stable profile depth and is excluded on both engines). */
   def langSegmentsScored(mixed: DataFrame, langs: Seq[String],
-      profiles: Map[String, Map[String, Int]]): DataFrame = {
+      profiles: Map[String, Map[String, Int]],
+      carry: Seq[String]): DataFrame = {
     val wins = mixed
       .filter(size(col("toks")) >= SegWinTokens) // sequence bound guard
       .select(col("*"), posexplode(expr(
@@ -2806,8 +2809,8 @@ object CorpusStats {
       .withColumn("best", array_min(array(langs.zipWithIndex.map { case (l, i) =>
         struct(col(s"dist_$i").as("dist"), lit(l).as("lang"))
       }: _*)))
-      .select(col("doc_id"), col("body_lang"), col("ins_lang"),
-        col("win_id"), col("best.lang").as("pred_lang"))
+      .select(col("doc_id") +: carry.map(col) :+
+        col("win_id") :+ col("best.lang").as("pred_lang"): _*)
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("win_id"))
     scored
       // first window's lag is NULL → sentinel no real lang equals → new
@@ -2857,7 +2860,7 @@ object CorpusStats {
     // census per (doc, predicted lang): segment and window counts. Two
     // stacked aggs instead of countDistinct (no Expand); the seg window's
     // doc_id hash partitioning satisfies both groupings — one exchange.
-    langSegmentsScored(mixed, langs, profiles)
+    langSegmentsScored(mixed, langs, profiles, Seq("body_lang", "ins_lang"))
       .groupBy(col("doc_id"), col("body_lang"), col("ins_lang"),
         col("seg_id"), col("pred_lang"))
       .agg(count(lit(1)).cast("long").as("n_win"))
@@ -2974,6 +2977,122 @@ object CorpusStats {
        |  CAST(SUM(n_win) AS BIGINT) AS n_windows
        |FROM per_seg GROUP BY 1, 2, 3, 4
        |ORDER BY doc_id, pred_lang""".stripMargin
+
+  /** q238: CORPUS-WIDE SPAN-LANGUAGE CENSUS — q237's segmenter run over
+    * EVERY corpus document (no plant): each doc with ≥ one full window is
+    * windowed, window-scored, segment-merged, and the census reports, per
+    * (source, labeled lang, predicted span lang): documents touched,
+    * segments, windows — q186's label-vs-prediction confusion at SPAN
+    * granularity. This is the operator a curation pipeline actually runs:
+    * a source whose docs fragment into many short foreign-language
+    * segments has boilerplate/code-switching the doc-level label hides,
+    * and the mixture planner (q109) should see the per-span volumes, not
+    * the doc-level labels.
+    *
+    * 100 TB shape: training and scoring as q237 (one corpus explode +
+    * domain-bounded rank frame; map-only window scoring with broadcast
+    * literal profiles); the segment-merge window is doc_id-partitioned
+    * (≤ tokens/W rows per doc); census aggregates are map-side combined
+    * and bounded by |sources|·|langs|². Work linear in corpus tokens. */
+  def spanLangCensus(spark: SparkSession, dir: String): DataFrame =
+    spanLangCensusOn(Tables.documents(spark, dir))
+
+  /** q238 core over an arbitrary (doc_id, source, lang, text) frame —
+    * spec-driven with the q237 disjoint-vocab fixture. */
+  def spanLangCensusOn(docs: DataFrame): DataFrame = {
+    val langs = docs.select(col("lang")).filter(col("lang").isNotNull)
+      .distinct().collect().map(_.getString(0)).sorted.toSeq // bounded: |langs|
+    val profiles = langTrigramProfiles(docs)
+    val toks = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        TextOps.tokens(lower(col("text"))).as("toks"))
+    val perDoc = langSegmentsScored(toks, langs, profiles, Seq("source", "lang"))
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("seg_id"),
+        col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_win"))
+      .groupBy(col("doc_id"), col("source"), col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(col("n_win")).cast("long").as("n_wins"))
+    perDoc
+      .groupBy(col("source"), col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(col("n_segs")).cast("long").as("n_segments"),
+        sum(col("n_wins")).cast("long").as("n_windows"))
+      .repartition(1).sortWithinPartitions(
+        col("source"), col("lang"), col("pred_lang"))
+  }
+
+  val spanLangCensusSql: String =
+    s"""WITH tri AS MATERIALIZED (
+       |  SELECT lang, substr(t, CAST(i AS INTEGER), 3) AS gram FROM (
+       |    SELECT lang, lower(coalesce(text, '')) AS t,
+       |      unnest(generate_series(1, length(coalesce(text, '')) - 2)) AS i
+       |    FROM documents)
+       |), lp AS MATERIALIZED (
+       |  SELECT lang, gram,
+       |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, gram) AS lrk
+       |  FROM (SELECT lang, gram, COUNT(*) AS n FROM tri GROUP BY 1, 2)
+       |  QUALIFY lrk <= $LangProfK
+       |), langs AS MATERIALIZED (SELECT DISTINCT lang FROM documents WHERE lang IS NOT NULL),
+       |toks AS MATERIALIZED (
+       |  SELECT doc_id, source, lang,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+       |  FROM documents WHERE text IS NOT NULL
+       |), wins AS MATERIALIZED (
+       |  SELECT doc_id, source, lang, w,
+       |    array_to_string(list_slice(toks, w * $SegWinTokens + 1,
+       |      w * $SegWinTokens + $SegWinTokens), ' ') AS wtext
+       |  FROM (
+       |    SELECT doc_id, source, lang, toks,
+       |      unnest(generate_series(0,
+       |        CAST(len(toks) // $SegWinTokens AS INTEGER) - 1)) AS w
+       |    FROM toks WHERE len(toks) >= $SegWinTokens)
+       |), wp AS MATERIALIZED (
+       |  SELECT doc_id, w, gram,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY n DESC, gram) AS drk
+       |  FROM (
+       |    SELECT doc_id, w, gram, COUNT(*) AS n FROM (
+       |      SELECT doc_id, w, substr(wtext, CAST(i AS INTEGER), 3) AS gram
+       |      FROM (SELECT doc_id, w, wtext,
+       |              unnest(generate_series(1, length(wtext) - 2)) AS i
+       |            FROM wins))
+       |    GROUP BY 1, 2, 3)
+       |  QUALIFY drk <= $DocProfK
+       |), scored AS (
+       |  SELECT wp.doc_id, wp.w, l.lang AS cand,
+       |    SUM(COALESCE(ABS(wp.drk - lp.lrk), $LangProfK)) AS dist
+       |  FROM wp CROSS JOIN langs l
+       |  LEFT JOIN lp ON lp.lang = l.lang AND lp.gram = wp.gram
+       |  GROUP BY 1, 2, 3
+       |), pred AS (
+       |  SELECT doc_id, w, cand AS pred_lang,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id, w ORDER BY dist, cand) AS rn
+       |  FROM scored QUALIFY rn = 1
+       |), seg AS (
+       |  SELECT wi.doc_id, wi.source, wi.lang, p.w, p.pred_lang,
+       |    CASE WHEN p.pred_lang IS DISTINCT FROM
+       |      lag(p.pred_lang) OVER (PARTITION BY wi.doc_id ORDER BY p.w)
+       |    THEN 1 ELSE 0 END AS new_seg
+       |  FROM pred p
+       |  JOIN (SELECT DISTINCT doc_id, source, lang FROM wins) wi
+       |    ON wi.doc_id = p.doc_id
+       |), segid AS (
+       |  SELECT *, SUM(new_seg) OVER (PARTITION BY doc_id ORDER BY w) AS seg_id
+       |  FROM seg
+       |), per_seg AS (
+       |  SELECT doc_id, source, lang, seg_id, pred_lang, COUNT(*) AS n_win
+       |  FROM segid GROUP BY 1, 2, 3, 4, 5
+       |), per_doc AS (
+       |  SELECT doc_id, source, lang, pred_lang,
+       |    COUNT(*) AS n_segs, SUM(n_win) AS n_wins
+       |  FROM per_seg GROUP BY 1, 2, 3, 4
+       |)
+       |SELECT source, lang, pred_lang,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_segs) AS BIGINT) AS n_segments,
+       |  CAST(SUM(n_wins) AS BIGINT) AS n_windows
+       |FROM per_doc GROUP BY 1, 2, 3
+       |ORDER BY source, lang, pred_lang""".stripMargin
 
   // q149: tokenizer fertility per language
   // ---------------------------------------------------------------------
@@ -4003,6 +4122,8 @@ object CorpusStats {
     QueryDef("q186_langid_audit", langIdAudit, Some(langIdAuditSql)),
     QueryDef("q237_lang_segmentation", langSegmentation,
       Some(langSegmentationSql)),
+    QueryDef("q238_span_lang_census", spanLangCensus,
+      Some(spanLangCensusSql)),
     QueryDef("q187_bpe_apply_fertility", bpeApplyFertility,
       Some(bpeApplyFertilitySql)),
     QueryDef("q188_dsir_selection", dsirSelection, Some(dsirSelectionSql)),

@@ -62,6 +62,30 @@ class LangSegmentationSpec extends SparkSpec {
     }
   }
 
+  test("corpus-wide span census: pure docs are one segment, a planted mixed doc splits") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 4 pure docs per lang at 2 windows each, plus ONE hand-mixed doc:
+    // la-window ++ lb-window ++ la-window (3 segments, window-aligned)
+    val pure = for {
+      (lang, base) <- Seq("la" -> 0L, "lb" -> 100L)
+      j <- 1 to 4
+    } yield (base + j, "web", lang, docText(Map("la" -> "abc", "lb" -> "def")(lang), j * 5, 2 * W))
+    val mixedText = docText("abc", 3, W) + " " + docText("def", 3, W) +
+      " " + docText("abc", 17, W)
+    val docs = (pure :+ ((500L, "web", "la", mixedText)))
+      .toDF("doc_id", "source", "lang", "text")
+    val got = CorpusStats.spanLangCensusOn(docs).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // pure: 4 docs/lang x (1 segment, 2 windows); mixed doc (labeled la):
+    // 2 la-segments/2 windows + 1 lb-segment/1 window
+    assert(got == Seq(
+      ("web", "la", "la", 5L, 4L + 2L, 8L + 2L),
+      ("web", "la", "lb", 1L, 1L, 1L),
+      ("web", "lb", "lb", 4L, 4L, 8L)), s"census wrong: $got")
+  }
+
   test("segment merge handles the all-one-language degenerate case") {
     val spark0 = spark
     import spark0.implicits._
