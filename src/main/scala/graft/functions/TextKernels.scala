@@ -38,6 +38,21 @@ object TextKernels {
   def triProfile(c: Column, k: Int): Column =
     ColumnBridge.column(TriProfile(ColumnBridge.expression(c), k))
 
+  /** ARRAY<BIGINT>, one Cavnar-Trenkle OUT-OF-PLACE distance per entry
+    * of `langProfiles` (caller supplies them in its language order):
+    * Σ over the doc/window profile's grams of |docRank − langRank|, with
+    * `defaultDist` for grams absent from that language's profile. One
+    * compiled pass over the ALREADY-computed [[triProfile]] array with
+    * hashed gram lookups — replacing |langs| interpreted
+    * aggregate∘transform folds whose `element_at` probed a LITERAL map
+    * (a linear scan of all [[graft.text.CorpusStats.LangProfK]] entries
+    * per gram: the q238 sf1 profile put ~6G such comparisons in one
+    * query). Bit-identical to the HOF form (`ctDistHof`), spec-locked. */
+  def ctDistances(prof: Column, langProfiles: Seq[Map[String, Int]],
+      defaultDist: Int): Column =
+    ColumnBridge.column(CtDistances(ColumnBridge.expression(prof),
+      langProfiles.toList, defaultDist))
+
   /** ARRAY<STRUCT<gram STRING, n BIGINT>>: every distinct code-point
     * trigram with its in-doc count, gram-ascending — the compiled
     * replacement for `explode(transform(sequence...substring...))` when a
@@ -201,6 +216,68 @@ case class TriProfile(child: Expression, k: Int) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.triProfile($c, $k)")
 
   override protected def withNewChildInternal(newChild: Expression): TriProfile =
+    copy(child = newChild)
+}
+
+object CtDistances {
+  /** Static entry the generated code calls. `maps` are the prebuilt
+    * per-language gram→rank tables (UTF8String-keyed — the grams arrive
+    * as UTF8String and hash/compare without a String round-trip). */
+  def compute(prof: org.apache.spark.sql.catalyst.util.ArrayData,
+      maps: Array[java.util.HashMap[UTF8String, Integer]],
+      defaultDist: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = prof.numElements()
+    val out = new Array[Long](maps.length)
+    var j = 0
+    while (j < n) {
+      val g = prof.getUTF8String(j)
+      var i = 0
+      while (i < maps.length) {
+        val r = maps(i).get(g)
+        out(i) += (if (r == null) defaultDist.toLong
+                   else math.abs(j + 1L - r.intValue()))
+        i += 1
+      }
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+}
+
+case class CtDistances(child: Expression, langProfiles: List[Map[String, Int]],
+    defaultDist: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${t.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ct_distances"
+
+  // one table build per (executor, expression instance), not per row;
+  // UTF8String keys so probe grams need no decode
+  @transient private lazy val lookup: Array[java.util.HashMap[UTF8String, Integer]] =
+    langProfiles.map { m =>
+      val h = new java.util.HashMap[UTF8String, Integer](m.size * 2)
+      m.foreach { case (g, r) => h.put(UTF8String.fromString(g), Integer.valueOf(r)) }
+      h
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    CtDistances.compute(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lookup, defaultDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mapsRef = ctx.addReferenceObj("ctMaps", lookup,
+      "java.util.HashMap[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CtDistances.compute($c, $mapsRef, $defaultDist);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CtDistances =
     copy(child = newChild)
 }
 

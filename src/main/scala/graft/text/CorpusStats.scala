@@ -2665,33 +2665,43 @@ object CorpusStats {
     * |doc_rank − lang_rank|, with [[LangProfK]] for grams absent from the
     * category profile; predict the argmin (ties → lang asc). MAP-ONLY:
     * the doc profile is one compiled kernel pass ([[graft.functions
-    * .TextKernels.triProfile]]), the category profiles ride along as
-    * broadcast literal MAPS (the q183 LUT discipline), the argmin is a
-    * row-local `array_min` over |langs| structs. All-integer — no
-    * transcendental ever enters the plan (q90's discipline). */
+    * .TextKernels.triProfile]]), the distances a second
+    * ([[graft.functions.TextKernels.ctDistances]] — one hashed-lookup
+    * pass for ALL languages, replacing |langs| interpreted HOF folds
+    * whose `element_at` linear-scanned a 100-entry literal map per gram),
+    * the argmin a row-local `array_min` over |langs| structs.
+    * All-integer — no transcendental ever enters the plan (q90's
+    * discipline). Kernel ≡ HOF form ([[ctDistHof]]) is spec-locked; the
+    * oracle hashes are the cross-engine gate. */
   def langIdScored(docs: DataFrame, langs: Seq[String],
                    profiles: Map[String, Map[String, Int]]): DataFrame = {
     val base = graft.Dist.fanOut(
         docs.select(col("doc_id"), col("lang"), col("source"), loweredText.as("t")))
       .select(col("doc_id"), col("lang"), col("source"),
         graft.functions.TextKernels.triProfile(col("t"), DocProfK).as("prof"))
-    val withMaps = langs.zipWithIndex.foldLeft(base) { case (df, (l, i)) =>
-      val m = profiles.getOrElse(l, Map.empty)
-      val mapCol =
-        if (m.isEmpty) typedLit(Map.empty[String, Int])
-        else map(m.toSeq.sorted.flatMap { case (g, r) => Seq(lit(g), lit(r)) }: _*)
-      df.withColumn(s"lp_$i", mapCol)
-        .withColumn(s"dist_$i", expr(
-          s"aggregate(transform(prof, (g, j) -> " +
-            s"CAST(coalesce(abs(j + 1 - element_at(lp_$i, g)), $LangProfK) AS BIGINT)), " +
-            s"CAST(0 AS BIGINT), (a, x) -> a + x)"))
-    }
-    withMaps
+    base
+      .withColumn("dists", graft.functions.TextKernels.ctDistances(col("prof"),
+        langs.map(l => profiles.getOrElse(l, Map.empty)), LangProfK))
       .withColumn("best", array_min(array(langs.zipWithIndex.map { case (l, i) =>
-        struct(col(s"dist_$i").as("dist"), lit(l).as("lang"))
+        struct(element_at(col("dists"), i + 1).as("dist"), lit(l).as("lang"))
       }: _*)))
       .select(col("doc_id"), col("lang"), col("source"),
         col("best.lang").as("pred_lang"), col("best.dist").as("dist"))
+  }
+
+  /** The pre-kernel HOF out-of-place distance for ONE language — the
+    * semantic definition [[graft.functions.TextKernels.ctDistances]]
+    * must match; kept for the bit-identity regression spec (the
+    * [[graft.llm.Similarity.gram3HashedHof]] pattern). */
+  def ctDistHof(prof: Column, m: Map[String, Int]): Column = {
+    val mapCol =
+      if (m.isEmpty) typedLit(Map.empty[String, Int])
+      else map(m.toSeq.sorted.flatMap { case (g, r) => Seq(lit(g), lit(r)) }: _*)
+    aggregate(
+      transform(prof, (g, j) =>
+        coalesce(abs(j + lit(1) - element_at(mapCol, g)), lit(LangProfK))
+          .cast("long")),
+      lit(0L), (a, x) => a + x)
   }
 
   /** q186: TRAINED LANGUAGE-ID AUDIT — the pipeline TRUSTS the corpus's
@@ -2811,22 +2821,13 @@ object CorpusStats {
       .drop("toks")
       .withColumn("prof",
         graft.functions.TextKernels.triProfile(col("wtext"), DocProfK))
-    // the q186 literal-map fold, verbatim semantics (out-of-place distance
-    // with LangProfK for grams absent from the category profile)
-    val withMaps = langs.zipWithIndex.foldLeft(wins) { case (df, (l, i)) =>
-      val m = profiles.getOrElse(l, Map.empty)
-      val mapCol =
-        if (m.isEmpty) typedLit(Map.empty[String, Int])
-        else map(m.toSeq.sorted.flatMap { case (g, r) => Seq(lit(g), lit(r)) }: _*)
-      df.withColumn(s"lp_$i", mapCol)
-        .withColumn(s"dist_$i", expr(
-          s"aggregate(transform(prof, (g, j) -> " +
-            s"CAST(coalesce(abs(j + 1 - element_at(lp_$i, g)), $LangProfK) AS BIGINT)), " +
-            s"CAST(0 AS BIGINT), (a, x) -> a + x)"))
-    }
-    val scored = withMaps
+    // q186's scorer at window granularity: one kernel pass for all
+    // languages' out-of-place distances (see langIdScored)
+    val scored = wins
+      .withColumn("dists", graft.functions.TextKernels.ctDistances(col("prof"),
+        langs.map(l => profiles.getOrElse(l, Map.empty)), LangProfK))
       .withColumn("best", array_min(array(langs.zipWithIndex.map { case (l, i) =>
-        struct(col(s"dist_$i").as("dist"), lit(l).as("lang"))
+        struct(element_at(col("dists"), i + 1).as("dist"), lit(l).as("lang"))
       }: _*)))
       .select(col("doc_id") +: carry.map(col) :+
         col("win_id") :+ col("best.lang").as("pred_lang"): _*)

@@ -1069,6 +1069,43 @@ class CorpusStatsSpec extends SparkSpec {
     assert(got == Seq(Seq("aba", "bab"), Seq(), Seq()))
   }
 
+  test("ct-distances kernel ≡ HOF out-of-place fold over the corpus and edges") {
+    import spark.implicits._
+    // real trained profiles from the harness corpus, scored over every
+    // doc's profile — the exact frames q186/q237/q238 run the kernel on
+    val docs = graft.Tables.documents(spark, sfDir)
+    val langs = docs.select(col("lang")).distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val profiles = CorpusStats.langTrigramProfiles(docs)
+    val maps = langs.map(l => profiles.getOrElse(l, Map.empty[String, Int]))
+    val base = docs
+      .select(graft.functions.TextKernels
+        .triProfile(lower(coalesce(col("text"), lit(""))), 20).as("prof"))
+    val diff = base
+      .withColumn("kernel",
+        graft.functions.TextKernels.ctDistances(col("prof"), maps, 100))
+      .withColumn("hof", array(maps.map(m =>
+        CorpusStats.ctDistHof(col("prof"), m)): _*))
+      .filter(col("kernel") =!= col("hof"))
+    assert(diff.count() == 0)
+    // edges: empty profile (all-zero distances), absent grams (default
+    // distance), empty category profile, exact-rank hits
+    val edge = Seq(Seq.empty[String], Seq("zzz"), Seq("aba", "bab"))
+      .toDF("prof")
+    val m = Map("aba" -> 1, "bab" -> 7)
+    val got = edge
+      .select(
+        graft.functions.TextKernels.ctDistances(col("prof"), Seq(m, Map.empty), 100)
+          .as("kernel"),
+        array(CorpusStats.ctDistHof(col("prof"), m),
+          CorpusStats.ctDistHof(col("prof"), Map.empty)).as("hof"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"edge mismatch: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
+    // hand value: prof=[aba,bab] vs m: |1-1| + |2-7| = 5; vs empty: 200
+    assert(got(2).getSeq[Long](0) == Seq(5L, 200L))
+  }
+
   test("q186 recovers planted mislabeled docs exactly on a separable corpus") {
     import spark.implicits._
     // three synthetic languages with disjoint alphabets; 5 of the 60 docs
