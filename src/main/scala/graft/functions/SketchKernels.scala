@@ -116,6 +116,91 @@ object SketchKernels {
     * (TextOps.winnowFps does). */
   def winnowFps(norm: Column, k: Int, w: Int, mod: Long): Column =
     ColumnBridge.column(WinnowFpsExpr(ColumnBridge.expression(norm), k, w, mod))
+
+  /** Fused sliding-window span-md5 kernel over a TOKEN ARRAY: element
+    * k−1 (0-based) is the lowercase md5 HEX of the space-joined window
+    * `toks[k..k+w-1]` — bit-identical to the HOF form `transform(
+    * sequence(1, n−w+1), k => md5(array_join(slice(toks, k, w), " ")))`
+    * (q94/q182's span identity; the hex STRING is part of q94's output
+    * schema, so the kernel keeps it), with array_join's null-skipping
+    * semantics. The HOF pays a slice allocation, a join allocation and
+    * an md5→hex expression chain per POSITION inside an interpreted
+    * lambda; this extracts each token's bytes once per row and streams
+    * each window through one reused MessageDigest. < w tokens → empty
+    * array. */
+  def spanMd5s(toks: Column, w: Int): Column =
+    ColumnBridge.column(SpanMd5sExpr(ColumnBridge.expression(toks), w))
+}
+
+object SpanMd5s {
+  private val HexChars = "0123456789abcdef".getBytes
+  private val Space = Array(' '.toByte)
+
+  /** Static entry the generated code calls. */
+  def compute(arr: ArrayData, w: Int): ArrayData = {
+    val n = arr.numElements()
+    val m = n - w + 1
+    if (m < 1) return new GenericArrayData(Array.empty[Any])
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      bytes(i) = if (u == null) null else u.getBytes
+      i += 1
+    }
+    val out = new Array[Any](m)
+    var k = 0
+    while (k < m) {
+      val md = TokensHash60.freshMd5()
+      var first = true
+      var j = k
+      while (j < k + w) {
+        val b = bytes(j)
+        if (b != null) { // array_join skips nulls AND their separator
+          if (!first) md.update(Space)
+          md.update(b)
+          first = false
+        }
+        j += 1
+      }
+      val d = md.digest()
+      val hex = new Array[Byte](32)
+      var p = 0
+      while (p < 16) {
+        hex(2 * p) = HexChars((d(p) >> 4) & 0xf)
+        hex(2 * p + 1) = HexChars(d(p) & 0xf)
+        p += 1
+      }
+      out(k) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class SpanMd5sExpr(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1, "window must be positive")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "span_md5s"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SpanMd5s.compute(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr =>
+      s"${ev.value} = graft.functions.SpanMd5s.compute($arr, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): SpanMd5sExpr =
+    copy(child = newChild)
 }
 
 case class MinhashSignatureExpr(child: Expression, a: Array[Long], b: Array[Long], p: Long)

@@ -63,6 +63,28 @@ object TextKernels {
   def triCounts(c: Column): Column =
     ColumnBridge.column(TriCounts(ColumnBridge.expression(c)))
 
+  /** STRUCT<n_tokens, n_chars, n_punct, n_digit, tok_chars, n_stop> (all
+    * BIGINT) — the q90 quality-feature family in ONE compiled pass,
+    * replacing two whole-text `regexp_replace` passes (which BUILD the
+    * replaced string just to measure its length), a `split` + `filter`
+    * token materialization, and two interpreted per-token folds.
+    * Bit-identical to the HOF formulation (TextKernelsSpec locks it over
+    * the corpus + edge cases):
+    *  - n_tokens  = size(filter(split(lower(text), "\\s+"), t -> t <> ''))
+    *  - n_chars   = length(text)                      [code points]
+    *  - n_punct   = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
+    *  - n_digit   = length(regexp_replace(text, "[^0-9]", ""))
+    *  - tok_chars = Σ length(token) over the tokens
+    *  - n_stop    = count of tokens ∈ `stop`
+    * Exactness notes: Java regex `\s` without UNICODE_CHARACTER_CLASS is
+    * the ASCII set {space, \t, \n, \x0B, \f, \r} — in UTF-8 those bytes
+    * never occur inside a multibyte sequence, so byte-level run splitting
+    * is exact; every non-ASCII code point falls outside [a-zA-Z0-9\s]
+    * and counts as punct; lowercasing goes through the same
+    * UTF8String.toLowerCase as Spark's `lower`. */
+  def textQualityStats(c: Column, stop: Seq[String]): Column =
+    ColumnBridge.column(TextQualityStats(ColumnBridge.expression(c), stop.toList))
+
   /** (packed keys, counts) of every distinct trigram, unsorted. */
   private def triCountMap(s: UTF8String): (Array[Long], Array[Long]) = {
     val cps = s.toString.codePoints().toArray
@@ -278,6 +300,94 @@ case class CtDistances(child: Expression, langProfiles: List[Map[String, Int]],
   }
 
   override protected def withNewChildInternal(newChild: Expression): CtDistances =
+    copy(child = newChild)
+}
+
+object TextQualityStats {
+  private def isAsciiWs(b: Byte): Boolean = // Java regex \s (no UNICODE flag)
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /** Static entry the generated code calls. */
+  def compute(s: UTF8String, stopSet: java.util.HashSet[UTF8String],
+      maxStopBytes: Int): InternalRow = {
+    // pass 1 — the ORIGINAL text's per-code-point classes
+    val ob = s.getBytes
+    var nChars = 0L; var nPunct = 0L; var nDigit = 0L
+    var i = 0
+    while (i < ob.length) {
+      val b = ob(i)
+      if ((b & 0xc0) != 0x80) { // code-point lead byte
+        nChars += 1
+        if (b >= 0) { // ASCII
+          if (b >= '0' && b <= '9') nDigit += 1
+          else if (!((b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+            isAsciiWs(b))) nPunct += 1
+        } else nPunct += 1 // non-ASCII: outside [a-zA-Z0-9\s]
+      }
+      i += 1
+    }
+    // pass 2 — token runs of the LOWERCASED text (same lowercasing as
+    // Spark's `lower`: UTF8String.toLowerCase)
+    val lb = s.toLowerCase.getBytes
+    var nTokens = 0L; var tokChars = 0L; var nStop = 0L
+    var st = 0
+    var j = 0
+    while (j <= lb.length) {
+      val delim = j == lb.length || isAsciiWs(lb(j))
+      if (delim) {
+        if (j > st) { // non-empty token [st, j)
+          nTokens += 1
+          var c = st
+          while (c < j) { if ((lb(c) & 0xc0) != 0x80) tokChars += 1; c += 1 }
+          if (j - st <= maxStopBytes && stopSet.contains(
+            UTF8String.fromBytes(java.util.Arrays.copyOfRange(lb, st, j))))
+            nStop += 1
+        }
+        st = j + 1
+      }
+      j += 1
+    }
+    InternalRow(nTokens, nChars, nPunct, nDigit, tokChars, nStop)
+  }
+}
+
+case class TextQualityStats(child: Expression, stop: List[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("tok_chars", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false)))
+  override def prettyName: String = "text_quality_stats"
+
+  // built once per (executor, expression instance); UTF8String keys so
+  // candidate tokens compare without a String round-trip
+  @transient private lazy val stopSet: java.util.HashSet[UTF8String] = {
+    val h = new java.util.HashSet[UTF8String](stop.size * 2)
+    stop.foreach(w => h.add(UTF8String.fromString(w)))
+    h
+  }
+  @transient private lazy val maxStopBytes: Int =
+    if (stop.isEmpty) 0 else stop.map(_.getBytes("UTF-8").length).max
+
+  override def nullSafeEval(input: Any): Any =
+    TextQualityStats.compute(input.asInstanceOf[UTF8String], stopSet, maxStopBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TextQualityStats.compute($c, $setRef, $maxStopBytes);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextQualityStats =
     copy(child = newChild)
 }
 

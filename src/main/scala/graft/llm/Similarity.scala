@@ -2980,8 +2980,18 @@ object Similarity {
     * the integer cross-multiplied Jaccard (10·∩ ≥ 9·∪ — no 0.9 double).
     * Output is ≤ Bands rows. */
   def lshTuningCurve(spark: SparkSession, dir: String): DataFrame = {
-    val grps = landedShingleGroups(spark, dir).select(col("gid"), col("hs"))
-      .filter(size(col("hs")) > 0)
+    // fanOut BEFORE the re-checkpoint: the landed groups frame is a
+    // materialized checkpoint, so fanOut's partition test reads its REAL
+    // count — AQE's byte-based coalescing had frozen it near one
+    // partition (~12 MB), which serialized the 64-perm signature +
+    // band-explode recompute below onto one core (measured 2.1
+    // task-seconds single-task per rep, the query's top stage; guide
+    // §2.5/§2.6 — bytes are the wrong parallelism proxy when per-row
+    // compute dominates). No-op at cluster scale where the landed frame
+    // already carries ≥ parallelism partitions.
+    val grps = graft.Dist.fanOut(
+        landedShingleGroups(spark, dir).select(col("gid"), col("hs"))
+          .filter(size(col("hs")) > 0))
       .transform(graft.Dist.durableCkpt)
     val bandk = grps
       .withColumn("sig", minhashSignature(col("hs")))

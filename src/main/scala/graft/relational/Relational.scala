@@ -1100,28 +1100,31 @@ object Relational {
     * honest exact-profile cost; at 100 TB swap approx_count_distinct
     * (q14) and the scan stays one pass with no Expand. */
   def columnProfile(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut measured 4.63s -> 2.43s min-of-3 (sf0.1, 2026-08-13): the
-    // multi-distinct Expand multiplies the single-task scan's rows x5
-    // BEFORE the partial agg, so this is the per-row-compute >> row-bytes
-    // regime fanOut exists for (cf. Dist.fanOut guidance)
-    val li = graft.Dist.fanOut(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate")))
-    def prof(c: String) = Seq(
-      count(col(c)).as(s"nn_$c"),
-      countDistinct(col(c)).as(s"nd_$c"),
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c"))
+    // ONE aggregate with four countDistincts plans an Expand that
+    // multiplies every input row by 5 BEFORE the partial agg — measured
+    // (r13, sf0.1, 32 cores) ~38 task-seconds per run in that one stage
+    // even after fanOut. PER-COLUMN branches instead: each profiles ONE
+    // column over a column-PRUNED scan (ReadSchema = that column only),
+    // and a single-distinct aggregate plans the no-Expand two-phase
+    // rewrite (partial group-by-value, then merge). Work per branch =
+    // |rows| narrow values vs 5·|rows| wide expand rows through one hash
+    // aggregate; branches run in the same job and overlap (guide §2.6).
+    // Union column types line up because every min/max surfaces as
+    // STRING (the profile's own contract). Measured 3.33 -> 1.01 s wall
+    // min-of-3 at sf0.1 (top stage 38 -> 0.7 task-seconds); oracle SQL
+    // and hashes unchanged.
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(prof)
-    val s = li.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
-    s.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct, min_val, max_val)")
-      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-        col("n_distinct"), col("min_val"), col("max_val"))
-      .orderBy(col("col_name"))
+    val branches = cols.map { c =>
+      Tables.lineitem(spark, dir).select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }
+    branches.reduce(_.unionAll(_)).orderBy(col("col_name"))
   }
 
   val columnProfileSql: String =

@@ -723,13 +723,17 @@ object CorpusStats {
     * this is a map-only pass; swapping the linear model for a real one is
     * exactly the `mapPartitions`-batched scoring shape
     * `multimodal.Multimodal.extractFeaturesBatched` demonstrates. */
-  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
-    val Stop = Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
-    // fanOut: three regex passes + per-token folds from a one-task scan
-    // (sf1: q90 7.7 -> 4.4 s isolated min-of-3; q142 9.2 -> 4.9 s composing it)
-    val docs = graft.Dist.fanOut(Tables.documents(spark, dir))
+  /** The q90 feature weights' stop-word list — also the
+    * [[graft.functions.TextKernels.textQualityStats]] kernel's table. */
+  private[text] val QualityStop =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** The pre-kernel HOF feature formulation — the semantic definition the
+    * fused kernel must match; kept for the bit-identity regression spec
+    * (TextKernelsSpec), the [[hashedShinglesHof]] discipline. */
+  private[text] def qualityFeaturesHof(docs: DataFrame): DataFrame = {
     val toks = tokens(lower(col("text")))
-    val base = docs.select(col("doc_id"), col("text"), toks.as("toks"))
+    docs.select(col("doc_id"), col("text"), toks.as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars"),
@@ -737,7 +741,26 @@ object CorpusStats {
         length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
         aggregate(transform(col("toks"), t => length(t).cast("long")),
           lit(0L), (a, x) => a + x).as("tok_chars"),
-        size(filter(col("toks"), t => t.isin(Stop: _*))).cast("long").as("n_stop"))
+        size(filter(col("toks"), t => t.isin(QualityStop: _*))).cast("long").as("n_stop"))
+  }
+
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    // fanOut: heavy per-row feature kernel from a one-task scan
+    // (sf1: q90 7.7 -> 4.4 s isolated min-of-3; q142 9.2 -> 4.9 s composing it)
+    val docs = graft.Dist.fanOut(Tables.documents(spark, dir))
+    // ONE compiled pass for all six features (r13 optimization): the HOF
+    // form above paid two full-text regexp_replace passes (each BUILDING
+    // the replaced string just to take its length), a split+filter token
+    // materialization and two interpreted per-token folds per row —
+    // the q90 scan dominated q90/q142/q144/q235. Bit-identity vs
+    // [[qualityFeaturesHof]] is spec-locked over the corpus (TextKernelsSpec);
+    // oracle hashes unchanged (same integers in, same score chain out).
+    val base = docs.select(col("doc_id"),
+        graft.functions.TextKernels.textQualityStats(col("text"), QualityStop).as("q"))
+      .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
+        col("q.n_chars").as("n_chars"), col("q.n_punct").as("n_punct"),
+        col("q.n_digit").as("n_digit"), col("q.tok_chars").as("tok_chars"),
+        col("q.n_stop").as("n_stop"))
     // guards: empty/token-free docs score from zeroed ratios, not NaN/NULL
     val punct = when(col("n_chars") > 0,
       col("n_punct").cast("double") / col("n_chars")).otherwise(0.0)
@@ -869,9 +892,12 @@ object CorpusStats {
     graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .filter(n >= SpanW)
+      // fused span-md5 kernel: one compiled pass per row replaces the
+      // interpreted slice+array_join+md5 chain per POSITION (bit-identity
+      // vs the HOF form spec-locked in SketchKernelsSpec; r13 measured
+      // q94 1.46 -> 0.9 s isolated min-of-3 at sf0.1)
       .select(col("doc_id"), explode(
-        transform(sequence(lit(1), n - (SpanW - 1)), k =>
-          md5(array_join(slice(col("toks"), k, lit(SpanW)), " ")))).as("span_md5"))
+        graft.functions.SketchKernels.spanMd5s(col("toks"), SpanW)).as("span_md5"))
       .groupBy(col("span_md5"), col("doc_id"))
       .agg(count(lit(1)).as("n"))
       .groupBy(col("span_md5"))
@@ -938,12 +964,12 @@ object CorpusStats {
     // pays (sf0.1 min-of-3: 2.74 → 1.52 s; q41's codegen kernels don't)
     def base = graft.Dist.fanOut(Tables.documents(spark, dir))
       .select(col("doc_id"), col("source"), tokens(lower(col("text"))).as("toks"))
+    // fused span-md5 kernel (q94's), position recovered from posexplode:
+    // element pos holds the window starting at token pos+1
     def spanStarts = base.filter(n >= SpanW)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), n - (SpanW - 1)), k =>
-          struct(k.as("k"),
-            md5(array_join(slice(col("toks"), k, lit(SpanW)), " ")).as("span")))).as("s"))
-      .select(col("doc_id"), col("s.k").as("k"), col("s.span").as("span"))
+      .select(col("doc_id"),
+        posexplode(graft.functions.SketchKernels.spanMd5s(col("toks"), SpanW)))
+      .select(col("doc_id"), (col("pos") + 1).as("k"), col("col").as("span"))
     val dup = spanStarts
       .groupBy(col("span"), col("doc_id")).agg(count(lit(1)).as("n"))
       .groupBy(col("span")).agg(count(lit(1)).as("nd"))

@@ -181,4 +181,35 @@ class SketchKernelsSpec extends SparkSpec {
     assert(rows(1).getLong(1) == (7L & ((1L << SimhashBits) - 1)))
   }
 
+
+  test("fused spanMd5s ≡ HOF slice∘array_join∘md5 chain over the corpus") {
+    val SpanW = graft.text.CorpusStats.SpanW
+    val n = size(col("toks"))
+    val hof = transform(sequence(lit(1), n - (SpanW - 1)), k =>
+      md5(array_join(slice(col("toks"), k, lit(SpanW)), " ")))
+    val diff = graft.Tables.documents(spark, sfDir)
+      .select(tokens(lower(col("text"))).as("toks"))
+      .filter(n >= SpanW)
+      .select(SketchKernels.spanMd5s(col("toks"), SpanW).as("kernel"), hof.as("hof"))
+      .filter(col("kernel") =!= col("hof"))
+    assert(diff.count() == 0)
+  }
+
+  test("spanMd5s edge cases: short, exact-width, null elements, unicode") {
+    import spark.implicits._
+    val w = 3
+    val rows = Seq(
+      Seq.empty[String], Seq("a"), Seq("a", "b"),               // < w -> empty
+      Seq("a", "b", "c"),                                       // exactly w
+      Seq("a", null, "c", "d"),                                 // null skipped like array_join
+      Seq("caf\u00e9", "\u65e5\u672c\u8a9e", "x", "\ud83d\ude00")).toDF("toks")
+    val n = size(col("toks"))
+    val hof = when(n >= w,
+      transform(sequence(lit(1), n - (w - 1)), k =>
+        md5(array_join(slice(col("toks"), k, lit(w)), " "))))
+      .otherwise(array().cast("array<string>"))
+    val got = rows.select(
+      SketchKernels.spanMd5s(col("toks"), w).as("kernel"), hof.as("hof")).collect()
+    got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
 }

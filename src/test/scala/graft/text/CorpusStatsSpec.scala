@@ -1442,4 +1442,31 @@ class CorpusStatsSpec extends SparkSpec {
       assert(fp == expFp, s"$src repaired-content fingerprint")
     }
   }
+
+  test("textQualityStats kernel \u2261 HOF feature chain over the corpus + edges") {
+    import spark.implicits._
+    val kernelOf = (df: org.apache.spark.sql.DataFrame) => df.select(col("doc_id"),
+        graft.functions.TextKernels
+          .textQualityStats(col("text"), CorpusStats.QualityStop).as("q"))
+      .select(col("doc_id"), col("q.n_tokens").as("n_tokens"),
+        col("q.n_chars").as("n_chars"), col("q.n_punct").as("n_punct"),
+        col("q.n_digit").as("n_digit"), col("q.tok_chars").as("tok_chars"),
+        col("q.n_stop").as("n_stop"))
+    val corpus = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val a = CorpusStats.qualityFeaturesHof(corpus)
+    val b = kernelOf(corpus)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "kernel != HOF over the corpus")
+    // edges: empty, whitespace-only (every Java \\s char), non-ASCII
+    // (punct class), digits, stop words at boundaries, Kelvin sign
+    // (\u212A lowercases to ASCII k), non-BMP emoji, tabs/newlines
+    val edges = Seq(
+      (1L, ""), (2L, " \t\n\u000b\f\r "), (3L, "caf\u00e9 the THE tHe"),
+      (4L, "a1b2 33 ...!!"), (5L, "\u212A \u212Aelvin"), (6L, "\ud83d\ude00 x"),
+      (7L, "the"), (8L, "  leading and trailing  "),
+      (9L, "\u65e5\u672c\u8a9e 12 it")).toDF("doc_id", "text")
+    val ae = CorpusStats.qualityFeaturesHof(edges).orderBy("doc_id").collect()
+    val be = kernelOf(edges).orderBy("doc_id").collect()
+    ae.zip(be).foreach { case (x, y) => assert(x == y, s"edge divergence: $x vs $y") }
+  }
 }
