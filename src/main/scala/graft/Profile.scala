@@ -32,17 +32,22 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
 
-    case class St(id: Int, nTasks: Int, sumMs: Long, maxMs: Long,
+    case class St(id: Int, nTasks: Int, sumMs: Long, gcMs: Long,
         shRead: Long, shWrite: Long, nm: String)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     val listener = new SparkListener {
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val tm = si.taskMetrics
+        // the RDD operation scopes identify the physical operators this
+        // stage executes (WholeStageCodegen ids, Exchange, AQEShuffleRead)
+        // — si.name is just the materialization callsite, useless under AQE
+        val scopes = si.rddInfos.flatMap(_.scope).map(_.name).distinct
+          .mkString("|").take(90)
         stages.add(St(si.stageId, si.numTasks,
-          tm.executorRunTime, 0L,
+          tm.executorRunTime, tm.jvmGCTime,
           tm.shuffleReadMetrics.totalBytesRead, tm.shuffleWriteMetrics.bytesWritten,
-          si.name.takeWhile(_ != '\n').take(60)))
+          if (scopes.nonEmpty) scopes else si.name.takeWhile(_ != '\n').take(60)))
       }
     }
     def run(): Double = {
@@ -57,9 +62,9 @@ object Profile {
     println(f"WALL ${times.min}%.3f s (min of $reps reps, warm)")
     import scala.jdk.CollectionConverters._
     val sts = stages.asScala.toSeq.sortBy(-_.sumMs).take(25)
-    println(f"${"stage"}%6s ${"tasks"}%6s ${"sumTaskSec"}%11s ${"shReadMB"}%9s ${"shWriteMB"}%10s  name")
+    println(f"${"stage"}%6s ${"tasks"}%6s ${"sumTaskSec"}%11s ${"gcSec"}%6s ${"shReadMB"}%9s ${"shWriteMB"}%10s  name")
     sts.foreach { s =>
-      println(f"${s.id}%6d ${s.nTasks}%6d ${s.sumMs / 1e3}%11.2f " +
+      println(f"${s.id}%6d ${s.nTasks}%6d ${s.sumMs / 1e3}%11.2f ${s.gcMs / 1e3}%6.2f " +
         f"${s.shRead / 1e6}%9.1f ${s.shWrite / 1e6}%10.1f  ${s.nm}")
     }
     val tot = stages.asScala.map(_.sumMs).sum / 1e3

@@ -273,6 +273,43 @@ object Dist {
       .drop("__pid", "__local_cum", "__offset", "__w")
   }
 
+  /** TWO global running sums over the SAME key ordering in one pass —
+    * for consumers that need a pair of cumulative series (q166's
+    * cum_types/cum_tokens): chaining [[globalCumSum]] twice pays two
+    * range exchanges, two checkpoints and two window passes over the
+    * identical partitioning; the sums are independent per row, so one
+    * partitioning serves both (guide §2.4 — operations keyed the same
+    * way share one exchange). Result columns: `cum1`, `cum2`
+    * (inclusive). Equivalence to the chained form is spec-locked
+    * (DistSpec). */
+  def globalCumSum2(df: DataFrame, key: Column, w1: Column, w2: Column,
+      numParts: Int = 32): DataFrame = {
+    val parted = df.withColumn("__w1", w1.cast("long"))
+      .withColumn("__w2", w2.cast("long"))
+      .repartitionByRange(numParts, key)
+      .withColumn("__pid", spark_partition_id())
+      .transform(durableCkpt)
+    recordDigest("cumSum2", parted, key)
+    val w = Window.partitionBy(col("__pid")).orderBy(key)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted
+      .withColumn("__lc1", sum(col("__w1")).over(w))
+      .withColumn("__lc2", sum(col("__w2")).over(w))
+    val offsets = parted.groupBy(col("__pid"))
+      .agg(sum(col("__w1")).as("__t1"), sum(col("__w2")).as("__t2"))
+      .withColumn("__o1",
+        coalesce(sum(col("__t1")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__o2",
+        coalesce(sum(col("__t2")).over(
+          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__o1"), col("__o2"))
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("cum1", col("__o1") + col("__lc1"))
+      .withColumn("cum2", col("__o2") + col("__lc2"))
+      .drop("__pid", "__lc1", "__lc2", "__o1", "__o2", "__w1", "__w2")
+  }
+
   /** Unlock multi-core compute above an UNSPLITTABLE scan: repartition to
     * the session's default parallelism IFF the frame currently plans fewer
     * partitions (on splittable many-row-group inputs this is a no-op by

@@ -130,6 +130,40 @@ object SketchKernels {
     * array. */
   def spanMd5s(toks: Column, w: Int): Column =
     ColumnBridge.column(SpanMd5sExpr(ColumnBridge.expression(toks), w))
+
+  /** Compiled 60-bit md5-prefix hash of a STRING — the engine-wide
+    * `hash60` identity (`conv(substring(md5(s), 1, 15), 16, 10)` cast to
+    * LONG) computed from the digest BYTES: no hex string render, no
+    * substring, no base-16 re-parse, and one thread-local MessageDigest
+    * instead of a fresh instance per call (Spark's `md5` allocates one
+    * per evaluation). Value-identical by construction — the first 15 hex
+    * chars of a digest ARE its top 60 bits — and spec-locked against the
+    * expression form over the corpus. Used via
+    * [[graft.llm.Similarity.hash60]], so every fingerprint/census call
+    * site inherits it. */
+  def hash60(c: Column): Column =
+    ColumnBridge.column(Hash60Expr(ColumnBridge.expression(c)))
+}
+
+case class Hash60Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${other.simpleString}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hash60"
+
+  override def nullSafeEval(input: Any): Any =
+    TokensHash60.hash60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokensHash60.hash60($c.getBytes())")
+
+  override protected def withNewChildInternal(newChild: Expression): Hash60Expr =
+    copy(child = newChild)
 }
 
 object SpanMd5s {

@@ -85,6 +85,33 @@ object TextKernels {
   def textQualityStats(c: Column, stop: Seq[String]): Column =
     ColumnBridge.column(TextQualityStats(ColumnBridge.expression(c), stop.toList))
 
+  /** INT count of whitespace tokens — the drop-in for
+    * `size(tokens(text))` (= `size(filter(split(lower(text), "\\s+"),
+    * t -> t <> ''))`) at the many call sites that only need the COUNT:
+    * the HOF form materializes the lowercased copy, the split array and
+    * the filtered array per row just to take a length. One compiled
+    * byte-pass counts maximal non-\s runs instead — lowercasing cannot
+    * move a token boundary (no case mapping produces or consumes an
+    * ASCII whitespace char), so the count is computed on the raw bytes;
+    * bit-identity vs the HOF form is spec-locked (TextKernelsSpec link
+    * in CorpusStatsSpec) over the corpus + edge cases. */
+  def tokenCount(c: Column): Column =
+    ColumnBridge.column(TokenCount(ColumnBridge.expression(c)))
+
+  /** STRUCT<n_tokens, n_distinct, top_word_n, n_bigrams, top_bigram_n>
+    * (all BIGINT) — q58's repetition signals in ONE compiled row-local
+    * pass. The statistic depends only on the row's own tokens (the q174
+    * digram lesson), yet the explode formulation shipped one row per
+    * TOKEN plus one per BIGRAM into two corpus-sized (doc, gram) hash
+    * aggregates and joined three frames back together. Token identity is
+    * exact byte equality of the lowercased whitespace tokens; bigram
+    * identity is exact pair equality (tokens cannot contain whitespace,
+    * so (w1, w2) pair equality ≡ the `concat_ws(" ", w1, w2)` string
+    * equality the HOF form groups by). Bit-identity vs the explode
+    * formulation spec-locked over the corpus (CorpusStatsSpec). */
+  def repetitionStats(c: Column): Column =
+    ColumnBridge.column(RepetitionStats(ColumnBridge.expression(c)))
+
   /** (packed keys, counts) of every distinct trigram, unsorted. */
   private def triCountMap(s: UTF8String): (Array[Long], Array[Long]) = {
     val cps = s.toString.codePoints().toArray
@@ -303,8 +330,122 @@ case class CtDistances(child: Expression, langProfiles: List[Map[String, Int]],
     copy(child = newChild)
 }
 
+object TokenCount {
+  /** Static entry the generated code calls. */
+  def compute(s: UTF8String): Int = {
+    val b = s.getBytes
+    var n = 0
+    var inTok = false
+    var i = 0
+    while (i < b.length) {
+      val ws = TextQualityStats.isAsciiWs(b(i))
+      if (!ws && !inTok) n += 1
+      inTok = !ws
+      i += 1
+    }
+    n
+  }
+}
+
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_count"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenCount.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenCount.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenCount =
+    copy(child = newChild)
+}
+
+object RepetitionStats {
+  /** Static entry the generated code calls. */
+  def compute(s: UTF8String): InternalRow = {
+    val lb = s.toLowerCase.getBytes
+    // token runs (Java regex \s delimiters, the tokens() contract);
+    // UTF8String.fromBytes(array, offset, len) WRAPS the shared array —
+    // no copy per token
+    val words = new java.util.HashMap[UTF8String, Array[Long]]()
+    val bigrams = new java.util.HashMap[BigramKey, Array[Long]]()
+    var nTokens = 0L
+    var prev: UTF8String = null
+    var st = 0
+    var j = 0
+    while (j <= lb.length) {
+      val delim = j == lb.length || TextQualityStats.isAsciiWs(lb(j))
+      if (delim) {
+        if (j > st) {
+          nTokens += 1
+          val tok = UTF8String.fromBytes(lb, st, j - st)
+          val wc = words.get(tok)
+          if (wc == null) words.put(tok, Array(1L)) else wc(0) += 1
+          if (prev != null) {
+            val key = new BigramKey(prev, tok)
+            val bc = bigrams.get(key)
+            if (bc == null) bigrams.put(key, Array(1L)) else bc(0) += 1
+          }
+          prev = tok
+        }
+        st = j + 1
+      }
+      j += 1
+    }
+    var topW = 0L
+    val wit = words.values().iterator()
+    while (wit.hasNext) { val c = wit.next()(0); if (c > topW) topW = c }
+    var topB = 0L
+    var nB = 0L
+    val bit = bigrams.values().iterator()
+    while (bit.hasNext) { val c = bit.next()(0); nB += c; if (c > topB) topB = c }
+    InternalRow(nTokens, words.size.toLong, topW, nB, topB)
+  }
+
+  /** Exact (w1, w2) pair identity — equality and hash over both tokens'
+    * bytes, never a lossy combined hash (a collision would merge counts
+    * of DIFFERENT bigrams). */
+  private[functions] final class BigramKey(val a: UTF8String, val b: UTF8String) {
+    override def hashCode(): Int = 31 * a.hashCode() + b.hashCode()
+    override def equals(o: Any): Boolean = o match {
+      case k: BigramKey => a.equals(k.a) && b.equals(k.b)
+      case _ => false
+    }
+  }
+}
+
+case class RepetitionStats(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_word_n", LongType, nullable = false),
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("top_bigram_n", LongType, nullable = false)))
+  override def prettyName: String = "repetition_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    RepetitionStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepetitionStats.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
 object TextQualityStats {
-  private def isAsciiWs(b: Byte): Boolean = // Java regex \s (no UNICODE flag)
+  private[functions] def isAsciiWs(b: Byte): Boolean = // Java regex \s (no UNICODE flag)
     b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
 
   /** Static entry the generated code calls. */

@@ -40,8 +40,17 @@ object Similarity {
   // ---------------------------------------------------------------- hashing
 
   /** 60-bit base hash: first 15 hex chars of md5, identical in DuckDB via
-    * CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT). */
-  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * CAST(concat('0x', substr(md5(s),1,15)) AS BIGINT). Computed by the
+    * compiled kernel (digest bytes → top 60 bits; r13) — the expression
+    * chain below allocated a MessageDigest, a 32-char hex string, a
+    * 15-char substring and a base-16 parse PER CALL, and hash60 runs on
+    * every census fingerprint and text-sized manifest key in the suite.
+    * Bit-identity vs [[hash60Hof]] is spec-locked (SketchKernelsSpec). */
+  def hash60(c: Column): Column = graft.functions.SketchKernels.hash60(c)
+
+  /** The pre-kernel expression form — the semantic definition the kernel
+    * must match; kept for the bit-identity regression spec. */
+  def hash60Hof(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   val P: Long = 2147483647L // 2^31-1, prime; minhash value domain
 
@@ -1636,7 +1645,7 @@ object Similarity {
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val docLbl = landedDocLabels(spark, dir)
     val docs = Tables.documents(spark, dir).select(col("doc_id"),
-      size(tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("n_tokens"))
     val keyed = docs.join(docLbl, Seq("doc_id"), "left")
       .withColumn("skey", coalesce(col("lbl"), col("doc_id")))
     val bucket = pmod(hash60(col("skey").cast("string")), lit(100))
@@ -2176,7 +2185,7 @@ object Similarity {
     val wText = Window.partitionBy(xxhash64(col("text")),
       xxhash64(lit("graft-dedup-salt"), col("text")))
     val base = docs.select(col("doc_id"), col("text"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("len"),
         (length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", "")).cast("double") /
           length(col("text"))).as("punct_ratio"))

@@ -381,12 +381,29 @@ object Relational {
 
   /** Exact distinct counts (countDistinct → partial-distinct aggregate). */
   def distinctCounts(spark: SparkSession, dir: String): DataFrame = {
+    // r13: three countDistincts in ONE aggregate plan an Expand x4 over
+    // every fact row before the partial agg (6.1 s at sf1 on exactly
+    // this). Per-column branches instead — each a pruned 1-column scan
+    // + single-distinct no-Expand aggregate (the q105/q236 shape) —
+    // assembled by a 4-row pivot aggregate rather than a scalar
+    // crossJoin (no BroadcastNestedLoopJoin to whitelist). Values and
+    // output schema unchanged; oracle SQL untouched.
     val li = Tables.lineitem(spark, dir)
-    li.agg(
-      countDistinct(col("l_partkey")).as("n_parts"),
-      countDistinct(col("l_suppkey")).as("n_supps"),
-      countDistinct(col("l_orderkey")).as("n_orders"),
-      count(lit(1)).as("n_rows"))
+    def branch(name: String, v: DataFrame) =
+      v.select(lit(name).as("k"), col("v"))
+    val parts = branch("n_parts", li.select(col("l_partkey"))
+      .agg(countDistinct(col("l_partkey")).as("v")))
+    val supps = branch("n_supps", li.select(col("l_suppkey"))
+      .agg(countDistinct(col("l_suppkey")).as("v")))
+    val orders = branch("n_orders", li.select(col("l_orderkey"))
+      .agg(countDistinct(col("l_orderkey")).as("v")))
+    val rows = branch("n_rows", li.select(col("l_linenumber"))
+      .agg(count(lit(1)).as("v")))
+    parts.unionAll(supps).unionAll(orders).unionAll(rows)
+      .agg(max(when(col("k") === "n_parts", col("v"))).as("n_parts"),
+        max(when(col("k") === "n_supps", col("v"))).as("n_supps"),
+        max(when(col("k") === "n_orders", col("v"))).as("n_orders"),
+        max(when(col("k") === "n_rows", col("v"))).as("n_rows"))
   }
 
   val distinctCountsSql: String =
@@ -1164,26 +1181,29 @@ object Relational {
     * input; RelationalSpec additionally bounds each estimate against
     * q105's exact counts at ~3x the sketch's nominal rsd. */
   def columnProfileApprox(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut: 4 HLL sketch updates per row from the one-task scan — the
-    // same per-row-compute >> row-bytes regime as q105's Expand
-    val li = graft.Dist.fanOut(
-      Tables.lineitem(spark, dir)
-        .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"), col("l_shipdate")))
-    def prof(c: String) = Seq(
-      count(col(c)).as(s"nn_$c"),
-      approx_count_distinct(col(c), 0.02).as(s"nd_$c"),
-      min(col(c)).cast("string").as(s"min_$c"),
-      max(col(c)).cast("string").as(s"max_$c"))
+    // Per-column union branches, q105's r13 shape, for a reason specific
+    // to the approx profile: ONE aggregate carrying all four columns'
+    // sketches mixes the STRING min/max buffers (non-mutable in an
+    // UnsafeRow) into the same buffer as four 384-word HLL states, which
+    // disqualifies HashAggregate — the whole profile ran as
+    // SortAggregate (4 nodes, measured ~33 task-seconds per run at
+    // sf0.1). Split per column, three of four branches carry only
+    // fixed-width buffers and plan HashAggregate again; each branch
+    // scans ONE pruned column; branches overlap in one job (guide §2.6).
+    // Measured 1.94 -> 1.32 s wall min-of-3, ~33 -> 3.3 task-seconds;
+    // estimates unchanged (identical per-column HLL streams).
     val cols = Seq("l_orderkey", "l_quantity", "l_returnflag", "l_shipdate")
-    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(prof)
-    val s = li.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.map(c =>
-      s"'$c', nn_$c, nd_$c, min_$c, max_$c").mkString(", ")
-    s.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, n_nonnull, n_distinct_est, min_val, max_val)")
-      .select(col("col_name"), col("n_rows"), col("n_nonnull"),
-        col("n_distinct_est"), col("min_val"), col("max_val"))
-      .orderBy(col("col_name"))
+    val branches = cols.map { c =>
+      Tables.lineitem(spark, dir).select(col(c))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col(c)).as("n_nonnull"),
+          approx_count_distinct(col(c), 0.02).as("n_distinct_est"),
+          min(col(c)).cast("string").as("min_val"),
+          max(col(c)).cast("string").as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct_est"), col("min_val"), col("max_val"))
+    }
+    branches.reduce(_.unionAll(_)).orderBy(col("col_name"))
   }
 
   /** q106: exact WEIGHTED median — the revenue-weighted median quantity

@@ -48,43 +48,27 @@ object CorpusStats {
     * Docs too short for grams keep a row via the left joins (all-zero
     * stats), so the output is total over the corpus. */
   def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
-    // fanOut: per-token explodes + n-gram transforms from a one-task scan
-    // (sf1 isolated min-of-3: 6.3 -> 1.9 s)
+    // r13: the signals are row-LOCAL (each doc's stats depend only on
+    // its own tokens — the q174 digram lesson), yet the explode
+    // formulation shipped one row per token plus one per bigram into
+    // two corpus-sized (doc, gram) hash aggregates and joined three
+    // frames back. One compiled kernel pass computes the same five
+    // integers map-only (bit-identity spec-locked in CorpusStatsSpec;
+    // plan: 18 -> 2 Exchanges, both for the final global order).
+    // fanOut: per-row token/bigram maps are the compute >> bytes regime.
     val base = graft.Dist.fanOut(Tables.documents(spark, dir))
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-
-    val words = base
-      .select(col("doc_id"), explode(col("toks")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).cast("long").as("n_tokens"),
-        count(lit(1)).cast("long").as("n_distinct"),
-        max(col("n")).cast("long").as("top_word_n"))
-
-    // sequence(1, n) with n <= 0 DESCENDS or throws — guard before building
-    val nBg = size(col("toks")) - 1
-    val bigramArr = when(nBg > 0,
-      transform(sequence(lit(1), nBg), i =>
-        concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val bigrams = base
-      .select(col("doc_id"), explode(bigramArr).as("b"))
-      .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("n")).cast("long").as("n_bigrams"),
-        max(col("n")).cast("long").as("top_bigram_n"))
+      .select(col("doc_id"),
+        graft.functions.TextKernels.repetitionStats(col("text")).as("r"))
 
     // ratios are double divisions of identical integers => exact in both
     // engines (same pattern as q25)
-    Tables.documents(spark, dir).select(col("doc_id"))
-      .join(words, Seq("doc_id"), "left")
-      .join(bigrams, Seq("doc_id"), "left")
+    base
       .select(col("doc_id"),
-        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
-        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
-        coalesce(col("top_word_n"), lit(0L)).as("top_word_n"),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        coalesce(col("top_bigram_n"), lit(0L)).as("top_bigram_n"))
+        coalesce(col("r.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("r.n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("r.top_word_n"), lit(0L)).as("top_word_n"),
+        coalesce(col("r.n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("r.top_bigram_n"), lit(0L)).as("top_bigram_n"))
       .withColumn("dup_word_frac",
         when(col("n_tokens") > 0,
           (col("n_tokens") - col("n_distinct")) / col("n_tokens")).otherwise(lit(0.0)))
@@ -222,7 +206,7 @@ object CorpusStats {
       .groupBy(col("lang"), col("rate_bp"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_kept"),
-        sum(when(col("keep"), size(tokens(col("text")))).otherwise(0)).cast("long").as("kept_tokens"),
+        sum(when(col("keep"), graft.functions.TextKernels.tokenCount(col("text"))).otherwise(0)).cast("long").as("kept_tokens"),
         min(when(col("keep"), col("doc_id"))).as("first_kept"))
       .withColumn("rate_bp", col("rate_bp").cast("long"))
       .orderBy(col("lang"))
@@ -413,7 +397,7 @@ object CorpusStats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"))
+        graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("n_tokens"))
       .withColumn("cum", sum(col("n_tokens")).over(w))
       // exact integer division (not floor(double)); greatest() keeps a
       // leading zero-token doc at bin 0 (Spark `div` truncates toward 0,
@@ -1112,7 +1096,7 @@ object CorpusStats {
     * per-row integer predicate. */
   def ppsSample(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .select(col("doc_id"), graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("n_tokens"))
     graft.Dist.globalCumSum(docs, col("doc_id"), col("n_tokens"))
       .withColumn("n_hits",
         expr(s"cum div $PpsStride - (cum - n_tokens) div $PpsStride"))
@@ -1230,7 +1214,7 @@ object CorpusStats {
     val s = Tables.documents(spark, dir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+        sum(graft.functions.TextKernels.tokenCount(col("text"))).cast("long").as("n_tokens"))
     val t = s.agg(sum(col("n_tokens")).cast("long").as("total"),
       count(lit(1)).as("n_sources"))
     s.crossJoin(broadcast(t))
@@ -1288,7 +1272,7 @@ object CorpusStats {
     Tables.documents(spark, dir)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text")))).cast("long").as("n_tokens"))
+        sum(graft.functions.TextKernels.tokenCount(col("text"))).cast("long").as("n_tokens"))
       .withColumn("s0", expr("cast(floor(sqrt(cast(n_tokens AS double))) AS bigint)"))
       .withColumn("weight", expr(
         """CASE WHEN (s0 + 1) * (s0 + 1) <= n_tokens THEN s0 + 1
@@ -1865,24 +1849,28 @@ object CorpusStats {
     * offsets, the q103/q144 primitive), never a single-partition
     * window. Novelty in integer basis points. */
   def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
-    val perBucket = docs
+    // r13: per-bucket token volume counts via the tokenCount kernel (the
+    // branch never needs the token ARRAY), and the two cumulative series
+    // share ONE range partitioning via Dist.globalCumSum2 — the chained
+    // form paid two range exchanges + two checkpoints + two window
+    // passes over the identical bucket ordering (guide §2.4).
+    val perBucket = Tables.documents(spark, dir)
       .select(expr("doc_id div 100").as("bucket"),
-        size(col("toks")).cast("long").as("n_toks"))
+        graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("n_toks"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("bucket_tokens"))
-    val newTypes = docs
+    val newTypes = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
       .select(explode(col("toks")).as("tok"), col("doc_id"))
       .groupBy(col("tok")).agg(min(col("doc_id")).as("fd"))
       .groupBy(expr("fd div 100").as("bucket"))
       .agg(count(lit(1)).as("new_types"))
     val joined = perBucket.join(newTypes, Seq("bucket"), "left")
       .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
-    graft.Dist.globalCumSum(joined, col("bucket"), col("new_types"))
-      .withColumnRenamed("cum", "cum_types")
-      .transform(d => graft.Dist.globalCumSum(d, col("bucket"), col("bucket_tokens")))
-      .withColumnRenamed("cum", "cum_tokens")
+    graft.Dist.globalCumSum2(joined, col("bucket"),
+        col("new_types"), col("bucket_tokens"))
+      .withColumnRenamed("cum1", "cum_types")
+      .withColumnRenamed("cum2", "cum_tokens")
       .withColumn("novelty_bp", expr("10000 * new_types div bucket_tokens"))
       .select(col("bucket"), col("n_docs").cast("long").as("n_docs"),
         col("bucket_tokens").cast("long").as("bucket_tokens"),
@@ -3178,7 +3166,7 @@ object CorpusStats {
     Tables.documents(spark, dir)
       .select(col("lang"),
         length(col("text")).cast("long").as("chars"),
-        size(tokens(lower(col("text")))).cast("long").as("ws"),
+        graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("ws"),
         size(pieces).cast("long").as("bpe"))
       .groupBy(col("lang"))
       .agg(count(lit(1)).cast("long").as("n_docs"),
@@ -3223,32 +3211,48 @@ object CorpusStats {
     * mode and embedding stats are two more tiny aggregates; `stack`
     * melts wide → long. */
   def datasetCard(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("source"), col("lang"), col("n_chars"),
-        md5(col("text")).as("fp"))
+    // r13: the single wide aggregate carried THREE countDistincts, which
+    // planned an Expand x4 over the fat joined rows (md5 fp + every
+    // classifier column) BEFORE the partial agg — 4x corpus rows through
+    // one aggregate, the q105 disease with a join underneath. Split by
+    // concern instead: the distinct-free census aggregates the joined
+    // frame once (map-combined, no Expand); each distinct count runs as
+    // its own single-distinct no-Expand aggregate over a SLIM pruned
+    // scan (fp needs only md5(text); source/lang need two small
+    // columns). Branches union — same 9 rows, no Expand anywhere, no
+    // scalar crossJoin. Identical values: same inputs, same counts.
     val clf = qualityClassifier(spark, dir)
       .select(col("doc_id"), col("n_tokens"), col("label"))
     val qs = TextOps.qualityScore(spark, dir).select(col("doc_id"), col("quality_ok"))
-    val wide = base.join(clf, Seq("doc_id")).join(qs, Seq("doc_id"))
+    val census = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"))
+      .join(clf, Seq("doc_id")).join(qs, Seq("doc_id"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("source")).as("n_sources"),
-        countDistinct(col("lang")).as("n_langs"),
         sum(col("n_chars")).as("total_chars"),
         sum(col("n_tokens")).as("total_ws_tokens"),
-        countDistinct(col("fp")).as("distinct_texts"),
         sum(when(col("label") === "keep", 1L).otherwise(0L)).as("clf_keep_docs"),
         sum(when(col("quality_ok"), 1L).otherwise(0L)).as("heuristic_ok_docs"))
-    val docsLong = wide.selectExpr(
-      """stack(9,
-        |  'clf_keep_docs', clf_keep_docs,
-        |  'distinct_texts', distinct_texts,
-        |  'exact_dup_docs', n_docs - distinct_texts,
-        |  'heuristic_ok_docs', heuristic_ok_docs,
-        |  'n_docs', n_docs,
-        |  'n_langs', n_langs,
-        |  'n_sources', n_sources,
-        |  'total_chars', total_chars,
-        |  'total_ws_tokens', total_ws_tokens) AS (metric, value)""".stripMargin)
+      .selectExpr(
+        """stack(5,
+          |  'clf_keep_docs', clf_keep_docs,
+          |  'heuristic_ok_docs', heuristic_ok_docs,
+          |  'n_docs', n_docs,
+          |  'total_chars', total_chars,
+          |  'total_ws_tokens', total_ws_tokens) AS (metric, value)""".stripMargin)
+    val texts = Tables.documents(spark, dir)
+      .select(md5(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("distinct_texts"))
+      .selectExpr(
+        """stack(2,
+          |  'distinct_texts', distinct_texts,
+          |  'exact_dup_docs', n_docs - distinct_texts) AS (metric, value)""".stripMargin)
+    val srcLang = Tables.documents(spark, dir)
+      .select(col("source")).agg(countDistinct(col("source")).as("v"))
+      .select(lit("n_sources").as("metric"), col("v").as("value"))
+      .unionByName(Tables.documents(spark, dir)
+        .select(col("lang")).agg(countDistinct(col("lang")).as("v"))
+        .select(lit("n_langs").as("metric"), col("v").as("value")))
+    val docsLong = census.unionByName(texts).unionByName(srcLang)
     val topLang = Tables.documents(spark, dir)
       .groupBy(col("lang")).agg(count(lit(1)).as("n"))
       .agg(max(col("n")).as("v"))
@@ -3461,7 +3465,7 @@ object CorpusStats {
     * integer, so the hash gate covers every cell. */
   def paddingWaste(spark: SparkSession, dir: String): DataFrame = {
     val lens = Tables.documents(spark, dir)
-      .select(col("doc_id"), size(tokens(lower(col("text")))).cast("long").as("len"))
+      .select(col("doc_id"), graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("len"))
       .transform(graft.Dist.durableCkpt) // feeds both rankings
     def audit(tag: String, ranked: DataFrame): DataFrame =
       ranked
@@ -3533,7 +3537,7 @@ object CorpusStats {
   def sourceConcentration(spark: SparkSession, dir: String): DataFrame = {
     val mass = Tables.documents(spark, dir)
       .groupBy(col("source"))
-      .agg(sum(size(tokens(lower(col("text"))))).cast("long").as("x"))
+      .agg(sum(graft.functions.TextKernels.tokenCount(col("text"))).cast("long").as("x"))
     val ranked = mass
       .withColumn("i",
         row_number().over(Window.orderBy(col("x"), col("source"))).cast("long"))

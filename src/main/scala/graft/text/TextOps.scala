@@ -156,7 +156,7 @@ object TextOps {
   def tokenCounts(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"),
-        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("n_tokens"),
         length(col("text")).cast("long").as("n_chars_measured"),
         col("n_chars"))
       .orderBy(col("doc_id"))
@@ -285,7 +285,7 @@ object TextOps {
       .select(col("doc_id"),
         size(pieces).cast("long").as("n_bpe"),
         size(array_distinct(pieces)).cast("long").as("n_bpe_distinct"),
-        size(tokens(col("text"))).cast("long").as("n_ws"))
+        graft.functions.TextKernels.tokenCount(col("text")).cast("long").as("n_ws"))
       .withColumn("bpe_per_ws",
         when(col("n_ws") > 0, col("n_bpe") / col("n_ws")).otherwise(lit(0.0)))
       .orderBy(col("doc_id"))
@@ -315,7 +315,7 @@ object TextOps {
         when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(tokens(col("text")))).cast("long").as("n_tokens"),
+        sum(graft.functions.TextKernels.tokenCount(col("text"))).cast("long").as("n_tokens"),
         min(col("doc_id")).as("first_doc"))
       .orderBy(col("split"))
   }

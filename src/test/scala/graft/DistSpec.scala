@@ -340,4 +340,32 @@ class DistSpec extends SparkSpec {
       fs.delete(new org.apache.hadoop.fs.Path(dir.toString), true)
     }
   }
+
+  test("globalCumSum2 matches two chained globalCumSums and one range partitioning") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), length(col("text")).cast("long").as("w1"),
+        (col("doc_id") % 7).cast("long").as("w2"))
+      .repartition(7)
+    val fused = Dist.globalCumSum2(docs, col("doc_id"), col("w1"), col("w2"),
+        numParts = 5)
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cum1"), r.getAs[Long]("cum2"))).toSeq
+    val chained = {
+      val a = Dist.globalCumSum(docs, col("doc_id"), col("w1"), numParts = 5)
+        .withColumnRenamed("cum", "cum1")
+      Dist.globalCumSum(a, col("doc_id"), col("w2"), numParts = 5)
+        .withColumnRenamed("cum", "cum2")
+        .orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("cum1"), r.getAs[Long]("cum2"))).toSeq
+    }
+    assert(fused == chained)
+    // one fused pass must plan at most one range exchange (the chained
+    // form pays two) and no single-partition data window
+    val q = Dist.globalCumSum2(docs, col("doc_id"), col("w1"), col("w2"), numParts = 5)
+    val ranges = allPlanNodes(executedPlanOf(q)).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        if e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning] => e }
+    assert(ranges.size <= 1, s"fused cumsum must not pay a second range exchange")
+  }
 }

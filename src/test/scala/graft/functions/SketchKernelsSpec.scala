@@ -212,4 +212,23 @@ class SketchKernelsSpec extends SparkSpec {
       SketchKernels.spanMd5s(col("toks"), w).as("kernel"), hof.as("hof")).collect()
     got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
   }
+
+  test("hash60 kernel \u2261 conv\u2218substring\u2218md5 expression over corpus + edges") {
+    import spark.implicits._
+    val hof = (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val diff = graft.Tables.documents(spark, sfDir)
+      .select(col("text"))
+      .select(SketchKernels.hash60(col("text")).as("k"), hof(col("text")).as("h"))
+      .filter(col("k") =!= col("h"))
+    assert(diff.count() == 0)
+    val edges = Seq("", "a", "caf\u00e9", "\u65e5\u672c\u8a9e",
+      "\ud83d\ude00", "x" * 10000).toDF("text")
+      .select(SketchKernels.hash60(col("text")).as("k"), hof(col("text")).as("h"))
+      .collect()
+    edges.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // null propagates like the expression chain
+    val nr = Seq[Option[String]](None).toDF("text")
+      .select(SketchKernels.hash60(col("text")).as("k")).collect()
+    assert(nr(0).isNullAt(0))
+  }
 }

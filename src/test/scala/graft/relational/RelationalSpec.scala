@@ -24,6 +24,15 @@ class RelationalSpec extends SparkSpec {
     val expands = collectAll(plan(df)).filter(
       _.isInstanceOf[org.apache.spark.sql.execution.ExpandExec])
     assert(expands.isEmpty, "approx profile must plan no Expand")
+    // r13: the per-column branch split exists so the HLL partials run as
+    // HashAggregate — one shared aggregate mixed the STRING min/max
+    // buffers (non-mutable) into every sketch's buffer and the WHOLE
+    // profile fell back to SortAggregate (measured ~33 task-seconds per
+    // run at sf0.1). Only the one string column may still sort-aggregate.
+    val sortAggs = collectAll(plan(df)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec])
+    assert(sortAggs <= 2, // partial+final of the single string branch
+      s"approx profile must hash-aggregate its fixed-width branches (got $sortAggs SortAggregates)")
     val est = df.collect()
       .map(r => r.getString(0) -> r.getLong(3)).toMap
     val exact = Relational.columnProfile(spark, sfDir).collect()
@@ -117,9 +126,19 @@ class RelationalSpec extends SparkSpec {
     val got = q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
       r.getLong(3), r.getString(4), r.getString(5))).toSeq
     assert(got == model, s"profile must match the Scala model:\n$got\nvs\n$model")
-    val scans = collectAll(plan(q)).collect {
+    // r13 shape: one PRUNED scan per profiled column (ReadSchema = that
+    // column alone) and NO Expand — the single-scan form planned a
+    // multi-distinct Expand x5 before the partial agg (measured ~38
+    // task-seconds per run at sf0.1); per-column single-distinct
+    // branches aggregate |rows| narrow values each instead.
+    val nodes = collectAll(plan(q))
+    val scans = nodes.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
-    assert(scans.size == 1, "profile must come from a single scan")
+    assert(scans.size == 4, s"one pruned scan per column, got ${scans.size}")
+    scans.foreach(f => assert(f.requiredSchema.fields.length == 1,
+      s"scan must be pruned to one column: ${f.requiredSchema.simpleString}"))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.ExpandExec]),
+      "the per-column split exists so no multi-distinct Expand plans")
   }
 
   test("q106 weighted median: crossing-point property holds against a Scala model") {

@@ -1469,4 +1469,64 @@ class CorpusStatsSpec extends SparkSpec {
     val be = kernelOf(edges).orderBy("doc_id").collect()
     ae.zip(be).foreach { case (x, y) => assert(x == y, s"edge divergence: $x vs $y") }
   }
+
+  test("tokenCount kernel \u2261 size(tokens(text)) over the corpus + edges") {
+    import spark.implicits._
+    import graft.llm.Similarity.tokens
+    val corpus = graft.Tables.documents(spark, sfDir).select("text")
+    val diff = corpus.select(
+        size(tokens(col("text"))).as("hof"),
+        graft.functions.TextKernels.tokenCount(col("text")).as("k"))
+      .filter(col("hof") =!= col("k"))
+    assert(diff.count() == 0)
+    val edges = Seq("", " \t\n\u000b\f\r ", "a", " a ", "a b  c",
+      "caf\u00e9\u00a0x", "\u3000two\u3000", "\ud83d\ude00 \u212A x")
+      .toDF("text")
+    val got = edges.select(size(tokens(col("text"))).as("hof"),
+      graft.functions.TextKernels.tokenCount(col("text")).as("k")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1), s"edge: $r"))
+  }
+
+  test("repetitionStats kernel \u2261 explode formulation over the corpus + edges") {
+    import spark.implicits._
+    import graft.llm.Similarity.tokens
+    def hofOf(df: org.apache.spark.sql.DataFrame) = {
+      val base = df.select(col("doc_id"), tokens(lower(col("text"))).as("toks"))
+      val words = base.select(col("doc_id"), explode(col("toks")).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("long").as("n_tokens"),
+          count(lit(1)).cast("long").as("n_distinct"),
+          max(col("n")).cast("long").as("top_word_n"))
+      val nBg = size(col("toks")) - 1
+      val bigramArr = when(nBg > 0,
+        transform(sequence(lit(1), nBg), i =>
+          concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))
+      val bigrams = base.select(col("doc_id"), explode(bigramArr).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("n")).cast("long").as("n_bigrams"),
+          max(col("n")).cast("long").as("top_bigram_n"))
+      df.select(col("doc_id")).join(words, Seq("doc_id"), "left")
+        .join(bigrams, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_tokens"), lit(0L)),
+          coalesce(col("n_distinct"), lit(0L)), coalesce(col("top_word_n"), lit(0L)),
+          coalesce(col("n_bigrams"), lit(0L)), coalesce(col("top_bigram_n"), lit(0L)))
+    }
+    def kernelOf(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        graft.functions.TextKernels.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"), coalesce(col("r.n_tokens"), lit(0L)),
+        coalesce(col("r.n_distinct"), lit(0L)), coalesce(col("r.top_word_n"), lit(0L)),
+        coalesce(col("r.n_bigrams"), lit(0L)), coalesce(col("r.top_bigram_n"), lit(0L)))
+    val corpus = graft.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val a = hofOf(corpus); val b = kernelOf(corpus)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    val edges = Seq((1L, ""), (2L, "  "), (3L, "a"), (4L, "a a a"),
+      (5L, "a b a b a"), (6L, "A a \u00c9 \u00e9"), (7L, "x y"),
+      (8L, "one two one two two one")).toDF("doc_id", "text")
+    val ae = hofOf(edges).orderBy("doc_id").collect()
+    val be = kernelOf(edges).orderBy("doc_id").collect()
+    ae.zip(be).foreach { case (x, y) => assert(x == y, s"edge: $x vs $y") }
+  }
 }
