@@ -57,7 +57,15 @@ object Profile {
     }
     run() // warm (memos land, JIT) — profiled reps below see steady state
     spark.sparkContext.addSparkListener(listener)
-    val times = (1 to reps).map(_ => run())
+    def storageLine(tag: String): Unit = {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      val mem = spark.sparkContext.getRDDStorageInfo
+      println(f"STORAGE $tag: persistentRDDs=${rdds.size} " +
+        f"memMB=${mem.map(_.memSize).sum / 1e6}%.0f diskMB=${mem.map(_.diskSize).sum / 1e6}%.0f")
+    }
+    val times = (1 to reps).map { i =>
+      val t = run(); storageLine(s"after rep $i"); t
+    }
     spark.sparkContext.removeSparkListener(listener)
     println(f"WALL ${times.min}%.3f s (min of $reps reps, warm)")
     import scala.jdk.CollectionConverters._

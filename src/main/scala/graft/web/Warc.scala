@@ -63,8 +63,14 @@ object Warc {
     // handler — one big file would fail the task instead of quarantining
     val hint = math.max(64L, math.min(bytes.length.toLong * 4, 1L << 24)).toInt
     val out = new java.io.ByteArrayOutputStream(hint)
+    // the stream must be CLOSED on every path (not abandoned): its
+    // native zlib Inflater is released only in close(), and one leaked
+    // native stream per decompressed payload degraded repeated runs
+    // superlinearly (the renderGzMembers Deflater twin of the same bug,
+    // found r13 via thread dumps stuck in zlib init)
+    var in: java.util.zip.GZIPInputStream = null
     try {
-      val in = new java.util.zip.GZIPInputStream(
+      in = new java.util.zip.GZIPInputStream(
         new java.io.ByteArrayInputStream(bytes))
       val buf = new Array[Byte](8192)
       var n = in.read(buf)
@@ -79,7 +85,7 @@ object Warc {
       (out.toByteArray, over)
     } catch {
       case _: java.io.IOException => (out.toByteArray, true)
-    }
+    } finally if (in != null) in.close()
   }
 
   /** One gzip member's placement in a `.warc.gz` file: compressed byte
@@ -321,7 +327,15 @@ object Warc {
     val out = new java.io.ByteArrayOutputStream()
     for (r <- records) {
       val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(r); gz.finish()
+      // close(), not just finish(): finish() flushes the member but never
+      // releases the native zlib stream (Deflater.end() runs only in
+      // close()); at one leaked ~quarter-MB native allocation per
+      // rendered record, repeated q218/q222 runs degraded 2x PER RUN —
+      // thread dumps showed every executor thread inside Deflater.init
+      // fighting the bloated native allocator (r13; the cross-rep
+      // ascending bench vectors q222 [4.1→24.0 s] were exactly this).
+      // Closing also closes `out` — a no-op for ByteArrayOutputStream.
+      gz.write(r); gz.close()
     }
     out.toByteArray
   }
