@@ -45,8 +45,14 @@ object Bench {
     // invisible inside the untimed warmup (r11 judge task 3: q203/q233's
     // deployment step should be a NUMBER in the artifact). Suffixes are
     // the per-dir md5 — strip for stable keys across data dirs.
-    val landings = graft.io.Layout.drainLandingSecs()
-      .map { case (t, s) => t.replaceAll("_[0-9a-f]{32}$", "") -> s }
+    // ... plus the session-memoized landed frames (scored pairs, shingle
+    // groups, labels, CT profiles): their warmup-absorbed build seconds
+    // were invisible in the artifact (r13 verdict task 8); now they land
+    // beside the bucketed-table landings as memo_<name> entries.
+    val landings = (graft.io.Layout.drainLandingSecs()
+      .map { case (t, s) => t.replaceAll("_[0-9a-f]{32}$", "") -> s }) ++
+      graft.SessionMemos.drainBuildSecs()
+        .map { case (n, s) => s"memo_$n" -> s }
     spark.catalog.clearCache()
     // --- bench-box calibration probe (r11 judge task 2): the r11 host-
     // degradation story (three sweeps of identical code 120.8 -> 138.7 ->
@@ -139,7 +145,13 @@ object Bench {
         java.nio.file.Paths.get(baseline)), "UTF-8")
       val sameSf = """"sf":"([^"]*)"""".r.findFirstMatchIn(txt)
         .exists(_.group(1) == sfDir)
-      if (!sameSf) Map.empty
+      // ... and at the same CORE COUNT (r13 verdict): the driver also runs
+      // an 8-core scaling sweep, and adjudicating a 32-core run against
+      // 8-core mins (or vice versa) would mass-(non-)adjudicate. A record
+      // without a cpus field predates this rule — treat as comparable.
+      val sameCpus = """"cpus":(\d+)""".r.findFirstMatchIn(txt)
+        .forall(_.group(1) == cpus)
+      if (!sameSf || !sameCpus) Map.empty
       else {
         val qsec = """"queries":\{([^}]*)\}""".r
           .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
@@ -226,14 +238,39 @@ object Bench {
     val landJson = landings.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"adjudicated":$adjJson,"calibration":$calJson,"landings":$landJson,"adjusted_total":${f"$adjTotal%.3f"},"sf":"$sfDir","total":$total}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"reps":$repsJson,"adjudicated":$adjJson,"calibration":$calJson,"landings":$landJson,"adjusted_total":${f"$adjTotal%.3f"},"cpus":$cpus,"sf":"$sfDir","total":$total}"""
     println(line)
+    // The full line above now exceeds the driver's log capture (~15 KB
+    // with 241 rep vectors) and has had its HEAD truncated in every
+    // driver record since r10 — PERF's per-query table, geomean and
+    // scaling block have all been empty because of it (r13 verdict
+    // task 1). So print a SECOND, compact line the capture can hold:
+    // min-only per-query map, no reps/adjudication/calibration (~7 KB).
+    // Parsers that take the last JSON line get this one; the full
+    // auditable record persists to the artifact file below either way.
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cpus":$cpus,"sf":"$sfDir","total":$total}"""
+    println(compact)
     // The driver's log capture ALSO truncates this line's head (r6 lost
     // q01-q54 and q100+ per-query reps entirely), so persist the full
     // record to a committed artifact — BENCH_LOCAL.json by default, next
     // to the repo the driver commits at round end. Best-effort: a bench
     // run must never fail on a read-only working directory.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // Overwrite rule (r13 verdict task 1: the driver's 8-core scaling run
+    // clobbered the committed 32-core record): when the DEFAULT output
+    // already holds a record taken at a DIFFERENT core count, divert this
+    // run's record to a cpus-keyed sibling instead of overwriting it. An
+    // explicit SPARK_GRAFT_BENCH_OUT is the caller's own choice — honored
+    // as given.
+    val outDefault = "BENCH_LOCAL.json"
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", {
+      val clobberOtherCpus = try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(outDefault)), "UTF-8")
+        """"cpus":(\d+)""".r.findFirstMatchIn(txt)
+          .exists(_.group(1) != cpus)
+      } catch { case _: Exception => false }
+      if (clobberOtherCpus) s"BENCH_LOCAL_c$cpus.json" else outDefault
+    })
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (line + "\n").getBytes("UTF-8"))
     catch { case e: Exception =>

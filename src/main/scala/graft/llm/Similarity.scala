@@ -249,7 +249,7 @@ object Similarity {
     * exactly one of those cases, so no final distinct is needed — the
     * 958k-row doc-pair set never passes through a dedup exchange. */
   private val groupsMemo =
-    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]("shingle_groups")
 
   /** [[shingleGroups]] landed ONCE per (session, dir, durability regime)
     * — the d7258c8 front-end idiom (kmeans assignment, co-purchase
@@ -272,9 +272,9 @@ object Similarity {
       _ => shingleGroups(spark, dir).transform(Dist.durableCkpt))
 
   private val pairsMemo =
-    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]("verified_pairs")
   private val scoredMemo =
-    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]("scored_pairs")
 
   /** EVERY banded rep-pair candidate scored exactly — (gid_a, gid_b,
     * sz_a, sz_b, n_shared), landed ONCE per (session, dir, durability
@@ -1004,7 +1004,7 @@ object Similarity {
     (spark, dir, spark.sparkContext.getCheckpointDir)
 
   private val kmeansMemo =
-    new graft.SessionMemo[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]("kmeans_state")
 
   /** Final Lloyd-iteration state: (`a2` = (vec_id, cid) assignment,
     * `c2` = (cid, qc) centroids), both reading checkpointed frames.
@@ -1306,7 +1306,7 @@ object Similarity {
     * .ensureBucketed]] with its content fingerprint) rather than a
     * session memo. */
   private val cglMemo =
-    new graft.SessionMemo[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), (DataFrame, DataFrame)]("cluster_labels")
 
   private[llm] def clusterGroupLabels(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     cglMemo.getOrCompute(memoKey(spark, dir))({ _ =>
@@ -1315,7 +1315,7 @@ object Similarity {
     })
 
   private val docLabelsMemo =
-    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]("doc_labels")
 
   /** The EXPANDED doc→label frame (lbl, doc_id), landed once per
     * (session, dir, durability regime) and served RUNTIME-SIZE-DECIDED

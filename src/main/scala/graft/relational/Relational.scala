@@ -1078,7 +1078,7 @@ object Relational {
   // deterministic builds), and long-lived multi-session hosts call
   // SessionMemos.clearAll() on session stop.
   private val copurchaseMemo =
-    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]()
+    new graft.SessionMemo[(SparkSession, String, Option[String]), DataFrame]("copurchase")
 
   private def copurchaseCounts(spark: SparkSession, dir: String): DataFrame =
     copurchaseMemo.getOrCompute(

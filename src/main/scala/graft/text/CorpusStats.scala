@@ -2007,7 +2007,7 @@ object CorpusStats {
   // session (the copurchaseMemo discipline; process-lifetime retention is
   // intended for the one-session Verify/Bench/test hosts)
   private val bpeMemo = new graft.SessionMemo[
-    (SparkSession, String, Option[String]), Seq[(String, String, Long)]]()
+    (SparkSession, String, Option[String]), Seq[(String, String, Long)]]("bpe_merges")
 
   /** Run the K training rounds; returns the ordered merge list (l, r, n). */
   def bpeTrainMerges(spark: SparkSession, dir: String): Seq[(String, String, Long)] =
@@ -2745,7 +2745,7 @@ object CorpusStats {
     * and the memo is capped + `clearAll`-released like every session
     * registry. */
   private val profMemo = new graft.SessionMemo[(SparkSession, String),
-    (Seq[String], Map[String, Map[String, Int]])]
+    (Seq[String], Map[String, Map[String, Int]])]("ct_profiles")
 
   private def trainedProfiles(spark: SparkSession, dir: String)
       : (Seq[String], Map[String, Map[String, Int]]) =

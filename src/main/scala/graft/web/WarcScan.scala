@@ -82,7 +82,7 @@ object WarcScan {
   // shape, held as a checkpointed frame (stays distributed: at 100 TB
   // the index is ~corpusBytes/64Mi rows, never driver-collected).
   private val idxMemo =
-    new graft.SessionMemo[(String, String, Long), DataFrame]
+    new graft.SessionMemo[(String, String, Long), DataFrame]("warc_index")
 
   /** Index one file: stream member boundaries, coalesce into slices.
     * Non-gzip (or index-empty) input → one identity slice spanning the

@@ -17,6 +17,20 @@ class SessionMemoSpec extends AnyFunSuite {
     assert(get("a") == 3 && builds == 3, "clearAll must force a rebuild")
   }
 
+  test("named memos report build seconds; cached hits and unnamed memos do not") {
+    SessionMemos.drainBuildSecs() // isolate from other suites' builds
+    val named = new SessionMemo[String, Int]("spec_probe")
+    val anon = new SessionMemo[String, Int]
+    named.getOrCompute("a")(_ => 1)
+    named.getOrCompute("a")(_ => 1) // cached: must not re-record
+    named.getOrCompute("b")(_ => 2) // second key: accumulates on the same name
+    anon.getOrCompute("a")(_ => 1)
+    val secs = SessionMemos.drainBuildSecs()
+    assert(secs.keySet == Set("spec_probe"), s"unexpected entries: $secs")
+    assert(secs("spec_probe") >= 0.0)
+    assert(SessionMemos.drainBuildSecs().isEmpty, "drain must clear")
+  }
+
   test("key growth is bounded: the cap clears, old keys rebuild, size stays <= cap") {
     val memo = new SessionMemo[Int, Int]
     var builds = 0
