@@ -104,12 +104,10 @@ object Ingest {
     val dfreqT = s"graft_corpus_dfreq_$suffix"
     val isBatch = pmod(col("doc_id"), lit(10)) === 7
     // ---- one-time landing (the untimed deployment step; q87 lands the
-    // first two, q233 adds the containment tier's postings + dfreq)
-    graft.io.Layout.ensureBucketed(spark, sigsT, "doc_id", 16)(
-      Tables.documents(spark, dir).filter(!isBatch)
-        .select(col("doc_id"), col("text"), hashedShingles(col("text")).as("hs")))
-    graft.io.Layout.ensureBucketed(spark, bandsT, "bkey", 16)(
-      bandKeysFor(spark.table(sigsT).select(col("doc_id"), col("hs")), "doc_id"))
+    // first two via the SAME shared builder — the fingerprint keys on
+    // source files, so the builds must be identical — q233 adds the
+    // containment tier's postings + dfreq)
+    Similarity.landCorpusSigs(spark, dir, sigsT, bandsT)
     // postings derive from the ALREADY-LANDED sigs table, not a second
     // raw-parquet scan (r12 judge task 1): the bucketed layout reads 16
     // parallel bucket files where the single-row-group harness parquet
@@ -135,14 +133,21 @@ object Ingest {
     // rows out), never the reverse.
     // fanOut: the batch slice hashes word shingles AND 3-grams per row
     // from the one-task scan (sf0.1: 4.7 -> ~3.3 s; sf1 8.7 s = 2.7x)
+    val aidOf =
+      when(pmod(expr("doc_id div 10"), lit(5)).isin(2, 4), col("doc_id") - 3)
     val rawBatch = graft.Dist.fanOut(Tables.documents(spark, dir)).filter(isBatch)
-      .select(col("doc_id"), col("text"),
-        when(pmod(expr("doc_id div 10"), lit(5)).isin(2, 4), col("doc_id") - 3)
-          .as("aid"))
-    val anchorTexts = Tables.documents(spark, dir).filter(!isBatch)
+      .select(col("doc_id"), col("text"), aidOf.as("aid"))
+    // anchor-id broadcast from a SLIM direct scan (doc_id only, no fanOut
+    // exchange — the heavy hashing path keeps it, this branch doesn't),
+    // and the anchor texts from the 16-bucket landed sigs table instead
+    // of the single-row-group raw parquet: same rows (the sigs table IS
+    // documents filtered to the corpus slice), one less exchange on the
+    // batch checkpoint's critical path, and a parallel anchor scan.
+    val batchAids = Tables.documents(spark, dir).filter(isBatch)
+      .select(aidOf.as("aid")).filter(col("aid").isNotNull)
+    val anchorTexts = spark.table(sigsT)
       .select(col("doc_id").as("aid"), col("text").as("atext"))
-      .join(broadcast(rawBatch.select(col("aid")).filter(col("aid").isNotNull)),
-        Seq("aid"), "left_semi")
+      .join(broadcast(batchAids), Seq("aid"), "left_semi")
     // div10%5==4: VERBATIM copy of the anchor (the planted exact_dup
     // class — r11 ADVICE: without it the exact screen passed vacuously
     // with 0 rows on both engines); div10%5==2: the first-half snippet
@@ -167,8 +172,10 @@ object Ingest {
     val urlIds = batch.select(col("doc_id"), col("canon"))
       .join(broadcast(seenCanon), Seq("canon"), "left_semi")
       .select(col("doc_id"))
-    // ---- 2. exact probe (q68's inversion, on slim digests)
-    val seenTexts = corSigs.select(md5(col("text")).as("th"))
+    // ---- 2. exact probe (q68's inversion, on slim digests — the digest
+    // is LANDED in the sigs table, so the scan prunes to the th column
+    // instead of re-hashing every corpus text per run)
+    val seenTexts = corSigs.select(col("th"))
       .join(broadcast(batch.select(col("th"))), Seq("th"), "left_semi")
       .distinct()
     val exactIds = batch.select(col("doc_id"), col("th"))
@@ -217,15 +224,22 @@ object Ingest {
       .join(broadcast(rankedAll), Seq("h"))
       .select(col("inc_id"), col("cor_id")).distinct()
     // verify WITHOUT corpus-side arrays: the landed postings stream past
-    // the broadcast (candidate x batch-token) probe — n_shared is a
-    // count over matching (cor_id, h) posting rows, sz_c rides on the
-    // posting row itself, so no corpus g3 array is ever materialized
-    // (the g3 arrays exist only batch-side)
-    val contProbe = batchToks
-      .join(broadcast(contCand), Seq("inc_id"))
-      .select(col("inc_id"), col("cor_id"), col("h"), col("sz_i"))
+    // broadcast batch probes — n_shared is a count over matching
+    // (cor_id, h) posting rows, sz_c rides on the posting row itself, so
+    // no corpus g3 array is ever materialized (the g3 arrays exist only
+    // batch-side). Fused to ONE postings pass (r14): the old shape
+    // materialized an intermediate (candidate × batch-token) broadcast
+    // — one more blocking build on the chain's critical path. Now the
+    // postings stream probes three batch-bounded builds inside a single
+    // codegen stage: a cor_id semi (bounds the h-join fan-out to
+    // candidate docs before it happens), the batch tokens on h, and the
+    // candidate PAIR semi that restores exactly the old row set.
     val contRaw = corPost
-      .join(broadcast(contProbe), Seq("cor_id", "h"))
+      // no distinct on the cor_id slice: a semi-join build side dedups
+      // keys inherently, and a distinct would add an exchange round
+      .join(broadcast(contCand.select(col("cor_id"))), Seq("cor_id"), "left_semi")
+      .join(broadcast(batchToks), Seq("h"))
+      .join(broadcast(contCand), Seq("inc_id", "cor_id"), "left_semi")
       .filter(lit(10) * col("sz_c") >= lit(9) * col("sz_i"))
       .groupBy(col("inc_id"), col("cor_id"), col("sz_i"))
       .agg(count(lit(1)).as("n_shared"))
@@ -247,7 +261,9 @@ object Ingest {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"),
         expr("bit_xor(fp)").cast("long").as("id_fp"))
-      .orderBy(col("status"))
+      // ≤5 rows: a single-partition sort, not a range exchange (whose
+      // boundary sampling re-runs the census stage)
+      .repartition(1).sortWithinPartitions(col("status"))
   }
 
   /** Oracle: every stage recomputed directly — URL arithmetic, exact

@@ -1972,19 +1972,33 @@ object Similarity {
     * signature table bucket-aligned on `doc_id`. Spec-asserted: zero
     * ShuffleExchange anywhere above a corpus-table scan; answers are
     * bit-identical to q68 (same oracle). */
+  /** One-time landing of the corpus signature + band tables (the untimed
+    * deployment step, like q56/q72), SHARED by q87 and q233 — the two
+    * builds must stay byte-identical because [[graft.io.Layout
+    * .ensureBucketed]]'s fingerprint keys on the SOURCE files, so
+    * whichever query lands first serves the other. Hash the corpus once,
+    * then derive the band table FROM the landed signatures so MinHash
+    * also runs once. The `th` md5 digest lands WITH the table (r14):
+    * the exact-dup probes were re-hashing every corpus text per run and
+    * dragging the full `text` column through the scan; a landed digest
+    * makes that probe a narrow column scan. */
+  private[llm] def landCorpusSigs(spark: SparkSession, dir: String,
+      sigsT: String, bandsT: String): Unit = {
+    val isIncoming = pmod(col("doc_id"), lit(10)) === 7
+    graft.io.Layout.ensureBucketed(spark, sigsT, "doc_id", 16)(
+      Tables.documents(spark, dir).filter(!isIncoming)
+        .select(col("doc_id"), col("text"), md5(col("text")).as("th"),
+          hashedShingles(col("text")).as("hs")))
+    graft.io.Layout.ensureBucketed(spark, bandsT, "bkey", 16)(
+      bandKeys(spark.table(sigsT).select(col("doc_id"), col("hs")), "doc_id"))
+  }
+
   def bucketedIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val suffix = graft.io.Layout.dirSuffix(dir)
     val sigsT = s"graft_corpus_sigs_$suffix"
     val bandsT = s"graft_corpus_bands_$suffix"
     val isIncoming = pmod(col("doc_id"), lit(10)) === 7
-    // One-time landing (the untimed deployment step, like q56/q72): hash
-    // the corpus once, then derive the band table FROM the landed
-    // signatures so MinHash also runs once.
-    graft.io.Layout.ensureBucketed(spark, sigsT, "doc_id", 16)(
-      Tables.documents(spark, dir).filter(!isIncoming)
-        .select(col("doc_id"), col("text"), hashedShingles(col("text")).as("hs")))
-    graft.io.Layout.ensureBucketed(spark, bandsT, "bkey", 16)(
-      bandKeys(spark.table(sigsT).select(col("doc_id"), col("hs")), "doc_id"))
+    landCorpusSigs(spark, dir, sigsT, bandsT)
     val corSigs = spark.table(sigsT)
     val corBands = spark.table(bandsT)
     // The recurring path: only the (small) incoming batch is hashed fresh;
@@ -2027,10 +2041,15 @@ object Similarity {
     // enters a shuffle exchange.
     val nearIds = incoming.select(col("doc_id"))
       .join(broadcast(nearRaw), Seq("doc_id"), "left_semi")
-    val matchedTexts = corSigs.select(col("text"))
-      .join(broadcast(incoming.select(col("text"))), Seq("text"), "left_semi")
-    val exactIds = incoming.select(col("doc_id"), col("text"))
-      .join(broadcast(matchedTexts), Seq("text"), "left_semi")
+    // exact probe on the LANDED md5 digest, not the text column: the scan
+    // prunes to one 32-char column and the broadcast back carries digests
+    // instead of full documents (md5 equality ≡ text equality to the same
+    // standard q233's exact screen already accepts)
+    val matchedTexts = corSigs.select(col("th"))
+      .join(broadcast(incoming.select(md5(col("text")).as("th"))),
+        Seq("th"), "left_semi")
+    val exactIds = incoming.select(col("doc_id"), md5(col("text")).as("th"))
+      .join(broadcast(matchedTexts), Seq("th"), "left_semi")
       .select(col("doc_id"))
     incoming.select(col("doc_id"))
       .join(broadcast(exactIds.withColumn("is_exact", lit(true))), Seq("doc_id"), "left")
